@@ -1,13 +1,55 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry returns a deterministic, fully-ordered DataFrame whose column
+  * set and values hash-match the DuckDB SQL in [[Oracles]] (SURVEY.md §7.4).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query: monthly sales trends (scan → join → hash-agg with
+    * count-distinct → lag/moving-avg/cumsum windows) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Gold.monthlySalesTrends(Silver.orderDetails(spark, "/root/testdata/sf0.001"))
+      .orderBy("order_year", "order_month")
+
+  private def od(s: SparkSession, d: String): DataFrame = Silver.orderDetails(s, d)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // bronze: scans + null gates + keep-latest dedup (SURVEY.md §2.1-2.2, W1)
+    "bronze_orders" -> ((s, d) => Bronze.orders(s, d).orderBy("o_orderkey")),
+    "bronze_lineitem" -> ((s, d) => Bronze.lineitem(s, d).orderBy("l_orderkey", "l_linenumber")),
+    "bronze_customer" -> ((s, d) => Bronze.customer(s, d).orderBy("c_custkey")),
+    "bronze_supplier" -> ((s, d) => Bronze.supplier(s, d).orderBy("s_suppkey")),
+    "bronze_part" -> ((s, d) => Bronze.part(s, d).orderBy("p_partkey")),
+    "bronze_nation" -> ((s, d) => Bronze.nation(s, d).orderBy("n_nationkey")),
+    "bronze_region" -> ((s, d) => Bronze.region(s, d).orderBy("r_regionkey")),
+    // silver: denormalized facts (SURVEY.md §2.3-2.5)
+    "silver_order_details" -> ((s, d) => od(s, d).orderBy("order_key", "line_number")),
+    "silver_customer_orders" -> ((s, d) => Silver.customerOrders(s, d).orderBy("customer_key")),
+    "silver_supplier_parts" -> ((s, d) =>
+      Silver.supplierParts(s, d).orderBy("supplier_key", "part_key")),
+    // gold: analytical views (SURVEY.md §2.4-2.6)
+    "gold_revenue_by_region" -> ((s, d) =>
+      Gold.revenueByRegion(od(s, d), Silver.customerGeo(s, d))
+        .orderBy("region_name", "nation_name", "market_segment", "order_year", "order_month")),
+    "gold_customer_lifetime_value" -> ((s, d) =>
+      Gold.customerLifetimeValue(Silver.customerOrders(s, d), od(s, d)).orderBy("customer_key")),
+    "gold_supplier_performance" -> ((s, d) =>
+      Gold.supplierPerformance(Silver.supplierParts(s, d), od(s, d)).orderBy("supplier_key")),
+    "gold_monthly_sales_trends" -> ((s, d) =>
+      Gold.monthlySalesTrends(od(s, d)).orderBy("order_year", "order_month")),
+    // quality: the reference's DQ surface (SURVEY.md §2.9)
+    "quality_row_counts" -> ((s, d) => Quality.rowCounts(s, d)),
+    "quality_null_checks" -> ((s, d) => Quality.nullChecks(s, d)),
+    "quality_referential_integrity" -> ((s, d) => Quality.referentialIntegrity(s, d)),
+    "quality_business_rules" -> ((s, d) => Quality.businessRules(s, d)),
+    "quality_freshness" -> ((s, d) => Quality.freshness(s, d))
+  )
+
+  def oracleSql: Map[String, String] = Oracles.all
 }

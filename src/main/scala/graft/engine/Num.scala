@@ -1,0 +1,53 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic numeric kernels shared by every verified query.
+  *
+  * Motivation (SURVEY.md §7.4): the driver hash-compares our results against a
+  * DuckDB oracle. Two hazards make naive double math non-reproducible across
+  * engines:
+  *
+  *  1. SUM(double) depends on addition order — Spark sums per-partition then
+  *     merges, DuckDB sums in its own order; IEEE addition is not associative.
+  *     Fix: sum in DECIMAL(38,10) (exact, order-free), cast back to double.
+  *     The decimal cast itself is cross-engine safe because every summed column
+  *     holds values that are ≤6-decimal-digit quantities up to double error
+  *     (money = 2dp, rates = 2dp, their products ≤6dp), far inside scale 10.
+  *
+  *  2. ROUND(double, k) at ties — Spark rounds HALF_UP on the shortest decimal
+  *     string; DuckDB rounds on the binary value. For x = 2.675 (stored as
+  *     2.67499999…) Spark gives 2.68, DuckDB 2.67. Fix: express rounding as
+  *     floor(x·10ᵏ + 0.5)/10ᵏ — identical IEEE ops in both engines, so results
+  *     are bitwise equal by construction (half-up towards +∞ at exact ties).
+  *
+  * Each helper has a textual twin in [[graft.Oracles]] emitting the same
+  * formula as DuckDB SQL. At cluster scale both tricks are also sound:
+  * decimal sums use the same partial-aggregation path as double sums
+  * (map-side combine preserved), and floor/divide stay in whole-stage codegen.
+  */
+object Num {
+  val SumDec = "decimal(38,10)"
+
+  /** Order-independent SUM of a money-like double column. */
+  def dsum(c: Column): Column = sum(c.cast(SumDec)).cast("double")
+
+  /** Windowed order-independent SUM. */
+  def dsumOver(c: Column, w: WindowSpec): Column =
+    sum(c.cast(SumDec)).over(w).cast("double")
+
+  /** Cross-engine deterministic ROUND(x, k): floor(x·10ᵏ + 0.5)/10ᵏ. */
+  def r(c: Column, k: Int): Column = {
+    val p = math.pow(10, k)
+    floor(c * p + 0.5) / p
+  }
+
+  def r1(c: Column): Column = r(c, 1)
+  def r2(c: Column): Column = r(c, 2)
+  def r4(c: Column): Column = r(c, 4)
+
+  /** NULL when divisor is zero — mirrors SQL NULLIF(d, 0) guards. */
+  def div0(num: Column, den: Column): Column = num / nullif(den, lit(0))
+}

@@ -1,0 +1,46 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet scans for the test tables (FIXTURES.md).
+  *
+  * The reference declares `o_orderdate` / `l_shipdate` as DATE
+  * (reference: src/schemas/create_extract_schemas.py:30,80) but the fixture
+  * parquet stores timestamps — cast to DateType at the scan so all downstream
+  * date arithmetic (datediff / year / quarter) is day-grain.
+  *
+  * At 100 TB these scans are the widest point of every plan: each loader
+  * returns a plain file-source DataFrame so Catalyst's column pruning and
+  * filter pushdown reach the parquet reader (verify with
+  * `.explain("formatted")` → `PushedFilters` / `ReadSchema`).
+  */
+object Sources {
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
+
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+
+  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark rejects
+    * natively — read nanos as long and truncate to a µs timestamp (exactly
+    * what DuckDB's ns→µs conversion does, keeping the oracle comparable). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}
