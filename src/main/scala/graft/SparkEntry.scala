@@ -48,8 +48,13 @@ object SparkEntry {
     "quality_null_checks" -> ((s, d) => Quality.nullChecks(s, d)),
     "quality_referential_integrity" -> ((s, d) => Quality.referentialIntegrity(s, d)),
     "quality_business_rules" -> ((s, d) => Quality.businessRules(s, d)),
-    "quality_freshness" -> ((s, d) => Quality.freshness(s, d))
+    "quality_freshness" -> ((s, d) => Quality.freshness(s, d)),
+    // ext: training-data pipeline operators over documents/embeddings/events
+    "text_stats" -> ((s, d) => ext.Text.stats(s, d).orderBy("doc_id")),
+    "text_langid" -> ((s, d) => ext.Text.langId(s, d).orderBy("doc_id")),
+    "text_fingerprint" -> ((s, d) => ext.Text.fingerprint(s, d).orderBy("doc_id")),
+    "text_token_frequency" -> ((s, d) => ext.Text.tokenFrequency(s, d).orderBy("token"))
   )
 
-  def oracleSql: Map[String, String] = Oracles.all
+  def oracleSql: Map[String, String] = Oracles.all ++ OraclesExt.all
 }

@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Num, Sources}
+import Num._
+
+/** Text analysis over the `documents` table — the language-ID / quality /
+  * token-counting / fingerprinting layer a training-data pipeline runs before
+  * dedup and filtering.
+  *
+  * Everything here is per-row columnar expression work (no UDFs): at 100 TB
+  * these are map-only stages that stay inside whole-stage codegen and
+  * vectorized parquet reads; the only shuffle in this file is the token
+  * frequency groupBy, which partial-aggregates map-side first.
+  *
+  * Cross-engine parity: every formula has a textual twin in
+  * [[graft.OraclesExt]]. The primitives were probed bitwise-identical in
+  * DuckDB (rolling hash of "abc" = 1677554 in both engines).
+  */
+object Text {
+
+  /** Whitespace tokens — single-space split, keeping empty tokens, exactly
+    * like DuckDB `string_split(text, ' ')`. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** BPE-ish subword pieces: maximal letter runs, digit runs, single
+    * punctuation marks. A real BPE vocab is model-specific; this regex is the
+    * deterministic stand-in with the same cost shape (one pass per row). */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(BpePattern), lit(0))
+
+  /** Polynomial rolling hash over every character (spaces included):
+    * h ← (h·131 + codepoint) mod (2³¹−1). Stays in Long, no overflow:
+    * h < 2³¹ so h·131 + 0x10FFFF < 2⁴⁰. */
+  def rollingHash(c: Column): Column =
+    aggregate(split(c, ""), lit(0L), (h, ch) => (h * 131L + ascii(ch)) % 2147483647L)
+
+  /** Language marker words (function words a real n-gram language-ID keys on;
+    * ordered — ties resolve to the earlier language). */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "du"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不"))
+
+  def markerHits(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c), w => w.isInCollection(words)))
+
+  val Stopwords: Seq[String] = Markers.head._2
+
+  // ------------------------------------------------------------- queries
+
+  /** Per-document statistics + composite quality score (length, stopword
+    * density, punctuation noise, vocabulary diversity — the Gopher-style
+    * heuristic family, re-weighted). */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Sources.documents(spark, dir)
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val punctCount = nChars - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
+    val stopRatio = markerHits(col("text"), Stopwords).cast("double") / nTok
+    val punctRatio = punctCount.cast("double") / nChars
+    val uniqRatio = size(array_distinct(t)).cast("double") / nTok
+    d.select(
+      col("doc_id"), col("lang"), col("source"),
+      nChars.as("n_chars_measured"),
+      nTok.as("n_tokens"),
+      size(bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"),
+      r2(length(regexp_replace(col("text"), " ", "")).cast("double") / nTok).as("avg_token_len"),
+      r4(stopRatio).as("stopword_ratio"),
+      r4(punctRatio).as("punct_ratio"),
+      r4(uniqRatio).as("uniq_token_ratio"),
+      r4(least(nTok.cast("double"), lit(100.0)) / 100 * 0.3 +
+        least(stopRatio * 5, lit(1.0)) * 0.2 +
+        greatest(lit(1.0) - punctRatio * 10, lit(0.0)) * 0.2 +
+        uniqRatio * 0.3).as("quality_score"))
+  }
+
+  /** Marker-word language ID: hit counts per language, argmax with fixed
+    * precedence (en > de > es > fr > zh), `und` when nothing matches. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Sources.documents(spark, dir)
+    val hits = Markers.map { case (l, ws) => l -> markerHits(col("text"), ws) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val predicted = hits.foldLeft(when(best === 0, "und")) {
+      case (acc, (l, h)) => acc.when(h === best, l)
+    }
+    d.select(
+      Seq(col("doc_id"), col("lang").as("declared_lang")) ++
+        hits.map { case (l, h) => h.as(s"${l}_hits") } :+
+        predicted.otherwise("und").as("predicted_lang"): _*)
+  }
+
+  /** Rolling-hash fingerprints: raw text and whitespace-normalized text
+    * (document identity for exact/near-exact dedup joins). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Sources.documents(spark, dir)
+    val normalized = trim(regexp_replace(col("text"), " +", " "))
+    d.select(
+      col("doc_id"),
+      rollingHash(col("text")).as("fingerprint"),
+      rollingHash(normalized).as("fingerprint_normalized"),
+      md5(col("text")).as("md5_hex"))
+  }
+
+  /** Corpus token frequency: explode → hash-aggregate. The one shuffle here;
+    * partial aggregation collapses each partition's counts map-side, so the
+    * shuffle volume is ~|vocab| per partition, not |tokens|. */
+  def tokenFrequency(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token")
+      .agg(
+        count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("doc_frequency"))
+}
