@@ -1,0 +1,192 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Num, Sources}
+import Num._
+
+/** Deduplication suite over `documents` / `embeddings` — the operators a
+  * training-data pipeline runs to drop exact and near duplicates:
+  *
+  *  - exact:        md5 grouping (one shuffle on the hash)
+  *  - n-gram:       word-shingle Jaccard via shared-shingle candidate join —
+  *                  no all-pairs blowup: only pairs sharing ≥1 shingle meet
+  *  - MinHash+LSH:  32 permutations → 8 bands × 4 rows → bucket join →
+  *                  exact-Jaccard verification of candidates only
+  *  - SimHash:      32-bit weighted signature → 4×8-bit chunk pigeonhole join
+  *                  (any pair at hamming ≤ 3 shares a chunk) → bit_count verify
+  *  - embedding:    exact pairwise cosine (the correctness baseline; the
+  *                  scale path is the LSH-bucketed ANN in [[Similarity]])
+  *
+  * Scale shape: every variant is explode → hash-shuffle on a small key
+  * (shingle / band bucket / chunk) → verify on candidates. Nothing materializes
+  * the O(n²) pair space except the embedding baseline, which exists to measure
+  * the ANN variant's recall. All constants are shared with the DuckDB twins in
+  * [[graft.OraclesExt]] via this object (single source of truth).
+  */
+object Dedup {
+
+  // ----------------------------------------------------- shared constants
+  val P = 2147483647L               // 2³¹−1, Mersenne prime — mod keeps hashes in 31 bits
+  val ShingleK = 3                  // words per shingle
+  val MinhashK = 32                 // permutations
+  val Bands = 8                     // 8 bands × 4 rows = 32
+  val RowsPerBand: Int = MinhashK / Bands
+  val JaccardThreshold = 0.5
+  val SimhashBits = 32
+  val SimhashMaxHamming = 2
+  val SimhashChunks = 4             // 8-bit chunks; pigeonhole covers hamming ≤ 3
+  val CosineThreshold = 0.45
+
+  /** Lehmer LCG (seed 42, multiplier 48271 mod P) — the (aᵢ, bᵢ) of the 32
+    * minhash permutations hᵢ(x) = (aᵢ·x + bᵢ) mod P. Deterministic and
+    * emitted verbatim into the oracle SQL. */
+  val Perms: Seq[(Long, Long)] = {
+    var x = 42L
+    def next(): Long = { x = x * 48271 % P; x }
+    Seq.fill(MinhashK)((next(), next()))
+  }
+
+  // ----------------------------------------------------- shared primitives
+
+  /** Distinct word `ShingleK`-shingles of a text column, as one row per
+    * (doc_id, shingle). Empty tokens keep their position (parity with
+    * `string_split`); docs shorter than K words produce no shingles. */
+  def shingles(docs: DataFrame): DataFrame = {
+    val t = Text.tokens(col("text"))
+    // shingle i = tokens[i..i+K): build via transform over index range
+    val idx = sequence(lit(0), size(t) - ShingleK)
+    docs
+      .where(size(t) >= ShingleK)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(idx,
+          i => concat_ws(" ", slice(t, i + 1, ShingleK))))).as("shingle"))
+  }
+
+  /** 31-bit shingle hash — [[Text.rollingHash]] of the shingle string. */
+  def shingleHashes(docs: DataFrame): DataFrame =
+    shingles(docs).select(col("doc_id"), Text.rollingHash(col("shingle")).as("h"))
+
+  // ------------------------------------------------------------- queries
+
+  /** Exact dedup: md5-hash groups with canonical (min) doc id. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .groupBy(md5(col("text")).as("md5_hex"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard near-dup pairs at τ = [[JaccardThreshold]].
+    * Candidates come from a shared-shingle equi-join (shuffle keyed on the
+    * shingle), so cost is Σ bucket² over shingle buckets — at 100 TB, drop
+    * ultra-frequent shingles (stopword runs) first; here buckets are tiny. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Sources.documents(spark, dir)).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = sh.as("a").join(sh.as("b"), Seq("shingle"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        r(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
+      .where(col("jaccard") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Per-doc minhash signature (one column per permutation, `mh0..mh31`). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = shingleHashes(Sources.documents(spark, dir))
+    val mins = Perms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"mh$i")
+    }
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Band bucket = left fold of the band's minhashes:
+    * acc ← (acc·1000003 + mh) mod P (stays < 2⁵² pre-mod, no overflow). */
+  private def bandBucket(band: Int): Column =
+    (0 until RowsPerBand).foldLeft(lit(0L): Column) {
+      (acc, r) => (acc * 1000003L + col(s"mh${band * RowsPerBand + r}")) % P
+    }
+
+  /** MinHash-LSH near-dup pairs: band-bucket candidates, then exact-Jaccard
+    * verification of candidates only (the planted near-dups at J ≥ 0.8 have
+    * ≥ 98.5% per-pair collision probability with 8×4 banding; both engines
+    * compute identical bands, so the result set is deterministic). */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir)
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("band"), bandBucket(b).as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val candidates = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification on candidates only
+    val sh = shingles(Sources.documents(spark, dir)).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = candidates
+      .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingle", "shingle_b"),
+        col("doc_b") === col("doc_b") && col("shingle") === col("shingle_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        r(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
+      .where(col("jaccard") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 32-bit SimHash per document: token-hash bit votes weighted by
+    * occurrence (sum of ±1 per bit over all token instances). */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Sources.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+      .where(col("t") =!= "")
+      .select(col("doc_id"), Text.rollingHash(col("t")).as("h"))
+    val bitCols = (0 until SimhashBits).map { j =>
+      when(sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
+        lit(1L << j)).otherwise(lit(0L)).as(s"b$j")
+    }
+    toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimhashBits).map(j => col(s"b$j")).reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at hamming ≤ [[SimhashMaxHamming]], candidates by
+    * 8-bit chunk pigeonhole (4 chunks cover hamming ≤ 3 ⊇ ≤ 2). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSignatures(spark, dir).cache()
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until SimhashChunks).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 8).bitwiseAND(255).as("v"))): _*)).as("cv"))
+      .select(col("doc_id"), col("simhash"), col("cv.chunk").as("chunk"), col("cv.v").as("v"))
+    chunks.as("x").join(chunks.as("y"), Seq("chunk", "v"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= SimhashMaxHamming)
+  }
+
+  /** Embedding near-dup pairs: exact pairwise cosine ≥ [[CosineThreshold]].
+    * O(n²) by definition — the correctness baseline for [[Similarity]]'s ANN;
+    * at scale run the ANN and only verify its candidates. Norms are
+    * precomputed once per vector; dot products fold left in index order for
+    * bitwise oracle parity. */
+  def embeddingCosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.withNorm(Sources.embeddings(spark, dir)).cache()
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    a.crossJoin(b).where(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", r(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .where(col("cosine") >= CosineThreshold)
+      .select("vec_a", "vec_b", "cosine")
+  }
+}
