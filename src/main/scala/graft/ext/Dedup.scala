@@ -60,7 +60,7 @@ object Dedup {
       .where(size(t) >= ShingleK)
       .select(col("doc_id"),
         explode(array_distinct(transform(idx,
-          i => concat_ws(" ", slice(t, i + 1, ShingleK))))).as("shingle"))
+          i => concat_ws(" ", slice(t, i + 1, lit(ShingleK)))))).as("shingle"))
   }
 
   /** 31-bit shingle hash — [[Text.rollingHash]] of the shingle string. */
