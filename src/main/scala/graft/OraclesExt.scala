@@ -80,10 +80,177 @@ object OraclesExt {
        |GROUP BY token
        |ORDER BY token""".stripMargin
 
+  // ------------------------------------------------------------ dedup twins
+
+  import graft.ext.Dedup.{P, ShingleK, Perms, Bands, RowsPerBand, JaccardThreshold,
+    SimhashBits, SimhashMaxHamming, SimhashChunks, CosineThreshold}
+  import graft.ext.Similarity.{Dim, TopK, LshBits, HashA, HashP}
+
+  val dedupExact: String =
+    s"""SELECT md5(text) AS md5_hex, min(doc_id) AS canonical_doc_id,
+       |  count(*) AS n_copies
+       |FROM documents GROUP BY md5(text) ORDER BY md5_hex""".stripMargin
+
+  /** Twin of Dedup.shingles: distinct word-ShingleK-shingles per doc.
+    * DuckDB list slice t[a:b] is 1-based inclusive = Spark slice(t, a, K). */
+  private val shinglesCte =
+    s"""sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |      generate_series(0, len(t) - $ShingleK),
+       |      i -> array_to_string(t[i+1:i+$ShingleK], ' ')))) AS shingle
+       |  FROM (SELECT doc_id, $toks AS t FROM documents)
+       |  WHERE len(t) >= $ShingleK)""".stripMargin
+
+  /** Twin of Dedup.jaccardVerify — exact Jaccard of candidate pairs. */
+  private def jaccardVerifySql(candidatesCte: String): String =
+    s"""$candidatesCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY c.doc_a, c.doc_b),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    ${R("CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)", 6)} AS jaccard
+       |  FROM shared
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM scored
+       |WHERE jaccard >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val dedupNgramJaccard: String =
+    s"""WITH $shinglesCte,
+       |${jaccardVerifySql(
+        """cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id)""".stripMargin)}""".stripMargin
+
+  /** Twin of Dedup.minhashSignatures + bandBucket: 32 Lehmer-permutation
+    * minhashes over rolling-hashed shingles, folded into 8 band buckets. */
+  val dedupMinhashLsh: String = {
+    val mins = Perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $P) AS mh$i"
+    }
+    val bandSelects = (0 until Bands).map { band =>
+      val fold = (0 until RowsPerBand).foldLeft("CAST(0 AS BIGINT)") {
+        (acc, r) => s"(($acc) * 1000003 + mh${band * RowsPerBand + r}) % $P"
+      }
+      s"SELECT doc_id, $band AS band, $fold AS bucket FROM sigs"
+    }
+    s"""WITH $shinglesCte,
+       |hashes AS (SELECT doc_id, ${rollhash("shingle")} AS h FROM sh),
+       |sigs AS (SELECT doc_id, ${mins.mkString(",\n  ")} FROM hashes GROUP BY doc_id),
+       |bands AS (${bandSelects.mkString("\n  UNION ALL ")}),
+       |${jaccardVerifySql(
+        """cand AS (
+          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          |  FROM bands x JOIN bands y USING (band, bucket)
+          |  WHERE x.doc_id < y.doc_id)""".stripMargin)}""".stripMargin
+  }
+
+  /** Twin of Dedup.simhashSignatures/simhashPairs: 32-bit weighted-vote
+    * signature, 8-bit-chunk pigeonhole candidates, hamming verify. */
+  val dedupSimhash: String = {
+    val bits = (0 until SimhashBits).map { j =>
+      s"(CASE WHEN SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }
+    s"""WITH th AS (
+       |  SELECT doc_id, ${rollhash("tkn")} AS h
+       |  FROM (SELECT doc_id, unnest($toks) AS tkn FROM documents)
+       |  WHERE tkn <> ''),
+       |sigs AS (SELECT doc_id, ${bits.mkString(" +\n  ")} AS simhash FROM th GROUP BY doc_id),
+       |chunks AS (
+       |  SELECT doc_id, simhash, c.chunk, (simhash >> (c.chunk * 8)) & 255 AS v
+       |  FROM sigs CROSS JOIN (VALUES ${(0 until SimhashChunks).map(c => s"($c)").mkString(",")}) c(chunk)),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |  FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.v = y.v
+       |  WHERE x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= $SimhashMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------- similarity twins
+
+  /** Twin of Similarity.withNorm: float→double promotion (exact), L2 norm
+    * folded in index order — identical IEEE op sequence to Spark. */
+  private val normCte =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+       |    (a, b) -> a + b)) AS norm
+       |  FROM e)""".stripMargin
+
+  /** Index-ordered dot product fold — twin of Similarity.dot. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(
+       |    generate_series(1, $Dim), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+
+  val dedupEmbeddingCosine: String =
+    s"""WITH $normCte,
+       |scored AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${R(s"(${dotSql("a.v", "b.v")}) / (a.norm * b.norm)", 6)} AS cosine
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cosine FROM scored
+       |WHERE cosine >= $CosineThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  private def topKSql(pairsCte: String): String =
+    s"""$pairsCte,
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS "rank"
+       |  FROM p)
+       |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked
+       |WHERE "rank" <= $TopK
+       |ORDER BY query_id, "rank"""".stripMargin
+
+  val simKnnBruteForce: String =
+    s"""WITH $normCte,
+       |${topKSql(
+        s"""p AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    ${R(s"(${dotSql("a.v", "b.v")}) / (a.norm * b.norm)", 6)} AS cosine
+           |  FROM n a JOIN n b ON a.vec_id <> b.vec_id)""".stripMargin)}""".stripMargin
+
+  /** Twin of Similarity.srpSignature: hyperplane component for (plane j,
+    * 0-based dim i) = sign of Lehmer hash of the flat index j·Dim+i. */
+  val simAnnLsh: String = {
+    val sigBits = (0 until LshBits).map { j =>
+      val comp = s"(CASE WHEN (((($j * $Dim + (i - 1)) + 1) * $HashA) % $HashP) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+      val proj =
+        s"""list_reduce(list_prepend(0.0, list_transform(
+           |      generate_series(1, $Dim), i -> v[i] * $comp)), (x, y) -> x + y)""".stripMargin
+      s"(CASE WHEN ($proj) >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }
+    s"""WITH $normCte,
+       |s AS (SELECT vec_id, v, norm, ${sigBits.mkString(" +\n  ")} AS sig FROM n),
+       |${topKSql(
+        s"""p AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    ${R(s"(${dotSql("a.v", "b.v")}) / (a.norm * b.norm)", 6)} AS cosine
+           |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id <> b.vec_id)""".stripMargin)}""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
-    "text_token_frequency" -> textTokenFrequency
+    "text_token_frequency" -> textTokenFrequency,
+    "dedup_exact" -> dedupExact,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "sim_knn_bruteforce" -> simKnnBruteForce,
+    "sim_ann_lsh" -> simAnnLsh
   )
 }

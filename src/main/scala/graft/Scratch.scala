@@ -1,21 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 // dev scratch — not shipped; deleted before commit
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[2]")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    val df = Seq("a bb  c", "hello, world42 x", "abc", "the a fox the").toDF("text")
-    df.select(
-      size(split(col("text"), " ")).as("ws_n"),
-      split(col("text"), "").as("chars"),
-      size(expr("filter(split(text,' '), w -> w IN ('the','a'))")).as("marker_n"),
-      expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)").as("bpe"),
-      expr("aggregate(split(text,''), 0L, (a,c) -> (a*131 + ascii(c)) % 2147483647)").as("rollhash")
-    ).show(false)
+    val d = "/root/testdata/sf0.01"
+    val t0 = System.nanoTime()
+    def t(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val n = df.count()
+      println(f"[scratch] $name%-28s rows=$n%-8d ${(System.nanoTime()-t0)/1e9}%.1fs")
+      df.show(5, false)
+    }
+    t("dedup_exact")(ext.Dedup.exact(spark, d))
+    t("dedup_ngram")(ext.Dedup.ngramJaccardPairs(spark, d))
+    t("dedup_minhash_lsh")(ext.Dedup.minhashLshPairs(spark, d))
+    t("dedup_simhash")(ext.Dedup.simhashPairs(spark, d))
+    t("dedup_embedding")(ext.Dedup.embeddingCosinePairs(spark, d))
+    t("sim_knn")(ext.Similarity.knnBruteForce(spark, d))
+    t("sim_ann")(ext.Similarity.annLsh(spark, d))
     spark.stop()
   }
 }

@@ -53,7 +53,18 @@ object SparkEntry {
     "text_stats" -> ((s, d) => ext.Text.stats(s, d).orderBy("doc_id")),
     "text_langid" -> ((s, d) => ext.Text.langId(s, d).orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) => ext.Text.fingerprint(s, d).orderBy("doc_id")),
-    "text_token_frequency" -> ((s, d) => ext.Text.tokenFrequency(s, d).orderBy("token"))
+    "text_token_frequency" -> ((s, d) => ext.Text.tokenFrequency(s, d).orderBy("token")),
+    // ext: dedup suite (exact / n-gram Jaccard / MinHash-LSH / SimHash / cosine)
+    "dedup_exact" -> ((s, d) => ext.Dedup.exact(s, d).orderBy("md5_hex")),
+    "dedup_ngram_jaccard" -> ((s, d) => ext.Dedup.ngramJaccardPairs(s, d).orderBy("doc_a", "doc_b")),
+    "dedup_minhash_lsh" -> ((s, d) => ext.Dedup.minhashLshPairs(s, d).orderBy("doc_a", "doc_b")),
+    "dedup_simhash" -> ((s, d) => ext.Dedup.simhashPairs(s, d).orderBy("doc_a", "doc_b")),
+    "dedup_embedding_cosine" -> ((s, d) =>
+      ext.Dedup.embeddingCosinePairs(s, d).orderBy("vec_a", "vec_b")),
+    // ext: similarity search (brute-force ground truth + SRP-LSH ANN)
+    "sim_knn_bruteforce" -> ((s, d) =>
+      ext.Similarity.knnBruteForce(s, d).orderBy("query_id", "rank")),
+    "sim_ann_lsh" -> ((s, d) => ext.Similarity.annLsh(s, d).orderBy("query_id", "rank"))
   )
 
   def oracleSql: Map[String, String] = Oracles.all ++ OraclesExt.all

@@ -126,16 +126,21 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // exact verification on candidates only
-    val sh = shingles(Sources.documents(spark, dir)).cache()
+    jaccardVerify(shingles(Sources.documents(spark, dir)).cache(), candidates)
+  }
+
+  /** Exact Jaccard of each candidate (doc_a, doc_b) pair, keeping pairs at
+    * τ ≥ [[JaccardThreshold]]. Two equi-joins: explode pairs into a's
+    * shingles, keep the ones b also has (shuffle keyed on (doc, shingle)). */
+  private def jaccardVerify(sh: DataFrame, candidates: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = candidates
-      .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingle", "shingle_b"),
-        col("doc_b") === col("doc_b") && col("shingle") === col("shingle_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     shared
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         r(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
       .where(col("jaccard") >= JaccardThreshold)
