@@ -84,7 +84,7 @@ object OraclesExt {
 
   import graft.ext.Dedup.{P, ShingleK, Perms, Bands, RowsPerBand, JaccardThreshold,
     SimhashBits, SimhashMaxHamming, SimhashChunks, CosineThreshold}
-  import graft.ext.Similarity.{Dim, TopK, LshBits, HashA, HashP}
+  import graft.ext.Similarity.{Dim, TopK, LshBits, LshTables, MixA, MixB, M31, M32}
 
   val dedupExact: String =
     s"""SELECT md5(text) AS md5_hex, min(doc_id) AS canonical_doc_id,
@@ -221,23 +221,36 @@ object OraclesExt {
            |    ${R(s"(${dotSql("a.v", "b.v")}) / (a.norm * b.norm)", 6)} AS cosine
            |  FROM n a JOIN n b ON a.vec_id <> b.vec_id)""".stripMargin)}""".stripMargin
 
-  /** Twin of Similarity.srpSignature: hyperplane component for (plane j,
-    * 0-based dim i) = sign of Lehmer hash of the flat index j·Dim+i. */
+  /** Twin of Similarity.srpSignature/annLsh: hyperplane component for
+    * (plane, 0-based dim i) = sign of Lehmer hash of flat index plane·Dim+i;
+    * one signature per table, OR-amplified candidate union. */
   val simAnnLsh: String = {
-    val sigBits = (0 until LshBits).map { j =>
-      val comp = s"(CASE WHEN (((($j * $Dim + (i - 1)) + 1) * $HashA) % $HashP) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+    def tableSig(t: Int): String = (0 until LshBits).map { j =>
+      val plane = t * LshBits + j
+      // flat index: plane·Dim + (i−1) + 1 = plane·Dim + i with DuckDB's 1-based i
+      val h0 = s"(($plane * $Dim + i) * $MixA % $M32)"
+      val m = s"(xor($h0, $h0 >> 16) % $M31)"
+      val h1 = s"($m * $MixB % $M32)"
+      val comp = s"(CASE WHEN (($h1 >> 15) % 2) = 0 THEN 1.0 ELSE -1.0 END)"
       val proj =
         s"""list_reduce(list_prepend(0.0, list_transform(
            |      generate_series(1, $Dim), i -> v[i] * $comp)), (x, y) -> x + y)""".stripMargin
       s"(CASE WHEN ($proj) >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
-    }
+    }.mkString(" +\n  ")
+    val sigCols = (0 until LshTables).map(t => s"${tableSig(t)} AS s$t").mkString(",\n  ")
+    val bandSelects = (0 until LshTables)
+      .map(t => s"SELECT vec_id, $t AS t, s$t AS sig FROM s").mkString("\n  UNION ALL ")
     s"""WITH $normCte,
-       |s AS (SELECT vec_id, v, norm, ${sigBits.mkString(" +\n  ")} AS sig FROM n),
+       |s AS (SELECT vec_id, $sigCols FROM n),
+       |bands AS (${bandSelects}),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+       |  FROM bands x JOIN bands y USING (t, sig) WHERE x.vec_id <> y.vec_id),
        |${topKSql(
         s"""p AS (
-           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |  SELECT query_id, neighbor_id,
            |    ${R(s"(${dotSql("a.v", "b.v")}) / (a.norm * b.norm)", 6)} AS cosine
-           |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id <> b.vec_id)""".stripMargin)}""".stripMargin
+           |  FROM cand JOIN n a ON a.vec_id = query_id JOIN n b ON b.vec_id = neighbor_id)""".stripMargin)}""".stripMargin
   }
 
   val all: Map[String, String] = Map(

@@ -30,9 +30,19 @@ object Similarity {
 
   val Dim = 64
   val TopK = 5
-  val LshBits = 8                   // 2⁸ buckets over 500-2000 vecs at test SF
-  val HashA = 48271L                // Lehmer multiplier, same family as Dedup.Perms
-  val HashP = 2147483647L           // 2³¹−1
+  // SRP-LSH tuning. Per-table collision prob for angle θ is (1−θ/π)^bits;
+  // OR over tables: 1−(1−p)^L. Test embeddings' true top-5 neighbors sit at
+  // cosine ≈ 0.3 (θ≈72°, 1−θ/π≈0.60), so b=3, L=8 ⇒ expected recall ≈ 0.86.
+  // At 100 TB with near-dup retrieval (cosine ≥ 0.9 ⇒ p/table ≈ 0.63) the
+  // same L supports far more bits (smaller buckets); bits scales with corpus
+  // size, L with target recall — both are just constants here.
+  val LshBits = 3                   // bits per table → 2³ buckets each
+  val LshTables = 8                 // OR-amplification: candidate if ANY table collides
+  // Fibonacci-hash mixer constants (Knuth 2654435761, xxHash prime 2246822519)
+  val MixA = 2654435761L
+  val MixB = 2246822519L
+  val M32 = 4294967296L             // 2³²
+  val M31 = 2147483648L             // 2³¹ — keeps the 2nd multiply under 2⁶³
 
   /** Embedding as array<double> plus its L2 norm (folded in index order). */
   def withNorm(df: DataFrame): DataFrame = {
@@ -45,20 +55,29 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** ±1 hyperplane component for (plane, dim0): sign of a Lehmer hash of the
-    * flat index. `(idx+1)·48271 mod P` is a full-period permutation of
-    * 1..P−1, so parity is an unbiased coin. */
+  /** ±1 hyperplane component for (plane, dim0): bit 15 of a
+    * multiply–xorshift–multiply mix of the flat index (splitmix shape).
+    * A single Lehmer step is NOT enough here: for idx ≤ a few thousand the
+    * mod never wraps and parity degenerates to parity-of-idx, collapsing all
+    * planes onto one alternating vector (measured plane-plane correlation
+    * 0.97 → ANN recall 0.14). The mixed bit has cross-plane |corr| ≤ 0.41.
+    * The xor-input is reduced mod 2³¹ so the second multiply stays < 2⁶³
+    * (DuckDB raises on BIGINT overflow; Spark would silently wrap). */
   def planeComponent(plane: Int, dim0: Column): Column = {
-    val idx = lit(plane.toLong * Dim) + dim0
-    when(((idx + 1) * HashA % HashP) % 2 === 0, 1.0).otherwise(-1.0)
+    val idx = lit(plane.toLong * Dim + 1) + dim0
+    val h0 = idx * MixA % M32
+    val m = h0.bitwiseXOR(shiftright(h0, 16)) % M31
+    val h1 = m * MixB % M32
+    when(shiftright(h1, 15) % 2 === 0, 1.0).otherwise(-1.0)
   }
 
-  /** SRP signature: bit j = [⟨v, plane_j⟩ ≥ 0], packed into a Long. */
-  def srpSignature(v: Column): Column =
+  /** SRP signature for one table: bit j = [⟨v, plane_{t·bits+j}⟩ ≥ 0],
+    * packed into a Long. Tables use disjoint hyperplane sets. */
+  def srpSignature(v: Column, table: Int): Column =
     (0 until LshBits).map { j =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0), lit(Dim - 1)),
-          (x, i) => x * planeComponent(j, i)),
+          (x, i) => x * planeComponent(table * LshBits + j, i)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -83,15 +102,25 @@ object Similarity {
     topK(cosinePairs(q, n), TopK)
   }
 
-  /** LSH-bucketed approximate top-[[TopK]]: candidates share the full
-    * [[LshBits]]-bit SRP signature; exact cosine + rank within candidates.
-    * Same output schema as [[knnBruteForce]] — recall measured in its spec. */
+  /** LSH-bucketed approximate top-[[TopK]]: a pair is a candidate when any of
+    * the [[LshTables]] tables assigns both vectors the same [[LshBits]]-bit
+    * signature (OR-amplification); exact cosine + rank on candidates only.
+    * Shape at scale: explode ×L → one hash shuffle on the dense (table, sig)
+    * key → distinct pairs → two vector-lookup joins → per-query top-k. Same
+    * output schema as [[knnBruteForce]]; recall measured in SimilaritySpec. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Sources.embeddings(spark, dir))
-      .withColumn("sig", srpSignature(col("v"))).cache()
-    val q = e.select(col("sig"), col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
-    val n = e.select(col("sig"), col("vec_id").as("neighbor_id"), col("v").as("vb"), col("norm").as("nb"))
-    val pairs = q.join(n, "sig").where(col("query_id") =!= col("neighbor_id"))
+    val e = withNorm(Sources.embeddings(spark, dir)).cache()
+    val bands = e.select(col("vec_id"),
+      explode(array((0 until LshTables).map(t =>
+        struct(lit(t).as("t"), srpSignature(col("v"), t).as("sig"))): _*)).as("b"))
+      .select(col("vec_id"), col("b.t").as("t"), col("b.sig").as("sig"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("t", "sig"))
+      .where(col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("neighbor_id"))
+      .distinct()
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("norm").as("nb"))
+    val pairs = cand.join(q, "query_id").join(n, "neighbor_id")
       .withColumn("cosine", r(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
     topK(pairs, TopK)
   }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity}
+
+/** Invariants for the dedup + similarity operators (sf0.001: 500 docs,
+  * 500×64 embeddings). Oracle parity is covered by Verify/compare; these
+  * specs pin the *algorithmic* properties: candidate-generation recall,
+  * symmetry/threshold invariants, and ANN quality vs the exact baseline. */
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup partitions the corpus: group sizes sum to row count") {
+    val g = Dedup.exact(spark, sf).agg(sum("n_copies")).first().getLong(0)
+    val n = graft.engine.Sources.documents(spark, sf).count()
+    assert(g === n)
+  }
+
+  test("ngram jaccard pairs: bounded in (0,1], above threshold, a < b") {
+    val rows = Dedup.ngramJaccardPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= Dedup.JaccardThreshold && j <= 1.0)
+    }
+  }
+
+  test("minhash-LSH finds every high-similarity ngram pair (recall at J≥0.8)") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf)
+      .where(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val missed = exact -- lsh
+    assert(missed.isEmpty, s"LSH missed high-sim pairs: $missed")
+  }
+
+  test("minhash-LSH pairs are a subset of exact ngram pairs (verify step is exact)") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((lsh -- exact).isEmpty, "LSH verify admitted a below-threshold pair")
+  }
+
+  test("simhash: identical docs collide at hamming 0; hamming within bound") {
+    val sigs = Dedup.simhashSignatures(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val pairs = Dedup.simhashPairs(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val h = java.lang.Long.bitCount(sigs(r.getAs[Long]("doc_a")) ^ sigs(r.getAs[Long]("doc_b")))
+      assert(h === r.getAs[Int]("hamming").toLong)
+      assert(h <= Dedup.SimhashMaxHamming)
+    }
+  }
+
+  test("embedding cosine pairs are symmetric-free and within [-1, 1]") {
+    val rows = Dedup.embeddingCosinePairs(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      val c = r.getAs[Double]("cosine")
+      assert(c >= Dedup.CosineThreshold && c <= 1.000001)
+    }
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force knn: exactly k neighbors per query, ranks 1..k, descending cosine") {
+    val rows = Similarity.knnBruteForce(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size === 500)
+    byQuery.values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to Similarity.TopK))
+      val cos = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cos === cos.sorted.reverse, "cosine must be non-increasing in rank")
+    }
+  }
+
+  test("ANN recall@5 vs brute force is high on clustered embeddings") {
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val exact = top(Similarity.knnBruteForce(spark, sf))
+    val ann = top(Similarity.annLsh(spark, sf))
+    val recall = exact.map { case (q, e) =>
+      ann.get(q).map(a => (a & e).size.toDouble / e.size).getOrElse(0.0)
+    }.sum / exact.size
+    info(f"ANN recall@5 = $recall%.3f")
+    // b=3, L=8 ⇒ expected ≈ 0.86 at the test data's θ≈72° neighbors
+    assert(recall >= 0.7, f"recall $recall%.3f below 0.7")
+  }
+
+  test("ANN candidates never beat brute force (cosine at each rank ≤ exact)") {
+    val exact = Similarity.knnBruteForce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> r.getAs[Double]("cosine")).toMap
+    Similarity.annLsh(spark, sf).collect().foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Int]("rank"))
+      exact.get(k).foreach(e => assert(r.getAs[Double]("cosine") <= e + 1e-9))
+    }
+  }
+}
