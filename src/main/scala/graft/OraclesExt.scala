@@ -253,6 +253,112 @@ object OraclesExt {
            |  FROM cand JOIN n a ON a.vec_id = query_id JOIN n b ON b.vec_id = neighbor_id)""".stripMargin)}""".stripMargin
   }
 
+  // ------------------------------------------------------------ event twins
+  // `events.ts` is TIMESTAMP_NS in the parquet; DuckDB reads it natively at
+  // ns precision while Spark (Sources.events) truncates to µs. epoch_us on
+  // a ns timestamp keeps ns precision in DuckDB, so every timestamp is
+  // bucketed/compared through epoch_us(ts) — integer µs in both engines —
+  // and re-materialized with make_timestamp (µs) to match Spark's values.
+
+  import graft.ext.Events.{SessionGapMinutes, SlideMinutes, WindowMinutes, RollingDays}
+
+  /** DECIMAL(38,10) order-free sum cast back to double — twin of Num.dsum. */
+  private def DS(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(38,10))) AS DOUBLE)"
+
+  val eventsTumblingHourly: String =
+    s"""SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+       |  event_type,
+       |  count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  ${R(DS("value"), 2)} AS total_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY window_start, event_type""".stripMargin
+
+  val eventsSlidingHourly: String = {
+    val slideUs = SlideMinutes * 60L * 1000000L
+    val n = WindowMinutes / SlideMinutes
+    s"""SELECT make_timestamp((epoch_us(ts) // $slideUs) * $slideUs - i * $slideUs) AS window_start,
+       |  count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  ${R(DS("value"), 2)} AS total_value
+       |FROM events, (SELECT unnest(generate_series(0, ${n - 1})) AS i)
+       |GROUP BY 1
+       |ORDER BY window_start""".stripMargin
+  }
+
+  val eventsSessions: String = {
+    val gapUs = SessionGapMinutes * 60L * 1000000L
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $gapUs
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |numbered AS (
+       |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+       |  FROM flagged),
+       |s AS (
+       |  SELECT user_id, session_seq,
+       |    min(ts) AS session_start, max(ts) AS session_end,
+       |    count(*) AS n_events, ${R(DS("value"), 2)} AS session_value
+       |  FROM numbered GROUP BY user_id, session_seq)
+       |SELECT user_id, session_seq,
+       |  make_timestamp(epoch_us(session_start)) AS session_start,
+       |  make_timestamp(epoch_us(session_end)) AS session_end,
+       |  n_events, session_value,
+       |  ${R("(epoch_us(session_end) - epoch_us(session_start)) / 1e6", 2)} AS duration_sec
+       |FROM s
+       |ORDER BY user_id, session_seq""".stripMargin
+  }
+
+  val eventsUserRollingDaily: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day,
+       |    count(*) AS n_events, ${DS("value")} AS day_value,
+       |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+       |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+       |SELECT user_id, day, n_events,
+       |  ${R("day_value", 2)} AS day_value,
+       |  CAST(SUM(n_events) OVER w AS BIGINT) AS rolling_7d_events,
+       |  ${R("CAST(SUM(CAST(day_value AS DECIMAL(38,10))) OVER w AS DOUBLE)", 2)} AS rolling_7d_value
+       |FROM daily
+       |WINDOW w AS (PARTITION BY user_id ORDER BY day_num
+       |             RANGE BETWEEN ${RollingDays - 1} PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, day""".stripMargin
+
+  val eventsTypeKpis: String =
+    s"""SELECT event_type,
+       |  count(*) AS n_events,
+       |  ${R(DS("value"), 2)} AS total_value,
+       |  ${R("CAST(SUM(CAST(props->>'k' AS BIGINT)) AS DOUBLE) / count(*)", 2)} AS avg_k,
+       |  min(CAST(props->>'k' AS BIGINT)) AS min_k,
+       |  max(CAST(props->>'k' AS BIGINT)) AS max_k
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  val eventsFunnel: String = {
+    val stages = Seq("signup", "view", "click", "purchase")
+    val ctes = stages.zipWithIndex.map { case (s, i) =>
+      if (i == 0)
+        s"s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = '$s' GROUP BY user_id)"
+      else
+        s"""s${i + 1} AS (
+           |  SELECT e.user_id, min(e.ts) AS t
+           |  FROM events e JOIN s$i ON e.user_id = s$i.user_id AND e.ts >= s$i.t
+           |  WHERE e.event_type = '$s' GROUP BY e.user_id)""".stripMargin
+    }
+    val arms = stages.zipWithIndex.map { case (s, i) =>
+      s"SELECT ${i + 1} AS stage, '$s' AS event_type, (SELECT count(*) FROM s${i + 1}) AS n_users"
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       |${arms.mkString("\nUNION ALL ")}
+       |ORDER BY stage""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
@@ -264,6 +370,12 @@ object OraclesExt {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "sim_knn_bruteforce" -> simKnnBruteForce,
-    "sim_ann_lsh" -> simAnnLsh
+    "sim_ann_lsh" -> simAnnLsh,
+    "events_tumbling_hourly" -> eventsTumblingHourly,
+    "events_sliding_hourly" -> eventsSlidingHourly,
+    "events_sessions" -> eventsSessions,
+    "events_user_rolling_daily" -> eventsUserRollingDaily,
+    "events_type_kpis" -> eventsTypeKpis,
+    "events_funnel" -> eventsFunnel
   )
 }

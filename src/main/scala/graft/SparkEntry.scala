@@ -64,7 +64,16 @@ object SparkEntry {
     // ext: similarity search (brute-force ground truth + SRP-LSH ANN)
     "sim_knn_bruteforce" -> ((s, d) =>
       ext.Similarity.knnBruteForce(s, d).orderBy("query_id", "rank")),
-    "sim_ann_lsh" -> ((s, d) => ext.Similarity.annLsh(s, d).orderBy("query_id", "rank"))
+    "sim_ann_lsh" -> ((s, d) => ext.Similarity.annLsh(s, d).orderBy("query_id", "rank")),
+    // ext: event-stream analytics, batch twins of graft.streaming
+    "events_tumbling_hourly" -> ((s, d) =>
+      ext.Events.tumblingHourly(s, d).orderBy("window_start", "event_type")),
+    "events_sliding_hourly" -> ((s, d) => ext.Events.slidingHourly(s, d).orderBy("window_start")),
+    "events_sessions" -> ((s, d) => ext.Events.sessions(s, d).orderBy("user_id", "session_seq")),
+    "events_user_rolling_daily" -> ((s, d) =>
+      ext.Events.userRollingDaily(s, d).orderBy("user_id", "day")),
+    "events_type_kpis" -> ((s, d) => ext.Events.typeKpis(s, d).orderBy("event_type")),
+    "events_funnel" -> ((s, d) => ext.Events.funnel(s, d).orderBy("stage"))
   )
 
   def oracleSql: Map[String, String] = Oracles.all ++ OraclesExt.all

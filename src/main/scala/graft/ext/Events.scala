@@ -1,0 +1,137 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{Num, Sources}
+import Num._
+
+/** Event-stream analytics over the `events` table (event_id, ts, user_id,
+  * event_type, value, props-JSON) — the batch twins of [[graft.streaming]]:
+  * identical semantics, expressed as one-pass windowed plans so the oracle
+  * can verify them; the streaming module re-derives the same results
+  * incrementally.
+  *
+  * Scale shape: everything here shuffles once on a dense key (hour bucket,
+  * user_id) and stays in whole-stage codegen. Session windows are the only
+  * genuinely order-dependent operator: they need one sort within each
+  * user partition (Spark's window exec does partial sort, not global).
+  */
+object Events {
+
+  val SessionGapMinutes = 30
+  val SlideMinutes = 15
+  val WindowMinutes = 60
+  val RollingDays = 7
+
+  /** Hourly tumbling window per event type: the canonical streaming agg in
+    * batch form. Bucketing via date_trunc keeps the oracle trivial. */
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
+    Sources.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        r2(dsum(col("value"))).as("total_value"))
+
+  /** Sliding 60-minute windows every 15 minutes (each event lands in 4
+    * windows, epoch-aligned exactly like Spark's `window(ts, 1h, 15m)`).
+    * Expressed as an explicit explode over the 4 slide offsets so the
+    * window-assignment rule is one integer formula both engines share. */
+  def slidingHourly(spark: SparkSession, dir: String): DataFrame = {
+    val slideUs = SlideMinutes * 60L * 1000000L
+    val nSlides = WindowMinutes / SlideMinutes
+    val bucket = floor(unix_micros(col("ts")) / slideUs) * slideUs
+    Sources.events(spark, dir)
+      .select(col("ts"), col("user_id"), col("value"),
+        explode(sequence(lit(0), lit(nSlides - 1))).as("i"))
+      .select(timestamp_micros((bucket - col("i") * slideUs).cast("long")).as("window_start"),
+        col("user_id"), col("value"))
+      .groupBy("window_start")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        r2(dsum(col("value"))).as("total_value"))
+  }
+
+  /** Gap-based sessionization: a new session starts after
+    * [[SessionGapMinutes]] of per-user inactivity. Two windows over one
+    * (user, ts) sort: lag → new-session flag → running-sum session index;
+    * then a hash-agg per session. Event-id tiebreak makes ordering total. */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = SessionGapMinutes * 60L * 1000000L
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    val isNew = when(prevTs.isNull ||
+      unix_micros(col("ts")) - unix_micros(prevTs) > gapUs, 1L).otherwise(0L)
+    Sources.events(spark, dir)
+      .withColumn("session_seq", sum(isNew).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        r2(dsum(col("value"))).as("session_value"))
+      .withColumn("duration_sec",
+        r2((unix_micros(col("session_end")) - unix_micros(col("session_start"))) / 1e6))
+  }
+
+  /** Per-user daily activity with a [[RollingDays]]-day rolling event count
+    * and value sum — a RANGE frame over a day ordinal, so absent days still
+    * age out of the window (ROWS would silently span gaps). */
+  def userRollingDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Sources.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("day_value"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy("user_id").orderBy("day_num")
+      .rangeBetween(-(RollingDays - 1), 0)
+    daily.select(
+      col("user_id"), col("day"),
+      col("n_events"),
+      r2(col("day_value")).as("day_value"),
+      sum(col("n_events")).over(w).as("rolling_7d_events"),
+      r2(dsumOver(col("day_value"), w)).as("rolling_7d_value"))
+  }
+
+  /** JSON prop extraction + per-type KPI: exercises the JSON path surface
+    * (get_json_object ≡ DuckDB json_extract) without a parse UDF. */
+  def typeKpis(spark: SparkSession, dir: String): DataFrame =
+    Sources.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        r2(dsum(col("value"))).as("total_value"),
+        r2(sum(col("k")).cast("double") / count(lit(1))).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  /** Ordered conversion funnel signup → view → click → purchase: stage i
+    * counts users whose first stage-i event follows their first stage-(i−1)
+    * event. One conditional-min aggregate per user, then an iterated
+    * "first-after" fold — no self-joins, one shuffle on user_id. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val stages = Seq("signup", "view", "click", "purchase")
+    val ev = Sources.events(spark, dir)
+    // stage i's per-user time = min(ts | type = stage_i AND ts ≥ stage_{i−1}
+    // time) — iterated against the previous stage's per-user aggregate (at
+    // scale each step is one shuffle on user_id over already-aggregated
+    // rows; the event scan is filtered to a single type per step).
+    val stage0 = ev.where(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("ts").as("reached_ts"))
+    val reached = stages.tail.foldLeft(Seq(stages.head -> stage0)) { (acc, s) =>
+      val prev = acc.last._2
+      val next = ev.where(col("event_type") === s)
+        .join(prev.select(col("user_id"), col("reached_ts").as("prev_ts")), "user_id")
+        .where(col("ts") >= col("prev_ts"))
+        .groupBy("user_id").agg(min("ts").as("reached_ts"))
+      acc :+ (s -> next)
+    }
+    reached.zipWithIndex.map { case ((s, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(s).as("event_type"), col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+}

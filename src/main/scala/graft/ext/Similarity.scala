@@ -48,37 +48,39 @@ object Similarity {
   def withNorm(df: DataFrame): DataFrame = {
     val v = transform(col("embedding"), x => x.cast("double"))
     df.select(col("vec_id"), v.as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
   }
 
-  /** Dot product in index order: fold of zip_with products. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product in index order — native codegen loop ([[graft.functions
+    * .Native.dot]]), same fold order as aggregate(zip_with(·,·,_*_)). */
+  def dot(a: Column, b: Column): Column = graft.functions.Native.dot(a, b)
 
-  /** ±1 hyperplane component for (plane, dim0): bit 15 of a
+  /** ±1 hyperplane component for (plane, dim): bit 15 of a
     * multiply–xorshift–multiply mix of the flat index (splitmix shape).
     * A single Lehmer step is NOT enough here: for idx ≤ a few thousand the
     * mod never wraps and parity degenerates to parity-of-idx, collapsing all
     * planes onto one alternating vector (measured plane-plane correlation
     * 0.97 → ANN recall 0.14). The mixed bit has cross-plane |corr| ≤ 0.41.
     * The xor-input is reduced mod 2³¹ so the second multiply stays < 2⁶³
-    * (DuckDB raises on BIGINT overflow; Spark would silently wrap). */
-  def planeComponent(plane: Int, dim0: Column): Column = {
-    val idx = lit(plane.toLong * Dim + 1) + dim0
+    * (DuckDB raises on BIGINT overflow; Spark would silently wrap). The
+    * oracle SQL in [[graft.OraclesExt]] re-derives the identical bits. */
+  def planeComponent(plane: Int, dim: Int): Double = {
+    val idx = plane.toLong * Dim + 1 + dim
     val h0 = idx * MixA % M32
-    val m = h0.bitwiseXOR(shiftright(h0, 16)) % M31
+    val m = (h0 ^ (h0 >> 16)) % M31
     val h1 = m * MixB % M32
-    when(shiftright(h1, 15) % 2 === 0, 1.0).otherwise(-1.0)
+    if ((h1 >> 15) % 2 == 0) 1.0 else -1.0
   }
 
+  private def planeVec(plane: Int): Seq[Double] =
+    (0 until Dim).map(planeComponent(plane, _))
+
   /** SRP signature for one table: bit j = [⟨v, plane_{t·bits+j}⟩ ≥ 0],
-    * packed into a Long. Tables use disjoint hyperplane sets. */
+    * packed into a Long. Tables use disjoint hyperplane sets; each plane is
+    * a ±1 literal array so the projection is one codegen dot product. */
   def srpSignature(v: Column, table: Int): Column =
     (0 until LshBits).map { j =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), lit(Dim - 1)),
-          (x, i) => x * planeComponent(table * LshBits + j, i)),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(v, typedLit(planeVec(table * LshBits + j)))
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -32,10 +32,10 @@ object Text {
   def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(BpePattern), lit(0))
 
   /** Polynomial rolling hash over every character (spaces included):
-    * h ← (h·131 + codepoint) mod (2³¹−1). Stays in Long, no overflow:
-    * h < 2³¹ so h·131 + 0x10FFFF < 2⁴⁰. */
-  def rollingHash(c: Column): Column =
-    aggregate(split(c, ""), lit(0L), (h, ch) => (h * 131L + ascii(ch)) % 2147483647L)
+    * h ← (h·131 + codepoint) mod (2³¹−1). Native codegen loop; identical to
+    * the interpreted aggregate(split(c,''), ...) fold (NativeSpec pins the
+    * equality corpus-wide). */
+  def rollingHash(c: Column): Column = graft.functions.Native.polyHash(c)
 
   /** Language marker words (function words a real n-gram language-ID keys on;
     * ordered — ties resolve to the earlier language). */
