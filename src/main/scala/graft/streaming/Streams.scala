@@ -1,0 +1,146 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.engine.Num._
+
+/** Structured Streaming incrementalization of the engine.
+  *
+  * The reference is batch snapshot-overwrite (SURVEY.md §2.8: "incremental"
+  * = idempotent re-run + keep-latest dedup). This module is the true
+  * incremental form: the same semantics computed over an unbounded stream
+  * with bounded state.
+  *
+  *  - [[tumblingHourly]] / [[sessionWindows]]: watermarked windowed aggs —
+  *    streaming twins of [[graft.ext.Events.tumblingHourly]]/`sessions`
+  *    (state evicted once the watermark passes the window end).
+  *  - [[keepLatest]]: the reference's W1 ROW_NUMBER dedup as
+  *    `dropDuplicatesWithinWatermark` — first row per key wins within the
+  *    watermark horizon, state bounded by the horizon.
+  *  - [[sessionize]]: custom per-user session state via
+  *    flatMapGroupsWithState (event-time timeout) for semantics
+  *    session_window can't express (e.g. emitting evolving session
+  *    snapshots or per-session custom payloads).
+  *  - [[mergeStream]]: foreachBatch → [[graft.sources.Sinks.mergeKeepLatest]]
+  *    — the MERGE-into-snapshot loop that makes the lakehouse incremental.
+  *
+  * All operators take a DataFrame so they run identically on a batch frame
+  * (spark.read) and a stream (spark.readStream) — StreamingSpec pins the
+  * batch/stream equivalence on the events fixture.
+  */
+object Streams {
+
+  val DefaultWatermark = "1 hour"
+
+  /** Hourly tumbling counts/value per event type. `countDistinct` is not
+    * incrementalizable (needs full per-window user sets); streaming swaps it
+    * for the mergeable HLL sketch `approx_count_distinct` — the one
+    * intentional delta vs the batch twin. */
+  def tumblingHourly(events: DataFrame, watermark: String = DefaultWatermark): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct("user_id").as("n_users_approx"),
+        r2(dsum(col("value"))).as("total_value"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("n_users_approx"), col("total_value"))
+
+  /** Gap-based sessions via Spark's native session_window (merges windows
+    * within the gap; streaming state closes when watermark passes). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = DefaultWatermark): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        r2(dsum(col("value"))).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+
+  /** Keep-first-per-key within the watermark horizon (streaming form of the
+    * reference's keep-latest W1: upstream retries/duplicates collapse). */
+  def keepLatest(df: DataFrame, keys: Seq[String], tsCol: String = "ts",
+                 watermark: String = DefaultWatermark): DataFrame =
+    df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
+
+  // ------------------------------------------------- custom session state
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+  case class SessionAcc(startUs: Long, endUs: Long, n: Long, value: Double)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                     n_events: Long, session_value: Double, duration_sec: Double)
+
+  val SessionGapMinutes = 30
+
+  private def toUs(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+  private def fromUs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt)
+    t
+  }
+
+  private def emit(uid: Long, s: SessionAcc): Session =
+    Session(uid, fromUs(s.startUs), fromUs(s.endUs), s.n,
+      math.floor(s.value * 100 + 0.5) / 100,
+      math.floor((s.endUs - s.startUs) / 1e6 * 100 + 0.5) / 100)
+
+  /** Per-user gap sessionization with explicit state: events fold into the
+    * open session; a gap > [[SessionGapMinutes]] closes it (emitted) and
+    * opens the next; event-time timeout (watermark + gap) flushes sessions
+    * whose user went quiet. State per user is one fixed-size record —
+    * bounded by |active users|, not by event volume. */
+  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = SessionGapMinutes * 60L * 1000000L
+
+    def fn(uid: Long, rows: Iterator[Ev], state: GroupState[SessionAcc]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(emit(uid, _)).iterator
+        state.remove()
+        return out
+      }
+      var acc = state.getOption.orNull
+      val closed = Seq.newBuilder[Session]
+      rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id)).foreach { e =>
+        val us = toUs(e.ts)
+        acc match {
+          case null =>
+            acc = SessionAcc(us, us, 1, e.value)
+          case a if us - a.endUs > gapUs =>
+            closed += emit(uid, a)
+            acc = SessionAcc(us, us, 1, e.value)
+          case a =>
+            acc = SessionAcc(a.startUs, math.max(a.endUs, us), a.n + 1, a.value + e.value)
+        }
+      }
+      if (acc != null) {
+        state.update(acc)
+        // wake when the watermark passes the gap after the last event
+        state.setTimeoutTimestamp((acc.endUs + gapUs) / 1000)
+      }
+      closed.result().iterator
+    }
+
+    events.withWatermark("ts", DefaultWatermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** The incremental-lakehouse write loop: every micro-batch MERGEs into the
+    * parquet snapshot at `path` (keep-highest-`seqCol` per `keys`). */
+  def mergeStream(df: DataFrame, path: String, keys: Seq[String], seqCol: String,
+                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.mergeKeepLatest(batch, path, keys, seqCol)
+      }
+      .start()
+}

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.sources.Sinks
+import graft.streaming.Streams
+import graft.streaming.Streams.Ev
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeKeepLatest: upsert keeps highest sequence per key; new keys append") {
+    val dir = Files.createTempDirectory("graft_merge").toString + "/t"
+    Sinks.mergeKeepLatest(
+      Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "v", "seq"), dir, Seq("k"), "seq")
+    Sinks.mergeKeepLatest(
+      Seq((2L, "b2", 11L), (3L, "c", 9L)).toDF("k", "v", "seq"), dir, Seq("k"), "seq")
+    val out = spark.read.parquet(dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, "a", 10L), (2L, "b2", 11L), (3L, "c", 9L)))
+  }
+
+  test("mergeKeepLatest: same-sequence redelivery → incoming batch wins") {
+    val dir = Files.createTempDirectory("graft_merge2").toString + "/t"
+    Sinks.mergeKeepLatest(Seq((1L, "old", 5L)).toDF("k", "v", "seq"), dir, Seq("k"), "seq")
+    Sinks.mergeKeepLatest(Seq((1L, "new", 5L)).toDF("k", "v", "seq"), dir, Seq("k"), "seq")
+    assert(spark.read.parquet(dir).select("v").as[String].collect().toSeq === Seq("new"))
+  }
+
+  test("snapshotOverwrite partitions by the given columns and is idempotent") {
+    val dir = Files.createTempDirectory("graft_snap").toString + "/t"
+    val df = Seq((2024, 1, "x"), (2024, 2, "y")).toDF("yr", "mo", "v")
+    Sinks.snapshotOverwrite(df, dir, Seq("yr", "mo"))
+    Sinks.snapshotOverwrite(df, dir, Seq("yr", "mo"))
+    assert(spark.read.parquet(dir).count() === 2)
+    assert(new java.io.File(s"$dir/yr=2024/mo=1").isDirectory)
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(1700000000000L + minutes * 60000L)
+
+  test("sessionize: gap splits sessions, watermark timeout flushes the last one") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 7: two events 5 min apart, then a 40-min gap (session split),
+      // then user 8 far in the future to push the watermark past everything
+      in.addData(
+        Ev(1, ts(0), 7, "view", 1.0),
+        Ev(2, ts(5), 7, "click", 2.0),
+        Ev(3, ts(45), 7, "purchase", 4.0))
+      q.processAllAvailable()
+      in.addData(Ev(9, ts(600), 8, "view", 0.5))
+      q.processAllAvailable()
+      in.addData(Ev(10, ts(1200), 8, "view", 0.5)) // advance watermark again
+      q.processAllAvailable()
+      val rows = spark.table("sess").orderBy("session_start").collect()
+      val u7 = rows.filter(_.getAs[Long]("user_id") == 7L)
+      assert(u7.length === 2, s"expected 2 closed sessions for user 7, got ${rows.mkString(";")}")
+      assert(u7(0).getAs[Long]("n_events") === 2)
+      assert(u7(0).getAs[Double]("session_value") === 3.0)
+      assert(u7(0).getAs[Double]("duration_sec") === 300.0)
+      assert(u7(1).getAs[Long]("n_events") === 1)
+    } finally q.stop()
+  }
+
+  test("keepLatest drops duplicate keys within the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.keepLatest(in.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData(Ev(1, ts(0), 7, "view", 1.0), Ev(1, ts(1), 7, "view", 1.0),
+        Ev(2, ts(2), 7, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("tumblingHourly on a stream matches the batch plan on the same data") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.tumblingHourly(in.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    try {
+      in.addData(Ev(1, ts(0), 7, "view", 1.5), Ev(2, ts(30), 8, "view", 2.5),
+        Ev(3, ts(70), 7, "click", 1.0))
+      q.processAllAvailable()
+      val streamRows = spark.table("tumb")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batchRows = Streams.tumblingHourly(
+        Seq(Ev(1, ts(0), 7, "view", 1.5), Ev(2, ts(30), 8, "view", 2.5),
+          Ev(3, ts(70), 7, "click", 1.0)).toDF())
+        .select("window_start", "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamRows === batchRows)
+      assert(streamRows.map(_.getAs[Long]("n_events")).sum === 3)
+    } finally q.stop()
+  }
+
+  test("sessionWindows groups events within the gap per user") {
+    val batch = Seq(
+      Ev(1, ts(0), 7, "view", 1.0), Ev(2, ts(10), 7, "view", 2.0),
+      Ev(3, ts(55), 7, "view", 4.0), Ev(4, ts(0), 8, "view", 8.0)).toDF()
+    val out = Streams.sessionWindows(batch).orderBy("user_id", "session_start").collect()
+    assert(out.length === 3) // user 7: [0,10] and [55]; user 8: [0]
+    assert(out(0).getAs[Long]("n_events") === 2)
+    assert(out(0).getAs[Double]("session_value") === 3.0)
+  }
+
+  test("mergeStream: micro-batches accumulate into a keep-latest snapshot") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_mstream").toString
+    val in = MemoryStream[Ev]
+    val q = Streams.mergeStream(in.toDF(), s"$dir/snap", Seq("event_id"), "ts", s"$dir/ckpt")
+    try {
+      in.addData(Ev(1, ts(0), 7, "view", 1.0), Ev(2, ts(1), 7, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(2, ts(5), 7, "click", 3.0), Ev(4, ts(6), 8, "view", 4.0))
+      q.processAllAvailable()
+      val snap = spark.read.parquet(s"$dir/snap").orderBy("event_id")
+        .select("event_id", "event_type").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(snap.toSeq === Seq((1L, "view"), (2L, "click"), (4L, "view")))
+    } finally q.stop()
+  }
+}
