@@ -73,7 +73,10 @@ object SparkEntry {
     "events_user_rolling_daily" -> ((s, d) =>
       ext.Events.userRollingDaily(s, d).orderBy("user_id", "day")),
     "events_type_kpis" -> ((s, d) => ext.Events.typeKpis(s, d).orderBy("event_type")),
-    "events_funnel" -> ((s, d) => ext.Events.funnel(s, d).orderBy("stage"))
+    "events_funnel" -> ((s, d) => ext.Events.funnel(s, d).orderBy("stage")),
+    // ext: multimodal plumbing (deterministic fake codec → rows-only check;
+    // the decode leaf is a stub, so no SQL oracle can exist for it)
+    "media_kind_summary" -> ((s, d) => ext.Multimodal.kindSummary(s, d).orderBy("kind"))
   )
 
   def oracleSql: Map[String, String] = Oracles.all ++ OraclesExt.all
