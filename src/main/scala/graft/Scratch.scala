@@ -8,16 +8,17 @@ object Scratch {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    def t(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+    def t(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
-      val n = f.count()
-      println(f"[scratch] $name%-28s rows=$n%-8d ${(System.nanoTime()-t0)/1e9}%.1fs")
+      val n = f
+      println(f"[scratch] $name%-34s n=$n%-9d ${(System.nanoTime()-t0)/1e9}%.1fs")
     }
-    t("sim_knn")(ext.Similarity.knnBruteForce(spark, d))
-    t("sim_ann")(ext.Similarity.annLsh(spark, d))
-    t("dedup_embedding")(ext.Dedup.embeddingCosinePairs(spark, d))
-    t("dedup_simhash")(ext.Dedup.simhashPairs(spark, d))
-    t("text_fingerprint")(ext.Text.fingerprint(spark, d))
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    t("gold_monthly_sales_trends")(SparkEntry.queries("gold_monthly_sales_trends")(spark, d).count())
+    t("events_user_rolling_daily")(SparkEntry.queries("events_user_rolling_daily")(spark, d).count())
+    t("events_sessions")(SparkEntry.queries("events_sessions")(spark, d).count())
+    t("gold_monthly_again")(SparkEntry.queries("gold_monthly_sales_trends")(spark, d).count())
+    t("sim_ann_lsh")(SparkEntry.queries("sim_ann_lsh")(spark, d).count())
     spark.stop()
   }
 }

