@@ -359,7 +359,39 @@ object OraclesExt {
        |ORDER BY stage""".stripMargin
   }
 
+  // -------------------------------------------- README BI consumer queries
+  // (reference: README.md:216-236) — each wraps the matching gold oracle in
+  // a CTE. Tiebreakers (customer_name / supplier_name) make the README's
+  // ORDER BY total so LIMIT is deterministic cross-engine.
+
+  val consumerTopClv: String =
+    s"""WITH g AS (${Oracles.goldCustomerLifetimeValue})
+       |SELECT customer_name, estimated_3yr_clv, customer_segment FROM g
+       |WHERE value_tier = 'Platinum'
+       |ORDER BY estimated_3yr_clv DESC, customer_name LIMIT 20""".stripMargin
+
+  val consumerStrategicSuppliers: String =
+    s"""WITH g AS (${Oracles.goldSupplierPerformance})
+       |SELECT supplier_name, supplier_region, performance_score, on_time_delivery_rate
+       |FROM g WHERE supplier_tier = 'Tier 1 - Strategic'
+       |ORDER BY performance_score DESC, supplier_name""".stripMargin
+
+  val consumerRegionalRevenue1998: String =
+    s"""WITH g AS (${Oracles.goldRevenueByRegion})
+       |SELECT * FROM g WHERE order_year = 1998
+       |ORDER BY region_name, nation_name, market_segment, order_month""".stripMargin
+
+  val consumerMonthlyTrendReport: String =
+    s"""WITH g AS (${Oracles.goldMonthlySalesTrends})
+       |SELECT order_year, order_month, total_revenue,
+       |  revenue_3mo_moving_avg, mom_revenue_growth_pct
+       |FROM g ORDER BY order_year, order_month""".stripMargin
+
   val all: Map[String, String] = Map(
+    "consumer_top_clv" -> consumerTopClv,
+    "consumer_strategic_suppliers" -> consumerStrategicSuppliers,
+    "consumer_regional_revenue_1998" -> consumerRegionalRevenue1998,
+    "consumer_monthly_trend_report" -> consumerMonthlyTrendReport,
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,

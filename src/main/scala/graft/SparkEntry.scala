@@ -76,7 +76,28 @@ object SparkEntry {
     "events_funnel" -> ((s, d) => ext.Events.funnel(s, d).orderBy("stage")),
     // ext: multimodal plumbing (deterministic fake codec → rows-only check;
     // the decode leaf is a stub, so no SQL oracle can exist for it)
-    "media_kind_summary" -> ((s, d) => ext.Multimodal.kindSummary(s, d).orderBy("kind"))
+    "media_kind_summary" -> ((s, d) => ext.Multimodal.kindSummary(s, d).orderBy("kind")),
+    // the reference README's documented BI consumer queries
+    // (reference: README.md:216-236; O2 top-K → TakeOrderedAndProject)
+    "consumer_top_clv" -> ((s, d) =>
+      Gold.customerLifetimeValue(Silver.customerOrders(s, d), od(s, d))
+        .where(col("value_tier") === "Platinum")
+        .select("customer_name", "estimated_3yr_clv", "customer_segment")
+        .orderBy(col("estimated_3yr_clv").desc, col("customer_name")).limit(20)),
+    "consumer_strategic_suppliers" -> ((s, d) =>
+      Gold.supplierPerformance(Silver.supplierParts(s, d), od(s, d))
+        .where(col("supplier_tier") === "Tier 1 - Strategic")
+        .select("supplier_name", "supplier_region", "performance_score", "on_time_delivery_rate")
+        .orderBy(col("performance_score").desc, col("supplier_name"))),
+    "consumer_regional_revenue_1998" -> ((s, d) =>
+      Gold.revenueByRegion(od(s, d), Silver.customerGeo(s, d))
+        .where(col("order_year") === 1998)
+        .orderBy("region_name", "nation_name", "market_segment", "order_month")),
+    "consumer_monthly_trend_report" -> ((s, d) =>
+      Gold.monthlySalesTrends(od(s, d))
+        .select("order_year", "order_month", "total_revenue",
+          "revenue_3mo_moving_avg", "mom_revenue_growth_pct")
+        .orderBy("order_year", "order_month"))
   )
 
   def oracleSql: Map[String, String] = Oracles.all ++ OraclesExt.all
