@@ -387,7 +387,41 @@ object OraclesExt {
        |  revenue_3mo_moving_avg, mom_revenue_growth_pct
        |FROM g ORDER BY order_year, order_month""".stripMargin
 
+  /** Twin of Similarity.ivfCentroids/annIvf: exact decimal per-label means,
+    * nearest-centroid inverted lists, nProbe-centroid search. Centroid
+    * ranking uses the RAW cosine (both engines compute the identical IEEE
+    * double), rounding only on output. */
+  val simAnnIvf: String = {
+    import graft.ext.Similarity.IvfProbes
+    s"""WITH $normCte,
+       |nl AS (SELECT n.vec_id, n.v, n.norm, e2.label
+       |  FROM n JOIN embeddings e2 ON e2.vec_id = n.vec_id),
+       |cent AS (
+       |  SELECT label, i,
+       |    CAST(SUM(CAST(v[i] AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS c
+       |  FROM nl, (SELECT unnest(generate_series(1, $Dim)) AS i) AS dims
+       |  GROUP BY label, i),
+       |centv AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+       |centn AS (SELECT label, cv,
+       |  sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x * x)),
+       |    (a, b) -> a + b)) AS cnorm
+       |  FROM centv),
+       |scored AS (
+       |  SELECT a.vec_id, a.v, a.norm, c.label,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY (${dotSql("a.v", "c.cv")}) / (a.norm * c.cnorm) DESC, c.label) AS crank
+       |  FROM nl a CROSS JOIN centn c),
+       |inv AS (SELECT label AS cl, vec_id, v, norm FROM scored WHERE crank = 1),
+       |probes AS (SELECT label AS cl, vec_id, v, norm FROM scored WHERE crank <= $IvfProbes),
+       |${topKSql(
+        s"""p AS (
+           |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           |    ${R(s"(${dotSql("q.v", "x.v")}) / (q.norm * x.norm)", 6)} AS cosine
+           |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id)""".stripMargin)}""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "sim_ann_ivf" -> simAnnIvf,
     "consumer_top_clv" -> consumerTopClv,
     "consumer_strategic_suppliers" -> consumerStrategicSuppliers,
     "consumer_regional_revenue_1998" -> consumerRegionalRevenue1998,

@@ -65,6 +65,7 @@ object SparkEntry {
     "sim_knn_bruteforce" -> ((s, d) =>
       ext.Similarity.knnBruteForce(s, d).orderBy("query_id", "rank")),
     "sim_ann_lsh" -> ((s, d) => ext.Similarity.annLsh(s, d).orderBy("query_id", "rank")),
+    "sim_ann_ivf" -> ((s, d) => ext.Similarity.annIvf(s, d).orderBy("query_id", "rank")),
     // ext: event-stream analytics, batch twins of graft.streaming
     "events_tumbling_hourly" -> ((s, d) =>
       ext.Events.tumblingHourly(s, d).orderBy("window_start", "event_type")),

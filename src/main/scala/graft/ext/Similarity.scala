@@ -95,6 +95,58 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
 
+  // --------------------------------------------------------- IVF variant
+
+  // Probing 4 of the 10 lists scans ~40% of vectors for recall@5 ≈ 0.63 on
+  // the test embeddings — their true top-5 neighbors sit at cosine ≈ 0.3,
+  // largely OUTSIDE the source cluster, which is the hard case for IVF
+  // (coarse quantization only helps when neighbors share a cell). On a
+  // near-dup retrieval workload (cosine ≥ 0.9) the same structure probes 1-2
+  // lists at recall ≈ 1. Like LshBits/LshTables, it's a data-dependent knob.
+  val IvfProbes = 4                 // centroids searched per query
+
+  /** Coarse-quantizer centroids: the per-`label` mean vector (exact
+    * order-free decimal means, so both engines get bit-identical centroids).
+    * At 100 TB the label column is whatever coarse clustering produced the
+    * data (or a k-means run); the IVF structure only needs SOME partition of
+    * the space — quality of the partition affects recall, not correctness. */
+  def ivfCentroids(e: DataFrame): DataFrame = {
+    val dims = (0 until Dim).map(i =>
+      (sum(col("v")(i).cast(Num.SumDec)).cast("double") / count(lit(1))).as(s"c$i"))
+    e.groupBy(col("label"))
+      .agg(dims.head, dims.tail: _*)
+      .select(col("label"), array((0 until Dim).map(i => col(s"c$i")): _*).as("cv"))
+      .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+  }
+
+  /** IVF-flat ANN: every vector is assigned to its nearest centroid (the
+    * inverted list); a query probes its [[IvfProbes]] nearest centroids and
+    * searches those lists exactly. Two broadcast joins against ~|labels|
+    * centroids + one shuffle on the centroid id — the classic
+    * coarse-quantize-then-refine scale shape. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val base = Sources.embeddings(spark, dir)
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val vecs = base.select(col("vec_id"), col("label"), v.as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v")))).cache()
+    val cents = ivfCentroids(vecs).withColumnRenamed("label", "cl")
+    // rank centroids per vector by raw cosine (ties → smaller label)
+    val scored = vecs.drop("label").crossJoin(broadcast(cents))
+      .withColumn("_cos", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      .withColumn("_crank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("_cos").desc, col("cl"))))
+    val inverted = scored.where(col("_crank") === 1)
+      .select(col("cl"), col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("norm").as("nb"))
+    val probes = scored.where(col("_crank") <= IvfProbes)
+      .select(col("cl"), col("vec_id").as("query_id"),
+        col("v").as("va"), col("norm").as("na"))
+    val pairs = probes.join(inverted, "cl")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", r(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+    topK(pairs, TopK)
+  }
+
   /** Exact top-[[TopK]] cosine neighbors for every vector (the O(n²) ground
     * truth; ties broken by neighbor id so results are total-ordered). */
   def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {

@@ -94,6 +94,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, f"recall $recall%.3f below 0.7")
   }
 
+  test("IVF recall@5 vs brute force when probing 4 of 10 lists") {
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val exact = top(Similarity.knnBruteForce(spark, sf))
+    val ivf = top(Similarity.annIvf(spark, sf))
+    val recall = exact.map { case (q, e) =>
+      ivf.get(q).map(a => (a & e).size.toDouble / e.size).getOrElse(0.0)
+    }.sum / exact.size
+    info(f"IVF recall@5 = $recall%.3f")
+    // expected ≈ 0.63: test data's true neighbors are mostly cross-cluster
+    assert(recall >= 0.55, f"recall $recall%.3f below 0.55")
+  }
+
   test("ANN candidates never beat brute force (cosine at each rank ≤ exact)") {
     val exact = Similarity.knnBruteForce(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> r.getAs[Double]("cosine")).toMap
