@@ -3,22 +3,31 @@ import org.apache.spark.sql.SparkSession
 // dev scratch — not shipped; deleted before commit
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
-    def t(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[scratch] $name%-34s n=$n%-9d ${(System.nanoTime()-t0)/1e9}%.1fs")
+    val d = "/root/testdata/sf0.01"
+    def audit(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      val bcasts = "BroadcastExchange".r.findAllIn(plan).length
+      val wscg = "WholeStageCodegen".r.findAllIn(plan).length
+      println(s"== $name: shuffles=$exchanges broadcasts=$bcasts wscg_spans=$wscg")
+      plan.linesIterator.filter(l =>
+        l.contains("PushedFilters") || l.contains("ReadSchema")).take(8)
+        .foreach(l => println("   " + l.trim.take(150)))
     }
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    t("gold_monthly_sales_trends")(SparkEntry.queries("gold_monthly_sales_trends")(spark, d).count())
-    t("events_user_rolling_daily")(SparkEntry.queries("events_user_rolling_daily")(spark, d).count())
-    t("events_sessions")(SparkEntry.queries("events_sessions")(spark, d).count())
-    t("gold_monthly_again")(SparkEntry.queries("gold_monthly_sales_trends")(spark, d).count())
-    t("sim_ann_lsh")(SparkEntry.queries("sim_ann_lsh")(spark, d).count())
+    audit("silver_order_details")(engine.Silver.orderDetails(spark, d))
+    audit("silver_supplier_parts")(engine.Silver.supplierParts(spark, d))
+    audit("gold_monthly")(engine.Gold.monthlySalesTrends(engine.Silver.orderDetails(spark, d)))
+    audit("text_stats")(ext.Text.stats(spark, d))
+    audit("events_sessions")(ext.Events.sessions(spark, d))
+    audit("dedup_minhash")(ext.Dedup.minhashLshPairs(spark, d))
+    audit("sim_ann_lsh")(ext.Similarity.annLsh(spark, d))
+    audit("sim_ann_ivf")(ext.Similarity.annIvf(spark, d))
+    audit("quality_referential")(engine.Quality.referentialIntegrity(spark, d))
     spark.stop()
   }
 }
