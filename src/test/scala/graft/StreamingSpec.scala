@@ -71,6 +71,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize over a stream reproduces the batch Events.sessions results") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the real sf0.001 events fixture, streamed through MemoryStream
+    val evs = graft.engine.Sources.events(spark, sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq
+    val flusher = Ev(999999L, new Timestamp(evs.map(_.ts.getTime).max + 86400000L),
+      999999L, "flush", 0.0)
+    val in = MemoryStream[Ev]
+    val q = Streams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess_parity").outputMode("append").start()
+    try {
+      in.addData(evs)
+      q.processAllAvailable()
+      in.addData(flusher) // watermark passes every real session's end + gap
+      q.processAllAvailable()
+      in.addData(Ev(999998L, new Timestamp(flusher.ts.getTime + 86400000L), 999998L, "flush", 0.0))
+      q.processAllAvailable()
+      def key(uid: Long, startUs: Long, endUs: Long, n: Long, value: Double) =
+        (uid, startUs, endUs, n, math.floor(value * 100 + 0.5) / 100)
+      val streamed = spark.table("sess_parity").collect()
+        .filter(_.getAs[Long]("user_id") < 999998L)
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("session_value"))).toSet
+      val batch = graft.ext.Events.sessions(spark, sf).collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("session_value"))).toSet
+      assert(batch.nonEmpty)
+      val missing = batch -- streamed
+      val extra = streamed -- batch
+      assert(missing.isEmpty && extra.isEmpty,
+        s"missing=${missing.take(3)} extra=${extra.take(3)}")
+    } finally q.stop()
+  }
+
   test("keepLatest drops duplicate keys within the watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[Ev]
