@@ -179,7 +179,7 @@ object Oracles {
        |FROM sp_margin""".stripMargin
 
   // full-silver CTE bundle reused by gold + quality oracles
-  private val silverCtes: String =
+  val silverCtes: String =
     s"""$bronzeCtes,
        |od AS ($silverOrderDetailsBody),
        |$customerOrdersCtes,

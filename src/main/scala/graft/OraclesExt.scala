@@ -420,8 +420,62 @@ object OraclesExt {
            |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id)""".stripMargin)}""".stripMargin
   }
 
+  /** Twin of AsOf.purchaseAsOfView: the identical union + IGNORE NULLS
+    * carry-forward window (not DuckDB's native ASOF JOIN, whose tie rule at
+    * equal timestamps is not spelled out — this formulation pins ties). */
+  val eventsAsofPurchaseView: String =
+    s"""WITH tagged AS (
+       |  SELECT user_id, ts, 0 AS side, event_id, event_id AS view_event_id, ts AS view_ts
+       |  FROM events WHERE event_type = 'view'
+       |  UNION ALL
+       |  SELECT user_id, ts, 1 AS side, event_id, NULL, NULL
+       |  FROM events WHERE event_type = 'purchase'),
+       |carried AS (
+       |  SELECT *,
+       |    last_value(view_event_id IGNORE NULLS) OVER w AS asof_view_id,
+       |    last_value(view_ts IGNORE NULLS) OVER w AS asof_view_ts
+       |  FROM tagged
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+       |               ROWS UNBOUNDED PRECEDING))
+       |SELECT event_id AS purchase_event_id, user_id,
+       |  make_timestamp(epoch_us(ts)) AS purchase_ts,
+       |  asof_view_id AS view_event_id,
+       |  make_timestamp(epoch_us(asof_view_ts)) AS view_ts,
+       |  ${R("(epoch_us(ts) - epoch_us(asof_view_ts)) / 1e6", 2)} AS seconds_since_view
+       |FROM carried WHERE side = 1
+       |ORDER BY purchase_event_id""".stripMargin
+
+  /** Twin of Events.userTypePivot (explicit conditional counts — the
+    * engine-portable spelling of PIVOT). */
+  val eventsUserTypePivot: String = {
+    import graft.ext.Events.EventTypes
+    val cols = EventTypes.map(t =>
+      s"count(CASE WHEN event_type = '$t' THEN 1 END) AS $t")
+    s"""SELECT user_id, ${cols.mkString(", ")},
+       |  count(*) AS total_events
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** Twin of Gold.revenueRollup. DuckDB GROUPING(a, b) returns the same
+    * MSB-first bitmask as Spark's grouping_id(); NULLS FIRST spelled out to
+    * match Spark's asc_nulls_first ordering of subtotal rows. */
+  val revenueRollup: String =
+    s"""WITH ${Oracles.silverCtes},
+       |j AS (
+       |  SELECT g.region_name, g.nation_name, od.net_revenue
+       |  FROM od JOIN geo g ON od.customer_key = g.customer_key)
+       |SELECT region_name, nation_name,
+       |  count(*) AS n_lines,
+       |  ${R(DS("net_revenue"), 2)} AS total_revenue,
+       |  GROUPING(region_name, nation_name) AS gid
+       |FROM j GROUP BY ROLLUP(region_name, nation_name)
+       |ORDER BY gid, region_name NULLS FIRST, nation_name NULLS FIRST""".stripMargin
+
   val all: Map[String, String] = Map(
     "sim_ann_ivf" -> simAnnIvf,
+    "events_asof_purchase_view" -> eventsAsofPurchaseView,
+    "events_user_type_pivot" -> eventsUserTypePivot,
+    "revenue_rollup" -> revenueRollup,
     "consumer_top_clv" -> consumerTopClv,
     "consumer_strategic_suppliers" -> consumerStrategicSuppliers,
     "consumer_regional_revenue_1998" -> consumerRegionalRevenue1998,

@@ -75,6 +75,13 @@ object SparkEntry {
       ext.Events.userRollingDaily(s, d).orderBy("user_id", "day")),
     "events_type_kpis" -> ((s, d) => ext.Events.typeKpis(s, d).orderBy("event_type")),
     "events_funnel" -> ((s, d) => ext.Events.funnel(s, d).orderBy("stage")),
+    "events_asof_purchase_view" -> ((s, d) =>
+      ext.AsOf.purchaseAsOfView(s, d).orderBy("purchase_event_id")),
+    "events_user_type_pivot" -> ((s, d) => ext.Events.userTypePivot(s, d).orderBy("user_id")),
+    "revenue_rollup" -> ((s, d) =>
+      Gold.revenueRollup(Silver.orderDetails(s, d), Silver.customerGeo(s, d))
+        .orderBy(col("gid"), col("region_name").asc_nulls_first,
+          col("nation_name").asc_nulls_first)),
     // ext: multimodal plumbing (deterministic fake codec → rows-only check;
     // the decode leaf is a stub, so no SQL oracle can exist for it)
     "media_kind_summary" -> ((s, d) => ext.Multimodal.kindSummary(s, d).orderBy("kind")),

@@ -183,6 +183,25 @@ object Gold {
     * because sliding-window accumulation order differs across engines on
     * doubles.
     */
+  /** Revenue ROLLUP over (region, nation): per-nation rows, per-region
+    * subtotals, and a grand total in ONE Expand pass (the multi-grain report
+    * a consumer would otherwise run as three queries), disambiguated by
+    * grouping_id. The reference has no grouping-sets surface (SURVEY §2.4);
+    * this extends it. */
+  def revenueRollup(orderDetails: DataFrame, customerGeo: DataFrame): DataFrame =
+    orderDetails.join(customerGeo, Seq("customer_key"))
+      // dataset alias + qualified grouping refs sidestep Spark's ambiguous-
+      // self-join false positive on rollup-after-join; positional toDF
+      // renames the grouping outputs back without name resolution
+      .select(col("region_name").as("_rg"), col("nation_name").as("_nt"), col("net_revenue"))
+      .as("j")
+      .rollup(col("j._rg"), col("j._nt"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        r2(dsum(col("net_revenue"))).as("total_revenue"),
+        grouping_id().as("gid"))
+      .toDF("region_name", "nation_name", "n_lines", "total_revenue", "gid")
+
   def monthlySalesTrends(orderDetails: DataFrame): DataFrame = {
     val base = orderDetails
       .groupBy(col("order_year"), col("order_month"), col("order_quarter"))

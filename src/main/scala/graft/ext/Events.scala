@@ -108,6 +108,21 @@ object Events {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
 
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Per-user event-type matrix via PIVOT with an explicit value list (the
+    * list keeps it one pass — Spark's value-discovery pivot adds a distinct
+    * scan, which at 100 TB is a full extra job). Absent cells → 0. */
+  def userTypePivot(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Sources.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    EventTypes.foldLeft(counts)((df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L))))
+      .withColumn("total_events", EventTypes.map(col).reduce(_ + _))
+  }
+
   /** Ordered conversion funnel signup → view → click → purchase: stage i
     * counts users whose first stage-i event follows their first stage-(i−1)
     * event. One conditional-min aggregate per user, then an iterated
