@@ -38,13 +38,16 @@ object Sinks {
     val spark = updates.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
-    val merged = if (fs.exists(target)) {
-      val existing = spark.read.parquet(path)
-      // incoming wins ties: tag source priority as secondary sort key
-      val all = existing.withColumn("_src", lit(0)).unionByName(updates.withColumn("_src", lit(1)))
-      val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc, col("_src").desc)
-      all.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn", "_src")
-    } else updates
+    // incoming wins ties with the snapshot: source priority is the
+    // secondary sort key. The window also collapses duplicate keys WITHIN
+    // the first batch — the keep-latest invariant must hold from write one.
+    val all = if (fs.exists(target)) {
+      spark.read.parquet(path).withColumn("_src", lit(0))
+        .unionByName(updates.withColumn("_src", lit(1)))
+    } else updates.withColumn("_src", lit(1))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc, col("_src").desc)
+    val merged = all.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn", "_src")
     val tmp = new Path(path + "__tmp_merge")
     merged.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(target)) fs.delete(target, true)

@@ -52,4 +52,54 @@ class PropertySpec extends SparkSpec {
       assert(bad.count() == 0)
     }
   }
+
+  private val strGen = Gen.listOfN(40, Gen.alphaNumStr.map(_.take(30)))
+
+  test("polyHash concatenation identity: h(a++b) = (h(a)·131^|b| + h(b)) mod P") {
+    val P = 2147483647L
+    def pow(b: Long, e: Int): Long = (1 to e).foldLeft(1L)((acc, _) => acc * b % P)
+    for (strs <- samples(strGen, 3); pair <- strs.sliding(2, 2) if pair.size == 2) {
+      val Seq(a, b) = pair
+      val rows = Seq((a, b, a + b)).toDF("a", "b", "ab")
+        .select(
+          graft.functions.Native.polyHash(col("a")).as("ha"),
+          graft.functions.Native.polyHash(col("b")).as("hb"),
+          graft.functions.Native.polyHash(col("ab")).as("hab"))
+        .first()
+      val expect = (rows.getLong(0) % P * pow(131L, b.length) % P + rows.getLong(1)) % P
+      assert(rows.getLong(2) === expect, s"a=$a b=$b")
+    }
+  }
+
+  private val skewGen = Gen.listOfN(80,
+    for {
+      key <- Gen.frequency(6 -> Gen.const(1L), 1 -> Gen.choose(2L, 6L)) // hot key 1
+      v <- Gen.choose(0, 1000)
+    } yield (key, v))
+
+  test("salted join equals plain join on skewed keys") {
+    for (rows <- samples(skewGen, 3) if rows.nonEmpty) {
+      val fact = rows.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("key", "v", "row_id")
+      val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (9L, "unmatched"))
+        .toDF("key", "name")
+      val plain = fact.join(dim, Seq("key")).select("row_id", "name")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val salted = graft.ext.Skew.saltedJoin(fact, dim, "key", col("row_id"), salts = 4)
+        .select("row_id", "name")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(salted === plain)
+    }
+  }
+
+  test("mergeKeepLatest is idempotent: re-applying the same batch changes nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prop_merge").toString + "/t"
+    val batch = Seq((1L, "a", 3L), (2L, "b", 1L), (1L, "c", 5L)).toDF("k", "v", "seq")
+    graft.sources.Sinks.mergeKeepLatest(batch, dir, Seq("k"), "seq")
+    val once = spark.read.parquet(dir).orderBy("k").collect().map(_.toSeq).toSeq
+    graft.sources.Sinks.mergeKeepLatest(batch, dir, Seq("k"), "seq")
+    val twice = spark.read.parquet(dir).orderBy("k").collect().map(_.toSeq).toSeq
+    assert(once === twice)
+    assert(once.map(_.head) === Seq(1L, 2L)) // keeps seq=5 row for key 1
+  }
 }
