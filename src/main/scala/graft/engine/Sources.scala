@@ -43,4 +43,21 @@ object Sources {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  // ------------------------------------------------- non-parquet formats
+  // The lake's interchange formats, schema-pinned from the Schemas catalog
+  // (inference on csv/json is a full extra pass at 100 TB — never infer).
+
+  def csv(spark: SparkSession, path: String, table: String): DataFrame =
+    spark.read.schema(graft.sources.Schemas.all(table))
+      .option("header", "true").option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(path)
+
+  def json(spark: SparkSession, path: String, table: String): DataFrame =
+    spark.read.schema(graft.sources.Schemas.all(table)).json(path)
+
+  /** File-based streaming source: new parquet files under `path` become
+    * micro-batches (the readStream twin of [[load]]; schema mandatory). */
+  def parquetStream(spark: SparkSession, path: String, table: String): DataFrame =
+    spark.readStream.schema(graft.sources.Schemas.all(table)).parquet(path)
 }

@@ -153,6 +153,39 @@ class StreamingSpec extends SparkSpec {
     assert(out(0).getAs[Double]("session_value") === 3.0)
   }
 
+  test("csv and json round-trip events through the schema catalog") {
+    val dir = Files.createTempDirectory("graft_fmt").toString
+    val ev = graft.engine.Sources.events(spark, sf).limit(50).cache()
+    ev.write.option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(s"$dir/csv")
+    ev.write.json(s"$dir/json")
+    val fromCsv = graft.engine.Sources.csv(spark, s"$dir/csv", "events")
+    val fromJson = graft.engine.Sources.json(spark, s"$dir/json", "events")
+    assert(fromCsv.count() === 50)
+    assert(fromJson.count() === 50)
+    assert(fromCsv.schema === graft.sources.Schemas.events)
+    // values survive the round trip (sum of a double column to the cent)
+    def tot(df: org.apache.spark.sql.DataFrame) =
+      math.round(df.agg(sum("value")).first().getDouble(0) * 100)
+    assert(tot(fromCsv) === tot(ev.toDF()))
+    assert(tot(fromJson) === tot(ev.toDF()))
+  }
+
+  test("parquetStream: files arriving in a directory become micro-batches") {
+    val dir = Files.createTempDirectory("graft_fstream").toString
+    val ev = graft.engine.Sources.events(spark, sf).limit(20).cache()
+    ev.limit(10).write.parquet(s"$dir/in/b1")
+    // a file-source stream needs files under one dir: write parts directly
+    val src = graft.engine.Sources.parquetStream(spark, s"$dir/in/b1", "events")
+    val q = Streams.tumblingHourly(src)
+      .writeStream.format("memory").queryName("fstream").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("fstream").agg(sum("n_events")).first().getLong(0)
+      assert(n === 10)
+    } finally q.stop()
+  }
+
   test("mergeStream: micro-batches accumulate into a keep-latest snapshot") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = Files.createTempDirectory("graft_mstream").toString
