@@ -88,12 +88,19 @@ object Similarity {
     a.join(b, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", r(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
 
+  /** Per-query top-k by (cosine desc, neighbor_id asc) via the bounded
+    * [[graft.functions.TopKByScore]] aggregate — map-side combinable, so the
+    * shuffle carries ≤ k rows per query instead of every candidate pair
+    * (the row_number window it replaces sorted ALL pairs: ~4 s of the 4.5 s
+    * brute-force knn at sf0.1, and the whole pair set through the shuffle
+    * at cluster scale). Output is bit-identical: the ordering is total. */
   private def topK(pairs: DataFrame, k: Int): DataFrame =
     pairs
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore.topK(col("cosine"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
 
   // --------------------------------------------------------- IVF variant
 
