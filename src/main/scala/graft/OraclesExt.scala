@@ -71,6 +71,18 @@ object OraclesExt {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  val textLengthQuantiles: String =
+    s"""SELECT lang,
+       |  count(*) AS n_docs,
+       |  ${R("quantile_cont(n_chars, 0.5)", 2)} AS p50_chars,
+       |  ${R("quantile_cont(n_chars, 0.9)", 2)} AS p90_chars,
+       |  ${R("quantile_cont(n_chars, 0.99)", 2)} AS p99_chars,
+       |  min(n_chars) AS min_chars,
+       |  max(n_chars) AS max_chars
+       |FROM documents
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   val textTokenFrequency: String =
     s"""SELECT token,
        |  COUNT(*) AS occurrences,
@@ -484,6 +496,7 @@ object OraclesExt {
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
     "text_token_frequency" -> textTokenFrequency,
+    "text_length_quantiles" -> textLengthQuantiles,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,

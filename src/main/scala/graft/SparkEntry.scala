@@ -54,6 +54,7 @@ object SparkEntry {
     "text_langid" -> ((s, d) => ext.Text.langId(s, d).orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) => ext.Text.fingerprint(s, d).orderBy("doc_id")),
     "text_token_frequency" -> ((s, d) => ext.Text.tokenFrequency(s, d).orderBy("token")),
+    "text_length_quantiles" -> ((s, d) => ext.Text.lengthQuantiles(s, d).orderBy("lang")),
     // ext: dedup suite (exact / n-gram Jaccard / MinHash-LSH / SimHash / cosine)
     "dedup_exact" -> ((s, d) => ext.Dedup.exact(s, d).orderBy("md5_hex")),
     "dedup_ngram_jaccard" -> ((s, d) => ext.Dedup.ngramJaccardPairs(s, d).orderBy("doc_a", "doc_b")),

@@ -107,6 +107,22 @@ object Text {
       md5(col("text")).as("md5_hex"))
   }
 
+  /** Exact length quantiles per language: Spark `percentile` (sort-based
+    * exact, linear interpolation at rank p·(n−1)) — the same formula DuckDB's
+    * quantile_cont computes, so the oracle matches to the rounding digit.
+    * At 100 TB swap for approx_percentile (t-digest) and drop the oracle to
+    * rows-only; the exact form is the correctness anchor. */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        r2(percentile(col("n_chars"), lit(0.5))).as("p50_chars"),
+        r2(percentile(col("n_chars"), lit(0.9))).as("p90_chars"),
+        r2(percentile(col("n_chars"), lit(0.99))).as("p99_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
   /** Corpus token frequency: explode → hash-aggregate. The one shuffle here;
     * partial aggregation collapses each partition's counts map-side, so the
     * shuffle volume is ~|vocab| per partition, not |tokens|. */
