@@ -98,6 +98,18 @@ object OraclesExt {
     SimhashBits, SimhashMaxHamming, SimhashChunks, CosineThreshold}
   import graft.ext.Similarity.{Dim, TopK, LshBits, LshTables, MixA, MixB, M31, M32}
 
+  val dedupCanonicalCorpus: String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+       |ORDER BY doc_id""".stripMargin
+
+  /** Twin of Dedup.nearDupFiltered — the minhash query as a CTE, anti-joined. */
+  lazy val dedupNearDupFiltered: String =
+    s"""WITH pairs AS ($dedupMinhashLsh)
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+       |ORDER BY doc_id""".stripMargin
+
   val dedupExact: String =
     s"""SELECT md5(text) AS md5_hex, min(doc_id) AS canonical_doc_id,
        |  count(*) AS n_copies
@@ -498,6 +510,8 @@ object OraclesExt {
     "text_token_frequency" -> textTokenFrequency,
     "text_length_quantiles" -> textLengthQuantiles,
     "dedup_exact" -> dedupExact,
+    "dedup_canonical_corpus" -> dedupCanonicalCorpus,
+    "dedup_near_filtered" -> dedupNearDupFiltered,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,

@@ -57,6 +57,8 @@ object SparkEntry {
     "text_length_quantiles" -> ((s, d) => ext.Text.lengthQuantiles(s, d).orderBy("lang")),
     // ext: dedup suite (exact / n-gram Jaccard / MinHash-LSH / SimHash / cosine)
     "dedup_exact" -> ((s, d) => ext.Dedup.exact(s, d).orderBy("md5_hex")),
+    "dedup_canonical_corpus" -> ((s, d) => ext.Dedup.canonicalCorpus(s, d).orderBy("doc_id")),
+    "dedup_near_filtered" -> ((s, d) => ext.Dedup.nearDupFiltered(s, d).orderBy("doc_id")),
     "dedup_ngram_jaccard" -> ((s, d) => ext.Dedup.ngramJaccardPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_minhash_lsh" -> ((s, d) => ext.Dedup.minhashLshPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, d) => ext.Dedup.simhashPairs(s, d).orderBy("doc_a", "doc_b")),

@@ -75,6 +75,28 @@ object Dedup {
       .groupBy(md5(col("text")).as("md5_hex"))
       .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** The deduplicated corpus itself (what a pipeline actually materializes):
+    * keep the lowest doc_id of every exact-duplicate group — the reference's
+    * W1 keep-one window applied to content identity. */
+  def canonicalCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    Sources.documents(spark, dir)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  /** Near-dup-filtered corpus: drop every doc that appears as the HIGHER id
+    * of a MinHash-LSH verified pair (keep-lowest survivor rule — transitive
+    * chains collapse toward the smallest id). One anti-join against the
+    * pair set; at 100 TB the pair set is tiny relative to the corpus. */
+  def nearDupFiltered(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .join(minhashLshPairs(spark, dir).select(col("doc_b")),
+        col("doc_id") === col("doc_b"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+
   /** Exact n-gram Jaccard near-dup pairs at τ = [[JaccardThreshold]].
     * Candidates come from a shared-shingle equi-join (shuffle keyed on the
     * shingle), so cost is Σ bucket² over shingle buckets — at 100 TB, drop
