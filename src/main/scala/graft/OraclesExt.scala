@@ -364,6 +364,36 @@ object OraclesExt {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  val eventsWeeklyRetention: String = {
+    val wk = "CAST(epoch_us(ts) // 604800000000 AS BIGINT)"
+    s"""WITH fw AS (
+       |  SELECT user_id, min($wk) AS cohort_week FROM events GROUP BY user_id),
+       |active AS (SELECT DISTINCT user_id, $wk AS week FROM events),
+       |sizes AS (SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+       |          FROM fw GROUP BY cohort_week),
+       |m AS (
+       |  SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+       |         count(DISTINCT a.user_id) AS n_active
+       |  FROM active a JOIN fw f ON a.user_id = f.user_id
+       |  GROUP BY f.cohort_week, a.week - f.cohort_week)
+       |SELECT m.cohort_week, m.week_offset, m.n_active, s.cohort_size,
+       |  ${R("CAST(m.n_active AS DOUBLE) / s.cohort_size", 4)} AS retention
+       |FROM m JOIN sizes s ON m.cohort_week = s.cohort_week
+       |ORDER BY m.cohort_week, week_offset""".stripMargin
+  }
+
+  val eventsValueHistogram: String = {
+    import graft.ext.Events.{HistBucketWidth, HistMaxBucket}
+    s"""SELECT event_type,
+       |  CAST(LEAST(FLOOR(value / $HistBucketWidth), $HistMaxBucket) AS BIGINT) AS bucket,
+       |  count(*) AS n,
+       |  ${R("min(value)", 2)} AS lo,
+       |  ${R("max(value)", 2)} AS hi
+       |FROM events
+       |GROUP BY event_type, LEAST(FLOOR(value / $HistBucketWidth), $HistMaxBucket)
+       |ORDER BY event_type, bucket""".stripMargin
+  }
+
   val eventsFunnel: String = {
     val stages = Seq("signup", "view", "click", "purchase")
     val ctes = stages.zipWithIndex.map { case (s, i) =>
@@ -523,6 +553,8 @@ object OraclesExt {
     "events_sessions" -> eventsSessions,
     "events_user_rolling_daily" -> eventsUserRollingDaily,
     "events_type_kpis" -> eventsTypeKpis,
-    "events_funnel" -> eventsFunnel
+    "events_funnel" -> eventsFunnel,
+    "events_weekly_retention" -> eventsWeeklyRetention,
+    "events_value_histogram" -> eventsValueHistogram
   )
 }

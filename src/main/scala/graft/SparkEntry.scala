@@ -78,6 +78,10 @@ object SparkEntry {
       ext.Events.userRollingDaily(s, d).orderBy("user_id", "day")),
     "events_type_kpis" -> ((s, d) => ext.Events.typeKpis(s, d).orderBy("event_type")),
     "events_funnel" -> ((s, d) => ext.Events.funnel(s, d).orderBy("stage")),
+    "events_weekly_retention" -> ((s, d) =>
+      ext.Events.weeklyRetention(s, d).orderBy("cohort_week", "week_offset")),
+    "events_value_histogram" -> ((s, d) =>
+      ext.Events.valueHistogram(s, d).orderBy("event_type", "bucket")),
     "events_asof_purchase_view" -> ((s, d) =>
       ext.AsOf.purchaseAsOfView(s, d).orderBy("purchase_event_id")),
     "events_user_type_pivot" -> ((s, d) => ext.Events.userTypePivot(s, d).orderBy("user_id")),

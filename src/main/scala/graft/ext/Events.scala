@@ -123,6 +123,41 @@ object Events {
       .withColumn("total_events", EventTypes.map(col).reduce(_ + _))
   }
 
+  /** Weekly cohort retention: users grouped by first-activity week, counted
+    * in each later week they return. The triangle matrix every product
+    * analytics stack computes — one per-user aggregate for the cohort, one
+    * join back (broadcast at |users| ≪ |events|), one (cohort, offset)
+    * hash-agg. Retention is n_active / cohort_size, r4 for parity. */
+  def weeklyRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.events(spark, dir)
+    // exact integral division (`div`): the double `/`-then-cast route can
+    // round across a week boundary; DuckDB's `//` twin is exact too
+    val week = expr("unix_micros(ts) div 604800000000")
+    val firstWeek = ev.groupBy("user_id").agg(min(week).as("cohort_week"))
+    val active = ev.select(col("user_id"), week.as("week")).distinct()
+    val sizes = firstWeek.groupBy("cohort_week").agg(countDistinct("user_id").as("cohort_size"))
+    active.join(firstWeek, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(sizes, "cohort_week")
+      .withColumn("retention", r4(col("n_active").cast("double") / col("cohort_size")))
+      .select("cohort_week", "week_offset", "n_active", "cohort_size", "retention")
+  }
+
+  val HistBucketWidth = 50.0
+  val HistMaxBucket = 9
+
+  /** Fixed-width value histogram per event type (bucket = min(⌊v/w⌋, max) —
+    * last bucket absorbs the tail). Map-side combinable by construction. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Sources.events(spark, dir)
+      .groupBy(col("event_type"),
+        least(floor(col("value") / HistBucketWidth), lit(HistMaxBucket)).as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        r2(min(col("value"))).as("lo"),
+        r2(max(col("value"))).as("hi"))
+
   /** Ordered conversion funnel signup → view → click → purchase: stage i
     * counts users whose first stage-i event follows their first stage-(i−1)
     * event. One conditional-min aggregate per user, then an iterated
