@@ -83,6 +83,37 @@ object OraclesExt {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  val textBigramFrequency: String =
+    s"""SELECT bigram,
+       |  count(*) AS occurrences,
+       |  count(DISTINCT doc_id) AS doc_frequency
+       |FROM (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(0, len(t) - 2),
+       |    i -> array_to_string(t[i+1:i+2], ' '))) AS bigram
+       |  FROM (SELECT doc_id, $toks AS t FROM documents)
+       |  WHERE len(t) >= 2)
+       |GROUP BY bigram
+       |ORDER BY bigram""".stripMargin
+
+  val textTopTfidf: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($toks) AS token FROM documents),
+       |nz AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM nz GROUP BY doc_id, token),
+       |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM nz GROUP BY token),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.token, tf.tf,
+       |    tf.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / dfreq.df) AS tfidf
+       |  FROM tf JOIN dfreq ON tf.token = dfreq.token),
+       |ranked AS (
+       |  SELECT doc_id, token, tf, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS "rank"
+       |  FROM scored)
+       |SELECT doc_id, token, tf, ${R("tfidf", 4)} AS tfidf, "rank"
+       |FROM ranked WHERE "rank" <= 5
+       |ORDER BY doc_id, "rank"""".stripMargin
+
   val textTokenFrequency: String =
     s"""SELECT token,
        |  COUNT(*) AS occurrences,
@@ -539,6 +570,8 @@ object OraclesExt {
     "text_fingerprint" -> textFingerprint,
     "text_token_frequency" -> textTokenFrequency,
     "text_length_quantiles" -> textLengthQuantiles,
+    "text_bigram_frequency" -> textBigramFrequency,
+    "text_top_tfidf" -> textTopTfidf,
     "dedup_exact" -> dedupExact,
     "dedup_canonical_corpus" -> dedupCanonicalCorpus,
     "dedup_near_filtered" -> dedupNearDupFiltered,

@@ -55,6 +55,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => ext.Text.fingerprint(s, d).orderBy("doc_id")),
     "text_token_frequency" -> ((s, d) => ext.Text.tokenFrequency(s, d).orderBy("token")),
     "text_length_quantiles" -> ((s, d) => ext.Text.lengthQuantiles(s, d).orderBy("lang")),
+    "text_bigram_frequency" -> ((s, d) => ext.Text.bigramFrequency(s, d).orderBy("bigram")),
+    "text_top_tfidf" -> ((s, d) => ext.Text.topTfidfTerms(s, d).orderBy("doc_id", "rank")),
     // ext: dedup suite (exact / n-gram Jaccard / MinHash-LSH / SimHash / cosine)
     "dedup_exact" -> ((s, d) => ext.Dedup.exact(s, d).orderBy("md5_hex")),
     "dedup_canonical_corpus" -> ((s, d) => ext.Dedup.canonicalCorpus(s, d).orderBy("doc_id")),

@@ -52,15 +52,15 @@ object Dedup {
   /** Distinct word `ShingleK`-shingles of a text column, as one row per
     * (doc_id, shingle). Empty tokens keep their position (parity with
     * `string_split`); docs shorter than K words produce no shingles. */
-  def shingles(docs: DataFrame): DataFrame = {
+  def shingles(docs: DataFrame, k: Int = ShingleK): DataFrame = {
     val t = Text.tokens(col("text"))
     // shingle i = tokens[i..i+K): build via transform over index range
-    val idx = sequence(lit(0), size(t) - ShingleK)
+    val idx = sequence(lit(0), size(t) - k)
     docs
-      .where(size(t) >= ShingleK)
+      .where(size(t) >= k)
       .select(col("doc_id"),
         explode(array_distinct(transform(idx,
-          i => concat_ws(" ", slice(t, i + 1, lit(ShingleK)))))).as("shingle"))
+          i => concat_ws(" ", slice(t, i + 1, lit(k)))))).as("shingle"))
   }
 
   /** 31-bit shingle hash — [[Text.rollingHash]] of the shingle string. */

@@ -134,4 +134,43 @@ object Text {
       .agg(
         count(lit(1)).as("occurrences"),
         countDistinct(col("doc_id")).as("doc_frequency"))
+
+  /** All word n-grams in position order (NOT distinct — frequency weighting
+    * wants every occurrence; [[graft.ext.Dedup.shingles]] is the distinct
+    * set variant). */
+  def ngrams(c: Column, n: Int): Column =
+    transform(sequence(lit(0), size(tokens(c)) - n),
+      i => concat_ws(" ", slice(tokens(c), i + 1, lit(n))))
+
+  /** Corpus bigram frequency — same explode → hash-agg shape as
+    * [[tokenFrequency]] over 2-grams. */
+  def bigramFrequency(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .where(size(tokens(col("text"))) >= 2)
+      .select(col("doc_id"), explode(ngrams(col("text"), 2)).as("bigram"))
+      .groupBy("bigram")
+      .agg(
+        count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("doc_frequency"))
+
+  /** Top-5 TF-IDF terms per document: tf·ln(N/df) over non-empty tokens.
+    * Two shuffles (per-doc tf, per-token df) + a broadcast of the token df
+    * table; per-doc ranking is a window over that doc's distinct tokens —
+    * bounded by vocabulary-per-doc, not corpus size. */
+  def topTfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Sources.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val n = Sources.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("doc_id"), col("token"), col("tf"),
+        graft.engine.Num.r4(col("tfidf")).as("tfidf"), col("rank"))
+  }
 }
