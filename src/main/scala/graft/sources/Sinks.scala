@@ -32,6 +32,17 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Bucketed managed table: pre-shuffles data into `n` buckets on `key` at
+    * write time so every later equi-join/aggregation on `key` between
+    * co-bucketed tables runs WITHOUT an exchange (PlanSpec proves the join
+    * plan is exchange-free). This is the batch answer to "reuse a
+    * partitioning across stages": pay the shuffle once at ingest, never
+    * again — at 100 TB the orders⋈lineitem shuffle is the single biggest
+    * line item, and bucketing both on orderkey deletes it. */
+  def writeBucketed(df: DataFrame, table: String, key: String, n: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(n, key).sortBy(key).saveAsTable(table)
+
   /** Upsert `updates` into the snapshot at `path`: per `keys`-tuple keep the
     * row with the highest `seqCol` (ties → incoming batch wins). */
   def mergeKeepLatest(updates: DataFrame, path: String, keys: Seq[String], seqCol: String): Unit = {

@@ -56,6 +56,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("canonical corpus: one survivor per md5 group, lowest id, nothing lost") {
+    val docs = graft.engine.Sources.documents(spark, sf)
+    val canon = Dedup.canonicalCorpus(spark, sf)
+    val groups = Dedup.exact(spark, sf)
+    assert(canon.count() === groups.count()) // one row per distinct md5
+    val canonIds = canon.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = groups.select("canonical_doc_id").collect().map(_.getLong(0)).toSet
+    assert(canonIds === expected)
+    assert(canonIds.subsetOf(docs.select("doc_id").collect().map(_.getLong(0)).toSet))
+  }
+
+  test("near-dup filter drops exactly the higher-id members of LSH pairs") {
+    val dropped = Dedup.minhashLshPairs(spark, sf)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    val kept = Dedup.nearDupFiltered(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = graft.engine.Sources.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === all -- dropped)
+  }
+
   test("embedding cosine pairs are symmetric-free and within [-1, 1]") {
     val rows = Dedup.embeddingCosinePairs(spark, sf).collect()
     rows.foreach { r =>

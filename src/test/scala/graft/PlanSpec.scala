@@ -48,6 +48,41 @@ class PlanSpec extends SparkSpec {
     assert(lineitemScans === 1, s"lineitem scanned $lineitemScans times")
   }
 
+  test("bucketed tables join without any exchange") {
+    val o = graft.engine.Bronze.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val l = graft.engine.Bronze.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) { // stale location from an interrupted run blocks CTAS
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    graft.sources.Sinks.writeBucketed(o, "b_orders", "o_orderkey", 8)
+    graft.sources.Sinks.writeBucketed(l, "b_lineitem", "l_orderkey", 8)
+    // force the sort-merge path: at test SF the planner prefers broadcast,
+    // which bypasses bucketing entirely (at real scale neither side fits)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      val p = plan(joined)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${p.take(1200)}")
+      assert(p.contains("SortMergeJoin"), p.take(400))
+      // same rows as the plain (shuffling) join
+      assert(joined.count() ===
+        o.join(l, org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("catalog temp views make every layer SQL-addressable") {
     Catalog.registerAll(spark, sf)
     val n = spark.sql(
