@@ -369,6 +369,30 @@ object OraclesExt {
        |ORDER BY user_id, session_seq""".stripMargin
   }
 
+  /** Twin of Events.sessionWindowsNative: same lag/gap sessionization as
+    * [[eventsSessions]], but the window END is last-event + gap (Spark's
+    * session_window closes a session `gap` after its last event). */
+  val eventsSessionWindows: String = {
+    val gapUs = SessionGapMinutes * 60L * 1000000L
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $gapUs
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |numbered AS (
+       |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+       |  FROM flagged)
+       |SELECT user_id,
+       |  make_timestamp(min(epoch_us(ts))) AS session_start,
+       |  make_timestamp(max(epoch_us(ts)) + $gapUs) AS session_end,
+       |  count(*) AS n_events, ${R(DS("value"), 2)} AS session_value
+       |FROM numbered GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_start""".stripMargin
+  }
+
   val eventsUserRollingDaily: String =
     s"""WITH daily AS (
        |  SELECT user_id, CAST(ts AS DATE) AS day,
@@ -584,6 +608,7 @@ object OraclesExt {
     "events_tumbling_hourly" -> eventsTumblingHourly,
     "events_sliding_hourly" -> eventsSlidingHourly,
     "events_sessions" -> eventsSessions,
+    "events_session_windows" -> eventsSessionWindows,
     "events_user_rolling_daily" -> eventsUserRollingDaily,
     "events_type_kpis" -> eventsTypeKpis,
     "events_funnel" -> eventsFunnel,

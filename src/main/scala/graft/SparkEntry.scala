@@ -76,6 +76,8 @@ object SparkEntry {
       ext.Events.tumblingHourly(s, d).orderBy("window_start", "event_type")),
     "events_sliding_hourly" -> ((s, d) => ext.Events.slidingHourly(s, d).orderBy("window_start")),
     "events_sessions" -> ((s, d) => ext.Events.sessions(s, d).orderBy("user_id", "session_seq")),
+    "events_session_windows" -> ((s, d) =>
+      ext.Events.sessionWindowsNative(s, d).orderBy("user_id", "session_start")),
     "events_user_rolling_daily" -> ((s, d) =>
       ext.Events.userRollingDaily(s, d).orderBy("user_id", "day")),
     "events_type_kpis" -> ((s, d) => ext.Events.typeKpis(s, d).orderBy("event_type")),

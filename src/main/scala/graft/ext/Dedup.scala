@@ -138,7 +138,14 @@ object Dedup {
     * ≥ 98.5% per-pair collision probability with 8×4 banding; both engines
     * compute identical bands, so the result set is deterministic). */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
+    // one cached shingle set feeds BOTH the signatures and the exact-Jaccard
+    // verify (previously two full tokenize+shingle passes over the corpus)
+    val sh = shingles(Sources.documents(spark, dir)).cache()
+    val hashed = sh.select(col("doc_id"), Text.rollingHash(col("shingle")).as("h"))
+    val mins = Perms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"mh$i")
+    }
+    val sigs = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val bands = sigs.select(col("doc_id"),
       explode(array((0 until Bands).map(b =>
         struct(lit(b).as("band"), bandBucket(b).as("bucket"))): _*)).as("bb"))
@@ -148,7 +155,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // exact verification on candidates only
-    jaccardVerify(shingles(Sources.documents(spark, dir)).cache(), candidates)
+    jaccardVerify(sh, candidates)
   }
 
   /** Exact Jaccard of each candidate (doc_a, doc_b) pair, keeping pairs at

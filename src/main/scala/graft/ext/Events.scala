@@ -77,6 +77,19 @@ object Events {
         r2((unix_micros(col("session_end")) - unix_micros(col("session_start"))) / 1e6))
   }
 
+  /** Spark's NATIVE session_window over events in batch mode — window end =
+    * last event ts + gap, vs [[sessions]]' last-event end. Verifying this
+    * against the oracle's first-principles lag/gap SQL cross-checks the
+    * built-in operator's merge semantics, not just our own windows. */
+  def sessionWindowsNative(spark: SparkSession, dir: String): DataFrame =
+    Sources.events(spark, dir)
+      .groupBy(session_window(col("ts"), s"$SessionGapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), r2(dsum(col("value"))).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+
   /** Per-user daily activity with a [[RollingDays]]-day rolling event count
     * and value sum — a RANGE frame over a day ordinal, so absent days still
     * age out of the window (ROWS would silently span gaps). */
