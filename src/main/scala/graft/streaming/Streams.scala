@@ -48,6 +48,17 @@ object Streams {
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("n_users_approx"), col("total_value"))
 
+  /** 60-minute windows sliding every 15 — each event lands in 4 windows;
+    * state evicts as the watermark passes each window end. */
+  def slidingHourly(events: DataFrame, watermark: String = DefaultWatermark): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        r2(dsum(col("value"))).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("total_value"))
+
   /** Gap-based sessions via Spark's native session_window (merges windows
     * within the gap; streaming state closes when watermark passes). */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes",

@@ -153,6 +153,33 @@ class StreamingSpec extends SparkSpec {
     assert(out(0).getAs[Double]("session_value") === 3.0)
   }
 
+  test("manual slide-bucket formula equals Spark's window() assignment on real events") {
+    // Events.slidingHourly derives windows from integer epoch arithmetic
+    // (so the DuckDB oracle can recompute them); Streams.slidingHourly uses
+    // the native window() function. Same data → identical window totals.
+    val manual = graft.ext.Events.slidingHourly(spark, sf)
+      .select("window_start", "n_events", "total_value")
+      .orderBy("window_start").collect().toSeq
+    val native = Streams.slidingHourly(graft.engine.Sources.events(spark, sf))
+      .orderBy("window_start").collect().toSeq
+    assert(manual.map(r => (r.getTimestamp(0), r.getLong(1))) ===
+      native.map(r => (r.getTimestamp(0), r.getLong(1))))
+  }
+
+  test("sketch accuracy: approx_count_distinct and approx_percentile near exact") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.engine.Sources.events(spark, sf)
+    val r = ev.agg(
+      countDistinct("user_id").as("exact_users"),
+      approx_count_distinct("user_id").as("approx_users"),
+      expr("percentile(value, 0.5)").as("exact_p50"),
+      expr("approx_percentile(value, 0.5, 1000)").as("approx_p50")).first()
+    val (eu, au) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(au - eu) / eu <= 0.05, s"HLL err ${(au - eu) / eu}")
+    val (ep, ap) = (r.getDouble(2), r.getDouble(3))
+    assert(math.abs(ap - ep) / (ep max 1.0) <= 0.05, s"t-digest err $ep vs $ap")
+  }
+
   test("csv and json round-trip events through the schema catalog") {
     val dir = Files.createTempDirectory("graft_fmt").toString
     val ev = graft.engine.Sources.events(spark, sf).limit(50).cache()
