@@ -580,7 +580,39 @@ object OraclesExt {
        |FROM j GROUP BY ROLLUP(region_name, nation_name)
        |ORDER BY gid, region_name NULLS FIRST, nation_name NULLS FIRST""".stripMargin
 
+  // ------------------------------------------------------- sampling twins
+
+  /** Twin of Sampling.mixHash. */
+  private def mixSql(key: String): String = {
+    val h0 = s"(($key + 1) * $MixA % $M32)"
+    val m = s"(xor($h0, $h0 >> 16) % $M31)"
+    s"($m * $MixB % $M32)"
+  }
+
+  val samplingSplit: String = {
+    import graft.ext.Sampling.{TrainPct, ValPct}
+    s"""SELECT doc_id, lang, ${mixSql("doc_id")} % 100 AS bucket,
+       |  CASE WHEN ${mixSql("doc_id")} % 100 < $TrainPct THEN 'train'
+       |       WHEN ${mixSql("doc_id")} % 100 < ${TrainPct + ValPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val samplingStratum: String = {
+    import graft.ext.Sampling.StratumK
+    s"""WITH ranked AS (
+       |  SELECT lang, doc_id, source,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${mixSql("doc_id")}, doc_id) AS sample_rank
+       |  FROM documents)
+       |SELECT lang, sample_rank, doc_id, source FROM ranked
+       |WHERE sample_rank <= $StratumK
+       |ORDER BY lang, sample_rank""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "sampling_train_val_test" -> samplingSplit,
+    "sampling_k_per_stratum" -> samplingStratum,
     "sim_ann_ivf" -> simAnnIvf,
     "events_asof_purchase_view" -> eventsAsofPurchaseView,
     "events_user_type_pivot" -> eventsUserTypePivot,

@@ -93,6 +93,11 @@ object SparkEntry {
       Gold.revenueRollup(Silver.orderDetails(s, d), Silver.customerGeo(s, d))
         .orderBy(col("gid"), col("region_name").asc_nulls_first,
           col("nation_name").asc_nulls_first)),
+    // ext: deterministic sampling (hash-derived, reproducible anywhere)
+    "sampling_train_val_test" -> ((s, d) =>
+      ext.Sampling.trainValTestSplit(s, d).orderBy("doc_id")),
+    "sampling_k_per_stratum" -> ((s, d) =>
+      ext.Sampling.sampleKPerStratum(s, d).orderBy("lang", "sample_rank")),
     // ext: multimodal plumbing (deterministic fake codec → rows-only check;
     // the decode leaf is a stub, so no SQL oracle can exist for it)
     "media_kind_summary" -> ((s, d) => ext.Multimodal.kindSummary(s, d).orderBy("kind")),

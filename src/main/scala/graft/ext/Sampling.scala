@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Sources
+import Similarity.{MixA, MixB, M31, M32}
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Random sampling (`df.sample`, `sampleBy`) is seed-stable within one Spark
+  * version but NOT portable or auditable; at 100 TB a training run must be
+  * able to state exactly which rows were train vs test years later. So every
+  * sampler here derives from the integer mixer both engines share (the
+  * [[Similarity]] multiply-xorshift-multiply): the assignment is a pure
+  * function of the row key — reproducible anywhere, verifiable in the
+  * DuckDB oracle, stable under re-partitioning, and join-free to apply.
+  */
+object Sampling {
+
+  /** Mixed 31-bit hash of a key column — same formula as the SRP hyperplane
+    * hash, reused so the oracle SQL carries one mixer. */
+  def mixHash(key: Column): Column = {
+    val h0 = (key + 1) * MixA % M32
+    val m = h0.bitwiseXOR(shiftright(h0, 16)) % M31
+    m * MixB % M32
+  }
+
+  val TrainPct = 80
+  val ValPct = 10 // test = remainder
+
+  /** Reproducible train/val/test assignment: bucket = mix(doc_id) mod 100.
+    * Per-row, key-derived — appending data never reshuffles old rows'
+    * splits (a date- or position-based split would). */
+  def trainValTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = mixHash(col("doc_id")) % 100
+    Sources.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TrainPct, "train")
+          .when(col("bucket") < TrainPct + ValPct, "val")
+          .otherwise("test"))
+  }
+
+  val StratumK = 20
+
+  /** Exactly-k-per-stratum sample: rank rows inside each stratum by their
+    * mixed hash (uniform pseudo-random order) and keep the first k —
+    * deterministic uniform-without-replacement sampling, one shuffle on the
+    * stratum key. Strata smaller than k pass through whole. */
+  def sampleKPerStratum(spark: SparkSession, dir: String, k: Int = StratumK): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(mixHash(col("doc_id")), col("doc_id"))
+    Sources.documents(spark, dir)
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+      .select("lang", "sample_rank", "doc_id", "source")
+  }
+}
