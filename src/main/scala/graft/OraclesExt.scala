@@ -598,6 +598,30 @@ object OraclesExt {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Twin of Sampling.testSetContamination — split formula + shingle CTE +
+    * cross-split shingle probe. */
+  val samplingContamination: String = {
+    import graft.ext.Sampling.{TrainPct, ValPct}
+    s"""WITH $shinglesCte,
+       |split AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${mixSql("doc_id")} % 100 < $TrainPct THEN 'train'
+       |         WHEN ${mixSql("doc_id")} % 100 < ${TrainPct + ValPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |shs AS (SELECT sh.doc_id, sh.shingle, s.split
+       |        FROM sh JOIN split s ON sh.doc_id = s.doc_id),
+       |train_sh AS (SELECT DISTINCT shingle FROM shs WHERE split = 'train'),
+       |test_sh AS (SELECT doc_id, shingle FROM shs WHERE split = 'test')
+       |SELECT t.doc_id,
+       |  count(*) AS n_shingles,
+       |  count(tr.shingle) AS n_contaminated,
+       |  ${R("CAST(count(tr.shingle) AS DOUBLE) / count(*)", 4)} AS contamination_ratio
+       |FROM test_sh t LEFT JOIN train_sh tr ON t.shingle = tr.shingle
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   val samplingStratum: String = {
     import graft.ext.Sampling.StratumK
     s"""WITH ranked AS (
@@ -613,6 +637,7 @@ object OraclesExt {
   val all: Map[String, String] = Map(
     "sampling_train_val_test" -> samplingSplit,
     "sampling_k_per_stratum" -> samplingStratum,
+    "sampling_contamination" -> samplingContamination,
     "sim_ann_ivf" -> simAnnIvf,
     "events_asof_purchase_view" -> eventsAsofPurchaseView,
     "events_user_type_pivot" -> eventsUserTypePivot,

@@ -98,6 +98,8 @@ object SparkEntry {
       ext.Sampling.trainValTestSplit(s, d).orderBy("doc_id")),
     "sampling_k_per_stratum" -> ((s, d) =>
       ext.Sampling.sampleKPerStratum(s, d).orderBy("lang", "sample_rank")),
+    "sampling_contamination" -> ((s, d) =>
+      ext.Sampling.testSetContamination(s, d).orderBy("doc_id")),
     // ext: multimodal plumbing (deterministic fake codec → rows-only check;
     // the decode leaf is a stub, so no SQL oracle can exist for it)
     "media_kind_summary" -> ((s, d) => ext.Multimodal.kindSummary(s, d).orderBy("kind")),

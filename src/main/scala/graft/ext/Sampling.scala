@@ -42,6 +42,28 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Train→test contamination probe: for every test-split document, how many
+    * of its word-shingles also occur in ANY train-split document (the
+    * decontamination check run before any evaluation set is trusted). One
+    * shuffle on the shingle key — the same candidate-join shape as the
+    * n-gram dedup, restricted across the split boundary. Only test docs
+    * with ≥ 1 shingle appear (shorter docs have no shingles to leak). */
+  def testSetContamination(spark: SparkSession, dir: String): DataFrame = {
+    val split = trainValTestSplit(spark, dir).select("doc_id", "split")
+    val sh = Dedup.shingles(Sources.documents(spark, dir)).join(split, "doc_id")
+    val trainShingles = sh.where(col("split") === "train")
+      .select("shingle").distinct()
+    val testSh = sh.where(col("split") === "test")
+    testSh
+      .join(trainShingles.withColumn("_hit", lit(1)), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("_hit")).as("n_contaminated"))
+      .withColumn("contamination_ratio",
+        graft.engine.Num.r4(col("n_contaminated").cast("double") / col("n_shingles")))
+  }
+
   val StratumK = 20
 
   /** Exactly-k-per-stratum sample: rank rows inside each stratum by their
