@@ -622,6 +622,34 @@ object OraclesExt {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  /** Twin of Corpus.mixBySourceWeight. */
+  val corpusMix: String =
+    s"""SELECT source, count(*) AS n_kept
+       |FROM documents
+       |WHERE ${mixSql("doc_id")} % 100 <
+       |  (CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0 THEN 100 ELSE 50 END)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Twin of Corpus.preprocess: quality stats CTE + minhash pairs CTE +
+    * split formula, composed exactly like the Spark plan. */
+  lazy val corpusPreprocess: String = {
+    import graft.ext.Sampling.{TrainPct, ValPct}
+    import graft.ext.Corpus.QualityThreshold
+    s"""WITH stats AS ($textStats),
+       |pairs AS ($dedupMinhashLsh),
+       |split AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${mixSql("doc_id")} % 100 < $TrainPct THEN 'train'
+       |         WHEN ${mixSql("doc_id")} % 100 < ${TrainPct + ValPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT s.doc_id, s.lang, s.quality_score, sp.split
+       |FROM stats s JOIN split sp ON s.doc_id = sp.doc_id
+       |WHERE s.lang = 'en' AND s.quality_score >= $QualityThreshold
+       |  AND s.doc_id NOT IN (SELECT doc_b FROM pairs)
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   val samplingStratum: String = {
     import graft.ext.Sampling.StratumK
     s"""WITH ranked AS (
@@ -638,6 +666,8 @@ object OraclesExt {
     "sampling_train_val_test" -> samplingSplit,
     "sampling_k_per_stratum" -> samplingStratum,
     "sampling_contamination" -> samplingContamination,
+    "corpus_mix_by_source" -> corpusMix,
+    "corpus_preprocess" -> corpusPreprocess,
     "sim_ann_ivf" -> simAnnIvf,
     "events_asof_purchase_view" -> eventsAsofPurchaseView,
     "events_user_type_pivot" -> eventsUserTypePivot,

@@ -100,6 +100,8 @@ object SparkEntry {
       ext.Sampling.sampleKPerStratum(s, d).orderBy("lang", "sample_rank")),
     "sampling_contamination" -> ((s, d) =>
       ext.Sampling.testSetContamination(s, d).orderBy("doc_id")),
+    "corpus_mix_by_source" -> ((s, d) => ext.Corpus.mixBySourceWeight(s, d).orderBy("source")),
+    "corpus_preprocess" -> ((s, d) => ext.Corpus.preprocess(s, d).orderBy("doc_id")),
     // ext: multimodal plumbing (deterministic fake codec → rows-only check;
     // the decode leaf is a stub, so no SQL oracle can exist for it)
     "media_kind_summary" -> ((s, d) => ext.Multimodal.kindSummary(s, d).orderBy("kind")),
