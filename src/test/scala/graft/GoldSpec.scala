@@ -77,4 +77,8 @@ class GoldSpec extends SparkSpec {
         (col("mom_revenue_growth_pct").isNotNull && abs(col("mom_revenue_growth_pct")) > 1e-9))
     assert(bad.count() == 0)
   }
+
+  test("quality gate: assertAll passes on the clean fixture") {
+    graft.engine.Quality.assertAll(spark, sf) // throws on any FAIL row
+  }
 }
