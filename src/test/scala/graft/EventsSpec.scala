@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Events
+
+/** Structural invariants for the event-analytics operators (oracle parity is
+  * covered by Verify/compare; these pin properties that hold for ANY data). */
+class EventsSpec extends SparkSpec {
+
+  test("sessions partition the event stream: per-session counts sum to total events") {
+    val total = graft.engine.Sources.events(spark, sf).count()
+    val s = Events.sessions(spark, sf)
+    assert(s.agg(sum("n_events")).first().getLong(0) === total)
+    assert(s.where(col("duration_sec") < 0).count() === 0)
+    assert(s.where(col("session_end") < col("session_start")).count() === 0)
+  }
+
+  test("funnel stage counts are non-increasing") {
+    val counts = Events.funnel(spark, sf).orderBy("stage")
+      .select("n_users").collect().map(_.getLong(0)).toSeq
+    assert(counts.size === 4)
+    counts.sliding(2).foreach { case Seq(a, b) => assert(b <= a, s"$counts") }
+  }
+
+  test("retention at week offset 0 is 1.0 for every cohort") {
+    val w0 = Events.weeklyRetention(spark, sf).where(col("week_offset") === 0)
+    assert(w0.count() > 0)
+    assert(w0.where(col("retention") =!= 1.0).count() === 0)
+    // and offsets never exceed the observed span (30 days ≈ 5 weeks)
+    val maxOff = Events.weeklyRetention(spark, sf)
+      .agg(max("week_offset")).first().getLong(0)
+    assert(maxOff <= 5)
+  }
+
+  test("histogram buckets partition all events and respect bucket bounds") {
+    val h = Events.valueHistogram(spark, sf)
+    val total = graft.engine.Sources.events(spark, sf).count()
+    assert(h.agg(sum("n")).first().getLong(0) === total)
+    val bad = h.where(
+      (col("bucket") < Events.HistMaxBucket &&
+        (col("lo") < col("bucket") * Events.HistBucketWidth ||
+         col("hi") >= (col("bucket") + 1) * Events.HistBucketWidth)) ||
+      col("bucket") > Events.HistMaxBucket)
+    assert(bad.count() === 0)
+  }
+
+  test("tumbling + sliding totals agree (each event in exactly 1 and 4 windows)") {
+    val t = Events.tumblingHourly(spark, sf).agg(sum("n_events")).first().getLong(0)
+    val s = Events.slidingHourly(spark, sf).agg(sum("n_events")).first().getLong(0)
+    val total = graft.engine.Sources.events(spark, sf).count()
+    assert(t === total)
+    assert(s === total * 4)
+  }
+}
