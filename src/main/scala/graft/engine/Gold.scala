@@ -89,9 +89,7 @@ object Gold {
         r2(col("total_revenue") / col("customer_tenure_days")))
         .otherwise(col("total_revenue")).as("revenue_per_tenure_day"))
 
-    val revPct = percent_rank().over(Window.orderBy(col("total_revenue")))
-
-    customerOrders
+    val joined = customerOrders
       .select("customer_key", "customer_name", "market_segment", "nation_name",
         "region_name", "account_balance", "total_orders", "total_revenue",
         "avg_order_value", "first_order_date", "last_order_date",
@@ -100,13 +98,16 @@ object Gold {
         "rfm_recency_score", "rfm_frequency_score", "rfm_monetary_score")
       .join(odm, Seq("customer_key"), "left")
       .join(cohort, Seq("customer_key"), "left")
-      .withColumn("revenue_percentile", revPct)
-      .withColumn("order_frequency_percentile",
-        percent_rank().over(Window.orderBy(col("total_orders"))))
+
+    // the reference's global PERCENT_RANK windows, computed by the two-pass
+    // distributed rank (identical doubles; no single-partition sort at scale)
+    Rank.globalPercentRank(
+      Rank.globalPercentRank(joined, "revenue_percentile", col("total_revenue")),
+      "order_frequency_percentile", col("total_orders"))
       .withColumn("value_tier",
-        when(revPct >= 0.9, "Platinum")
-          .when(revPct >= 0.7, "Gold")
-          .when(revPct >= 0.4, "Silver")
+        when(col("revenue_percentile") >= 0.9, "Platinum")
+          .when(col("revenue_percentile") >= 0.7, "Gold")
+          .when(col("revenue_percentile") >= 0.4, "Silver")
           .otherwise("Bronze"))
   }
 
@@ -159,7 +160,7 @@ object Gold {
         least(col("distinct_part_types") * 5, lit(100L)).cast("double") * 0.20 +
         (lit(100.0) - coalesce(col("return_rate_pct"), lit(50.0))) * 0.10)
 
-    scm.join(sdm, Seq("supplier_key"), "left")
+    val scored = scm.join(sdm, Seq("supplier_key"), "left")
       .withColumn("performance_score", score)
       .withColumn("supplier_tier",
         when(col("performance_score") >= 80, "Tier 1 - Strategic")
@@ -169,8 +170,9 @@ object Gold {
       .withColumn("rank_in_region",
         rank().over(Window.partitionBy("supplier_region")
           .orderBy(col("performance_score").desc)))
-      .withColumn("overall_rank",
-        rank().over(Window.orderBy(col("performance_score").desc)))
+    // global rank via the two-pass distributed rank (ties co-located by
+    // range partitioning, so local rank + offset is exact)
+    Rank.globalRank(scored, "overall_rank", col("performance_score").desc)
   }
 
   /** Monthly sales time series: MoM/YoY growth, 3/6/12-month moving averages,

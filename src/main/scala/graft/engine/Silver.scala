@@ -112,16 +112,16 @@ object Silver {
     // inner join ≡ reference's LEFT JOIN + `WHERE total_orders > 0` gate
     val profiled = geo.join(oagg, Seq("customer_key"), "inner")
 
-    // RFM quintiles (reference: refined_customer_orders.py:93-95) —
-    // global NTILE over already-aggregated customer rows (single-partition
-    // sort, same as the reference; acceptable because grain = customers).
-    val rfm = profiled
-      .withColumn("rfm_recency_score",
-        ntile(5).over(Window.orderBy(col("days_since_last_order").asc, col("customer_key").asc)))
-      .withColumn("rfm_frequency_score",
-        ntile(5).over(Window.orderBy(col("total_orders").desc, col("customer_key").asc)))
-      .withColumn("rfm_monetary_score",
-        ntile(5).over(Window.orderBy(col("total_revenue").desc, col("customer_key").asc)))
+    // RFM quintiles (reference: refined_customer_orders.py:93-95). The
+    // reference uses a global NTILE (single-partition sort over every
+    // customer); [[Rank.globalNtile]] computes the identical buckets with a
+    // two-pass range-partitioned rank so no task ever sorts the whole frame.
+    val rfm = Rank.globalNtile(
+      Rank.globalNtile(
+        Rank.globalNtile(profiled, 5, "rfm_recency_score",
+          col("days_since_last_order").asc, col("customer_key").asc),
+        5, "rfm_frequency_score", col("total_orders").desc, col("customer_key").asc),
+      5, "rfm_monetary_score", col("total_revenue").desc, col("customer_key").asc)
 
     // first-match-wins segmentation (reference: refined_customer_orders.py:127-141)
     val segment =

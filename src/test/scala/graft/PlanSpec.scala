@@ -83,6 +83,27 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("no single-partition global-window sorts over customer/supplier-grain plans") {
+    // the two-pass Rank helpers must keep every ranking window partitioned:
+    // an `Exchange SinglePartition` feeding a Window is the 100 TB straggler
+    // shape this guards against (global agg arms legitimately use it, but
+    // none of these three plans has one)
+    Seq(
+      "silver_customer_orders" -> Silver.customerOrders(spark, sf),
+      "gold_customer_lifetime_value" ->
+        Gold.customerLifetimeValue(Silver.customerOrders(spark, sf),
+          Silver.orderDetails(spark, sf)),
+      "gold_supplier_performance" ->
+        Gold.supplierPerformance(Silver.supplierParts(spark, sf),
+          Silver.orderDetails(spark, sf))
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("SinglePartition"),
+        s"$name has a single-partition exchange:\n" +
+          p.linesIterator.filter(_.contains("SinglePartition")).mkString("\n"))
+    }
+  }
+
   test("catalog temp views make every layer SQL-addressable") {
     Catalog.registerAll(spark, sf)
     val n = spark.sql(
