@@ -15,22 +15,31 @@ package graft
   */
 object Oracles {
   private def R(e: String, k: Int): String = s"FLOOR(($e) * 1e$k + 0.5) / 1e$k"
+  // audit/lineage literal twins of graft.engine.Lineage
+  private val ingestCols =
+    "TIMESTAMP '2001-12-31 12:00:00' AS _ingested_at, " +
+      "'tpch' AS _source_system, 'batch_20011231_120000' AS _batch_id"
+  private val refineCols =
+    "TIMESTAMP '2001-12-31 18:00:00' AS _refined_at, " +
+      "'batch_20011231_120000' AS _batch_id"
   private def DS(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
   private def DSOVER(e: String, w: String): String =
     s"CAST(SUM(CAST(($e) AS DECIMAL(38,10))) OVER ($w) AS DOUBLE)"
 
   // ---------------------------------------------------------------- bronze
   val bronzeOrders: String =
-    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-      |       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
-      |FROM orders
-      |WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL""".stripMargin
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       |       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+       |       $ingestCols
+       |FROM orders
+       |WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL""".stripMargin
 
   val bronzeLineitem: String =
-    """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
-      |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
-      |       CAST(l_shipdate AS DATE) AS l_shipdate
-      |FROM lineitem
+    s"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+       |       CAST(l_shipdate AS DATE) AS l_shipdate,
+       |       $ingestCols
+       |FROM lineitem
       |WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
       |  AND l_quantity > 0 AND l_extendedprice > 0
       |QUALIFY ROW_NUMBER() OVER (
@@ -39,11 +48,11 @@ object Oracles {
       |           l_quantity DESC, l_extendedprice DESC, l_discount DESC,
       |           l_tax DESC, l_returnflag DESC, l_linestatus DESC) = 1""".stripMargin
 
-  val bronzeCustomer = "SELECT * FROM customer WHERE c_custkey IS NOT NULL"
-  val bronzeSupplier = "SELECT * FROM supplier WHERE s_suppkey IS NOT NULL"
-  val bronzePart     = "SELECT * FROM part WHERE p_partkey IS NOT NULL"
-  val bronzeNation   = "SELECT * FROM nation WHERE n_nationkey IS NOT NULL"
-  val bronzeRegion   = "SELECT * FROM region WHERE r_regionkey IS NOT NULL"
+  val bronzeCustomer = s"SELECT *, $ingestCols FROM customer WHERE c_custkey IS NOT NULL"
+  val bronzeSupplier = s"SELECT *, $ingestCols FROM supplier WHERE s_suppkey IS NOT NULL"
+  val bronzePart     = s"SELECT *, $ingestCols FROM part WHERE p_partkey IS NOT NULL"
+  val bronzeNation   = s"SELECT *, $ingestCols FROM nation WHERE n_nationkey IS NOT NULL"
+  val bronzeRegion   = s"SELECT *, $ingestCols FROM region WHERE r_regionkey IS NOT NULL"
 
   private val bronzeCtes =
     s"""orders_b AS ($bronzeOrders),
@@ -74,7 +83,8 @@ object Oracles {
        |  date_diff('day', o.o_orderdate, l.l_shipdate) > 90 AS is_late_shipment,
        |  CAST(YEAR(o.o_orderdate) AS INTEGER) AS order_year,
        |  CAST(MONTH(o.o_orderdate) AS INTEGER) AS order_month,
-       |  CAST(QUARTER(o.o_orderdate) AS INTEGER) AS order_quarter
+       |  CAST(QUARTER(o.o_orderdate) AS INTEGER) AS order_quarter,
+       |  $refineCols
        |FROM orders_b o
        |JOIN lineitem_b l ON o.o_orderkey = l.l_orderkey
        |LEFT JOIN part_b p ON l.l_partkey = p.p_partkey
@@ -123,7 +133,7 @@ object Oracles {
        |  FROM geo JOIN oagg ON geo.customer_key = oagg.customer_key)""".stripMargin
 
   val silverCustomerOrdersBody: String =
-    """SELECT *,
+    s"""SELECT *,
       |  CASE
       |    WHEN rfm_recency_score <= 2 AND rfm_frequency_score <= 2 AND rfm_monetary_score <= 2
       |      THEN 'Champions'
@@ -132,9 +142,10 @@ object Oracles {
       |    WHEN rfm_recency_score <= 3 AND rfm_frequency_score <= 3 THEN 'Potential Loyalists'
       |    WHEN rfm_recency_score >= 4 AND rfm_frequency_score >= 4 THEN 'At Risk'
       |    WHEN rfm_recency_score >= 4 AND rfm_frequency_score <= 2 THEN 'Cannot Lose Them'
-      |    ELSE 'Others'
-      |  END AS customer_segment
-      |FROM rfm""".stripMargin
+       |    ELSE 'Others'
+       |  END AS customer_segment,
+       |  $refineCols
+       |FROM rfm""".stripMargin
 
   // --------------------------------------------------- silver supplier_parts
   private val supplierPartsCtes: String =
@@ -175,7 +186,8 @@ object Oracles {
        |  DENSE_RANK() OVER (PARTITION BY supplier_region, part_type
        |       ORDER BY supply_cost ASC) = 1 AS is_cheapest_in_region,
        |  ${R(regionAvgExpr, 2)} AS avg_region_cost,
-       |  ${R(s"supply_cost / NULLIF($regionAvgExpr, 0)", 4)} AS cost_vs_region_avg
+       |  ${R(s"supply_cost / NULLIF($regionAvgExpr, 0)", 4)} AS cost_vs_region_avg,
+       |  $refineCols
        |FROM sp_margin""".stripMargin
 
   // full-silver CTE bundle reused by gold + quality oracles
@@ -445,15 +457,32 @@ object Oracles {
   }
 
   /** Freshness vs the pinned reference instant
-    * (reference: src/tests/data_quality_checks.py:123-140): hours between the
-    * newest event and pinned "now" (events ts ≤ RefDate by construction is NOT
-    * guaranteed — the check reports actual staleness deterministically). */
-  val qualityFreshness: String =
-    """SELECT 'events' AS table_name,
-      |  (1009843200 - FLOOR(EXTRACT(EPOCH FROM MAX(ts)))) / 3600e0 AS hours_since_ingest,
-      |  CASE WHEN (1009843200 - FLOOR(EXTRACT(EPOCH FROM MAX(ts)))) / 3600e0 <= 25
-      |    THEN 'PASS' ELSE 'STALE' END AS status
-      |FROM events""".stripMargin
+    * (reference: src/tests/data_quality_checks.py:123-140): hours since
+    * max(_ingested_at)/max(_refined_at) on bronze.orders + both silver tables,
+    * rounded to 1 decimal, PASS under 25 h; plus the events arm on the event
+    * stream's own data clock. Pinned "now" = 2002-01-01 00:00:00 UTC. */
+  val qualityFreshness: String = {
+    def arm(name: String, cte: String, maxTs: String, epochSecs: String): String = {
+      val hrs = R(s"(1009843200 - ($epochSecs)) / 3600e0", 1)
+      s"""SELECT 'Freshness' AS check_type, '$name' AS table_name,
+         |  $maxTs AS last_refresh, $hrs AS hours_since,
+         |  CASE WHEN $hrs <= 25 THEN 'PASS' ELSE 'STALE' END AS status
+         |FROM $cte""".stripMargin
+    }
+    def lit(c: String) = (s"MAX($c)", s"FLOOR(EXTRACT(EPOCH FROM MAX($c)))")
+    val (bts, bes) = lit("_ingested_at")
+    val (rts, res) = lit("_refined_at")
+    val arms = Seq(
+      arm("bronze.orders", "orders_b", bts, bes),
+      arm("silver.order_details", "od", rts, res),
+      arm("silver.customer_orders", "co", rts, res),
+      // events.ts is TIMESTAMP_NS in the fixture: route through epoch_us like
+      // every other events oracle so the value matches Spark's µs truncation
+      arm("events", "events", "make_timestamp(MAX(epoch_us(ts)))",
+        "FLOOR(MAX(epoch_us(ts)) / 1e6)")
+    ).mkString("\nUNION ALL\n")
+    s"WITH $silverCtes\n$arms\nORDER BY table_name"
+  }
 
   // ----------------------------------------------------------------- bundle
   val all: Map[String, String] = Map(

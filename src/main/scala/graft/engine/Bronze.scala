@@ -29,11 +29,11 @@ object Bronze {
 
   /** Null-PK rejection gate (reference: src/extract/extract_orders.py:46-52). */
   def orders(spark: SparkSession, dir: String): DataFrame =
-    Sources.orders(spark, dir)
-      .where(col("o_orderkey").isNotNull && col("o_custkey").isNotNull)
+    Lineage.ingest(Sources.orders(spark, dir)
+      .where(col("o_orderkey").isNotNull && col("o_custkey").isNotNull))
 
   def customer(spark: SparkSession, dir: String): DataFrame =
-    Sources.customer(spark, dir).where(col("c_custkey").isNotNull)
+    Lineage.ingest(Sources.customer(spark, dir).where(col("c_custkey").isNotNull))
 
   /** Quality filters + keep-latest dedup
     * (reference: src/extract/extract_lineitem.py:53-79). */
@@ -48,21 +48,21 @@ object Bronze {
         col("l_quantity").desc, col("l_extendedprice").desc,
         col("l_discount").desc, col("l_tax").desc,
         col("l_returnflag").desc, col("l_linestatus").desc)
-    cleaned
+    Lineage.ingest(cleaned
       .withColumn("_rn", row_number().over(keepLatest))
       .where(col("_rn") === 1)
-      .drop("_rn")
+      .drop("_rn"))
   }
 
   def supplier(spark: SparkSession, dir: String): DataFrame =
-    Sources.supplier(spark, dir).where(col("s_suppkey").isNotNull)
+    Lineage.ingest(Sources.supplier(spark, dir).where(col("s_suppkey").isNotNull))
 
   def part(spark: SparkSession, dir: String): DataFrame =
-    Sources.part(spark, dir).where(col("p_partkey").isNotNull)
+    Lineage.ingest(Sources.part(spark, dir).where(col("p_partkey").isNotNull))
 
   def nation(spark: SparkSession, dir: String): DataFrame =
-    Sources.nation(spark, dir).where(col("n_nationkey").isNotNull)
+    Lineage.ingest(Sources.nation(spark, dir).where(col("n_nationkey").isNotNull))
 
   def region(spark: SparkSession, dir: String): DataFrame =
-    Sources.region(spark, dir).where(col("r_regionkey").isNotNull)
+    Lineage.ingest(Sources.region(spark, dir).where(col("r_regionkey").isNotNull))
 }

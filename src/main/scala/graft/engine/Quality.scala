@@ -122,17 +122,28 @@ object Quality {
   }
 
   /** Freshness vs the pinned reference instant (reference:
-    * data_quality_checks.py:123-140 computes hours since max ingest ts against
-    * `current_timestamp()`; we pin "now" to 2002-01-01 for determinism). */
+    * data_quality_checks.py:123-140: hours since `max(_ingested_at)` /
+    * `max(_refined_at)` on bronze.orders + both silver tables, rounded to one
+    * decimal, PASS under 25 h; `current_timestamp()` is pinned to 2002-01-01
+    * for determinism). The events arm extends the family to the event stream's
+    * own data clock — its staleness is a property of the fixture, not the
+    * pipeline, and is reported deterministically either way. */
   def freshness(spark: SparkSession, dir: String): DataFrame = {
     val pinnedEpoch = lit(1009843200L) // 2002-01-01 00:00:00 UTC
-    Sources.events(spark, dir)
-      .agg(max(col("ts")).as("max_ts"))
-      .select(
-        lit("events").as("table_name"),
-        ((pinnedEpoch - unix_timestamp(col("max_ts"))) / 3600.0).as("hours_since_ingest"))
-      .withColumn("status",
-        when(col("hours_since_ingest") <= 25, "PASS").otherwise("STALE"))
+    def arm(name: String, df: DataFrame, tsCol: String): DataFrame =
+      df.agg(max(col(tsCol)).as("last_refresh"))
+        .select(
+          lit("Freshness").as("check_type"),
+          lit(name).as("table_name"),
+          col("last_refresh"),
+          Num.r1((pinnedEpoch - unix_timestamp(col("last_refresh"))) / 3600.0)
+            .as("hours_since"))
+        .withColumn("status", when(col("hours_since") <= 25, "PASS").otherwise("STALE"))
+    arm("bronze.orders", Bronze.orders(spark, dir), "_ingested_at")
+      .unionByName(arm("silver.order_details", Silver.orderDetails(spark, dir), "_refined_at"))
+      .unionByName(arm("silver.customer_orders", Silver.customerOrders(spark, dir), "_refined_at"))
+      .unionByName(arm("events", Sources.events(spark, dir), "ts"))
+      .orderBy("table_name")
   }
 
   /** Pipeline gate: throws if any check FAILs (stronger than the reference,

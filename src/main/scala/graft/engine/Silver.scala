@@ -30,7 +30,7 @@ object Silver {
     * `is_late_shipment` is redefined as `shipping_delay_days > 90` and
     * `delivery_delay_days` / `ship_mode` are dropped (SURVEY.md §7.3).
     */
-  def orderDetails(spark: SparkSession, dir: String): DataFrame = {
+  def orderDetails(spark: SparkSession, dir: String): DataFrame = Lineage.refine {
     val o = Bronze.orders(spark, dir)
     val l = Bronze.lineitem(spark, dir)
     val p = Bronze.part(spark, dir)
@@ -134,14 +134,14 @@ object Silver {
         .when(col("rfm_recency_score") >= 4 && col("rfm_frequency_score") <= 2, "Cannot Lose Them")
         .otherwise("Others")
 
-    rfm.withColumn("customer_segment", segment)
+    Lineage.refine(rfm.withColumn("customer_segment", segment)
       .select(
         "customer_key", "customer_name", "market_segment", "nation_name", "region_name",
         "account_balance", "total_orders", "total_revenue", "avg_order_value",
         "first_order_date", "last_order_date", "days_since_last_order",
         "order_frequency_days", "fulfilled_orders", "open_orders", "partial_orders",
         "fulfillment_rate", "customer_tenure_days",
-        "rfm_recency_score", "rfm_frequency_score", "rfm_monetary_score", "customer_segment")
+        "rfm_recency_score", "rfm_frequency_score", "rfm_monetary_score", "customer_segment"))
   }
 
   /** Customer ⟕ nation ⟕ region geographic enrich
@@ -211,7 +211,7 @@ object Silver {
       .orderBy(col("supply_cost").asc)
     val regionAvg = dsumOver(col("supply_cost"), regionType) / count(lit(1)).over(regionType)
 
-    joined
+    Lineage.refine(joined
       .withColumn("cost_rank_in_region", dense_rank().over(costRank))
       .withColumn("is_cheapest_in_region", dense_rank().over(costRank) === 1)
       .withColumn("avg_region_cost", r2(regionAvg))
@@ -221,6 +221,6 @@ object Silver {
         "supplier_acct_balance", "part_key", "part_name", "part_brand", "part_type",
         "part_size", "retail_price", "supply_cost", "available_qty",
         "cost_margin", "margin_pct", "cost_rank_in_region", "is_cheapest_in_region",
-        "avg_region_cost", "cost_vs_region_avg")
+        "avg_region_cost", "cost_vs_region_avg"))
   }
 }
