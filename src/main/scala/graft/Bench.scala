@@ -18,11 +18,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Session.build(s"local[$cpus]", cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     // warmup: exercise scans/joins/windows/aggs once at tiny SF so the first
     // timed query doesn't absorb JVM + whole-stage-codegen compilation

@@ -481,9 +481,11 @@ object OraclesExt {
 
   val consumerStrategicSuppliers: String =
     s"""WITH g AS (${Oracles.goldSupplierPerformance})
-       |SELECT supplier_name, supplier_region, performance_score, on_time_delivery_rate
-       |FROM g WHERE supplier_tier = 'Tier 1 - Strategic'
-       |ORDER BY performance_score DESC, supplier_name""".stripMargin
+       |SELECT supplier_name, supplier_region, supplier_tier,
+       |       performance_score, on_time_delivery_rate
+       |FROM g
+       |ORDER BY performance_score DESC, supplier_name
+       |LIMIT 25""".stripMargin
 
   val consumerRegionalRevenue1998: String =
     s"""WITH g AS (${Oracles.goldRevenueByRegion})
@@ -662,11 +664,48 @@ object OraclesExt {
        |ORDER BY lang, sample_rank""".stripMargin
   }
 
+  /** Twin of Multimodal.kindSummary. The "media" corpus is a pure function of
+    * doc_id (Multimodal.scala: dims/kind from doc_id mod-classes, payload from
+    * a 64-bit LCG s = s*6364136223846793005 + 1442695040888963407 taking the
+    * top byte), so the stubbed codec's output is exactly computable in SQL:
+    * HUGEINT arithmetic mod 2^64 reproduces Scala's wrapping Long, and
+    * `s // 2^56` is the unsigned top byte the fake decoder averages. */
+  val mediaKindSummary: String = {
+    val A = "6364136223846793005"
+    val C = "1442695040888963407"
+    val M64 = "18446744073709551616" // 2^64
+    val TOP = "72057594037927936" // 2^56
+    s"""WITH RECURSIVE media AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    (64 + (doc_id % 8) * 32) AS w,
+       |    (64 + (doc_id % 5) * 32) AS h,
+       |    CASE WHEN doc_id % 3 = 2 THEN 8 + (doc_id % 4) ELSE 1 END AS frames
+       |  FROM documents),
+       |gen AS (
+       |  SELECT doc_id, 0 AS i,
+       |    ((CAST(doc_id AS HUGEINT) * $A + $C) % $M64) AS s
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, i + 1, ((s * $A + $C) % $M64) FROM gen WHERE i < 64),
+       |luma AS (
+       |  SELECT doc_id, CAST(SUM(s // $TOP) AS DOUBLE) / 64 AS mean_luma
+       |  FROM gen WHERE i >= 1 GROUP BY doc_id)
+       |SELECT m.kind,
+       |  COUNT(*) AS n_media,
+       |  CAST(SUM(CAST(m.w AS BIGINT) * m.h * m.frames) AS BIGINT) AS total_pixels,
+       |  ${R(s"${DS("l.mean_luma")} / COUNT(*)", 4)} AS avg_luma
+       |FROM media m JOIN luma l USING (doc_id)
+       |GROUP BY m.kind
+       |ORDER BY m.kind""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "sampling_train_val_test" -> samplingSplit,
     "sampling_k_per_stratum" -> samplingStratum,
     "sampling_contamination" -> samplingContamination,
     "corpus_mix_by_source" -> corpusMix,
+    "media_kind_summary" -> mediaKindSummary,
     "corpus_preprocess" -> corpusPreprocess,
     "sim_ann_ivf" -> simAnnIvf,
     "events_asof_purchase_view" -> eventsAsofPurchaseView,

@@ -112,11 +112,15 @@ object SparkEntry {
         .where(col("value_tier") === "Platinum")
         .select("customer_name", "estimated_3yr_clv", "customer_segment")
         .orderBy(col("estimated_3yr_clv").desc, col("customer_name")).limit(20)),
+    // the reference README's "strategic suppliers" report; expressed as the
+    // top-25 shortlist WITH the tier column so the tier CASE and scores are
+    // verified on real rows at every SF (a bare Tier-1 filter is vacuously
+    // empty below ≈SF1 — no supplier reaches score 80 on the fixture)
     "consumer_strategic_suppliers" -> ((s, d) =>
       Gold.supplierPerformance(Silver.supplierParts(s, d), od(s, d))
-        .where(col("supplier_tier") === "Tier 1 - Strategic")
-        .select("supplier_name", "supplier_region", "performance_score", "on_time_delivery_rate")
-        .orderBy(col("performance_score").desc, col("supplier_name"))),
+        .select("supplier_name", "supplier_region", "supplier_tier",
+          "performance_score", "on_time_delivery_rate")
+        .orderBy(col("performance_score").desc, col("supplier_name")).limit(25)),
     "consumer_regional_revenue_1998" -> ((s, d) =>
       Gold.revenueByRegion(od(s, d), Silver.customerGeo(s, d))
         .where(col("order_year") === 1998)

@@ -1,0 +1,75 @@
+package graft.engine
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.io.File
+
+/** Environment configuration — the reference's `_context` widget + JSON layer
+  * (reference: src/pipelines/_context.py:16-52 loads `configs/{env}.json`,
+  * validates env ∈ {dev, stage, prod}, and falls back to inline defaults;
+  * configs/dev.json:1-12 and prod.json carry retry policy + log level).
+  *
+  * The catalog/schema trio maps to output-path prefixes in this file-based
+  * lake (a Unity catalog name and a directory root play the same role: the
+  * namespace every stage writes under).
+  */
+final case class EngineConfig(
+    env: String,
+    catalog: String,
+    extractSchema: String,
+    refinedSchema: String,
+    viewsSchema: String,
+    sourceCatalog: String,
+    sourceSchema: String,
+    pipelineMode: String,
+    logLevel: String,
+    maxRetryAttempts: Int,
+    retryDelaySeconds: Double,
+    stageTimeoutSeconds: Double)
+
+object EngineConfig {
+  val ValidEnvs: Seq[String] = Seq("dev", "stage", "prod")
+
+  /** Inline defaults, used when `configs/{env}.json` is absent — the same
+    * fallback behavior as the reference (_context.py:33-43). Stage timeout
+    * mirrors run_sales_analytics.py:45's 3600 s notebook bound. */
+  def defaults(env: String): EngineConfig = EngineConfig(
+    env = env,
+    catalog = s"${env}_lakehouse",
+    extractSchema = "bronze",
+    refinedSchema = "silver",
+    viewsSchema = "gold",
+    sourceCatalog = "samples",
+    sourceSchema = "tpch",
+    pipelineMode = "triggered",
+    logLevel = "WARN",
+    maxRetryAttempts = 3,
+    retryDelaySeconds = 60,
+    stageTimeoutSeconds = 3600)
+
+  /** Load `configsDir/{env}.json`, overlaying file values on [[defaults]]. */
+  def load(env: String, configsDir: String = "configs"): EngineConfig = {
+    require(ValidEnvs.contains(env),
+      s"Invalid environment '$env'. Must be one of: ${ValidEnvs.mkString(", ")}")
+    val d = defaults(env)
+    val f = new File(configsDir, s"$env.json")
+    if (!f.isFile) d
+    else {
+      val n = new ObjectMapper().readTree(f)
+      def str(k: String, dv: String) = if (n.hasNonNull(k)) n.get(k).asText() else dv
+      def num(k: String, dv: Double) = if (n.hasNonNull(k)) n.get(k).asDouble() else dv
+      EngineConfig(
+        env = env,
+        catalog = str("catalog", d.catalog),
+        extractSchema = str("extract_schema", d.extractSchema),
+        refinedSchema = str("refined_schema", d.refinedSchema),
+        viewsSchema = str("views_schema", d.viewsSchema),
+        sourceCatalog = str("source_catalog", d.sourceCatalog),
+        sourceSchema = str("source_schema", d.sourceSchema),
+        pipelineMode = str("pipeline_mode", d.pipelineMode),
+        logLevel = str("log_level", d.logLevel),
+        maxRetryAttempts = num("max_retry_attempts", d.maxRetryAttempts).toInt,
+        retryDelaySeconds = num("retry_delay_seconds", d.retryDelaySeconds),
+        stageTimeoutSeconds = num("stage_timeout_seconds", d.stageTimeoutSeconds))
+    }
+  }
+}

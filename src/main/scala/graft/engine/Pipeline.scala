@@ -2,6 +2,11 @@ package graft.engine
 
 import java.time.format.DateTimeFormatter
 import java.time.{ZoneOffset, ZonedDateTime}
+import java.util.concurrent.atomic.AtomicLong
+import scala.concurrent.duration.DurationDouble
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.Sinks
 
@@ -16,11 +21,18 @@ import graft.sources.Sinks
   * view name. Gating matches the reference: DDL + critical facts fail fast,
   * everything else records its error and continues; a failure summary is
   * raised at the end (run_sales_analytics.py:143-164).
+  *
+  * Orchestration policy comes from [[EngineConfig]]: each stage is retried
+  * `maxRetryAttempts` times with `retryDelaySeconds` between attempts
+  * (reference: configs/prod.json:10-11) and bounded by `stageTimeoutSeconds`
+  * (the reference's `dbutils.notebook.run(path, 3600, …)` bound,
+  * run_sales_analytics.py:45) — on timeout the stage's Spark job group is
+  * cancelled so no orphaned jobs keep burning the cluster.
   */
 object Pipeline {
 
   case class StageResult(stage: String, status: String, seconds: Double, rows: Long,
-                         error: Option[String] = None)
+                         error: Option[String] = None, attempts: Int = 1)
 
   /** Driver-computed batch id (reference: extract_orders.py:20 computes it
     * with a `spark.sql(...).collect()` round-trip; a driver-side clock is
@@ -28,48 +40,107 @@ object Pipeline {
   def batchId(now: ZonedDateTime = ZonedDateTime.now(ZoneOffset.UTC)): String =
     "batch_" + now.format(DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
 
-  private def stage(name: String, critical: Boolean, out: String,
-                    partitionBy: Seq[String] = Nil)(df: => DataFrame): StageResult = {
-    val t0 = System.nanoTime()
-    try {
-      val frame = df
-      Sinks.snapshotOverwrite(frame, s"$out/$name", partitionBy)
-      val rows = frame.sparkSession.read.parquet(s"$out/$name").count()
-      StageResult(name, "PASS", (System.nanoTime() - t0) / 1e9, rows)
-    } catch {
-      case e: Exception if !critical =>
-        StageResult(name, "FAIL", (System.nanoTime() - t0) / 1e9, -1, Some(e.getMessage))
+  /** Write `frame` and return the row count from the write-side task metrics
+    * (`outputMetrics.recordsWritten`) instead of re-scanning the output —
+    * at 100 TB the old read-back count was a full second pass per stage. */
+  private def writeCounted(frame: DataFrame, path: String,
+                           partitionBy: Seq[String]): Long = {
+    val sc = frame.sparkSession.sparkContext
+    val rows = new AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) rows.addAndGet(m.outputMetrics.recordsWritten)
+      }
     }
+    sc.addSparkListener(listener)
+    try {
+      Sinks.snapshotOverwrite(frame, path, partitionBy)
+      // listener delivery is asynchronous; drain before reading the counter
+      org.apache.spark.graft.SparkBridge.drainListeners(sc)
+      rows.get()
+    } finally sc.removeSparkListener(listener)
+  }
+
+  /** Run `body` bounded by `seconds`, cancelling the stage's job group on
+    * timeout so its in-flight Spark jobs are actually killed. */
+  private def withTimeout[T](spark: SparkSession, group: String, seconds: Double)
+                            (body: => T): T = {
+    val sc = spark.sparkContext
+    val f = Future {
+      sc.setJobGroup(group, s"pipeline stage $group", interruptOnCancel = true)
+      try body finally sc.clearJobGroup()
+    }
+    try Await.result(f, seconds.seconds)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        sc.cancelJobGroup(group)
+        throw new RuntimeException(f"stage '$group' timed out after $seconds%.1f s")
+    }
+  }
+
+  /** One pipeline stage: evaluate `df` (re-evaluated per attempt), write it,
+    * count rows from write metrics. Retries with delay, bounded by the stage
+    * timeout; critical stages rethrow after the last attempt, non-critical
+    * record FAIL and let the pipeline continue (reference gating). */
+  def stage(spark: SparkSession, cfg: EngineConfig, name: String, critical: Boolean,
+            out: String, partitionBy: Seq[String] = Nil)(df: => DataFrame): StageResult = {
+    val t0 = System.nanoTime()
+    val maxAttempts = math.max(1, cfg.maxRetryAttempts)
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt < maxAttempts) {
+      attempt += 1
+      try {
+        val rows = withTimeout(spark, name, cfg.stageTimeoutSeconds) {
+          writeCounted(df, s"$out/$name", partitionBy)
+        }
+        return StageResult(name, "PASS", (System.nanoTime() - t0) / 1e9, rows,
+          None, attempt)
+      } catch {
+        case e: Exception =>
+          lastErr = e
+          if (attempt < maxAttempts)
+            Thread.sleep((cfg.retryDelaySeconds * 1000).toLong)
+      }
+    }
+    if (critical) throw lastErr
+    StageResult(name, "FAIL", (System.nanoTime() - t0) / 1e9, -1,
+      Some(lastErr.getMessage), attempt)
   }
 
   /** The sales pipeline: bronze extracts → silver models → gold views →
     * quality gate, each materialized under `outDir` (order_details
     * partitioned by order_year for downstream pruning, matching the
     * reference's partition-aware write, refined_order_details.py:112-125). */
-  def runSalesAnalytics(spark: SparkSession, dir: String, outDir: String): Seq[StageResult] = {
+  def runSalesAnalytics(spark: SparkSession, dir: String, outDir: String,
+                        cfg: EngineConfig = EngineConfig.defaults("dev")): Seq[StageResult] = {
+    def st(name: String, critical: Boolean, partitionBy: Seq[String] = Nil)
+          (df: => DataFrame): StageResult =
+      stage(spark, cfg, name, critical, outDir, partitionBy)(df)
     val results = Seq.newBuilder[StageResult]
     // reference data first, then dims, then facts (run_sales_analytics.py:86-100)
-    results += stage("bronze_region", critical = true, outDir)(Bronze.region(spark, dir))
-    results += stage("bronze_nation", critical = true, outDir)(Bronze.nation(spark, dir))
-    results += stage("bronze_customer", critical = true, outDir)(Bronze.customer(spark, dir))
-    results += stage("bronze_part", critical = false, outDir)(Bronze.part(spark, dir))
-    results += stage("bronze_orders", critical = true, outDir)(Bronze.orders(spark, dir))
-    results += stage("bronze_lineitem", critical = true, outDir)(Bronze.lineitem(spark, dir))
+    results += st("bronze_region", critical = true)(Bronze.region(spark, dir))
+    results += st("bronze_nation", critical = true)(Bronze.nation(spark, dir))
+    results += st("bronze_customer", critical = true)(Bronze.customer(spark, dir))
+    results += st("bronze_part", critical = false)(Bronze.part(spark, dir))
+    results += st("bronze_orders", critical = true)(Bronze.orders(spark, dir))
+    results += st("bronze_lineitem", critical = true)(Bronze.lineitem(spark, dir))
     // silver (run_sales_analytics.py:109-114)
     val od = Silver.orderDetails(spark, dir)
-    results += stage("silver_order_details", critical = true, outDir,
+    results += st("silver_order_details", critical = true,
       partitionBy = Seq("order_year"))(od)
-    results += stage("silver_customer_orders", critical = true, outDir)(
+    results += st("silver_customer_orders", critical = true)(
       Silver.customerOrders(spark, dir))
     // gold views-on-silver (run_sales_analytics.py:123-125; no gate)
-    results += stage("gold_revenue_by_region", critical = false, outDir)(
+    results += st("gold_revenue_by_region", critical = false)(
       Gold.revenueByRegion(od, Silver.customerGeo(spark, dir)))
-    results += stage("gold_customer_lifetime_value", critical = false, outDir)(
+    results += st("gold_customer_lifetime_value", critical = false)(
       Gold.customerLifetimeValue(Silver.customerOrders(spark, dir), od))
-    results += stage("gold_monthly_sales_trends", critical = false, outDir)(
+    results += st("gold_monthly_sales_trends", critical = false)(
       Gold.monthlySalesTrends(od))
     // quality (run_sales_analytics.py:134)
-    results += stage("quality_checks", critical = false, outDir)(
+    results += st("quality_checks", critical = false)(
       Quality.rowCounts(spark, dir)
         .unionByName(Quality.nullChecks(spark, dir)
           .withColumnRenamed("check_name", "table_name")
@@ -81,15 +152,31 @@ object Pipeline {
     out
   }
 
-  /** The supplier pipeline (reference: run_supplier_analytics.py:68-126). */
-  def runSupplierAnalytics(spark: SparkSession, dir: String, outDir: String): Seq[StageResult] = {
+  /** The supplier pipeline (reference: run_supplier_analytics.py:68-126):
+    * nation/region reference data, supplier + part dims, the orders/lineitem
+    * facts the scorecard's delivery metrics need, then silver → gold →
+    * quality — the full stage list the reference materializes, not just the
+    * supplier-only subset. */
+  def runSupplierAnalytics(spark: SparkSession, dir: String, outDir: String,
+                           cfg: EngineConfig = EngineConfig.defaults("dev")): Seq[StageResult] = {
+    def st(name: String, critical: Boolean)(df: => DataFrame): StageResult =
+      stage(spark, cfg, name, critical, outDir)(df)
     val results = Seq.newBuilder[StageResult]
-    results += stage("bronze_supplier", critical = true, outDir)(Bronze.supplier(spark, dir))
-    results += stage("bronze_part", critical = true, outDir)(Bronze.part(spark, dir))
+    // extract_nation_region + dims + facts (run_supplier_analytics.py:81-88)
+    results += st("bronze_nation", critical = false)(Bronze.nation(spark, dir))
+    results += st("bronze_region", critical = false)(Bronze.region(spark, dir))
+    results += st("bronze_supplier", critical = true)(Bronze.supplier(spark, dir))
+    results += st("bronze_part", critical = true)(Bronze.part(spark, dir))
+    results += st("bronze_orders", critical = false)(Bronze.orders(spark, dir))
+    results += st("bronze_lineitem", critical = false)(Bronze.lineitem(spark, dir))
+    // refined (run_supplier_analytics.py:100-102)
+    val od = Silver.orderDetails(spark, dir)
+    results += st("silver_order_details", critical = false)(od)
     val sp = Silver.supplierParts(spark, dir)
-    results += stage("silver_supplier_parts", critical = true, outDir)(sp)
-    results += stage("gold_supplier_performance", critical = false, outDir)(
-      Gold.supplierPerformance(sp, Silver.orderDetails(spark, dir)))
+    results += st("silver_supplier_parts", critical = true)(sp)
+    // gold + quality (run_supplier_analytics.py:115-126)
+    results += st("gold_supplier_performance", critical = false)(
+      Gold.supplierPerformance(sp, od))
     val out = results.result()
     require(!out.exists(_.status == "FAIL"), s"supplier pipeline failed: $out")
     out

@@ -34,13 +34,13 @@ object Sources {
       .withColumn("l_shipdate", col("l_shipdate").cast("date"))
 
   /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark rejects
-    * natively — read nanos as long and truncate to a µs timestamp (exactly
-    * what DuckDB's ns→µs conversion does, keeping the oracle comparable). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * natively — the session must set `spark.sql.legacy.parquet.nanosAsLong`
+    * (done in [[graft.Session.build]]; loaders are side-effect-free) and this
+    * scan truncates the nanos to a µs timestamp (exactly what DuckDB's ns→µs
+    * conversion does, keeping the oracle comparable). */
+  def events(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

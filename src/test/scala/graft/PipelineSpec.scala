@@ -21,12 +21,55 @@ class PipelineSpec extends SparkSpec {
     assert(written === graft.engine.Silver.orderDetails(spark, sf).count())
   }
 
-  test("supplier pipeline runs its four stages") {
+  test("supplier pipeline runs the reference's full stage list incl. nation/region") {
     val out = Files.createTempDirectory("graft_pipe_sup").toString
     val results = Pipeline.runSupplierAnalytics(spark, sf, out)
-    assert(results.map(_.stage) ===
-      Seq("bronze_supplier", "bronze_part", "silver_supplier_parts", "gold_supplier_performance"))
+    assert(results.map(_.stage) === Seq(
+      "bronze_nation", "bronze_region", "bronze_supplier", "bronze_part",
+      "bronze_orders", "bronze_lineitem", "silver_order_details",
+      "silver_supplier_parts", "gold_supplier_performance"))
     assert(results.forall(_.status == "PASS"))
+    // rows come from write-side metrics, not a read-back scan — must be real
+    assert(results.forall(_.rows > 0), results.mkString("; "))
+  }
+
+  test("stage retries with delay and succeeds on a later attempt") {
+    val out = Files.createTempDirectory("graft_retry").toString
+    val cfg = engine.EngineConfig.defaults("dev")
+      .copy(maxRetryAttempts = 3, retryDelaySeconds = 0.01)
+    var calls = 0
+    val r = Pipeline.stage(spark, cfg, "flaky", critical = false, out) {
+      calls += 1
+      if (calls < 3) sys.error(s"transient failure #$calls")
+      engine.Bronze.region(spark, sf)
+    }
+    assert(r.status === "PASS" && r.attempts === 3 && r.rows === 5)
+  }
+
+  test("stage times out, cancels its job group, and records FAIL when non-critical") {
+    val out = Files.createTempDirectory("graft_timeout").toString
+    val cfg = engine.EngineConfig.defaults("dev")
+      .copy(maxRetryAttempts = 1, retryDelaySeconds = 0.01, stageTimeoutSeconds = 1.5)
+    val slow = org.apache.spark.sql.functions.udf { n: Long =>
+      Thread.sleep(10000); n
+    }
+    val r = Pipeline.stage(spark, cfg, "too_slow", critical = false, out) {
+      spark.range(4).select(slow(org.apache.spark.sql.functions.col("id")).as("id"))
+    }
+    assert(r.status === "FAIL" && r.error.exists(_.contains("timed out")), r.toString)
+    assert(r.seconds < 8, s"timeout did not bound the stage: ${r.seconds}s")
+  }
+
+  test("EngineConfig loads configs/{env}.json with reference fallback defaults") {
+    val prod = engine.EngineConfig.load("prod")
+    assert(prod.maxRetryAttempts === 5 && prod.retryDelaySeconds === 300.0 &&
+      prod.pipelineMode === "continuous" && prod.catalog === "prod_lakehouse")
+    val dev = engine.EngineConfig.load("dev")
+    assert(dev.maxRetryAttempts === 3 && dev.logLevel === "DEBUG")
+    // unknown configs dir -> inline defaults (reference _context.py:33-43)
+    val fb = engine.EngineConfig.load("stage", "/nonexistent")
+    assert(fb.catalog === "stage_lakehouse" && fb.maxRetryAttempts === 3)
+    intercept[IllegalArgumentException] { engine.EngineConfig.load("qa") }
   }
 
   test("batchId formats as batch_yyyyMMdd_HHmmss") {

@@ -7,13 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * per-suite sessions would dominate test time). */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = Session.build("local[4]", "4", "graft-test")
     s.sparkContext.setLogLevel("ERROR")
     s
   }

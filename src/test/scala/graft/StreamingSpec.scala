@@ -22,6 +22,47 @@ class SinksSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "a", 10L), (2L, "b2", 11L), (3L, "c", 9L)))
   }
 
+  test("mergeKeepLatest: untouched buckets byte-identical; merge equals full recompute") {
+    val dir = Files.createTempDirectory("graft_merge_b").toString + "/t"
+    val base = (1L to 200L).map(k => (k, s"v$k", 1L)).toDF("k", "v", "seq")
+    Sinks.mergeKeepLatest(base, dir, Seq("k"), "seq")
+
+    def fileHashes(): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir)).map { f =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+        f.getPath -> md.map("%02x".format(_)).mkString
+      }.toMap
+    }
+    val before = fileHashes()
+
+    val upd = Seq((5L, "V5", 2L), (201L, "new", 1L)).toDF("k", "v", "seq")
+    val touched = upd
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(col("k")),
+        org.apache.spark.sql.functions.lit(Sinks.MergeBuckets)).as("b"))
+      .distinct().as[Int].collect().toSet
+    Sinks.mergeKeepLatest(upd, dir, Seq("k"), "seq")
+
+    // every file in an untouched bucket survives the merge byte-for-byte
+    val after = fileHashes()
+    val untouchedBefore = before.filterNot { case (p, _) =>
+      touched.exists(b => p.contains(s"_bucket=$b/")) }
+    assert(untouchedBefore.nonEmpty, "test needs untouched buckets to prove anything")
+    untouchedBefore.foreach { case (p, h) =>
+      assert(after.get(p).contains(h), s"untouched file rewritten: $p") }
+
+    // merged snapshot == the naive full-rewrite result
+    val got = Sinks.readMerged(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val expected = (1L to 200L).map(k =>
+      (k, if (k == 5L) "V5" else s"v$k", if (k == 5L) 2L else 1L)) :+ (201L, "new", 1L)
+    assert(got === expected)
+  }
+
   test("mergeKeepLatest: same-sequence redelivery → incoming batch wins") {
     val dir = Files.createTempDirectory("graft_merge2").toString + "/t"
     Sinks.mergeKeepLatest(Seq((1L, "old", 5L)).toDF("k", "v", "seq"), dir, Seq("k"), "seq")
