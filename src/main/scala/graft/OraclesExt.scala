@@ -700,12 +700,100 @@ object OraclesExt {
        |ORDER BY m.kind""".stripMargin
   }
 
+  // ---------------------------------------- Gopher gates / repetition twins
+
+  /** Twin of Text.gopherRules: gates evaluate on RAW metrics (inner CTE),
+    * output columns are r4-rounded (outer select) — same order as Spark. */
+  val textGopherRules: String = {
+    import graft.ext.Text.{MinWords, MaxWords, MinMeanWordLen, MaxMeanWordLen,
+      MinStopwordHits, MaxSymbolRatio, MinAlphaRatio}
+    val nTok = s"CAST(len($toks) AS BIGINT)"
+    s"""WITH m AS (
+       |  SELECT doc_id, lang,
+       |    $nTok AS n_tokens,
+       |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / $nTok AS mean_len,
+       |    CAST(${hits(Stopwords)} AS INTEGER) AS stopword_hits,
+       |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS symbol_ratio,
+       |    CAST(len(list_filter($toks, w -> regexp_matches(w, '^[a-z]+$$'))) AS DOUBLE)
+       |      / $nTok AS alpha_ratio
+       |  FROM documents)
+       |SELECT doc_id, lang, n_tokens,
+       |  ${R("mean_len", 4)} AS mean_word_len,
+       |  stopword_hits,
+       |  ${R("symbol_ratio", 4)} AS symbol_ratio,
+       |  ${R("alpha_ratio", 4)} AS alpha_ratio,
+       |  (n_tokens >= $MinWords AND n_tokens <= $MaxWords) AS pass_word_count,
+       |  (mean_len >= $MinMeanWordLen AND mean_len <= $MaxMeanWordLen) AS pass_word_length,
+       |  stopword_hits >= $MinStopwordHits AS pass_stopwords,
+       |  symbol_ratio <= $MaxSymbolRatio AS pass_symbol_ratio,
+       |  alpha_ratio >= $MinAlphaRatio AS pass_alpha_ratio,
+       |  ((n_tokens >= $MinWords AND n_tokens <= $MaxWords)
+       |    AND (mean_len >= $MinMeanWordLen AND mean_len <= $MaxMeanWordLen)
+       |    AND stopword_hits >= $MinStopwordHits
+       |    AND symbol_ratio <= $MaxSymbolRatio
+       |    AND alpha_ratio >= $MinAlphaRatio) AS passes_all
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Twin of Text.repetition: per-doc n-gram repetition ratios; the
+    * is_repetitive gate compares the ROUNDED fractions like Spark does. */
+  val textRepetition: String = {
+    import graft.ext.Text.{MaxTopBigramFraction, MaxDupTrigramFraction}
+    def gramAgg(n: Int, top: String, dup: String, cte: String): String =
+      s"""$cte AS (
+         |  SELECT doc_id,
+         |    ${R("CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)", 4)} AS $top,
+         |    ${R("CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)", 4)} AS $dup
+         |  FROM (
+         |    SELECT doc_id, g, count(*) AS c FROM (
+         |      SELECT doc_id, unnest(list_transform(
+         |        generate_series(0, len(t) - $n),
+         |        i -> array_to_string(t[i+1:i+$n], ' '))) AS g
+         |      FROM (SELECT doc_id, $toks AS t FROM documents)
+         |      WHERE len(t) >= $n)
+         |    GROUP BY doc_id, g)
+         |  GROUP BY doc_id)""".stripMargin
+    s"""WITH ${gramAgg(2, "top_bigram_fraction", "dup_bigram_fraction", "r2")},
+       |${gramAgg(3, "top_trigram_fraction", "dup_trigram_fraction", "r3")}
+       |SELECT d.doc_id, d.lang, d.n_chars,
+       |  r2.top_bigram_fraction, r2.dup_bigram_fraction,
+       |  r3.top_trigram_fraction, r3.dup_trigram_fraction,
+       |  (COALESCE(r2.top_bigram_fraction > $MaxTopBigramFraction, false)
+       |    OR COALESCE(r3.dup_trigram_fraction > $MaxDupTrigramFraction, false))
+       |    AS is_repetitive
+       |FROM documents d
+       |LEFT JOIN r2 ON d.doc_id = r2.doc_id
+       |LEFT JOIN r3 ON d.doc_id = r3.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Twin of Dedup.clusters: connected components of the LSH pair graph by
+    * recursive transitive closure (min reachable label per node). */
+  lazy val dedupClusters: String =
+    s"""WITH RECURSIVE pairs AS ($dedupMinhashLsh),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node),
+       |cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM cc
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "sampling_train_val_test" -> samplingSplit,
     "sampling_k_per_stratum" -> samplingStratum,
     "sampling_contamination" -> samplingContamination,
     "corpus_mix_by_source" -> corpusMix,
     "media_kind_summary" -> mediaKindSummary,
+    "text_gopher_rules" -> textGopherRules,
+    "text_repetition" -> textRepetition,
+    "dedup_clusters" -> dedupClusters,
     "corpus_preprocess" -> corpusPreprocess,
     "sim_ann_ivf" -> simAnnIvf,
     "events_asof_purchase_view" -> eventsAsofPurchaseView,

@@ -57,6 +57,8 @@ object SparkEntry {
     "text_length_quantiles" -> ((s, d) => ext.Text.lengthQuantiles(s, d).orderBy("lang")),
     "text_bigram_frequency" -> ((s, d) => ext.Text.bigramFrequency(s, d).orderBy("bigram")),
     "text_top_tfidf" -> ((s, d) => ext.Text.topTfidfTerms(s, d).orderBy("doc_id", "rank")),
+    "text_gopher_rules" -> ((s, d) => ext.Text.gopherRules(s, d).orderBy("doc_id")),
+    "text_repetition" -> ((s, d) => ext.Text.repetition(s, d).orderBy("doc_id")),
     // ext: dedup suite (exact / n-gram Jaccard / MinHash-LSH / SimHash / cosine)
     "dedup_exact" -> ((s, d) => ext.Dedup.exact(s, d).orderBy("md5_hex")),
     "dedup_canonical_corpus" -> ((s, d) => ext.Dedup.canonicalCorpus(s, d).orderBy("doc_id")),
@@ -66,6 +68,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => ext.Dedup.simhashPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_embedding_cosine" -> ((s, d) =>
       ext.Dedup.embeddingCosinePairs(s, d).orderBy("vec_a", "vec_b")),
+    "dedup_clusters" -> ((s, d) => ext.Dedup.clusters(s, d).orderBy("doc_id")),
     // ext: similarity search (brute-force ground truth + SRP-LSH ANN)
     "sim_knn_bruteforce" -> ((s, d) =>
       ext.Similarity.knnBruteForce(s, d).orderBy("query_id", "rank")),

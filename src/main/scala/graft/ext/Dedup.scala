@@ -209,6 +209,54 @@ object Dedup {
       .where(col("hamming") <= SimhashMaxHamming)
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the MinHash-LSH pair
+    * graph, so transitive chains (a~b, b~c) collapse into one group with one
+    * canonical id — the grouping a pipeline needs to keep exactly one survivor
+    * per duplicate family (pairs alone can't express chains).
+    *
+    * Algorithm: iterative min-label propagation — every node adopts the
+    * minimum label among itself and its neighbors until a fixpoint, bounded
+    * by the graph diameter. Each round is one equi-join + one min-aggregate,
+    * both keyed on doc ids (no single-task step anywhere); the per-round
+    * convergence check is a scalar count. Labels are cached per round to cut
+    * lineage (at 100 TB: localCheckpoint, and switch to the large-star/
+    * small-star variant, which contracts star graphs in O(log n) rounds —
+    * same join-per-round shape).
+    */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = minhashLshPairs(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = Sources.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id")), "doc_b")
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      converged = labels.join(nbrMin, "doc_id")
+        .where(col("nbr_min") < col("cluster_id")).isEmpty
+      if (!converged) {
+        val next = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("cluster_id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the previous round's cache
+        labels.unpersist()
+        labels = next
+      }
+      rounds += 1
+    }
+    labels.withColumn("cluster_size",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+  }
+
   /** Embedding near-dup pairs: exact pairwise cosine ≥ [[CosineThreshold]].
     * O(n²) by definition — the correctness baseline for [[Similarity]]'s ANN;
     * at scale run the ANN and only verify its candidates. Norms are

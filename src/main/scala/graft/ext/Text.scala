@@ -153,6 +153,81 @@ object Text {
         count(lit(1)).as("occurrences"),
         countDistinct(col("doc_id")).as("doc_frequency"))
 
+  // ------------------------------------------- Gopher-style quality gates
+
+  /** Gopher-rule thresholds (Rae et al. 2021 §A.1.1's shape, re-calibrated to
+    * the fixture's 10-99-token synthetic docs so both verdicts occur).
+    * Single source of truth for the DuckDB twins. */
+  val MinWords = 20
+  val MaxWords = 80
+  val MinMeanWordLen = 3.0
+  val MaxMeanWordLen = 10.0
+  val MinStopwordHits = 2
+  val MaxSymbolRatio = 0.1
+  val MinAlphaRatio = 0.8
+
+  /** Per-document Gopher-style filter verdicts — the boolean gate family a
+    * training pipeline applies before tokenization (word-count bounds, mean
+    * word length, stopword evidence, symbol noise, alphabetic fraction).
+    * Map-only columnar work: stays inside whole-stage codegen, no shuffle. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val meanLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+    val stopHits = markerHits(col("text"), Stopwords)
+    val symbolRatio =
+      (nChars - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast("double") / nChars
+    val alphaRatio = size(filter(t, w => w.rlike("^[a-z]+$"))).cast("double") / nTok
+    val passWords = nTok >= MinWords && nTok <= MaxWords
+    val passLen = meanLen >= MinMeanWordLen && meanLen <= MaxMeanWordLen
+    val passStop = stopHits >= MinStopwordHits
+    val passSymbol = symbolRatio <= MaxSymbolRatio
+    val passAlpha = alphaRatio >= MinAlphaRatio
+    Sources.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      nTok.as("n_tokens"),
+      r4(meanLen).as("mean_word_len"),
+      stopHits.as("stopword_hits"),
+      r4(symbolRatio).as("symbol_ratio"),
+      r4(alphaRatio).as("alpha_ratio"),
+      passWords.as("pass_word_count"),
+      passLen.as("pass_word_length"),
+      passStop.as("pass_stopwords"),
+      passSymbol.as("pass_symbol_ratio"),
+      passAlpha.as("pass_alpha_ratio"),
+      (passWords && passLen && passStop && passSymbol && passAlpha).as("passes_all"))
+  }
+
+  /** Repetition-ratio thresholds (the C4/Gopher repetitive-content family),
+    * set at the fixture's ~95th percentile so both verdicts occur at every
+    * SF (the synthetic docs are mildly repetitive by construction). */
+  val MaxTopBigramFraction = 0.08
+  val MaxDupTrigramFraction = 0.04
+
+  /** Per-document repetition metrics: the most-frequent-n-gram fraction and
+    * the duplicate-n-gram fraction for word 2/3-grams — the signals used to
+    * drop boilerplate and looping text. Shape: explode n-grams →
+    * (doc, gram) partial count → per-doc max/sum/distinct; both shuffles are
+    * map-side combined and keyed on (doc_id, gram), so no hot keys. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    def grams(n: Int, top: String, dup: String): DataFrame =
+      Sources.documents(spark, dir)
+        .where(size(tokens(col("text"))) >= n)
+        .select(col("doc_id"), explode(ngrams(col("text"), n)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          r4(max(col("c")).cast("double") / sum(col("c"))).as(top),
+          r4((sum(col("c")) - count(lit(1))).cast("double") / sum(col("c"))).as(dup))
+    Sources.documents(spark, dir).select("doc_id", "lang", "n_chars")
+      .join(grams(2, "top_bigram_fraction", "dup_bigram_fraction"), Seq("doc_id"), "left")
+      .join(grams(3, "top_trigram_fraction", "dup_trigram_fraction"), Seq("doc_id"), "left")
+      .withColumn("is_repetitive",
+        coalesce(col("top_bigram_fraction") > MaxTopBigramFraction, lit(false)) ||
+          coalesce(col("dup_trigram_fraction") > MaxDupTrigramFraction, lit(false)))
+  }
+
   /** Top-5 TF-IDF terms per document: tf·ln(N/df) over non-empty tokens.
     * Two shuffles (per-doc tf, per-token df) + a broadcast of the token df
     * table; per-doc ranking is a window over that doc's distinct tokens —

@@ -77,6 +77,56 @@ class DedupSpec extends SparkSpec {
     assert(kept === all -- dropped)
   }
 
+  test("clusters: every LSH pair lands in one component; labels are component minima") {
+    val labels = Dedup.clusters(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every edge joins two docs with the same final label
+    Dedup.minhashLshPairs(spark, sf).select("doc_a", "doc_b").collect().foreach { r =>
+      assert(labels(r.getLong(0)) === labels(r.getLong(1)), r.toString)
+    }
+    // a label is always the smallest doc_id of its member set, and a member
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid === members.keys.min)
+    }
+    // docs untouched by any pair are singletons labeled by themselves
+    val paired = Dedup.minhashLshPairs(spark, sf).select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    labels.filterNot(kv => paired(kv._1)).foreach { case (id, cid) =>
+      assert(id === cid)
+    }
+  }
+
+  test("gopher rules: verdict booleans are consistent with metrics, both outcomes occur") {
+    import graft.ext.Text
+    val rows = Text.gopherRules(spark, sf).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Boolean]("pass_word_count") ===
+        (n >= Text.MinWords && n <= Text.MaxWords))
+      val all = Seq("pass_word_count", "pass_word_length", "pass_stopwords",
+        "pass_symbol_ratio", "pass_alpha_ratio").forall(r.getAs[Boolean])
+      assert(r.getAs[Boolean]("passes_all") === all)
+    }
+    assert(rows.exists(_.getAs[Boolean]("passes_all")), "no doc passes — vacuous gates")
+    assert(rows.exists(!_.getAs[Boolean]("passes_all")), "every doc passes — vacuous gates")
+  }
+
+  test("repetition: fractions in [0,1], dup+distinct consistent, both verdicts occur") {
+    val rows = graft.ext.Text.repetition(spark, sf).collect()
+    rows.foreach { r =>
+      Seq("top_bigram_fraction", "dup_bigram_fraction",
+        "top_trigram_fraction", "dup_trigram_fraction").foreach { c =>
+        if (!r.isNullAt(r.fieldIndex(c))) {
+          val v = r.getAs[Double](c)
+          assert(v >= 0.0 && v <= 1.0, s"$c=$v")
+        }
+      }
+    }
+    assert(rows.exists(_.getAs[Boolean]("is_repetitive")))
+    assert(rows.exists(!_.getAs[Boolean]("is_repetitive")))
+  }
+
   test("embedding cosine pairs are symmetric-free and within [-1, 1]") {
     val rows = Dedup.embeddingCosinePairs(spark, sf).collect()
     rows.foreach { r =>
