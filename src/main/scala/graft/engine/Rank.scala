@@ -10,86 +10,113 @@ import org.apache.spark.storage.StorageLevel
   * A bare `Window.orderBy(...)` without `partitionBy` funnels every row
   * through ONE task — fine at customer grain on sf0.1, a straggler wall at
   * 100 TB. These helpers compute bit-identical NTILE / RANK / PERCENT_RANK
-  * with a classic two-pass design instead:
+  * with a two-pass design that lives ENTIRELY in one Catalyst plan:
   *
   *  1. Range-partition the frame on the sort key (contiguous, totally-ordered
   *     key ranges per partition; equal keys always co-located).
-  *  2. Count rows per range partition — at most `spark.sql.shuffle.partitions`
-  *     numbers — collect them to the driver and prefix-sum into per-partition
-  *     global offsets (control-plane metadata, not data).
-  *  3. Broadcast-join the offsets back and run the window function WITHIN
-  *     each range partition: `global = local + offset`. Every partition sorts
-  *     only its own slice, in parallel.
+  *  2. Aggregate rows-per-partition (≤ `spark.sql.shuffle.partitions` rows),
+  *     then turn those counts into per-partition global offsets and the grand
+  *     total with a tiny broadcast cross-join aggregate — control-plane
+  *     arithmetic expressed as a plan, not a driver collect, so construction
+  *     stays lazy and no single-partition exchange appears anywhere.
+  *  3. Broadcast-join the (offset, total) row back: `global = local + offset`.
   *
-  * The ranged frame is persisted (memory-and-disk) so the count pass and the
-  * main query read one materialization — this also guarantees the partition
-  * ids seen by the count job and the scoring job are the same ones.
+  * Local positions come two ways:
+  *  - NTILE (sort key is unique by contract): rows are sorted WITHIN each
+  *    range partition and the local row number is read off
+  *    `monotonically_increasing_id` (partition id in the high 31 bits, row
+  *    index in the low 33) — zero additional shuffles after the range
+  *    exchange.
+  *  - RANK / PERCENT_RANK (ties allowed): a window partitioned by the range
+  *    partition id — one hash exchange, but every partition sorts only its
+  *    own slice.
+  *
+  * The ranged frame feeds two branches (counts + scoring); exchange reuse
+  * cannot dedupe them (column pruning narrows the counts branch below its
+  * exchange, so the two exchanges differ structurally), so the frame is
+  * persisted — cache substitution matches by plan identity before pruning
+  * and both branches read one materialization. Persisting is still lazy:
+  * the cache populates at first action, not at query construction.
   *
   * Bit-identity arguments:
   *  - RANK: rank(x) = #rows strictly before x's tie group + 1. Range
   *    partitioning puts all of a tie group in one partition, so
   *    local_rank + offset(partition) is exactly the global rank.
-  *  - PERCENT_RANK = (rank-1)/(N-1) (0.0 when N<=1) — same formula Spark's
+  *  - PERCENT_RANK = (rank-1)/(N-1) (0.0 when N≤1) — same formula Spark's
   *    `PercentRank` evaluates, on the same doubles.
-  *  - NTILE(n): with a unique tiebreaker in the sort key the ordering is
-  *    total, so the bucket is a pure function of (row_number, N) using
-  *    Spark's `NTile` bucket math: the first N%n buckets take ⌈N/n⌉ rows,
-  *    the rest ⌊N/n⌋.
+  *  - NTILE(n): with a unique tiebreaker the ordering is total, so the
+  *    bucket is a pure function of (row_number, N) using Spark's `NTile`
+  *    bucket math: the first N%n buckets take ⌈N/n⌉ rows, the rest ⌊N/n⌋.
+  *  - `floor(a / b)` on longs goes through double division — exact below
+  *    2^53 rows, far beyond any frame, and it sidesteps ANSI integral
+  *    division-by-zero hazards (unreached branches stay unevaluated).
   */
 object Rank {
 
-  private case class Ranged(df: DataFrame, total: Long)
+  private val MidMask = (1L << 33) - 1 // monotonically_increasing_id low bits
 
-  private def ranged(df: DataFrame, sortCols: Seq[Column]): Ranged = {
+  /** Range-partition on `sortCols` and attach `_rp` (partition id), `_off`
+    * (rows in partitions before this one), `_total` (grand total); with
+    * `withLocalIdx` also `_mid` carrying the in-partition row index of the
+    * sorted order. */
+  private def withPositions(df: DataFrame, sortCols: Seq[Column],
+                            withLocalIdx: Boolean): DataFrame = {
     val spark = df.sparkSession
     val p = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val r = df.repartitionByRange(p, sortCols: _*)
-      .withColumn("_rp", spark_partition_id())
+    val base = df.repartitionByRange(p, sortCols: _*)
+    val ranged = (if (withLocalIdx)
+      base.sortWithinPartitions(sortCols: _*)
+        .withColumn("_mid", monotonically_increasing_id())
+        .withColumn("_rp", shiftright(col("_mid"), 33).cast("int"))
+    else base.withColumn("_rp", spark_partition_id()))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // pass 1: per-partition row counts -> global offsets (<= p rows collected)
-    val counts = r.groupBy(col("_rp")).agg(count(lit(1)).as("_cnt"))
-      .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
-    var acc = 0L
-    val offs = (0 until p).map { pid =>
-      val o = acc; acc += counts.getOrElse(pid, 0L); (pid, o)
-    }
-    import spark.implicits._
-    Ranged(r.join(broadcast(offs.toDF("_rp", "_off")), Seq("_rp")), acc)
+    val counts = ranged.groupBy(col("_rp")).agg(count(lit(1)).as("_cnt"))
+    // prefix-sum over ≤p count rows WITHOUT a single-partition window: a
+    // broadcast cross join (≤ p² tiny rows) re-aggregated per partition id
+    val offtot = counts
+      .crossJoin(broadcast(counts.select(col("_rp").as("_rp2"), col("_cnt").as("_cnt2"))))
+      .groupBy(col("_rp"))
+      .agg(
+        sum(when(col("_rp2") < col("_rp"), col("_cnt2")).otherwise(0L)).as("_off"),
+        sum(col("_cnt2")).as("_total"))
+    ranged.join(broadcast(offtot), Seq("_rp"))
   }
 
-  private def local(sortCols: Seq[Column]) =
-    Window.partitionBy("_rp").orderBy(sortCols: _*)
+  private def done(df: DataFrame, out: String, c: Column): DataFrame =
+    df.withColumn(out, c).drop("_rp", "_off", "_total", "_mid")
 
   /** NTILE(`n`) over the global ordering given by `sortCols` — which MUST
-    * include a unique tiebreaker (same determinism rule as SURVEY.md §7.4). */
+    * include a unique tiebreaker (same determinism rule as SURVEY.md §7.4).
+    * Shuffle-free after the range exchange: the local row number is the
+    * in-partition index of the sorted order. */
   def globalNtile(df: DataFrame, n: Int, out: String, sortCols: Column*): DataFrame = {
-    val Ranged(r, total) = ranged(df, sortCols)
-    val rn = row_number().over(local(sortCols)).cast("long") + col("_off")
-    val smallBucket = total / n
-    val padded = total % n // Spark NTile: first N%n buckets take one extra row
-    val bigBucket = smallBucket + 1
-    val threshold = padded * bigBucket
-    // floor(long/long) via double is exact below 2^53 rows — far beyond any
-    // realistic frame; avoids ANSI integral-division pitfalls
-    val bucket = when(rn <= threshold, floor((rn - 1) / lit(bigBucket.toDouble)) + 1)
-      .otherwise(floor((rn - lit(threshold) - 1) / lit(math.max(smallBucket, 1L).toDouble))
-        + 1 + padded)
-    r.withColumn(out, bucket.cast("int")).drop("_rp", "_off")
+    val r = withPositions(df, sortCols, withLocalIdx = true)
+    val rn = col("_mid").bitwiseAND(MidMask) + 1 + col("_off")
+    val small = floor(col("_total") / n).cast("long")
+    val pad = col("_total") % n // Spark NTile: first N%n buckets get one extra
+    val big = small + 1
+    val threshold = pad * big
+    val bucket = when(rn <= threshold, floor((rn - 1) / big) + 1)
+      .otherwise(pad + floor((rn - threshold - 1) / greatest(small, lit(1L))) + 1)
+    done(r, out, bucket.cast("int"))
   }
+
+  private def localRank(sortCols: Seq[Column]): Column =
+    rank().over(Window.partitionBy("_rp").orderBy(sortCols: _*)).cast("long")
 
   /** Global RANK() (gaps on ties) over `sortCols`. */
   def globalRank(df: DataFrame, out: String, sortCols: Column*): DataFrame = {
-    val Ranged(r, _) = ranged(df, sortCols)
-    val rk = rank().over(local(sortCols)).cast("long") + col("_off")
-    r.withColumn(out, rk.cast("int")).drop("_rp", "_off")
+    val r = withPositions(df, sortCols, withLocalIdx = false)
+    done(r, out, (localRank(sortCols) + col("_off")).cast("int"))
   }
 
   /** Global PERCENT_RANK() over `sortCols`. */
   def globalPercentRank(df: DataFrame, out: String, sortCols: Column*): DataFrame = {
-    val Ranged(r, total) = ranged(df, sortCols)
-    val rk = rank().over(local(sortCols)).cast("long") + col("_off")
-    val pr = if (total <= 1L) lit(0.0)
-    else (rk - 1).cast("double") / lit((total - 1).toDouble)
-    r.withColumn(out, pr).drop("_rp", "_off")
+    val r = withPositions(df, sortCols, withLocalIdx = false)
+    val rk = localRank(sortCols) + col("_off")
+    val pr = when(col("_total") > 1,
+      (rk - 1).cast("double") / (col("_total") - 1).cast("double"))
+      .otherwise(lit(0.0))
+    done(r, out, pr)
   }
 }
