@@ -10,16 +10,15 @@ import org.apache.spark.storage.StorageLevel
   * A bare `Window.orderBy(...)` without `partitionBy` funnels every row
   * through ONE task — fine at customer grain on sf0.1, a straggler wall at
   * 100 TB. These helpers compute bit-identical NTILE / RANK / PERCENT_RANK
-  * with a two-pass design that lives ENTIRELY in one Catalyst plan:
+  * with a classic two-pass design instead:
   *
   *  1. Range-partition the frame on the sort key (contiguous, totally-ordered
-  *     key ranges per partition; equal keys always co-located).
-  *  2. Aggregate rows-per-partition (≤ `spark.sql.shuffle.partitions` rows),
-  *     then turn those counts into per-partition global offsets and the grand
-  *     total with a tiny broadcast cross-join aggregate — control-plane
-  *     arithmetic expressed as a plan, not a driver collect, so construction
-  *     stays lazy and no single-partition exchange appears anywhere.
-  *  3. Broadcast-join the (offset, total) row back: `global = local + offset`.
+  *     key ranges per partition; equal keys always co-located) and persist it.
+  *  2. Count rows per partition — at most `spark.sql.shuffle.partitions`
+  *     numbers — collect them to the driver and prefix-sum into per-partition
+  *     global offsets (control-plane metadata, not data). This pass
+  *     materializes the persisted frame, which the scoring pass then reads.
+  *  3. Broadcast-join the offsets back: `global = local + offset`.
   *
   * Local positions come two ways:
   *  - NTILE (sort key is unique by contract): rows are sorted WITHIN each
@@ -31,12 +30,14 @@ import org.apache.spark.storage.StorageLevel
   *    partition id — one hash exchange, but every partition sorts only its
   *    own slice.
   *
-  * The ranged frame feeds two branches (counts + scoring); exchange reuse
-  * cannot dedupe them (column pruning narrows the counts branch below its
-  * exchange, so the two exchanges differ structurally), so the frame is
-  * persisted — cache substitution matches by plan identity before pruning
-  * and both branches read one materialization. Persisting is still lazy:
-  * the cache populates at first action, not at query construction.
+  * Why the offsets are COLLECTED rather than computed in-plan: an in-plan
+  * prefix-sum must reference the ranged frame from two branches (scoring +
+  * counting), and chaining ranks then grows the logical tree 3^levels — at
+  * five nested ranks the driver analyzed a 300k-line plan and spent 12 s
+  * planning 0.6 s of executor work. A driver-side collect of ≤32 longs per
+  * level keeps the final plan LINEAR in the number of ranks. The cost is one
+  * small job per rank at query construction (it doubles as the cache
+  * materialization for the scoring pass).
   *
   * Bit-identity arguments:
   *  - RANK: rank(x) = #rows strictly before x's tie group + 1. Range
@@ -55,12 +56,14 @@ object Rank {
 
   private val MidMask = (1L << 33) - 1 // monotonically_increasing_id low bits
 
-  /** Range-partition on `sortCols` and attach `_rp` (partition id), `_off`
-    * (rows in partitions before this one), `_total` (grand total); with
-    * `withLocalIdx` also `_mid` carrying the in-partition row index of the
-    * sorted order. */
+  private case class Ranged(df: DataFrame, total: Long)
+
+  /** Range-partition on `sortCols`, persist, collect per-partition counts,
+    * and attach `_rp` + broadcast `_off` (rows in partitions before this
+    * one); with `withLocalIdx` also `_mid` carrying the in-partition row
+    * index of the sorted order. */
   private def withPositions(df: DataFrame, sortCols: Seq[Column],
-                            withLocalIdx: Boolean): DataFrame = {
+                            withLocalIdx: Boolean): Ranged = {
     val spark = df.sparkSession
     val p = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val base = df.repartitionByRange(p, sortCols: _*)
@@ -71,33 +74,31 @@ object Rank {
     else base.withColumn("_rp", spark_partition_id()))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = ranged.groupBy(col("_rp")).agg(count(lit(1)).as("_cnt"))
-    // prefix-sum over ≤p count rows WITHOUT a single-partition window: a
-    // broadcast cross join (≤ p² tiny rows) re-aggregated per partition id
-    val offtot = counts
-      .crossJoin(broadcast(counts.select(col("_rp").as("_rp2"), col("_cnt").as("_cnt2"))))
-      .groupBy(col("_rp"))
-      .agg(
-        sum(when(col("_rp2") < col("_rp"), col("_cnt2")).otherwise(0L)).as("_off"),
-        sum(col("_cnt2")).as("_total"))
-    ranged.join(broadcast(offtot), Seq("_rp"))
+      .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+    var acc = 0L
+    val offs = (0 until p).map { pid =>
+      val o = acc; acc += counts.getOrElse(pid, 0L); (pid, o)
+    }
+    import spark.implicits._
+    Ranged(ranged.join(broadcast(offs.toDF("_rp", "_off")), Seq("_rp")), acc)
   }
 
   private def done(df: DataFrame, out: String, c: Column): DataFrame =
-    df.withColumn(out, c).drop("_rp", "_off", "_total", "_mid")
+    df.withColumn(out, c).drop("_rp", "_off", "_mid")
 
   /** NTILE(`n`) over the global ordering given by `sortCols` — which MUST
     * include a unique tiebreaker (same determinism rule as SURVEY.md §7.4).
     * Shuffle-free after the range exchange: the local row number is the
     * in-partition index of the sorted order. */
   def globalNtile(df: DataFrame, n: Int, out: String, sortCols: Column*): DataFrame = {
-    val r = withPositions(df, sortCols, withLocalIdx = true)
+    val Ranged(r, total) = withPositions(df, sortCols, withLocalIdx = true)
     val rn = col("_mid").bitwiseAND(MidMask) + 1 + col("_off")
-    val small = floor(col("_total") / n).cast("long")
-    val pad = col("_total") % n // Spark NTile: first N%n buckets get one extra
+    val small = total / n
+    val pad = total % n // Spark NTile: first N%n buckets get one extra row
     val big = small + 1
     val threshold = pad * big
-    val bucket = when(rn <= threshold, floor((rn - 1) / big) + 1)
-      .otherwise(pad + floor((rn - threshold - 1) / greatest(small, lit(1L))) + 1)
+    val bucket = when(rn <= threshold, floor((rn - 1) / lit(big.toDouble)) + 1)
+      .otherwise(floor((rn - threshold - 1) / math.max(small, 1L).toDouble) + 1 + pad)
     done(r, out, bucket.cast("int"))
   }
 
@@ -106,17 +107,16 @@ object Rank {
 
   /** Global RANK() (gaps on ties) over `sortCols`. */
   def globalRank(df: DataFrame, out: String, sortCols: Column*): DataFrame = {
-    val r = withPositions(df, sortCols, withLocalIdx = false)
+    val Ranged(r, _) = withPositions(df, sortCols, withLocalIdx = false)
     done(r, out, (localRank(sortCols) + col("_off")).cast("int"))
   }
 
   /** Global PERCENT_RANK() over `sortCols`. */
   def globalPercentRank(df: DataFrame, out: String, sortCols: Column*): DataFrame = {
-    val r = withPositions(df, sortCols, withLocalIdx = false)
+    val Ranged(r, total) = withPositions(df, sortCols, withLocalIdx = false)
     val rk = localRank(sortCols) + col("_off")
-    val pr = when(col("_total") > 1,
-      (rk - 1).cast("double") / (col("_total") - 1).cast("double"))
-      .otherwise(lit(0.0))
+    val pr = if (total <= 1L) lit(0.0)
+    else (rk - 1).cast("double") / lit((total - 1).toDouble)
     done(r, out, pr)
   }
 }
