@@ -556,6 +556,45 @@ object OraclesExt {
        |FROM carried WHERE side = 1
        |ORDER BY purchase_event_id""".stripMargin
 
+  /** Twin of Events.purchaseAttribution: the same range join through
+    * epoch_us so the µs-truncated Spark timestamps and DuckDB's ns clocks
+    * agree on the interval boundaries. */
+  val eventsPurchaseAttribution: String =
+    """SELECT p.event_id AS purchase_event_id, p.user_id,
+      |  make_timestamp(epoch_us(p.ts)) AS purchase_ts, p.value,
+      |  COUNT(v.ts) AS views_1h,
+      |  make_timestamp(epoch_us(MAX(v.ts))) AS last_view_ts
+      |FROM events p
+      |LEFT JOIN events v
+      |  ON v.user_id = p.user_id AND v.event_type = 'view'
+      |  AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+      |  AND epoch_us(v.ts) < epoch_us(p.ts)
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id, p.user_id, p.ts, p.value
+      |ORDER BY purchase_event_id""".stripMargin
+
+  /** Twin of Corpus.packSequences (concatenate-then-chunk packing). */
+  val corpusPackSequences: String = {
+    import graft.ext.Corpus.SeqLen
+    import graft.ext.Text.BpePattern
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe_tokens
+       |  FROM documents),
+       |packed AS (
+       |  SELECT *,
+       |    COALESCE(CAST(SUM(n_bpe_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      AS start_offset
+       |  FROM toks)
+       |SELECT doc_id, lang, n_bpe_tokens, start_offset,
+       |  CAST(FLOOR(start_offset / $SeqLen.0) AS BIGINT) AS seq_id,
+       |  start_offset % $SeqLen AS offset_in_seq,
+       |  start_offset % $SeqLen + n_bpe_tokens > $SeqLen AS straddles_boundary
+       |FROM packed
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Twin of Events.userTypePivot (explicit conditional counts — the
     * engine-portable spelling of PIVOT). */
   val eventsUserTypePivot: String = {
@@ -794,6 +833,8 @@ object OraclesExt {
     "text_gopher_rules" -> textGopherRules,
     "text_repetition" -> textRepetition,
     "dedup_clusters" -> dedupClusters,
+    "events_purchase_attribution" -> eventsPurchaseAttribution,
+    "corpus_pack_sequences" -> corpusPackSequences,
     "corpus_preprocess" -> corpusPreprocess,
     "sim_ann_ivf" -> simAnnIvf,
     "events_asof_purchase_view" -> eventsAsofPurchaseView,

@@ -92,6 +92,8 @@ object SparkEntry {
     "events_asof_purchase_view" -> ((s, d) =>
       ext.AsOf.purchaseAsOfView(s, d).orderBy("purchase_event_id")),
     "events_user_type_pivot" -> ((s, d) => ext.Events.userTypePivot(s, d).orderBy("user_id")),
+    "events_purchase_attribution" -> ((s, d) =>
+      ext.Events.purchaseAttribution(s, d).orderBy("purchase_event_id")),
     "revenue_rollup" -> ((s, d) =>
       Gold.revenueRollup(Silver.orderDetails(s, d), Silver.customerGeo(s, d))
         .orderBy(col("gid"), col("region_name").asc_nulls_first,
@@ -104,6 +106,7 @@ object SparkEntry {
     "sampling_contamination" -> ((s, d) =>
       ext.Sampling.testSetContamination(s, d).orderBy("doc_id")),
     "corpus_mix_by_source" -> ((s, d) => ext.Corpus.mixBySourceWeight(s, d).orderBy("source")),
+    "corpus_pack_sequences" -> ((s, d) => ext.Corpus.packSequences(s, d).orderBy("doc_id")),
     "corpus_preprocess" -> ((s, d) => ext.Corpus.preprocess(s, d).orderBy("doc_id")),
     // ext: multimodal plumbing (deterministic fake codec → rows-only check;
     // the decode leaf is a stub, so no SQL oracle can exist for it)

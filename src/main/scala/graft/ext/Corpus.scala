@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Sources
 
@@ -26,6 +27,32 @@ object Corpus {
       .where(Sampling.mixHash(col("doc_id")) % 100 < keepPct)
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"))
+  }
+
+  /** Tokens per packed training sequence. */
+  val SeqLen = 512
+
+  /** GPT-style sequence packing (concatenate-then-chunk): per language, docs
+    * are laid out in doc_id order into one virtual token stream and each doc
+    * is assigned to the fixed-[[SeqLen]] sequence containing its START
+    * offset. This is the packing a causal-LM data loader performs, expressed
+    * as a windowed cumulative sum — one shuffle on the language key, sequence
+    * ids computed map-side from the running offset. At 100 TB the partition
+    * key becomes (lang, shard) so one language never lands on one task; the
+    * assignment stays deterministic because shards are hash-derived.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val nTokens = size(Text.bpeTokens(col("text"))).cast("long")
+    Sources.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), nTokens.as("n_bpe_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_bpe_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("seq_id", floor(col("start_offset") / SeqLen).cast("long"))
+      .withColumn("offset_in_seq", col("start_offset") % SeqLen)
+      .withColumn("straddles_boundary",
+        col("offset_in_seq") + col("n_bpe_tokens") > SeqLen)
   }
 
   val QualityThreshold = 0.4

@@ -175,6 +175,30 @@ object Events {
     * counts users whose first stage-i event follows their first stage-(i−1)
     * event. One conditional-min aggregate per user, then an iterated
     * "first-after" fold — no self-joins, one shuffle on user_id. */
+  /** Per-purchase view attribution: every purchase joined (left) to the same
+    * user's views in the preceding hour, aggregated to views_1h +
+    * last_view_ts. The batch twin of [[graft.streaming.Streams
+    * .purchaseViewPairs]] plus the aggregate a report would keep. Plan: one
+    * equi-join keyed on user_id (sort-merge; the range predicate filters
+    * within the join) then a hash aggregate on the purchase key — state and
+    * shuffle are both per-user, never global. */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.events(spark, dir)
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("view_user"), col("ts").as("view_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_event_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    p.join(v,
+        col("view_user") === col("user_id") &&
+          col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+          col("view_ts") < col("purchase_ts"), "left")
+      .groupBy("purchase_event_id", "user_id", "purchase_ts", "value")
+      .agg(
+        count(col("view_ts")).as("views_1h"),
+        max(col("view_ts")).as("last_view_ts"))
+  }
+
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     val stages = Seq("signup", "view", "click", "purchase")
     val ev = Sources.events(spark, dir)

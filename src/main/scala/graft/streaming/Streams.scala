@@ -143,6 +143,28 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Stream-stream INTERVAL JOIN: each purchase paired with the same user's
+    * view events from the preceding hour — the canonical attribution join.
+    * Both sides are watermarked and the range condition bounds the join
+    * state to interval + watermark horizon, so state never grows with the
+    * stream. On a batch frame the identical code is a plain range join
+    * (StreamingSpec pins the batch/stream pair equality). */
+  def purchaseViewPairs(events: DataFrame, watermark: String = DefaultWatermark): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id").as("view_user"), col("event_id").as("view_event_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_event_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(views,
+      col("view_user") === col("user_id") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") < col("purchase_ts"))
+      .select("purchase_event_id", "user_id", "purchase_ts", "view_event_id", "view_ts")
+  }
+
   /** The incremental-lakehouse write loop: every micro-batch MERGEs into the
     * parquet snapshot at `path` (keep-highest-`seqCol` per `keys`). */
   def mergeStream(df: DataFrame, path: String, keys: Seq[String], seqCol: String,

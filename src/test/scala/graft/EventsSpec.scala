@@ -44,6 +44,36 @@ class EventsSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("purchase attribution: every purchase appears once; views_1h bounded by user's views") {
+    val ev = graft.engine.Sources.events(spark, sf)
+    val att = graft.ext.Events.purchaseAttribution(spark, sf)
+    val nPurch = ev.where(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    assert(att.count() === nPurch) // left join + purchase-key group keeps all
+    val viewsPerUser = ev.where(org.apache.spark.sql.functions.col("event_type") === "view")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    att.collect().foreach { r =>
+      val v = r.getAs[Long]("views_1h")
+      assert(v >= 0 && v <= viewsPerUser.getOrElse(r.getAs[Long]("user_id"), 0L))
+      if (v == 0) assert(r.isNullAt(r.fieldIndex("last_view_ts")))
+    }
+  }
+
+  test("sequence packing: offsets are contiguous per lang and seq ids monotone") {
+    val packed = graft.ext.Corpus.packSequences(spark, sf).collect()
+      .groupBy(_.getAs[String]("lang"))
+    packed.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      var expected = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("start_offset") === expected) // no gaps, no overlap
+        expected += r.getAs[Long]("n_bpe_tokens")
+        val sid = r.getAs[Long]("seq_id")
+        assert(sid === r.getAs[Long]("start_offset") / graft.ext.Corpus.SeqLen)
+      }
+    }
+  }
+
   test("tumbling + sliding totals agree (each event in exactly 1 and 4 windows)") {
     val t = Events.tumblingHourly(spark, sf).agg(sum("n_events")).first().getLong(0)
     val s = Events.slidingHourly(spark, sf).agg(sum("n_events")).first().getLong(0)

@@ -254,6 +254,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join: streamed purchase-view pairs equal the batch range join") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.purchaseViewPairs(in.toDF())
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      val data = Seq(
+        Ev(1, ts(0), 7, "view", 1.0),     // 45 min before purchase -> paired
+        Ev(2, ts(30), 7, "view", 1.0),    // 15 min before -> paired
+        Ev(3, ts(45), 7, "purchase", 9.0),
+        Ev(4, ts(-100), 7, "view", 1.0),  // >1h before -> excluded
+        Ev(5, ts(10), 8, "purchase", 2.0) // no views for user 8
+      )
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val got = spark.table("ivj")
+        .select("purchase_event_id", "view_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((3L, 1L), (3L, 2L)))
+      // identical operator over a batch frame gives the same pairs
+      val batch = Streams.purchaseViewPairs(data.toDF())
+        .select("purchase_event_id", "view_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("mergeStream: micro-batches accumulate into a keep-latest snapshot") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = Files.createTempDirectory("graft_mstream").toString
