@@ -104,6 +104,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("interval join stays an equi-join on user_id (range as filter), never BNLJ") {
+    val p = plan(graft.ext.Events.purchaseAttribution(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range predicate must ride an equi-join, not a nested loop:\n" + p.take(1200))
+  }
+
   test("catalog temp views make every layer SQL-addressable") {
     Catalog.registerAll(spark, sf)
     val n = spark.sql(
