@@ -97,6 +97,22 @@ object Multimodal {
     media.mapPartitions(_.grouped(DecodeBatch).flatMap(FakeCodec.decode))
   }
 
+  /** Batched resize to a bounding box, preserving aspect ratio (the
+    * thumbnail/normalization stage before feature extraction). The geometry
+    * is real; the pixel resampling is the [[FakeCodec]] stub — a real codec
+    * replaces only the `encode` call. Same batched `mapPartitions` shape as
+    * [[extractFeatures]]: one codec init per batch, not per row. */
+  def resize(media: Dataset[MediaFile], maxW: Int, maxH: Int): Dataset[MediaFile] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(DecodeBatch).flatMap(_.map { m =>
+      val scale = math.min(1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+      val (w, h) = (math.max(1, (m.width * scale).toInt), math.max(1, (m.height * scale).toInt))
+      if (w == m.width && h == m.height) m
+      else m.copy(width = w, height = h,
+        content = FakeCodec.encode(m.media_id, m.kind, w, h, m.n_frames))
+    }))
+  }
+
   /** Sample every `nth` frame of video rows into per-frame records (explode
     * before shuffle → per-frame parallelism downstream). Non-video rows pass
     * through as their single frame 0. */

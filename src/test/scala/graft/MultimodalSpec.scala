@@ -54,6 +54,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize fits the bounding box, preserves aspect ratio, re-encodes content") {
+    val media = graft.ext.Multimodal.mediaCorpus(spark, sf)
+    val resized = graft.ext.Multimodal.resize(media, 100, 100).collect()
+    val orig = media.collect().map(m => m.media_id -> m).toMap
+    assert(resized.length === orig.size)
+    resized.foreach { m =>
+      val o = orig(m.media_id)
+      assert(m.width <= 100 && m.height <= 100)
+      assert(m.kind === o.kind && m.n_frames === o.n_frames)
+      if (o.width <= 100 && o.height <= 100) {
+        assert(m.width === o.width && m.height === o.height) // no upscale
+        assert(m.content.sameElements(o.content)) // untouched blob
+      } else {
+        // aspect preserved within integer truncation of one scale factor
+        val scale = math.min(100.0 / o.width, 100.0 / o.height)
+        assert(m.width === math.max(1, (o.width * scale).toInt))
+        assert(m.height === math.max(1, (o.height * scale).toInt))
+        // header carries the new dims (re-encoded deterministically)
+        val headerW = ((m.content(0) & 0xff) << 24) | ((m.content(1) & 0xff) << 16) |
+          ((m.content(2) & 0xff) << 8) | (m.content(3) & 0xff)
+        assert(headerW === m.width)
+      }
+    }
+  }
+
   test("kindSummary aggregates the three kinds") {
     val rows = Multimodal.kindSummary(spark, sf).collect()
     assert(rows.map(_.getAs[String]("kind")).sorted.toSeq === Seq("audio", "image", "video"))
