@@ -70,6 +70,28 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).select("v").as[String].collect().toSeq === Seq("new"))
   }
 
+  test("versioned snapshots: time travel reads old versions, rollback is pointer-only") {
+    val dir = Files.createTempDirectory("graft_ver").toString + "/t"
+    import graft.sources.Versioned
+    assert(Versioned.latestVersion(spark, dir).isEmpty)
+    assert(Versioned.write(Seq((1L, "a")).toDF("k", "v"), dir) === 1)
+    assert(Versioned.write(Seq((1L, "a2"), (2L, "b")).toDF("k", "v"), dir) === 2)
+    assert(Versioned.latestVersion(spark, dir).contains(2))
+    // latest reflects v2; pinned v1 is unchanged history
+    assert(Versioned.read(spark, dir).count() === 2)
+    assert(Versioned.read(spark, dir, Some(1)).collect().map(_.getString(1)).toSeq === Seq("a"))
+    // rollback moves only the pointer; roll-forward stays possible
+    Versioned.rollback(spark, dir, 1)
+    assert(Versioned.read(spark, dir).count() === 1)
+    Versioned.rollback(spark, dir, 2)
+    assert(Versioned.read(spark, dir).count() === 2)
+    // next write after a rollback allocates PAST history, never clobbering v2
+    Versioned.rollback(spark, dir, 1)
+    assert(Versioned.write(Seq((9L, "z")).toDF("k", "v"), dir) === 3)
+    assert(Versioned.read(spark, dir, Some(2)).count() === 2) // v2 intact
+    intercept[IllegalArgumentException] { Versioned.rollback(spark, dir, 99) }
+  }
+
   test("snapshotOverwrite partitions by the given columns and is idempotent") {
     val dir = Files.createTempDirectory("graft_snap").toString + "/t"
     val df = Seq((2024, 1, "x"), (2024, 2, "y")).toDF("yr", "mo", "v")
