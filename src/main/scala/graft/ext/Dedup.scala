@@ -214,22 +214,33 @@ object Dedup {
     * canonical id — the grouping a pipeline needs to keep exactly one survivor
     * per duplicate family (pairs alone can't express chains).
     *
-    * Algorithm: iterative min-label propagation — every node adopts the
-    * minimum label among itself and its neighbors until a fixpoint, bounded
-    * by the graph diameter. Each round is one equi-join + one min-aggregate,
-    * both keyed on doc ids (no single-task step anywhere); the per-round
-    * convergence check is a scalar count. Labels are cached per round to cut
-    * lineage (at 100 TB: localCheckpoint, and switch to the large-star/
-    * small-star variant, which contracts star graphs in O(log n) rounds —
-    * same join-per-round shape).
+    * Algorithm: iterative min-label propagation with POINTER JUMPING — every
+    * node adopts the minimum label among itself and its neighbors, then
+    * label(x) ← label(label(x)) (path halving), so a chain of length d
+    * converges in O(log d) rounds rather than d. Each round is two equi-joins
+    * + one min-aggregate, all keyed on doc ids (no single-task step
+    * anywhere); the per-round convergence check is a scalar count. Labels
+    * are cached per round to cut lineage (at 100 TB: localCheckpoint).
+    * Jumping preserves the invariant that a node's label is always a member
+    * of its own component (the label's label lives in the same component and
+    * is ≤), so the fixpoint is the component minimum either way.
     */
-  def clusters(spark: SparkSession, dir: String): DataFrame = {
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    componentsOf(
+      Sources.documents(spark, dir).select("doc_id"),
+      minhashLshPairs(spark, dir).select("doc_a", "doc_b"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+
+  /** Connected components of (`nodes.doc_id`, undirected `pairs`) —
+    * (doc_id, cluster_id = component minimum). Separated from [[clusters]]
+    * so the convergence behavior is unit-testable on synthetic graphs. */
+  private[graft] def componentsOf(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val pairs = minhashLshPairs(spark, dir).select("doc_a", "doc_b")
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = Sources.documents(spark, dir)
+    var labels = nodes
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
@@ -246,15 +257,21 @@ object Dedup {
           .select(col("doc_id"),
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
               .as("cluster_id"))
+        // pointer jump: label(x) <- label(label(x)) — labels are doc ids, so
+        // the parent lookup is a self-equi-join on the label value
+        val jumped = next
+          .join(next.select(col("doc_id").as("_pid"), col("cluster_id").as("_pcid")),
+            col("cluster_id") === col("_pid"), "left")
+          .select(col("doc_id"),
+            coalesce(col("_pcid"), col("cluster_id")).as("cluster_id"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before dropping the previous round's cache
+        jumped.count() // materialize before dropping the previous round's cache
         labels.unpersist()
-        labels = next
+        labels = jumped
       }
       rounds += 1
     }
-    labels.withColumn("cluster_size",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+    labels
   }
 
   /** Embedding near-dup pairs: exact pairwise cosine ≥ [[CosineThreshold]].

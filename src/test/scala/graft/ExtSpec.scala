@@ -97,6 +97,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("componentsOf: chains, stars, and singletons resolve to component minima") {
+    import spark.implicits._
+    // a 12-node chain (worst case for pure propagation — pointer jumping
+    // must still resolve it within the round bound), a star, two singletons
+    val chain = (0L until 11L).map(i => (i, i + 1))
+    val star = Seq((100L, 101L), (100L, 102L), (100L, 103L))
+    val nodes = ((0L to 11L) ++ (100L to 103L) ++ Seq(500L, 501L))
+      .toDF("doc_id")
+    val pairs = (chain ++ star).toDF("doc_a", "doc_b")
+    val got = graft.ext.Dedup.componentsOf(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 11L).foreach(i => assert(got(i) === 0L, s"chain node $i"))
+    (100L to 103L).foreach(i => assert(got(i) === 100L, s"star node $i"))
+    assert(got(500L) === 500L && got(501L) === 501L)
+  }
+
   test("gopher rules: verdict booleans are consistent with metrics, both outcomes occur") {
     import graft.ext.Text
     val rows = Text.gopherRules(spark, sf).collect()
