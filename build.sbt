@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output normally routes through sbt's logger, which prefixes
+// every line with "[info] " — that broke the driver's parse of Bench's
+// single JSON line (BENCH_r02/r03 "parsed": null). StdoutOutput pipes the
+// forked JVM's stdout straight through, so the JSON line is emitted raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -3,7 +3,6 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed replacements for global (single-partition) ranking windows.
   *
@@ -13,11 +12,19 @@ import org.apache.spark.storage.StorageLevel
   * with a classic two-pass design instead:
   *
   *  1. Range-partition the frame on the sort key (contiguous, totally-ordered
-  *     key ranges per partition; equal keys always co-located) and persist it.
-  *  2. Count rows per partition — at most `spark.sql.shuffle.partitions`
-  *     numbers — collect them to the driver and prefix-sum into per-partition
-  *     global offsets (control-plane metadata, not data). This pass
-  *     materializes the persisted frame, which the scoring pass then reads.
+  *     key ranges per partition; equal keys always co-located) and pin it
+  *     behind a lazy `localCheckpoint` barrier. The barrier is a plan LEAF,
+  *     so the counting and scoring branches below both reference the SAME
+  *     materialized partitions — the upstream plan executes exactly once per
+  *     action, and chained ranks grow the logical plan linearly (each level's
+  *     input is the previous level's leaf, not its whole subtree).
+  *  2. Count rows per range partition — at most `spark.sql.shuffle.partitions`
+  *     rows of control-plane metadata — and turn the counts into
+  *     per-partition global offsets (rows in partitions before this one) plus
+  *     the grand total with one tiny p×p cross join + hash aggregate. No
+  *     driver collect, no global single-partition aggregate: the whole rank
+  *     is LAZY, so merely composing a query that embeds a rank costs nothing
+  *     until an action runs.
   *  3. Broadcast-join the offsets back: `global = local + offset`.
   *
   * Local positions come two ways:
@@ -30,14 +37,26 @@ import org.apache.spark.storage.StorageLevel
   *    partition id — one hash exchange, but every partition sorts only its
   *    own slice.
   *
-  * Why the offsets are COLLECTED rather than computed in-plan: an in-plan
-  * prefix-sum must reference the ranged frame from two branches (scoring +
-  * counting), and chaining ranks then grows the logical tree 3^levels — at
-  * five nested ranks the driver analyzed a 300k-line plan and spent 12 s
-  * planning 0.6 s of executor work. A driver-side collect of ≤32 longs per
-  * level keeps the final plan LINEAR in the number of ranks. The cost is one
-  * small job per rank at query construction (it doubles as the cache
-  * materialization for the scoring pass).
+  * Why `localCheckpoint(eager = false)` and not `persist`: a persisted frame
+  * still embeds its full upstream subtree in the logical plan, so a counting
+  * branch + a scoring branch double the tree per rank level (3^levels once
+  * offsets join back — at five nested ranks the driver analyzed a 300k-line
+  * plan and spent 12 s planning 0.6 s of executor work). An earlier revision
+  * collected the ≤32 partition counts to the driver at query CONSTRUCTION
+  * time to keep the plan linear — correct, but it materialized the whole
+  * upstream pipeline (twice: range-sampling pass + counting pass) the moment
+  * a query was merely composed, which made every query that touches a
+  * rank-bearing silver view pay seconds of eager work (BENCH_r03:
+  * gold_supplier_performance 21 s for a 100-row rank). The lazy checkpoint
+  * keeps the plan linear AND defers all work to execution. On a multi-tenant
+  * cluster with executor decommissioning you would swap this leaf for a
+  * reliable checkpoint or a persisted table; the algorithm is unchanged.
+  *
+  * Determinism: the checkpoint pins the range partitioner's sampled
+  * boundaries for the lifetime of the returned DataFrame, so repeated
+  * actions on it see identical partition assignments (the pre-checkpoint
+  * design re-sampled per action and could disagree with offsets computed
+  * earlier).
   *
   * Bit-identity arguments:
   *  - RANK: rank(x) = #rows strictly before x's tie group + 1. Range
@@ -48,22 +67,21 @@ import org.apache.spark.storage.StorageLevel
   *  - NTILE(n): with a unique tiebreaker the ordering is total, so the
   *    bucket is a pure function of (row_number, N) using Spark's `NTile`
   *    bucket math: the first N%n buckets take ⌈N/n⌉ rows, the rest ⌊N/n⌋.
-  *  - `floor(a / b)` on longs goes through double division — exact below
-  *    2^53 rows, far beyond any frame, and it sidesteps ANSI integral
-  *    division-by-zero hazards (unreached branches stay unevaluated).
+  *  - `floor(a / b)` on longs goes through Spark's fractional division
+  *    (double) — exact below 2^53 rows, far beyond any frame, and it
+  *    sidesteps ANSI integral division-by-zero hazards (unreached branches
+  *    stay unevaluated).
   */
 object Rank {
 
   private val MidMask = (1L << 33) - 1 // monotonically_increasing_id low bits
 
-  private case class Ranged(df: DataFrame, total: Long)
-
-  /** Range-partition on `sortCols`, persist, collect per-partition counts,
-    * and attach `_rp` + broadcast `_off` (rows in partitions before this
-    * one); with `withLocalIdx` also `_mid` carrying the in-partition row
-    * index of the sorted order. */
+  /** Range-partition on `sortCols`, pin behind a lazy checkpoint leaf, and
+    * attach `_rp` + broadcast `_off` (rows in partitions before this one) +
+    * `_tot` (total rows); with `withLocalIdx` also `_mid` carrying the
+    * in-partition row index of the sorted order. Fully lazy. */
   private def withPositions(df: DataFrame, sortCols: Seq[Column],
-                            withLocalIdx: Boolean): Ranged = {
+                            withLocalIdx: Boolean): DataFrame = {
     val spark = df.sparkSession
     val p = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val base = df.repartitionByRange(p, sortCols: _*)
@@ -72,33 +90,38 @@ object Rank {
         .withColumn("_mid", monotonically_increasing_id())
         .withColumn("_rp", shiftright(col("_mid"), 33).cast("int"))
     else base.withColumn("_rp", spark_partition_id()))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false) // lazy leaf: shared by the branches below
     val counts = ranged.groupBy(col("_rp")).agg(count(lit(1)).as("_cnt"))
-      .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
-    var acc = 0L
-    val offs = (0 until p).map { pid =>
-      val o = acc; acc += counts.getOrElse(pid, 0L); (pid, o)
-    }
-    import spark.implicits._
-    Ranged(ranged.join(broadcast(offs.toDF("_rp", "_off")), Seq("_rp")), acc)
+    // offsets + total in ONE p×p cross join + hash agg (p is a config
+    // constant, not data-dependent; ≤32 rows here, ≤ a few thousand on a
+    // real cluster) — deliberately NOT a global aggregate or an
+    // unpartitioned window, so no SinglePartition exchange anywhere
+    val offs = counts
+      .crossJoin(broadcast(counts.select(col("_rp").as("_rp2"), col("_cnt").as("_cnt2"))))
+      .groupBy(col("_rp"))
+      .agg(
+        coalesce(sum(when(col("_rp2") < col("_rp"), col("_cnt2"))), lit(0L)).as("_off"),
+        sum(col("_cnt2")).as("_tot"))
+    ranged.join(broadcast(offs), Seq("_rp"))
   }
 
   private def done(df: DataFrame, out: String, c: Column): DataFrame =
-    df.withColumn(out, c).drop("_rp", "_off", "_mid")
+    df.withColumn(out, c).drop("_rp", "_off", "_tot", "_mid")
 
   /** NTILE(`n`) over the global ordering given by `sortCols` — which MUST
     * include a unique tiebreaker (same determinism rule as SURVEY.md §7.4).
     * Shuffle-free after the range exchange: the local row number is the
     * in-partition index of the sorted order. */
   def globalNtile(df: DataFrame, n: Int, out: String, sortCols: Column*): DataFrame = {
-    val Ranged(r, total) = withPositions(df, sortCols, withLocalIdx = true)
+    val r = withPositions(df, sortCols, withLocalIdx = true)
     val rn = col("_mid").bitwiseAND(MidMask) + 1 + col("_off")
-    val small = total / n
-    val pad = total % n // Spark NTile: first N%n buckets get one extra row
+    // Spark NTile bucket math, in-plan: first N%n buckets get ⌈N/n⌉ rows
+    val small = floor(col("_tot") / n) // fractional division → exact < 2^53
+    val pad = col("_tot") % n
     val big = small + 1
     val threshold = pad * big
-    val bucket = when(rn <= threshold, floor((rn - 1) / lit(big.toDouble)) + 1)
-      .otherwise(floor((rn - threshold - 1) / math.max(small, 1L).toDouble) + 1 + pad)
+    val bucket = when(rn <= threshold, floor((rn - 1) / big) + 1)
+      .otherwise(floor((rn - threshold - 1) / greatest(small, lit(1L))) + 1 + pad)
     done(r, out, bucket.cast("int"))
   }
 
@@ -107,16 +130,16 @@ object Rank {
 
   /** Global RANK() (gaps on ties) over `sortCols`. */
   def globalRank(df: DataFrame, out: String, sortCols: Column*): DataFrame = {
-    val Ranged(r, _) = withPositions(df, sortCols, withLocalIdx = false)
+    val r = withPositions(df, sortCols, withLocalIdx = false)
     done(r, out, (localRank(sortCols) + col("_off")).cast("int"))
   }
 
   /** Global PERCENT_RANK() over `sortCols`. */
   def globalPercentRank(df: DataFrame, out: String, sortCols: Column*): DataFrame = {
-    val Ranged(r, total) = withPositions(df, sortCols, withLocalIdx = false)
+    val r = withPositions(df, sortCols, withLocalIdx = false)
     val rk = localRank(sortCols) + col("_off")
-    val pr = if (total <= 1L) lit(0.0)
-    else (rk - 1).cast("double") / lit((total - 1).toDouble)
+    val pr = when(col("_tot") <= 1L, lit(0.0))
+      .otherwise((rk - 1).cast("double") / (col("_tot") - 1).cast("double"))
     done(r, out, pr)
   }
 }
