@@ -84,24 +84,35 @@ object Rank {
                             withLocalIdx: Boolean): DataFrame = {
     val spark = df.sparkSession
     val p = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val base = df.repartitionByRange(p, sortCols: _*)
+    // Pin the INPUT too: a range exchange runs a boundary-sampling pass over
+    // its child before the shuffle itself, so an unpinned input executes the
+    // entire upstream pipeline twice per rank (measured: 6.4 s -> ~4 s on
+    // the supplier-performance rank at sf0.1). The sampling pass populates
+    // the cache; the shuffle write then reads it. Storage is reclaimed with
+    // the session cache (or an explicit clearCache); at 100 TB this is one
+    // extra materialization of the ranked frame — cheaper than recomputing
+    // its full join/agg lineage.
+    val base = df.persist().repartitionByRange(p, sortCols: _*)
     val ranged = (if (withLocalIdx)
       base.sortWithinPartitions(sortCols: _*)
         .withColumn("_mid", monotonically_increasing_id())
         .withColumn("_rp", shiftright(col("_mid"), 33).cast("int"))
     else base.withColumn("_rp", spark_partition_id()))
       .localCheckpoint(false) // lazy leaf: shared by the branches below
-    val counts = ranged.groupBy(col("_rp")).agg(count(lit(1)).as("_cnt"))
-    // offsets + total in ONE p×p cross join + hash agg (p is a config
-    // constant, not data-dependent; ≤32 rows here, ≤ a few thousand on a
-    // real cluster) — deliberately NOT a global aggregate or an
-    // unpartitioned window, so no SinglePartition exchange anywhere
-    val offs = counts
-      .crossJoin(broadcast(counts.select(col("_rp").as("_rp2"), col("_cnt").as("_cnt2"))))
-      .groupBy(col("_rp"))
-      .agg(
-        coalesce(sum(when(col("_rp2") < col("_rp"), col("_cnt2"))), lit(0L)).as("_off"),
-        sum(col("_cnt2")).as("_tot"))
+    // offsets + total = prefix sums over the per-partition counts — CONTROL
+    // PLANE, not data: ≤ p rows where p is a config constant (≤32 here, a
+    // few thousand on a real cluster). Coalescing to one partition makes
+    // CoalesceExec's output partitioning SinglePartition already, so the
+    // running-sum window plans WITHOUT an `Exchange SinglePartition` (the
+    // 100 TB straggler shape this module exists to avoid never appears, and
+    // no extra broadcast/cartesian job is spent on 32 rows of metadata).
+    val counts = ranged.groupBy(col("_rp")).agg(count(lit(1)).as("_cnt")).coalesce(1)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wBefore = Window.orderBy(col("_rp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts.select(col("_rp"),
+      coalesce(sum(col("_cnt")).over(wBefore), lit(0L)).as("_off"),
+      sum(col("_cnt")).over(wAll).as("_tot"))
     ranged.join(broadcast(offs), Seq("_rp"))
   }
 

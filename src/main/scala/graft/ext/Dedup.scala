@@ -246,32 +246,34 @@ object Dedup {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
+      // one neighbor-min pass per round; the convergence signal rides on the
+      // SAME action that materializes the round's labels (a separate isEmpty
+      // probe would run the edges⋈labels join a second time per round)
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id")), "doc_b")
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      converged = labels.join(nbrMin, "doc_id")
-        .where(col("nbr_min") < col("cluster_id")).isEmpty
-      if (!converged) {
-        val next = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-              .as("cluster_id"))
-        // pointer jump: label(x) <- label(label(x)) — labels are doc ids, so
-        // the parent lookup is a self-equi-join on the label value
-        val jumped = next
-          .join(next.select(col("doc_id").as("_pid"), col("cluster_id").as("_pcid")),
-            col("cluster_id") === col("_pid"), "left")
-          .select(col("doc_id"),
-            coalesce(col("_pcid"), col("cluster_id")).as("cluster_id"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        jumped.count() // materialize before dropping the previous round's cache
-        labels.unpersist()
-        labels = jumped
-      }
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"),
+          (col("nbr_min") < col("cluster_id")).as("_chg"))
+      // pointer jump: label(x) <- label(label(x)) — labels are doc ids, so
+      // the parent lookup is a self-equi-join on the label value
+      val jumped = next
+        .join(next.select(col("doc_id").as("_pid"), col("cluster_id").as("_pcid")),
+          col("cluster_id") === col("_pid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("_pcid"), col("cluster_id")).as("cluster_id"), col("_chg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = // materialize + count improved labels in one job
+        jumped.agg(count(when(col("_chg"), 1))).first().getLong(0)
+      labels.unpersist()
+      labels = jumped
+      converged = changed == 0
       rounds += 1
     }
-    labels
+    labels.select("doc_id", "cluster_id")
   }
 
   /** Embedding near-dup pairs: exact pairwise cosine ≥ [[CosineThreshold]].
