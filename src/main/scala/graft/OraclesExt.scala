@@ -824,7 +824,78 @@ object OraclesExt {
        |FROM cc
        |ORDER BY doc_id""".stripMargin
 
+  /** Twin of Scd.userEventTypeHistory: gaps-and-islands SCD2 over the
+    * events change log (lag → change flag → running-sum version → island
+    * agg → lead closes intervals). */
+  val scd2UserEventType: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN lag(event_type) OVER w IS NULL
+       |              OR lag(event_type) OVER w <> event_type
+       |         THEN 1 ELSE 0 END AS chg
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |numbered AS (
+       |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+       |  FROM flagged),
+       |islands AS (
+       |  SELECT user_id, version, event_type,
+       |    min(ts) AS ef, count(*) AS n_events
+       |  FROM numbered GROUP BY user_id, version, event_type),
+       |closed AS (
+       |  SELECT *, lead(ef) OVER (PARTITION BY user_id ORDER BY version) AS et
+       |  FROM islands)
+       |SELECT user_id, version, event_type,
+       |  make_timestamp(epoch_us(ef)) AS effective_from,
+       |  make_timestamp(epoch_us(et)) AS effective_to,
+       |  n_events, et IS NULL AS is_current
+       |FROM closed
+       |ORDER BY user_id, version""".stripMargin
+
+  /** Twin of Cdf.customerOrderChanges: full-outer diff of the two
+    * retention-window snapshots (same constants via graft.engine.Cdf). */
+  val cdfCustomerOrders: String = {
+    import graft.engine.Cdf.{CdfOldEnd, CdfNewStart}
+    s"""WITH old AS (
+       |  SELECT o_custkey AS customer_key, count(*) AS order_count,
+       |    ${R(DS("o_totalprice"), 2)} AS total_spent
+       |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '$CdfOldEnd'
+       |  GROUP BY 1),
+       |neu AS (
+       |  SELECT o_custkey AS customer_key, count(*) AS order_count,
+       |    ${R(DS("o_totalprice"), 2)} AS total_spent
+       |  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '$CdfNewStart'
+       |  GROUP BY 1),
+       |j AS (
+       |  SELECT COALESCE(o.customer_key, n.customer_key) AS customer_key,
+       |    o.order_count AS old_order_count, o.total_spent AS old_total_spent,
+       |    n.order_count AS new_order_count, n.total_spent AS new_total_spent,
+       |    CASE WHEN o.customer_key IS NULL THEN 'insert'
+       |         WHEN n.customer_key IS NULL THEN 'delete'
+       |         WHEN o.order_count = n.order_count
+       |              AND o.total_spent = n.total_spent THEN 'none'
+       |         ELSE 'update' END AS change_type
+       |  FROM old o FULL OUTER JOIN neu n ON o.customer_key = n.customer_key)
+       |SELECT * FROM j WHERE change_type <> 'none'
+       |ORDER BY customer_key""".stripMargin
+  }
+
+  /** Twin of Incremental.monthlyRevenueFromDeltas: the oracle aggregates
+    * from scratch — the hash match proves the delta-fold path is exact. */
+  val incrMonthlyRevenue: String =
+    s"""SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+       |  CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+       |  count(*) AS n_orders,
+       |  ${R(DS("o_totalprice"), 2)} AS total_revenue
+       |FROM orders
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, String] = Map(
+    "scd2_user_event_type" -> scd2UserEventType,
+    "cdf_customer_orders" -> cdfCustomerOrders,
+    "incr_monthly_revenue" -> incrMonthlyRevenue,
     "sampling_train_val_test" -> samplingSplit,
     "sampling_k_per_stratum" -> samplingStratum,
     "sampling_contamination" -> samplingContamination,

@@ -108,6 +108,14 @@ object SparkEntry {
     "corpus_mix_by_source" -> ((s, d) => ext.Corpus.mixBySourceWeight(s, d).orderBy("source")),
     "corpus_pack_sequences" -> ((s, d) => ext.Corpus.packSequences(s, d).orderBy("doc_id")),
     "corpus_preprocess" -> ((s, d) => ext.Corpus.preprocess(s, d).orderBy("doc_id")),
+    // lakehouse-incremental surface: SCD2 history, change-data-feed diff,
+    // delta-fold aggregate maintenance (oracle = from-scratch recompute)
+    "scd2_user_event_type" -> ((s, d) =>
+      ext.Scd.userEventTypeHistory(s, d).orderBy("user_id", "version")),
+    "cdf_customer_orders" -> ((s, d) =>
+      Cdf.customerOrderChanges(s, d).orderBy("customer_key")),
+    "incr_monthly_revenue" -> ((s, d) =>
+      Incremental.monthlyRevenueFromDeltas(s, d).orderBy("order_year", "order_month")),
     // ext: multimodal plumbing (deterministic fake codec → rows-only check;
     // the decode leaf is a stub, so no SQL oracle can exist for it)
     "media_kind_summary" -> ((s, d) => ext.Multimodal.kindSummary(s, d).orderBy("kind")),

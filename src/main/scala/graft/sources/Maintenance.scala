@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table maintenance for the versioned parquet store — the OPTIMIZE /
+  * data-skipping half of a lakehouse (the write path is [[Versioned]] /
+  * [[Sinks]]; this module keeps what it wrote healthy at scale).
+  *
+  *  - [[compact]]: bin-pack a version's many small files into few
+  *    row-balanced ones as a NEW version (readers never see a half-compacted
+  *    table; time travel to the fragmented version still works).
+  *  - [[fileStats]] / [[skippingRead]]: per-file min/max/null-count index +
+  *    a reader that prunes files whose range cannot satisfy a predicate —
+  *    Delta/Iceberg-style data skipping, rebuilt from open parts: at 100 TB
+  *    the index is thousands of rows against billions, and a selective
+  *    point/range query touches a handful of files instead of the table.
+  *
+  * The stats index is ordinary data (a DataFrame) — persist it next to the
+  * table and refresh per version; here it is computed on demand so the spec
+  * can verify index and pruning against the files it just wrote.
+  */
+object Maintenance {
+
+  /** Per-file stats index of `df` (which must be a plain file scan — the
+    * file identity comes from `input_file_name`): one row per file with
+    * row_count and min/max/null_count per requested column. */
+  def fileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("row_count") +:
+      cols.flatMap(c => Seq(
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"),
+        count(when(col(c).isNull, 1)).as(s"null_$c")))
+    df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Files whose [min,max] interval might contain rows with `c` in
+    * [lo, hi] (nulls never match a range predicate, so all-null files —
+    * null min/max — are pruned too). */
+  def candidateFiles(stats: DataFrame, c: String, lo: Column, hi: Column): Seq[String] =
+    stats.where(col(s"min_$c") <= hi && col(s"max_$c") >= lo)
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Range read with file skipping: consult `stats`, read only candidate
+    * files, re-apply the predicate exactly (stats prune at file grain; the
+    * row-grain filter still runs — same contract as parquet row-group
+    * skipping). Returns the pruned file list alongside the data so callers
+    * (and specs) can observe the skipping. */
+  def skippingRead(spark: SparkSession, stats: DataFrame, c: String,
+                   lo: Column, hi: Column): (Seq[String], DataFrame) = {
+    val files = candidateFiles(stats, c, lo, hi)
+    val df =
+      if (files.isEmpty) // schema-preserving empty relation: any file, false filter
+        stats.select("file").limit(1).collect().headOption
+          .map(r => spark.read.parquet(r.getString(0)).where(lit(false)))
+          .getOrElse(spark.emptyDataFrame)
+      else spark.read.parquet(files: _*)
+    (files, df.where(col(c) >= lo && col(c) <= hi))
+  }
+
+  /** Compact the LATEST version of a [[Versioned]] table into
+    * ⌈rows / targetRowsPerFile⌉ row-balanced files, committed as a new
+    * version. Round-robin repartition (no shuffle key) — compaction must
+    * not assume any column semantics. Returns the new version number. */
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Int = {
+    val current = Versioned.read(spark, path)
+    val rows = current.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    Versioned.write(current.repartition(nFiles), path)
+  }
+
+  /** Number of parquet part-files in a version directory (spec observable). */
+  def partFileCount(spark: SparkSession, path: String, version: Int): Int = {
+    val dir = new Path(s"$path/v=$version")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir).count(s => s.getPath.getName.endsWith(".parquet"))
+  }
+}

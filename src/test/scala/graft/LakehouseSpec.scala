@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.engine.{Cdf, Incremental, Sources}
+import graft.sources.{Maintenance, Versioned}
+
+/** Lakehouse-incremental surface: SCD2 invariants, CDF diff semantics,
+  * delta-fold aggregate maintenance, compaction, and stats-based file
+  * skipping. (The scd2/cdf/incr QUERIES are oracle-verified; these specs pin
+  * the structural invariants an oracle hash can't articulate.) */
+class LakehouseSpec extends SparkSpec {
+
+  test("scd2: intervals are gapless, versions dense, exactly one current row per user") {
+    val h = ext.Scd.userEventTypeHistory(spark, sf).cache()
+    val users = h.select("user_id").distinct().count()
+    // exactly one open interval per user
+    assert(h.where(col("is_current")).count() === users)
+    assert(h.where(col("effective_to").isNull && !col("is_current")).isEmpty)
+    // consecutive versions chain: effective_to == next effective_from, versions 1..n
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("version")
+    val chained = h
+      .withColumn("_next_from", lead(col("effective_from"), 1).over(w))
+      .withColumn("_next_ver", lead(col("version"), 1).over(w))
+    assert(chained.where(col("_next_from").isNotNull &&
+      col("effective_to") =!= col("_next_from")).isEmpty)
+    assert(chained.where(col("_next_ver").isNotNull &&
+      col("_next_ver") =!= col("version") + 1).isEmpty)
+    assert(h.where(col("version") === 1).count() === users)
+    // no version re-states its predecessor's value (runs are collapsed)
+    val adj = h.withColumn("_next_type", lead(col("event_type"), 1).over(w))
+    assert(adj.where(col("_next_type").isNotNull &&
+      col("_next_type") === col("event_type")).isEmpty)
+    h.unpersist()
+  }
+
+  test("cdf: diff round-trips — applying the feed to OLD reproduces NEW") {
+    val old = Sources.orders(spark, sf)
+      .where(col("o_orderdate") < lit(Cdf.CdfOldEnd))
+      .groupBy(col("o_custkey").as("customer_key"))
+      .agg(count(lit(1)).as("order_count"))
+    val neu = Sources.orders(spark, sf)
+      .where(col("o_orderdate") >= lit(Cdf.CdfNewStart))
+      .groupBy(col("o_custkey").as("customer_key"))
+      .agg(count(lit(1)).as("order_count"))
+    val feed = Cdf.diff(old, neu, Seq("customer_key")).cache()
+    // apply: delete+update keys removed from OLD, insert+update rows added from feed
+    val touched = feed.select("customer_key")
+    val applied = old.join(touched, Seq("customer_key"), "left_anti")
+      .unionByName(feed.where(col("change_type").isin("insert", "update"))
+        .select(col("customer_key"), col("new_order_count").as("order_count")))
+    assert(applied.unionByName(neu).distinct().count() === neu.count(),
+      "applied feed must equal the new snapshot")
+    assert(applied.count() === neu.count())
+    // feed contains all three change kinds on this fixture's date windows
+    val kinds = feed.select("change_type").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds === Set("insert", "update", "delete"))
+    feed.unpersist()
+  }
+
+  test("incr: folding deltas in any batch split matches the direct aggregate") {
+    val o = Sources.orders(spark, sf)
+    val direct = Incremental.finalize(Incremental.monthlyRevenueState(o))
+    val byDate = Incremental.monthlyRevenueFromDeltas(spark, sf)
+    // a different (key-striped, order-scrambled) split must give the same result
+    val striped = Seq(0, 1, 2).map(k => o.where(pmod(col("o_orderkey"), lit(3)) === k))
+    val byKey = Incremental.finalize(Incremental.merge(
+      striped.reverse.map(Incremental.monthlyRevenueState)))
+    assert(direct.unionByName(byDate).distinct().count() === direct.count())
+    assert(direct.unionByName(byKey).distinct().count() === direct.count())
+  }
+
+  test("compaction: fragmented version bin-packs into fewer files, data identical") {
+    val path = Files.createTempDirectory("graft_compact").toString
+    val data = Sources.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val v1 = Versioned.write(data.repartition(64), path)
+    assert(Maintenance.partFileCount(spark, path, v1) === 64)
+    val rows = data.count()
+    val v2 = Maintenance.compact(spark, path, targetRowsPerFile = rows / 4 + 1)
+    assert(v2 === v1 + 1)
+    val filesAfter = Maintenance.partFileCount(spark, path, v2)
+    assert(filesAfter <= 4, s"expected <=4 files, got $filesAfter")
+    // content identical (set equality), fragmented version still time-travelable
+    val before = Versioned.read(spark, path, Some(v1))
+    val after = Versioned.read(spark, path, Some(v2))
+    assert(after.count() === rows)
+    assert(before.unionByName(after).distinct().count() === rows)
+  }
+
+  test("stats index prunes files a range predicate cannot touch") {
+    val path = Files.createTempDirectory("graft_stats").toString + "/orders"
+    // range-layout by date -> disjoint per-file min/max (the clustered case
+    // data skipping rewards; an unclustered layout degrades to reading all)
+    Sources.orders(spark, sf)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .repartitionByRange(8, col("o_orderdate"))
+      .write.parquet(path)
+    val scan = spark.read.parquet(path)
+    val stats = Maintenance.fileStats(scan, Seq("o_orderdate", "o_totalprice")).cache()
+    assert(stats.count() === 8)
+    assert(stats.agg(sum("row_count")).first().getLong(0) === scan.count())
+    // a one-year slice of the fixture's 1995-2001 span must skip most files
+    val lo = lit("1997-01-01").cast("date"); val hi = lit("1997-12-31").cast("date")
+    val (files, pruned) = Maintenance.skippingRead(spark, stats, "o_orderdate", lo, hi)
+    assert(files.nonEmpty && files.size < 8, s"expected pruning, read ${files.size}/8")
+    val expected = scan.where(col("o_orderdate").between(lo, hi))
+    assert(pruned.count() === expected.count() && expected.count() > 0)
+    // an out-of-domain range touches nothing
+    val (none, empty) = Maintenance.skippingRead(spark, stats, "o_orderdate",
+      lit("2050-01-01").cast("date"), lit("2050-12-31").cast("date"))
+    assert(none.isEmpty && empty.isEmpty)
+    stats.unpersist()
+  }
+}
