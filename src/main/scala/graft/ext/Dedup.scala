@@ -162,10 +162,17 @@ object Dedup {
     * τ ≥ [[JaccardThreshold]]. Two equi-joins: explode pairs into a's
     * shingles, keep the ones b also has (shuffle keyed on (doc, shingle)). */
   private def jaccardVerify(sh: DataFrame, candidates: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // prune the shingle table to docs that appear in ANY candidate pair
+    // before the per-pair joins: candidates are a vanishing fraction of the
+    // corpus (LSH exists to make them so), so the two verify joins below
+    // shuffle thousands of shingle rows instead of the whole corpus's
+    val docs = candidates.select(col("doc_a").as("doc_id"))
+      .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val shc = sh.join(broadcast(docs), Seq("doc_id"), "left_semi")
+    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .join(shc.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(shc.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     shared
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
@@ -236,13 +243,21 @@ object Dedup {
     * (doc_id, cluster_id = component minimum). Separated from [[clusters]]
     * so the convergence behavior is unit-testable on synthetic graphs. */
   private[graft] def componentsOf(nodes: DataFrame, pairs: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+    // Both edges AND each round's labels MUST be plan LEAVES (lazy
+    // localCheckpoint, same device as the distributed ranks). Dataset
+    // construction analyzes its whole tree eagerly, the round plans
+    // reference edges every round and `next` twice, and persist() does NOT
+    // truncate the logical plan — only a checkpoint leaf does. Measured on a
+    // 500-doc graph: untruncated labels = 2^rounds blowup (49 s); truncated
+    // labels but persisted-only edges still re-analyzed the entire upstream
+    // LSH pipeline several times per round (31 s of driver-side plan
+    // analysis vs 0.08 s of execution). With both as leaves: sub-second.
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     var labels = nodes
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -265,10 +280,12 @@ object Dedup {
           col("cluster_id") === col("_pid"), "left")
         .select(col("doc_id"),
           coalesce(col("_pcid"), col("cluster_id")).as("cluster_id"), col("_chg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
+      val t0 = System.nanoTime()
       val changed = // materialize + count improved labels in one job
         jumped.agg(count(when(col("_chg"), 1))).first().getLong(0)
-      labels.unpersist()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"CC round=$rounds changed=$changed t=${(System.nanoTime() - t0) / 1e9}%.2fs")
       labels = jumped
       converged = changed == 0
       rounds += 1

@@ -70,6 +70,46 @@ object Maintenance {
     Versioned.write(current.repartition(nFiles), path)
   }
 
+  /** Z-ORDER clustering: bit-interleave the columns' normalized 16-bit
+    * buckets and range-lay-out files by the interleaved value, so EVERY
+    * participating column is (coarsely) clustered and [[skippingRead]]
+    * prunes on any of them — the multi-column complement to a plain sort,
+    * which clusters only its leading column (Delta/Iceberg OPTIMIZE ZORDER
+    * BY; public technique, Morton order).
+    *
+    * Columns must be numeric-castable (cast dates/timestamps first). The
+    * per-column [min,max] comes from one tiny control-plane aggregate; the
+    * z-value itself is pure bit arithmetic — stays in whole-stage codegen.
+    * 16 bits/column keeps k ≤ 4 columns inside a long. */
+  def zorderWrite(df: DataFrame, cols: Seq[String], path: String, nFiles: Int): Unit = {
+    require(cols.nonEmpty && cols.size <= 4, "z-order supports 1-4 columns")
+    val Bits = 16
+    val stats = df.agg(
+      min(col(cols.head).cast("double")).as("mn0"),
+      (cols.tail.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(col(c).cast("double")).as(s"mn${i + 1}"))
+      } ++ cols.zipWithIndex.map { case (c, i) =>
+        max(col(c).cast("double")).as(s"mx$i")
+      }): _*).first()
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      val mn = stats.getDouble(stats.fieldIndex(s"mn$i"))
+      val mx = stats.getDouble(stats.fieldIndex(s"mx$i"))
+      val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+      least(floor((col(c).cast("double") - mn) / span * ((1 << Bits) - 1)),
+        lit((1 << Bits) - 1)).cast("long")
+    }
+    val k = cols.size
+    val z = (0 until Bits).flatMap { bit =>
+      buckets.zipWithIndex.map { case (b, j) =>
+        shiftleft(shiftright(b, bit).bitwiseAND(1), bit * k + j).cast("long")
+      }
+    }.reduce(_ + _)
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .drop("_z")
+      .write.parquet(path)
+  }
+
   /** Number of parquet part-files in a version directory (spec observable). */
   def partFileCount(spark: SparkSession, path: String, version: Int): Int = {
     val dir = new Path(s"$path/v=$version")

@@ -176,4 +176,31 @@ object Streams {
         graft.sources.Sinks.mergeKeepLatest(batch, path, keys, seqCol)
       }
       .start()
+
+  /** Streaming GOLD maintenance: each micro-batch of orders folds into the
+    * persisted monthly-revenue STATE table ([[graft.engine.Incremental]]'s
+    * mergeable partials, versioned via [[graft.sources.Versioned]] so every
+    * step is atomic + time-travelable). Maintenance cost per batch is
+    * O(delta) + O(state), and state is group-grain (months × 1 row) — the
+    * incremental alternative to re-aggregating full history every run.
+    * `finalize(read(path))` at any instant is the exact from-scratch
+    * aggregate of everything ingested so far (LakehouseSpec / the
+    * incr_monthly_revenue oracle prove the algebra). */
+  def maintainMonthlyRevenue(orders: DataFrame, path: String,
+                             checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    orders.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.engine.Incremental.monthlyRevenueState(batch)
+        val merged = graft.sources.Versioned.latestVersion(spark, path) match {
+          case Some(_) => graft.engine.Incremental.merge(
+            Seq(graft.sources.Versioned.read(spark, path), delta))
+          case None => delta
+        }
+        graft.sources.Versioned.write(merged, path)
+        ()
+      }
+      .start()
 }

@@ -88,6 +88,65 @@ class LakehouseSpec extends SparkSpec {
     assert(before.unionByName(after).distinct().count() === rows)
   }
 
+  test("streaming maintenance: folded state equals the from-scratch aggregate") {
+    val dir = Files.createTempDirectory("graft_incr_stream").toString
+    // slices must carry the catalog's o_orderdate DATE type (the pinned
+    // stream schema) — Sources.orders applies exactly that cast
+    val raw = Sources.orders(spark, sf).cache()
+    val slices = Seq(
+      raw.where(col("o_orderdate") < lit("1997-01-01")),
+      raw.where(col("o_orderdate") >= lit("1997-01-01")
+        && col("o_orderdate") < lit("1999-01-01")),
+      raw.where(col("o_orderdate") >= lit("1999-01-01")))
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val src = Sources.parquetStream(spark, s"$dir/in", "orders")
+    val statePath = s"$dir/state"
+    val q = graft.streaming.Streams.maintainMonthlyRevenue(src, statePath, s"$dir/ckpt")
+    try {
+      slices.foreach { s =>
+        s.write.mode("append").parquet(s"$dir/in")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = Incremental.finalize(Versioned.read(spark, statePath))
+    val direct = Incremental.finalize(Incremental.monthlyRevenueState(raw))
+    assert(streamed.count() === direct.count())
+    assert(streamed.unionByName(direct).distinct().count() === direct.count(),
+      "streamed state must finalize to the exact from-scratch aggregate")
+    // every micro-batch committed an atomic, time-travelable state version
+    assert(Versioned.latestVersion(spark, statePath).exists(_ >= 3))
+    raw.unpersist()
+  }
+
+  test("z-order: skipping prunes on BOTH columns; a plain sort only on its leading one") {
+    val base = Files.createTempDirectory("graft_zorder").toString
+    val data = Sources.orders(spark, sf).select(
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("o_day"),
+      col("o_totalprice"), col("o_orderkey"))
+    Maintenance.zorderWrite(data, Seq("o_day", "o_totalprice"), s"$base/z", 16)
+    data.repartitionByRange(16, col("o_day")).write.parquet(s"$base/sorted")
+    def pruned(path: String, c: String, lo: Double, hi: Double): Int = {
+      val scan = spark.read.parquet(path)
+      val stats = Maintenance.fileStats(scan, Seq(c))
+      Maintenance.candidateFiles(stats, c, lit(lo), lit(hi)).size
+    }
+    // narrow slices on each dimension (~10% of each domain)
+    val dayFiles = pruned(s"$base/z", "o_day", 800, 1000)
+    val priceFiles = pruned(s"$base/z", "o_totalprice", 100000, 150000)
+    assert(dayFiles < 16, s"z-order must prune on o_day, read $dayFiles/16")
+    assert(priceFiles < 16, s"z-order must prune on o_totalprice, read $priceFiles/16")
+    // the single-column layout prunes its own key but not the other column
+    val sortedDay = pruned(s"$base/sorted", "o_day", 800, 1000)
+    val sortedPrice = pruned(s"$base/sorted", "o_totalprice", 100000, 150000)
+    assert(sortedDay < 16)
+    assert(priceFiles < sortedPrice,
+      s"z-order ($priceFiles files) must beat the date-sorted layout " +
+        s"($sortedPrice files) on the non-leading column")
+    // z-order trades perfect leading-column clustering for multi-column
+    // clustering; it may read more o_day files than the dedicated sort
+    assert(data.count() === spark.read.parquet(s"$base/z").count())
+  }
+
   test("stats index prunes files a range predicate cannot touch") {
     val path = Files.createTempDirectory("graft_stats").toString + "/orders"
     // range-layout by date -> disjoint per-file min/max (the clustered case
