@@ -244,7 +244,8 @@ object Dedup {
     * so the convergence behavior is unit-testable on synthetic graphs. */
   private[graft] def componentsOf(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     // Both edges AND each round's labels MUST be plan LEAVES (lazy
-    // localCheckpoint, same device as the distributed ranks). Dataset
+    // localCheckpoint — justified here, unlike the ranks, because the
+    // convergence LOOP genuinely needs an action per round). Dataset
     // construction analyzes its whole tree eagerly, the round plans
     // reference edges every round and `next` twice, and persist() does NOT
     // truncate the logical plan — only a checkpoint leaf does. Measured on a
