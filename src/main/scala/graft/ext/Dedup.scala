@@ -117,58 +117,69 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Per-doc minhash signature (one column per permutation, `mh0..mh31`). */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = shingleHashes(Sources.documents(spark, dir))
-    val mins = Perms.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % P).as(s"mh$i")
-    }
-    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-  }
+  /** Per-doc minhash signature as an array column `mh` — ONE map-side
+    * codegen pass ([[graft.functions.ShingleMinhash]]): no shingle explode,
+    * no shuffle. Docs with < K tokens (no shingles) drop out, matching the
+    * explode/groupBy formulation. */
+  def minhashSignatureArray(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.Minhash.shingleMinhash(
+          Text.tokens(col("text")), ShingleK, Perms).as("mh"))
+      .where(col("mh").isNotNull)
 
-  /** Band bucket = left fold of the band's minhashes:
-    * acc ← (acc·1000003 + mh) mod P (stays < 2⁵² pre-mod, no overflow). */
+  /** Per-doc minhash signature (one column per permutation, `mh0..mh31`). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatureArray(Sources.documents(spark, dir))
+      .select(col("doc_id") +:
+        (0 until MinhashK).map(i => element_at(col("mh"), i + 1).as(s"mh$i")): _*)
+
+  /** Band bucket = left fold of the band's minhashes (read from the `mh`
+    * array): acc ← (acc·1000003 + mh) mod P (stays < 2⁵² pre-mod). */
   private def bandBucket(band: Int): Column =
     (0 until RowsPerBand).foldLeft(lit(0L): Column) {
-      (acc, r) => (acc * 1000003L + col(s"mh${band * RowsPerBand + r}")) % P
+      (acc, r) => (acc * 1000003L + element_at(col("mh"), band * RowsPerBand + r + 1)) % P
     }
 
   /** MinHash-LSH near-dup pairs: band-bucket candidates, then exact-Jaccard
     * verification of candidates only (the planted near-dups at J ≥ 0.8 have
     * ≥ 98.5% per-pair collision probability with 8×4 banding; both engines
-    * compute identical bands, so the result set is deterministic). */
+    * compute identical bands, so the result set is deterministic).
+    *
+    * Pipeline shape at scale: signatures are map-only (fused codegen kernel),
+    * so the FIRST shuffle is the band-bucket join at 8 rows/doc, and the
+    * shingle explode happens only for the candidate docs the verify needs. */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    // one cached shingle set feeds BOTH the signatures and the exact-Jaccard
-    // verify (previously two full tokenize+shingle passes over the corpus)
-    val sh = shingles(Sources.documents(spark, dir)).cache()
-    val hashed = sh.select(col("doc_id"), Text.rollingHash(col("shingle")).as("h"))
-    val mins = Perms.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % P).as(s"mh$i")
-    }
-    val sigs = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val docs = Sources.documents(spark, dir)
+    val sigs = minhashSignatureArray(docs)
+    // 8 small rows/doc; cached so the self-join's two sides and the verify's
+    // two uses of `candidates` read one materialization instead of running
+    // the signature kernel per reference (at 100 TB: MEMORY_AND_DISK)
     val bands = sigs.select(col("doc_id"),
       explode(array((0 until Bands).map(b =>
         struct(lit(b).as("band"), bandBucket(b).as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .cache()
     val candidates = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .cache()
     // exact verification on candidates only
-    jaccardVerify(sh, candidates)
+    jaccardVerify(docs, candidates)
   }
 
   /** Exact Jaccard of each candidate (doc_a, doc_b) pair, keeping pairs at
     * τ ≥ [[JaccardThreshold]]. Two equi-joins: explode pairs into a's
     * shingles, keep the ones b also has (shuffle keyed on (doc, shingle)). */
-  private def jaccardVerify(sh: DataFrame, candidates: DataFrame): DataFrame = {
-    // prune the shingle table to docs that appear in ANY candidate pair
-    // before the per-pair joins: candidates are a vanishing fraction of the
-    // corpus (LSH exists to make them so), so the two verify joins below
-    // shuffle thousands of shingle rows instead of the whole corpus's
-    val docs = candidates.select(col("doc_a").as("doc_id"))
+  private def jaccardVerify(docsDf: DataFrame, candidates: DataFrame): DataFrame = {
+    // shingle-explode ONLY docs that appear in a candidate pair: candidates
+    // are a vanishing fraction of the corpus (LSH exists to make them so),
+    // so the verify joins shuffle thousands of shingle rows — and the
+    // corpus-wide shingle explode never happens at all (signatures are a
+    // fused map-side kernel; see minhashSignatureArray)
+    val docIds = candidates.select(col("doc_a").as("doc_id"))
       .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
-    val shc = sh.join(broadcast(docs), Seq("doc_id"), "left_semi")
+    val shc = shingles(docsDf.join(broadcast(docIds), Seq("doc_id"), "left_semi"))
     val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = candidates
       .join(shc.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")

@@ -41,4 +41,40 @@ class NativeSpec extends SparkSpec {
     ).first()
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("ShingleMinhash == explode/groupBy minhash pipeline on every document") {
+    import graft.ext.{Dedup, Text}
+    val docs = graft.engine.Sources.documents(spark, sf)
+    // the composed formulation the kernel replaces: shingle strings ->
+    // rolling hash -> 32 min-aggregates at (doc, shingle) grain
+    val hashed = Dedup.shingles(docs)
+      .select(col("doc_id"), Text.rollingHash(col("shingle")).as("h"))
+    val mins = Dedup.Perms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % Dedup.P).as(s"mh$i")
+    }
+    val composed = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val fused = Dedup.minhashSignatures(spark, sf)
+    assert(fused.count() === composed.count())
+    assert(fused.exceptAll(composed).isEmpty && composed.exceptAll(fused).isEmpty,
+      "fused kernel must be bitwise-identical to the composed pipeline")
+  }
+
+  test("ShingleMinhash: short docs are null, duplicate shingles don't change minima") {
+    import graft.ext.Dedup
+    val df = spark.createDataFrame(Seq(
+      (1L, "a b"),                 // < K tokens -> null
+      (2L, "a b c"),               // one shingle
+      (3L, "a b c a b c a b c"))   // same shingle repeated
+    ).toDF("doc_id", "text")
+    val sig = df.select(col("doc_id"),
+      graft.functions.Minhash.shingleMinhash(
+        graft.ext.Text.tokens(col("text")), Dedup.ShingleK, Dedup.Perms).as("mh"))
+    val rows = sig.orderBy("doc_id").collect()
+    assert(rows(0).isNullAt(1))
+    val one = rows(1).getSeq[Long](1)
+    val rep = rows(2).getSeq[Long](1)
+    assert(one.size === Dedup.MinhashK)
+    // doc 3's shingle set ⊇ {"a b c"} plus wrap shingles; every min ≤ doc 2's
+    one.zip(rep).foreach { case (o, r) => assert(r <= o) }
+  }
 }
