@@ -595,6 +595,65 @@ object OraclesExt {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Twin of Corpus.lengthBatches: global row_number over (token count,
+    * doc_id) cut into fixed-size batches. The oracle spells the global order
+    * as a plain window; the engine uses the distributed rank operator —
+    * identical assignment by construction. */
+  val corpusLengthBatches: String = {
+    import graft.ext.Corpus.BatchSize
+    import graft.ext.Text.BpePattern
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe_tokens
+       |  FROM documents)
+       |SELECT doc_id, lang, n_bpe_tokens,
+       |  CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY n_bpe_tokens, doc_id) - 1)
+       |    / $BatchSize.0) AS BIGINT) AS batch_id
+       |FROM toks
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Twin of Corpus.batchPaddingStats. */
+  val corpusBatchPadding: String =
+    s"""WITH batches AS ($corpusLengthBatches)
+       |SELECT batch_id,
+       |  count(*) AS n_docs,
+       |  max(n_bpe_tokens) AS max_tokens,
+       |  CAST(sum(n_bpe_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(count(*) * max(n_bpe_tokens) - sum(n_bpe_tokens) AS BIGINT) AS padding_tokens
+       |FROM batches
+       |GROUP BY batch_id
+       |ORDER BY batch_id""".stripMargin
+
+  /** Twin of Corpus.tokenBudgetMix — all-integer threshold math, shared
+    * mixer, budget = 6/10 of the largest source's tokens. */
+  val corpusTokenBudgetMix: String = {
+    import graft.ext.Corpus.{BudgetNum, BudgetDen, MixResolution}
+    import graft.ext.Text.BpePattern
+    s"""WITH per_doc AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe_tokens
+       |  FROM documents),
+       |per_source AS (
+       |  SELECT source, CAST(sum(n_bpe_tokens) AS BIGINT) AS src_tokens
+       |  FROM per_doc GROUP BY source),
+       |budget AS (
+       |  SELECT CAST(FLOOR(max(src_tokens) * $BudgetNum / $BudgetDen) AS BIGINT) AS budget
+       |  FROM per_source),
+       |thresholds AS (
+       |  SELECT source, src_tokens,
+       |    least($MixResolution,
+       |      CAST(FLOOR(budget * $MixResolution / src_tokens) AS BIGINT)) AS keep_threshold
+       |  FROM per_source CROSS JOIN budget)
+       |SELECT d.source, t.src_tokens, t.keep_threshold,
+       |  count(*) AS n_docs_kept,
+       |  CAST(sum(d.n_bpe_tokens) AS BIGINT) AS tokens_kept
+       |FROM per_doc d JOIN thresholds t ON d.source = t.source
+       |WHERE ${mixSql("d.doc_id")} % $MixResolution < t.keep_threshold
+       |GROUP BY d.source, t.src_tokens, t.keep_threshold
+       |ORDER BY d.source""".stripMargin
+  }
+
   /** Twin of Events.userTypePivot (explicit conditional counts — the
     * engine-portable spelling of PIVOT). */
   val eventsUserTypePivot: String = {
@@ -907,6 +966,9 @@ object OraclesExt {
     "events_purchase_attribution" -> eventsPurchaseAttribution,
     "corpus_pack_sequences" -> corpusPackSequences,
     "corpus_preprocess" -> corpusPreprocess,
+    "corpus_length_batches" -> corpusLengthBatches,
+    "corpus_batch_padding" -> corpusBatchPadding,
+    "corpus_token_budget_mix" -> corpusTokenBudgetMix,
     "sim_ann_ivf" -> simAnnIvf,
     "events_asof_purchase_view" -> eventsAsofPurchaseView,
     "events_user_type_pivot" -> eventsUserTypePivot,

@@ -108,6 +108,9 @@ object SparkEntry {
     "corpus_mix_by_source" -> ((s, d) => ext.Corpus.mixBySourceWeight(s, d).orderBy("source")),
     "corpus_pack_sequences" -> ((s, d) => ext.Corpus.packSequences(s, d).orderBy("doc_id")),
     "corpus_preprocess" -> ((s, d) => ext.Corpus.preprocess(s, d).orderBy("doc_id")),
+    "corpus_length_batches" -> ((s, d) => ext.Corpus.lengthBatches(s, d).orderBy("doc_id")),
+    "corpus_batch_padding" -> ((s, d) => ext.Corpus.batchPaddingStats(s, d).orderBy("batch_id")),
+    "corpus_token_budget_mix" -> ((s, d) => ext.Corpus.tokenBudgetMix(s, d).orderBy("source")),
     // lakehouse-incremental surface: SCD2 history, change-data-feed diff,
     // delta-fold aggregate maintenance (oracle = from-scratch recompute)
     "scd2_user_event_type" -> ((s, d) =>

@@ -55,6 +55,78 @@ object Corpus {
         col("offset_in_seq") + col("n_bpe_tokens") > SeqLen)
   }
 
+  /** Docs per training batch for [[lengthBatches]]. */
+  val BatchSize = 16
+
+  /** Length-bucketed batch assembly: sort the corpus globally by token count
+    * (doc_id tiebreak) and cut consecutive runs of [[BatchSize]] docs into
+    * batches, so each batch holds similar-length documents and padding-to-max
+    * waste is minimized — the standard dataloader trick for transformer
+    * training. The global ordering rides on [[graft.plans.GlobalOrderedRank]]
+    * (range exchange + per-partition sorts — no single-task sort), and the
+    * batch id is a map-side function of the global row number. */
+  def lengthBatches(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(Text.bpeTokens(col("text"))).cast("long")
+    val base = Sources.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), nTokens.as("n_bpe_tokens"))
+    val ranked = graft.plans.GlobalRank.withRankColumns(base,
+      Seq(col("n_bpe_tokens").asc, col("doc_id").asc), "_rn", "_rk", "_tot")
+    ranked
+      .withColumn("batch_id", floor((col("_rn") - 1) / BatchSize).cast("long"))
+      .drop("_rn", "_rk", "_tot")
+  }
+
+  /** Padding efficiency of [[lengthBatches]]: per batch, the tokens wasted if
+    * every doc pads to the batch max — the metric the bucketing exists to
+    * minimize. Pure aggregate over the batch id (one small shuffle). */
+  def batchPaddingStats(spark: SparkSession, dir: String): DataFrame =
+    lengthBatches(spark, dir)
+      .groupBy("batch_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("n_bpe_tokens")).as("max_tokens"),
+        sum(col("n_bpe_tokens")).as("sum_tokens"))
+      .withColumn("padding_tokens",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+
+  /** Numerator/denominator of the [[tokenBudgetMix]] budget: 6/10 of the
+    * largest source's token count (self-scaling, so every SF has both
+    * kept-whole and down-sampled sources — never a vacuous result). */
+  val BudgetNum = 6L
+  val BudgetDen = 10L
+  /** Per-mille resolution of the keep threshold (integer math end to end). */
+  val MixResolution = 10000L
+
+  /** Token-budget source mixing (the LLaMA-style recipe): cap every source at
+    * a token budget; sources under budget are kept whole, sources over it are
+    * down-sampled to the budget's fraction with the deterministic per-doc
+    * mixer (append-stable, join-free at the row level). All threshold math is
+    * integer, so the oracle reproduces it bit-for-bit.
+    *
+    * Plan shape: one narrow per-doc projection feeds (a) the per-source token
+    * totals (partial agg), (b) the row-level filter after the totals
+    * broadcast back — two small shuffles at source grain, one corpus scan. */
+  def tokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(Text.bpeTokens(col("text"))).cast("long")
+    val perDoc = Sources.documents(spark, dir)
+      .select(col("doc_id"), col("source"), nTokens.as("n_bpe_tokens"))
+    val perSource = perDoc.groupBy("source")
+      .agg(sum(col("n_bpe_tokens")).as("src_tokens"))
+    val budget = perSource
+      .agg((floor(max(col("src_tokens")) * BudgetNum / BudgetDen)).cast("long").as("budget"))
+    val thresholds = perSource.crossJoin(broadcast(budget))
+      .withColumn("keep_threshold",
+        least(lit(MixResolution),
+          floor(col("budget") * MixResolution / col("src_tokens")).cast("long")))
+    perDoc
+      .join(broadcast(thresholds), Seq("source"))
+      .where(Sampling.mixHash(col("doc_id")) % MixResolution < col("keep_threshold"))
+      .groupBy(col("source"), col("src_tokens"), col("keep_threshold"))
+      .agg(
+        count(lit(1)).as("n_docs_kept"),
+        sum(col("n_bpe_tokens")).as("tokens_kept"))
+  }
+
   val QualityThreshold = 0.4
 
   /** The end-to-end preprocessing pipeline a training run executes: keep
