@@ -276,6 +276,47 @@ object OraclesExt {
            |    ${R(s"(${dotSql("a.v", "b.v")}) / (a.norm * b.norm)", 6)} AS cosine
            |  FROM n a JOIN n b ON a.vec_id <> b.vec_id)""".stripMargin)}""".stripMargin
 
+  /** Twin of Similarity.dequantized: per-vector symmetric int8 grid,
+    * ⌊x/scale + 0.5⌋ clamp ±127, dequantized back to doubles. */
+  private val dequantCte = {
+    import graft.ext.Similarity.QuantLevels
+    s"""$normCte,
+       |sc AS (
+       |  SELECT vec_id, v, norm,
+       |    (CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0 THEN 1.0
+       |          ELSE list_max(list_transform(v, x -> abs(x))) / $QuantLevels END) AS scale
+       |  FROM n),
+       |dq AS (
+       |  SELECT vec_id, v, norm, scale,
+       |    list_transform(generate_series(1, $Dim), i ->
+       |      GREATEST(-$QuantLevels.0, LEAST($QuantLevels.0,
+       |        FLOOR(v[i] / scale + 0.5))) * scale) AS dv
+       |  FROM sc),
+       |dn AS (
+       |  SELECT vec_id, v, norm, scale, dv,
+       |    sqrt(${dotSql("dv", "dv")}) AS dnorm
+       |  FROM dq)""".stripMargin
+  }
+
+  /** Twin of Similarity.quantizedKnn. */
+  val simQuantizedKnn: String =
+    s"""WITH $dequantCte,
+       |${topKSql(
+        s"""p AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    ${R(s"(${dotSql("a.dv", "b.dv")}) / (a.dnorm * b.dnorm)", 6)} AS cosine
+           |  FROM dn a JOIN dn b ON a.vec_id <> b.vec_id)""".stripMargin)}""".stripMargin
+
+  /** Twin of Similarity.quantizationError. */
+  val simQuantizationError: String =
+    s"""WITH $dequantCte
+       |SELECT vec_id, scale,
+       |  ${R(s"list_max(list_transform(generate_series(1, $Dim), i -> abs(v[i] - dv[i])))", 6)}
+       |    AS max_abs_err,
+       |  ${R(s"(${dotSql("v", "dv")}) / (norm * dnorm)", 6)} AS cosine_orig_deq
+       |FROM dn
+       |ORDER BY vec_id""".stripMargin
+
   /** Twin of Similarity.srpSignature/annLsh: hyperplane component for
     * (plane, 0-based dim i) = sign of Lehmer hash of flat index plane·Dim+i;
     * one signature per table, OR-amplified candidate union. */
@@ -993,6 +1034,8 @@ object OraclesExt {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "sim_knn_bruteforce" -> simKnnBruteForce,
     "sim_ann_lsh" -> simAnnLsh,
+    "sim_quantized_knn" -> simQuantizedKnn,
+    "sim_quantization_error" -> simQuantizationError,
     "events_tumbling_hourly" -> eventsTumblingHourly,
     "events_sliding_hourly" -> eventsSlidingHourly,
     "events_sessions" -> eventsSessions,

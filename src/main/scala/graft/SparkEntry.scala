@@ -73,6 +73,10 @@ object SparkEntry {
     "sim_knn_bruteforce" -> ((s, d) =>
       ext.Similarity.knnBruteForce(s, d).orderBy("query_id", "rank")),
     "sim_ann_lsh" -> ((s, d) => ext.Similarity.annLsh(s, d).orderBy("query_id", "rank")),
+    "sim_quantized_knn" -> ((s, d) =>
+      ext.Similarity.quantizedKnn(s, d).orderBy("query_id", "rank")),
+    "sim_quantization_error" -> ((s, d) =>
+      ext.Similarity.quantizationError(s, d).orderBy("vec_id")),
     "sim_ann_ivf" -> ((s, d) => ext.Similarity.annIvf(s, d).orderBy("query_id", "rank")),
     // ext: event-stream analytics, batch twins of graft.streaming
     "events_tumbling_hourly" -> ((s, d) =>

@@ -154,6 +154,51 @@ object Similarity {
     topK(pairs, TopK)
   }
 
+  // --------------------------------------------------- int8 quantization
+
+  /** Symmetric per-vector int8 levels: q = clamp(⌊x/scale + 0.5⌋, ±127),
+    * scale = max|x|/127. At 100 TB this is the 4× storage / bandwidth cut
+    * every embedding store takes before ANN; the queries below measure what
+    * it costs in ranking fidelity. ⌊·+0.5⌋ (not round()) so Spark and DuckDB
+    * run the identical IEEE sequence — the same device as [[Num.r]]. */
+  val QuantLevels = 127L
+
+  /** (vec_id, v, norm) → + (scale, dv = dequantized vector, dnorm). The
+    * int8 codes exist only inside the transform — what downstream sees is
+    * the dequantized double vector, exactly what a real store serves. */
+  def dequantized(e: DataFrame): DataFrame = {
+    val maxabs = array_max(transform(col("v"), x => abs(x)))
+    e.withColumn("scale",
+        when(maxabs === 0.0, lit(1.0)).otherwise(maxabs / QuantLevels))
+      .withColumn("dv", transform(col("v"), x =>
+        greatest(lit(-QuantLevels), least(lit(QuantLevels),
+          floor(x / col("scale") + 0.5))).cast("double") * col("scale")))
+      .withColumn("dnorm", sqrt(dot(col("dv"), col("dv"))))
+  }
+
+  /** Brute-force top-k over the DEQUANTIZED vectors — same schema as
+    * [[knnBruteForce]], so the two result sets diff directly: the end-to-end
+    * ranking drift of 8-bit storage. */
+  def quantizedKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = dequantized(withNorm(Sources.embeddings(spark, dir))).cache()
+    val q = e.select(col("vec_id").as("query_id"), col("dv").as("va"), col("dnorm").as("na"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("dv").as("vb"), col("dnorm").as("nb"))
+    topK(cosinePairs(q, n), TopK)
+  }
+
+  /** Per-vector quantization error: reconstruction max-abs-error and the
+    * cosine between the original and dequantized vector (≈1 − how much angle
+    * the 8-bit grid ate). Map-only, one pass. */
+  def quantizationError(spark: SparkSession, dir: String): DataFrame =
+    dequantized(withNorm(Sources.embeddings(spark, dir)))
+      .select(
+        col("vec_id"),
+        col("scale"),
+        r(array_max(zip_with(col("v"), col("dv"), (a, b) => abs(a - b))), 6)
+          .as("max_abs_err"),
+        r(dot(col("v"), col("dv")) / (col("norm") * col("dnorm")), 6)
+          .as("cosine_orig_deq"))
+
   /** Exact top-[[TopK]] cosine neighbors for every vector (the O(n²) ground
     * truth; ties broken by neighbor id so results are total-ordered). */
   def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
@@ -175,6 +220,8 @@ object Similarity {
       explode(array((0 until LshTables).map(t =>
         struct(lit(t).as("t"), srpSignature(col("v"), t).as("sig"))): _*)).as("b"))
       .select(col("vec_id"), col("b.t").as("t"), col("b.sig").as("sig"))
+      .cache() // tiny (L rows/vector); self-join reads one materialization
+               // instead of projecting 24 hyperplanes twice per vector
     val cand = bands.as("x").join(bands.as("y"), Seq("t", "sig"))
       .where(col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("neighbor_id"))

@@ -181,6 +181,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, f"recall $recall%.3f below 0.7")
   }
 
+  test("int8 quantization: knn overlap with exact is high, reconstruction error bounded") {
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val exact = top(Similarity.knnBruteForce(spark, sf))
+    val quant = top(Similarity.quantizedKnn(spark, sf))
+    val overlap = exact.map { case (q, e) =>
+      quant.get(q).map(a => (a & e).size.toDouble / e.size).getOrElse(0.0)
+    }.sum / exact.size
+    info(f"quantized knn overlap@5 = $overlap%.3f")
+    assert(overlap >= 0.8, f"overlap $overlap%.3f below 0.8 — 8 bits should barely move top-5")
+    // per-vector guarantees of the symmetric grid: |x - deq(x)| <= scale/2,
+    // and the angle the grid eats is tiny
+    val err = Similarity.quantizationError(spark, sf).collect()
+    err.foreach { r =>
+      // + 1e-6: max_abs_err is reported r6-rounded, which can tip it just
+      // past the exact scale/2 bound
+      assert(r.getAs[Double]("max_abs_err") <= r.getAs[Double]("scale") / 2 + 1e-6)
+      assert(r.getAs[Double]("cosine_orig_deq") >= 0.999)
+    }
+  }
+
   test("IVF recall@5 vs brute force when probing 4 of 10 lists") {
     def top(df: org.apache.spark.sql.DataFrame) =
       df.collect().groupBy(_.getAs[Long]("query_id"))
