@@ -110,6 +110,48 @@ object Maintenance {
       .write.parquet(path)
   }
 
+  /** VACUUM: physically delete version directories no reader should need —
+    * everything older than the newest `keepLast` versions, EXCEPT the
+    * pointer's current target (a rolled-back-to old version stays readable
+    * no matter how old). Returns the versions deleted. Irreversible by
+    * design — this is the retention boundary where time travel ends, the
+    * lakehouse `VACUUM`/`expire_snapshots`. The pointer itself is never
+    * touched, so concurrent readers resolving it stay consistent. */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(path)
+    if (!f.exists(base)) return Nil
+    val versions = f.listStatus(base).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toInt }.sorted
+    val current = Versioned.latestVersion(spark, path)
+    val cutoff = versions.drop(math.max(0, versions.length - keepLast)).headOption
+    versions.filter(v => cutoff.exists(v < _) && !current.contains(v)).map { v =>
+      f.delete(new Path(path, s"v=$v"), true); v
+    }.toSeq
+  }
+
+  /** Schema evolution ON READ: align any frame to a target schema —
+    * missing columns materialize as typed nulls, present columns cast to
+    * the target type, order follows the target. With parquet's additive
+    * evolution (new columns appended over time) this makes every historical
+    * version readable through today's schema — the Delta/Iceberg
+    * schema-on-read contract, done with one Project (map-side, free). */
+  def alignToSchema(df: DataFrame, target: org.apache.spark.sql.types.StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(target.fields.map { fld =>
+      if (have.contains(fld.name)) col(fld.name).cast(fld.dataType).as(fld.name)
+      else lit(null).cast(fld.dataType).as(fld.name)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Read a [[Versioned]] table (any version) through `target` — time travel
+    * across schema changes. */
+  def readAligned(spark: SparkSession, path: String,
+                  target: org.apache.spark.sql.types.StructType,
+                  version: Option[Int] = None): DataFrame =
+    alignToSchema(Versioned.read(spark, path, version), target)
+
   /** Number of parquet part-files in a version directory (spec observable). */
   def partFileCount(spark: SparkSession, path: String, version: Int): Int = {
     val dir = new Path(s"$path/v=$version")

@@ -147,6 +147,41 @@ class LakehouseSpec extends SparkSpec {
     assert(data.count() === spark.read.parquet(s"$base/z").count())
   }
 
+  test("vacuum deletes expired versions but never the pointer target") {
+    val path = Files.createTempDirectory("graft_vacuum").toString + "/t"
+    import spark.implicits._
+    (1 to 5).foreach(i => Versioned.write(Seq((i, s"v$i")).toDF("k", "s"), path))
+    val deleted = Maintenance.vacuum(spark, path, keepLast = 2)
+    assert(deleted === Seq(1, 2, 3))
+    assert(Versioned.read(spark, path).select("s").first().getString(0) === "v5")
+    assert(Versioned.read(spark, path, Some(4)).count() === 1) // kept window
+    intercept[Exception](Versioned.read(spark, path, Some(2)).count())
+    // rollback pins an old version: vacuum must not delete it
+    val p2 = Files.createTempDirectory("graft_vacuum2").toString + "/t"
+    (1 to 3).foreach(i => Versioned.write(Seq((i, s"v$i")).toDF("k", "s"), p2))
+    Versioned.rollback(spark, p2, 1)
+    assert(Maintenance.vacuum(spark, p2, keepLast = 1) === Seq(2))
+    assert(Versioned.read(spark, p2).select("s").first().getString(0) === "v1")
+    assert(Versioned.read(spark, p2, Some(3)).count() === 1) // newest kept
+  }
+
+  test("schema evolution on read: old versions readable through today's schema") {
+    val path = Files.createTempDirectory("graft_evolve").toString + "/t"
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    Versioned.write(Seq((1L, "a")).toDF("k", "s"), path) // v1: two columns
+    Versioned.write(Seq((2L, "b", 9)).toDF("k", "s", "score"), path) // v2: adds score (int)
+    val today = StructType(Seq( // today: score widened to long, new flag column
+      StructField("k", LongType), StructField("s", StringType),
+      StructField("score", LongType), StructField("flag", BooleanType)))
+    val v1 = Maintenance.readAligned(spark, path, today, Some(1))
+    val v2 = Maintenance.readAligned(spark, path, today, Some(2))
+    assert(v1.schema === today && v2.schema === today)
+    val all = v1.unionByName(v2).orderBy("k").collect()
+    assert(all(0).isNullAt(2) && all(0).isNullAt(3)) // v1 rows: typed nulls
+    assert(all(1).getLong(2) === 9L && all(1).isNullAt(3)) // v2: cast int→long
+  }
+
   test("stats index prunes files a range predicate cannot touch") {
     val path = Files.createTempDirectory("graft_stats").toString + "/orders"
     // range-layout by date -> disjoint per-file min/max (the clustered case
