@@ -809,6 +809,35 @@ object OraclesExt {
     * top byte), so the stubbed codec's output is exactly computable in SQL:
     * HUGEINT arithmetic mod 2^64 reproduces Scala's wrapping Long, and
     * `s // 2^56` is the unsigned top byte the fake decoder averages. */
+  /** Twin of Multimodal.resizeSummary — the aspect-preserving geometry
+    * (scale = min(1, min(box/w, box/h)), floor-to-int, 1-px floor) in SQL.
+    * DuckDB CAST(double AS INT) ROUNDS, so the truncation is an explicit
+    * FLOOR (Scala `.toInt` truncates toward zero; dims are positive). */
+  val mediaResizeSummary: String = {
+    val box = graft.ext.Multimodal.ResizeBox
+    s"""WITH media AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    CAST(64 + (doc_id % 8) * 32 AS INTEGER) AS w0,
+       |    CAST(64 + (doc_id % 5) * 32 AS INTEGER) AS h0
+       |  FROM documents),
+       |resized AS (
+       |  SELECT kind, w0, h0,
+       |    GREATEST(1, CAST(FLOOR(w0 * LEAST(1.0, LEAST($box.0 / w0, $box.0 / h0)))
+       |      AS INTEGER)) AS w1,
+       |    GREATEST(1, CAST(FLOOR(h0 * LEAST(1.0, LEAST($box.0 / w0, $box.0 / h0)))
+       |      AS INTEGER)) AS h1
+       |  FROM media)
+       |SELECT kind,
+       |  count(*) AS n_media,
+       |  CAST(sum(w1) AS BIGINT) AS sum_width,
+       |  CAST(sum(h1) AS BIGINT) AS sum_height,
+       |  count(CASE WHEN w1 < w0 OR h1 < h0 THEN 1 END) AS n_downscaled
+       |FROM resized
+       |GROUP BY kind
+       |ORDER BY kind""".stripMargin
+  }
+
   val mediaKindSummary: String = {
     val A = "6364136223846793005"
     val C = "1442695040888963407"
@@ -1001,6 +1030,7 @@ object OraclesExt {
     "sampling_contamination" -> samplingContamination,
     "corpus_mix_by_source" -> corpusMix,
     "media_kind_summary" -> mediaKindSummary,
+    "media_resize_summary" -> mediaResizeSummary,
     "text_gopher_rules" -> textGopherRules,
     "text_repetition" -> textRepetition,
     "dedup_clusters" -> dedupClusters,

@@ -126,6 +126,8 @@ object SparkEntry {
     // ext: multimodal plumbing (deterministic fake codec → rows-only check;
     // the decode leaf is a stub, so no SQL oracle can exist for it)
     "media_kind_summary" -> ((s, d) => ext.Multimodal.kindSummary(s, d).orderBy("kind")),
+    "media_resize_summary" -> ((s, d) =>
+      ext.Multimodal.resizeSummary(s, d).orderBy("kind")),
     // the reference README's documented BI consumer queries
     // (reference: README.md:216-236; O2 top-K → TakeOrderedAndProject)
     "consumer_top_clv" -> ((s, d) =>

@@ -125,6 +125,29 @@ object Multimodal {
     }
   }
 
+  /** Bounding box for [[resizeSummary]]'s normalization pass. */
+  val ResizeBox = 128
+
+  /** The resize stage as a queryable table: per kind, the post-resize
+    * geometry and how many blobs the [[ResizeBox]]² bounding box actually
+    * shrank. The codec byte-work is the stub; the GEOMETRY (scale factor,
+    * floor-to-int, 1-pixel floor) is the real contract and is what the
+    * DuckDB twin re-derives — `n_downscaled` compares against the
+    * original dims recomputed from `media_id`, so the check is
+    * non-vacuous at every SF. */
+  def resizeSummary(spark: SparkSession, dir: String): DataFrame = {
+    val origW = lit(64) + (col("media_id") % 8).cast("int") * 32
+    val origH = lit(64) + (col("media_id") % 5).cast("int") * 32
+    resize(mediaCorpus(spark, dir), ResizeBox, ResizeBox).toDF()
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"),
+        count(when(col("width") < origW || col("height") < origH, 1))
+          .as("n_downscaled"))
+  }
+
   /** The media pipeline as a queryable table: features joined back to doc
     * language (metadata join pattern), aggregated per kind. */
   def kindSummary(spark: SparkSession, dir: String): DataFrame = {

@@ -110,6 +110,19 @@ class PlanSpec extends SparkSpec {
       "range predicate must ride an equi-join, not a nested loop:\n" + p.take(1200))
   }
 
+  test("minhash signatures are map-only: no exchange before the band explode") {
+    val docs = graft.engine.Sources.documents(spark, sf)
+    val p = plan(graft.ext.Dedup.minhashSignatureArray(docs))
+    assert(!p.contains("Exchange"),
+      "fused ShingleMinhash must compute signatures without any shuffle:\n" + p.take(1500))
+  }
+
+  test("length batches rank via the custom operator, never a single-partition window") {
+    val p = plan(graft.ext.Corpus.lengthBatches(spark, sf))
+    assert(p.contains("GlobalOrderedRank"), p.take(1500))
+    assert(!p.contains("Window"), "no window fallback expected:\n" + p.take(1500))
+  }
+
   test("catalog temp views make every layer SQL-addressable") {
     Catalog.registerAll(spark, sf)
     val n = spark.sql(
