@@ -148,17 +148,21 @@ object Dedup {
     * Pipeline shape at scale: signatures are map-only (fused codegen kernel),
     * so the FIRST shuffle is the band-bucket join at 8 rows/doc, and the
     * shingle explode happens only for the candidate docs the verify needs. */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Sources.documents(spark, dir)
-    val sigs = minhashSignatureArray(docs)
-    // 8 small rows/doc; cached so the self-join's two sides and the verify's
-    // two uses of `candidates` read one materialization instead of running
-    // the signature kernel per reference (at 100 TB: MEMORY_AND_DISK)
-    val bands = sigs.select(col("doc_id"),
+  /** (doc_id, band, bucket) LSH index rows for `docs` — 8 rows/doc, straight
+    * off the fused signature kernel (map-only until the explode). This is
+    * the unit a STREAMING ingester appends to its dedup store. */
+  def bandBuckets(docs: DataFrame): DataFrame =
+    minhashSignatureArray(docs).select(col("doc_id"),
       explode(array((0 until Bands).map(b =>
         struct(lit(b).as("band"), bandBucket(b).as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .cache()
+
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    // 8 small rows/doc; cached so the self-join's two sides and the verify's
+    // two uses of `candidates` read one materialization instead of running
+    // the signature kernel per reference (at 100 TB: MEMORY_AND_DISK)
+    val bands = bandBuckets(docs).cache()
     val candidates = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -171,7 +175,7 @@ object Dedup {
   /** Exact Jaccard of each candidate (doc_a, doc_b) pair, keeping pairs at
     * τ ≥ [[JaccardThreshold]]. Two equi-joins: explode pairs into a's
     * shingles, keep the ones b also has (shuffle keyed on (doc, shingle)). */
-  private def jaccardVerify(docsDf: DataFrame, candidates: DataFrame): DataFrame = {
+  private[graft] def jaccardVerify(docsDf: DataFrame, candidates: DataFrame): DataFrame = {
     // shingle-explode ONLY docs that appear in a candidate pair: candidates
     // are a vanishing fraction of the corpus (LSH exists to make them so),
     // so the verify joins shuffle thousands of shingle rows — and the

@@ -177,6 +177,62 @@ object Streams {
       }
       .start()
 
+  /** STREAMING NEAR-DUP INGESTION — the corpus-building write path: each
+    * micro-batch of documents is LSH-checked against everything ever seen
+    * (and against itself), verified duplicates are rejected, and survivors
+    * append to the kept corpus. The dedup store indexes ALL arrivals —
+    * including rejected ones — because a future doc can duplicate a doc
+    * that was itself rejected (transitive chains).
+    *
+    * Semantics: a new doc is rejected iff it forms a verified (exact
+    * Jaccard ≥ τ) pair with ANY earlier-id doc seen so far. Under in-order
+    * arrival this reproduces [[graft.ext.Dedup.nearDupFiltered]]'s
+    * keep-lowest rule EXACTLY (StreamingSpec proves set equality on the
+    * real corpus).
+    *
+    * Store layout at `storePath`: `bands/` (doc_id, band, bucket — 8
+    * rows/doc) and `docs/` (full rows), both append-only parquet — O(delta)
+    * written per batch; the collision join reads the band index, not the
+    * corpus. At 100 TB the band store gets bucketed by (band, bucket) so
+    * the probe is partition-local; the shape is unchanged. */
+  def nearDupIngest(docs: DataFrame, storePath: String,
+                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        import graft.ext.Dedup
+        val spark = batch0.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val batch = batch0.persist()
+        val newBands = Dedup.bandBuckets(batch).persist()
+        val seen = fs.exists(new org.apache.hadoop.fs.Path(s"$storePath/docs"))
+        val histBands =
+          if (seen) spark.read.parquet(s"$storePath/bands") else newBands.limit(0)
+        val histDocs =
+          if (seen) spark.read.parquet(s"$storePath/docs") else batch.limit(0)
+        // candidate = new doc (right) colliding with ANY lower-id doc seen so
+        // far (left: history ∪ this batch — within-batch dups count too)
+        val cand = histBands.unionByName(newBands).as("x")
+          .join(newBands.as("y"), Seq("band", "bucket"))
+          .where(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct().persist()
+        val allDocs = histDocs.unionByName(batch)
+        val dups = Dedup.jaccardVerify(allDocs, cand)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val kept = batch.join(dups, Seq("doc_id"), "left_anti")
+        kept.write.mode("append").parquet(s"$storePath/kept")
+        // index EVERY arrival (kept or not) so future dups of rejected docs
+        // are still caught; appends only — never a history rewrite
+        batch.write.mode("append").parquet(s"$storePath/docs")
+        newBands.write.mode("append").parquet(s"$storePath/bands")
+        batch.unpersist(); newBands.unpersist(); cand.unpersist()
+        ()
+      }
+      .start()
+
   /** Streaming GOLD maintenance: each micro-batch of orders folds into the
     * persisted monthly-revenue STATE table ([[graft.engine.Incremental]]'s
     * mergeable partials, versioned via [[graft.sources.Versioned]] so every

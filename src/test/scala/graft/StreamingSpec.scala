@@ -276,6 +276,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup ingestion: streamed filter equals the batch filter under in-order arrival") {
+    val dir = Files.createTempDirectory("graft_ndi").toString
+    val docs = graft.engine.Sources.documents(spark, sf).cache()
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val q = Streams.nearDupIngest(
+      graft.engine.Sources.parquetStream(spark, s"$dir/in", "documents"),
+      s"$dir/store", s"$dir/ckpt")
+    try {
+      // in-order slices: the stream's keep-first-arrival == batch keep-lowest-id
+      Seq(col("doc_id") < 200,
+          col("doc_id") >= 200 && col("doc_id") < 350,
+          col("doc_id") >= 350).foreach { slice =>
+        docs.where(slice).write.mode("append").parquet(s"$dir/in")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/store/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = graft.ext.Dedup.nearDupFiltered(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed === batch,
+      s"stream-kept and batch-kept corpora must match; " +
+        s"only-stream=${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+    docs.unpersist()
+  }
+
   test("interval join: streamed purchase-view pairs equal the batch range join") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[Ev]
