@@ -49,12 +49,21 @@ object Versioned {
 
   /** Write `df` as the next version and move the pointer. Returns the new
     * version number. Versions allocate past ALL existing history, so a write
-    * after a rollback never clobbers the rolled-back-from versions. */
-  def write(df: DataFrame, path: String): Int = {
+    * after a rollback never clobbers the rolled-back-from versions.
+    *
+    * `tag` is commit metadata written INTO the version directory before the
+    * pointer swap (the swap is the atomic commit point) — e.g. a streaming
+    * micro-batch id, so a replayed foreachBatch can see via [[latestTag]]
+    * whether its batch already committed. Delta's commitInfo, minimally. */
+  def write(df: DataFrame, path: String, tag: Option[String] = None): Int = {
     val spark = df.sparkSession
     val next = maxExisting(spark, path) + 1
     df.write.mode("errorifexists").parquet(s"$path/v=$next")
     val f = fs(spark, path)
+    tag.foreach { t =>
+      val out = f.create(new Path(s"$path/v=$next", "_TAG"), true)
+      try out.write(t.getBytes("UTF-8")) finally out.close()
+    }
     val tmp = new Path(path, s"$Pointer.tmp")
     val out = f.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
@@ -63,6 +72,18 @@ object Versioned {
     require(f.rename(tmp, ptr), s"pointer swap failed for $path")
     next
   }
+
+  /** The commit tag of the CURRENT (pointer) version, if any. */
+  def latestTag(spark: SparkSession, path: String): Option[String] =
+    latestVersion(spark, path).flatMap { v =>
+      val f = fs(spark, path)
+      val p = new Path(s"$path/v=$v", "_TAG")
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+      }
+    }
 
   /** Read the latest version, or time-travel to a pinned one. */
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {

@@ -200,38 +200,54 @@ object Streams {
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
-        import graft.ext.Dedup
-        val spark = batch0.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(storePath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val batch = batch0.persist()
-        val newBands = Dedup.bandBuckets(batch).persist()
-        val seen = fs.exists(new org.apache.hadoop.fs.Path(s"$storePath/docs"))
-        val histBands =
-          if (seen) spark.read.parquet(s"$storePath/bands") else newBands.limit(0)
-        val histDocs =
-          if (seen) spark.read.parquet(s"$storePath/docs") else batch.limit(0)
-        // candidate = new doc (right) colliding with ANY lower-id doc seen so
-        // far (left: history ∪ this batch — within-batch dups count too)
-        val cand = histBands.unionByName(newBands).as("x")
-          .join(newBands.as("y"), Seq("band", "bucket"))
-          .where(col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct().persist()
-        val allDocs = histDocs.unionByName(batch)
-        val dups = Dedup.jaccardVerify(allDocs, cand)
-          .select(col("doc_b").as("doc_id")).distinct()
-        val kept = batch.join(dups, Seq("doc_id"), "left_anti")
-        kept.write.mode("append").parquet(s"$storePath/kept")
-        // index EVERY arrival (kept or not) so future dups of rejected docs
-        // are still caught; appends only — never a history rewrite
-        batch.write.mode("append").parquet(s"$storePath/docs")
-        newBands.write.mode("append").parquet(s"$storePath/bands")
-        batch.unpersist(); newBands.unpersist(); cand.unpersist()
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestDedupBatch(batch, storePath, batchId)
       }
       .start()
+
+  /** One micro-batch of [[nearDupIngest]], REPLAY-IDEMPOTENT by layout:
+    * foreachBatch is at-least-once (a crash between the data write and the
+    * checkpoint advance replays the batch), and replaying a plain append
+    * would duplicate the store. Every output instead lands in its own
+    * `batch=<id>` partition with overwrite semantics, so a replay rewrites
+    * the same partition rather than adding rows — no commit marker needed.
+    * History reads exclude the current batch's partition (a crashed earlier
+    * attempt may have left a partial copy there); partition pruning makes
+    * the exclusion free. */
+  private[graft] def ingestDedupBatch(batch0: DataFrame, storePath: String,
+                                      batchId: Long): Unit = {
+    import graft.ext.Dedup
+    val spark = batch0.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batch = batch0.persist()
+    val newBands = Dedup.bandBuckets(batch).persist()
+    val seen = fs.exists(new org.apache.hadoop.fs.Path(s"$storePath/docs"))
+    def history(sub: String, like: DataFrame): DataFrame =
+      if (!seen) like.limit(0)
+      else spark.read.parquet(s"$storePath/$sub")
+        .where(col("batch") =!= batchId).drop("batch")
+    val histBands = history("bands", newBands)
+    val histDocs = history("docs", batch)
+    // candidate = new doc (right) colliding with ANY lower-id doc seen so
+    // far (left: history ∪ this batch — within-batch dups count too)
+    val cand = histBands.unionByName(newBands).as("x")
+      .join(newBands.as("y"), Seq("band", "bucket"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct().persist()
+    val allDocs = histDocs.unionByName(batch)
+    val dups = Dedup.jaccardVerify(allDocs, cand)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val kept = batch.join(dups, Seq("doc_id"), "left_anti")
+    kept.write.mode("overwrite").parquet(s"$storePath/kept/batch=$batchId")
+    // index EVERY arrival (kept or not) so future dups of rejected docs
+    // are still caught; per-batch partitions — never a history rewrite
+    batch.write.mode("overwrite").parquet(s"$storePath/docs/batch=$batchId")
+    newBands.write.mode("overwrite").parquet(s"$storePath/bands/batch=$batchId")
+    batch.unpersist(); newBands.unpersist(); cand.unpersist()
+    ()
+  }
 
   /** Streaming GOLD maintenance: each micro-batch of orders folds into the
     * persisted monthly-revenue STATE table ([[graft.engine.Incremental]]'s
@@ -247,16 +263,30 @@ object Streams {
     orders.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val delta = graft.engine.Incremental.monthlyRevenueState(batch)
-        val merged = graft.sources.Versioned.latestVersion(spark, path) match {
-          case Some(_) => graft.engine.Incremental.merge(
-            Seq(graft.sources.Versioned.read(spark, path), delta))
-          case None => delta
-        }
-        graft.sources.Versioned.write(merged, path)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldMonthlyRevenueBatch(batch, path, batchId)
       }
       .start()
+
+  /** One micro-batch of [[maintainMonthlyRevenue]], EXACTLY-ONCE: folding
+    * the same batch twice would double-count its revenue (merge is
+    * additive), so each fold commits its batch id as the version's tag —
+    * the pointer swap inside [[graft.sources.Versioned.write]] is the
+    * atomic commit point, and a replay sees its own id on the current
+    * version and no-ops. A crash BEFORE the swap leaves the old pointer, so
+    * the replay refolds from the old state: also correct. */
+  private[graft] def foldMonthlyRevenueBatch(batch: DataFrame, path: String,
+                                             batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import graft.sources.Versioned
+    if (Versioned.latestTag(spark, path).contains(s"batch=$batchId")) return
+    val delta = graft.engine.Incremental.monthlyRevenueState(batch)
+    val merged = Versioned.latestVersion(spark, path) match {
+      case Some(_) => graft.engine.Incremental.merge(
+        Seq(Versioned.read(spark, path), delta))
+      case None => delta
+    }
+    Versioned.write(merged, path, Some(s"batch=$batchId"))
+    ()
+  }
 }

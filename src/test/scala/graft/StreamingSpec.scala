@@ -4,7 +4,8 @@ import java.nio.file.Files
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.sources.Sinks
+import graft.engine.Incremental
+import graft.sources.{Sinks, Versioned}
 import graft.streaming.Streams
 import graft.streaming.Streams.Ev
 
@@ -300,6 +301,33 @@ class StreamingSpec extends SparkSpec {
       s"stream-kept and batch-kept corpora must match; " +
         s"only-stream=${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
     docs.unpersist()
+  }
+
+  test("replayed micro-batches are no-ops: idempotent ingest, exactly-once fold") {
+    val dir = Files.createTempDirectory("graft_replay").toString
+    // near-dup ingest: a replay of the same (batch, id) must not grow the store
+    val docs = graft.engine.Sources.documents(spark, sf).where(col("doc_id") < 100).cache()
+    Streams.ingestDedupBatch(docs, s"$dir/store", 0L)
+    val keptOnce = spark.read.parquet(s"$dir/store/kept").count()
+    Streams.ingestDedupBatch(docs, s"$dir/store", 0L) // crash-replay of batch 0
+    assert(spark.read.parquet(s"$dir/store/kept").count() === keptOnce)
+    assert(spark.read.parquet(s"$dir/store/docs").count() === 100)
+    // ...while a NEW batch still processes
+    val more = graft.engine.Sources.documents(spark, sf)
+      .where(col("doc_id") >= 100 && col("doc_id") < 150)
+    Streams.ingestDedupBatch(more, s"$dir/store", 1L)
+    assert(spark.read.parquet(s"$dir/store/docs").count() === 150)
+    docs.unpersist()
+    // monthly-revenue fold: refolding would double-count; the version tag
+    // makes the replay a no-op
+    val orders = graft.engine.Sources.orders(spark, sf)
+    Streams.foldMonthlyRevenueBatch(orders, s"$dir/state", 0L)
+    val v = Versioned.latestVersion(spark, s"$dir/state")
+    Streams.foldMonthlyRevenueBatch(orders, s"$dir/state", 0L) // crash-replay
+    assert(Versioned.latestVersion(spark, s"$dir/state") === v, "replay must not commit")
+    val folded = Incremental.finalize(Versioned.read(spark, s"$dir/state"))
+    val direct = Incremental.finalize(Incremental.monthlyRevenueState(orders))
+    assert(folded.unionByName(direct).distinct().count() === direct.count())
   }
 
   test("interval join: streamed purchase-view pairs equal the batch range join") {
