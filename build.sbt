@@ -16,6 +16,12 @@ run / fork := true
 // single JSON line (BENCH_r02/r03 "parsed": null). StdoutOutput pipes the
 // forked JVM's stdout straight through, so the JSON line is emitted raw.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and sbt's own "[success] Total time: ..." epilogue line would land AFTER
+// the JSON inside the driver's fixed-size tail capture, shrinking the budget
+// the JSON line can use. Suppress it so the JSON is the true last line.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
