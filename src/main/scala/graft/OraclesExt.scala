@@ -257,6 +257,36 @@ object OraclesExt {
        |WHERE cosine >= $CosineThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Twin of Dedup.semanticDedup: the simAnnIvf coarse-quantizer CTEs
+    * (per-label decimal-mean centroids, nearest-centroid assignment) feeding
+    * a within-cluster pair scan and the keep-lowest-id verdict. */
+  val dedupSemantic: String =
+    s"""WITH $normCte,
+       |nl AS (SELECT n.vec_id, n.v, n.norm, e2.label
+       |  FROM n JOIN embeddings e2 ON e2.vec_id = n.vec_id),
+       |cent AS (
+       |  SELECT label, i,
+       |    CAST(SUM(CAST(v[i] AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS c
+       |  FROM nl, (SELECT unnest(generate_series(1, $Dim)) AS i) AS dims
+       |  GROUP BY label, i),
+       |centv AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+       |centn AS (SELECT label, cv,
+       |  sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x * x)),
+       |    (a, b) -> a + b)) AS cnorm
+       |  FROM centv),
+       |scored AS (
+       |  SELECT a.vec_id, a.v, a.norm, c.label,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY (${dotSql("a.v", "c.cv")}) / (a.norm * c.cnorm) DESC, c.label) AS crank
+       |  FROM nl a CROSS JOIN centn c),
+       |asg AS (SELECT label AS cluster, vec_id, v, norm FROM scored WHERE crank = 1),
+       |dups AS (SELECT DISTINCT b.vec_id AS dup_id
+       |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${R(s"(${dotSql("a.v", "b.v")}) / (a.norm * b.norm)", 6)} >= $CosineThreshold)
+       |SELECT a.vec_id, a.cluster, d.dup_id IS NULL AS kept
+       |FROM asg a LEFT JOIN dups d ON d.dup_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   private def topKSql(pairsCte: String): String =
     s"""$pairsCte,
        |ranked AS (
@@ -1062,6 +1092,7 @@ object OraclesExt {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "dedup_semantic" -> dedupSemantic,
     "sim_knn_bruteforce" -> simKnnBruteForce,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_quantized_knn" -> simQuantizedKnn,

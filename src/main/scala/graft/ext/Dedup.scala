@@ -323,4 +323,41 @@ object Dedup {
       .where(col("cosine") >= CosineThreshold)
       .select("vec_a", "vec_b", "cosine")
   }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup that only
+    * compares vectors INSIDE the same coarse cluster. [[embeddingCosinePairs]]
+    * is the O(n²) ground truth; this is its scale path — assign every vector
+    * to its nearest centroid (one broadcast join against ~|labels| centroids,
+    * the same coarse quantizer [[Similarity.annIvf]] uses), then pair-compare
+    * within clusters only: O(Σ cᵢ²) work, shuffled on the cluster key. A
+    * vector is dropped when a lower-id member of its cluster sits at cosine ≥
+    * [[CosineThreshold]] — the identical keep-lowest rule as
+    * [[nearDupFiltered]], so survivors are deterministic at any parallelism.
+    * Output: every vector with its cluster and the keep/drop verdict. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Sources.embeddings(spark, dir)
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val vecs = base.select(col("vec_id"), col("label"), v.as("v"))
+      .withColumn("norm", sqrt(Similarity.dot(col("v"), col("v")))).cache()
+    val cents = Similarity.ivfCentroids(vecs).withColumnRenamed("label", "cl")
+    val assigned = vecs.drop("label").crossJoin(broadcast(cents))
+      .withColumn("_cos",
+        Similarity.dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      .withColumn("_crank", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("_cos").desc, col("cl"))))
+      .where(col("_crank") === 1)
+      .select(col("vec_id"), col("cl").as("cluster"), col("v"), col("norm"))
+      .cache()
+    val a = assigned.select(col("cluster"), col("vec_id").as("ia"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("ib"),
+      col("v").as("vb"), col("norm").as("nb"))
+    val dups = a.join(b, "cluster").where(col("ia") < col("ib"))
+      .withColumn("cosine",
+        r(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .where(col("cosine") >= CosineThreshold)
+      .select(col("ib").as("dup_id")).distinct()
+    assigned.join(dups, col("vec_id") === col("dup_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_id").isNull.as("kept"))
+  }
 }

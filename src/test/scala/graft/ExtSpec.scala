@@ -151,6 +151,28 @@ class DedupSpec extends SparkSpec {
       assert(c >= Dedup.CosineThreshold && c <= 1.000001)
     }
   }
+
+  test("semantic dedup: covers every vector, drops only globally-confirmed dups, " +
+    "keeps each cluster's minimum") {
+    val rows = Dedup.semanticDedup(spark, sf).collect()
+    val all = Similarity.withNorm(
+      graft.engine.Sources.embeddings(spark, sf)).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet === all, "one verdict per vector")
+    // within-cluster pairs ⊆ all O(n²) pairs ⇒ dropped ⊆ global dropped
+    val globalDropped = Dedup.embeddingCosinePairs(spark, sf)
+      .select("vec_b").collect().map(_.getLong(0)).toSet
+    val dropped = rows.filterNot(_.getAs[Boolean]("kept")).map(_.getAs[Long]("vec_id")).toSet
+    assert(dropped.subsetOf(globalDropped),
+      s"semantic dropped a pair the exact scan never found: ${dropped -- globalDropped}")
+    // the lowest id of a cluster can never be the higher side of a pair
+    rows.groupBy(_.getAs[Int]("cluster")).foreach { case (cl, members) =>
+      val min = members.map(_.getAs[Long]("vec_id")).min
+      assert(members.find(_.getAs[Long]("vec_id") == min).get.getAs[Boolean]("kept"),
+        s"cluster $cl dropped its own minimum id")
+    }
+    assert(dropped.nonEmpty, "no semantic dups at this SF — vacuous test")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
