@@ -257,6 +257,31 @@ object OraclesExt {
        |WHERE cosine >= $CosineThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Twin of Dedup.chunkSpans: identical chunking (1-based list_slice on the
+    * space-split tokens) and the same count-over-chunk duplicate flag. */
+  val dedupChunkSpans: String = {
+    val C = graft.ext.Dedup.ChunkTokens
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (SELECT doc_id, CAST(floor(len(toks) / $C) AS BIGINT) AS n_chunks, toks FROM t),
+       |ix AS (SELECT doc_id, toks, unnest(generate_series(1, CAST(n_chunks AS INT))) AS i
+       |  FROM c WHERE n_chunks > 0),
+       |occ AS (SELECT doc_id,
+       |    array_to_string(list_slice(toks, (i - 1) * $C + 1, i * $C), ' ') AS chunk
+       |  FROM ix),
+       |flag AS (SELECT doc_id, count(*) OVER (PARTITION BY chunk) AS occ_n FROM occ),
+       |agg AS (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN occ_n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
+       |  FROM flag GROUP BY doc_id)
+       |SELECT c.doc_id, c.n_chunks,
+       |  COALESCE(a.dup_chunks, 0) AS dup_chunks,
+       |  CASE WHEN c.n_chunks > 0
+       |    THEN ${R("CAST(COALESCE(a.dup_chunks, 0) AS DOUBLE) / c.n_chunks", 4)}
+       |  END AS dup_chunk_fraction,
+       |  COALESCE(a.dup_chunks, 0) > 0 AS has_dup_span
+       |FROM c LEFT JOIN agg a USING (doc_id)
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   /** Twin of Dedup.semanticDedup: the simAnnIvf coarse-quantizer CTEs
     * (per-label decimal-mean centroids, nearest-centroid assignment) feeding
     * a within-cluster pair scan and the keep-lowest-id verdict. */
@@ -1093,6 +1118,7 @@ object OraclesExt {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_chunk_spans" -> dedupChunkSpans,
     "sim_knn_bruteforce" -> simKnnBruteForce,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_quantized_knn" -> simQuantizedKnn,

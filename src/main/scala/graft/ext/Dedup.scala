@@ -324,6 +324,47 @@ object Dedup {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** Tokens per span for [[chunkSpans]] — the grain at which exact substring
+    * dedup is approximated (Lee et al. use 50-token spans on real corpora;
+    * the fixture's docs are 10-100 tokens, so 10 keeps the check non-vacuous). */
+  val ChunkTokens = 10
+
+  /** Exact span dedup at fixed chunk grain — the tractable approximation of
+    * Lee et al. (arXiv:2107.06499) suffix-array substring dedup: cut every
+    * doc into non-overlapping [[ChunkTokens]]-token chunks and flag chunks
+    * whose exact text occurs ≥2 times anywhere in the corpus. Per doc:
+    * how many of its chunks are corpus-duplicated spans and the fraction of
+    * its (chunked) text that is boilerplate. Scale shape: explode to chunk
+    * grain → ONE shuffle on the chunk key (count-over-window) → one shuffle
+    * back to doc grain; at 100 TB the chunk key would be a 128-bit hash of
+    * the chunk text rather than the text itself (smaller shuffle payload) —
+    * the string key here keeps the DuckDB twin exact. */
+  def chunkSpans(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = Sources.documents(spark, dir)
+    val base = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("n_chunks", floor(size(col("toks")) / ChunkTokens).cast("long"))
+    val occ = base.where(col("n_chunks") > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), col("n_chunks").cast("int"))).as("i"))
+      .select(col("doc_id"),
+        array_join(slice(col("toks"), (col("i") - 1) * ChunkTokens + 1,
+          lit(ChunkTokens)), " ").as("chunk"))
+    val agg = occ
+      .withColumn("occ_n", count(lit(1)).over(w.partitionBy("chunk")))
+      .groupBy("doc_id")
+      .agg(sum(when(col("occ_n") >= 2, 1L).otherwise(0L)).as("dup_chunks"))
+    base.select(col("doc_id"), col("n_chunks"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
+        when(col("n_chunks") > 0,
+          r(coalesce(col("dup_chunks"), lit(0L)) / col("n_chunks"), 4))
+          .as("dup_chunk_fraction"),
+        (coalesce(col("dup_chunks"), lit(0L)) > 0).as("has_dup_span"))
+  }
+
   /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup that only
     * compares vectors INSIDE the same coarse cluster. [[embeddingCosinePairs]]
     * is the O(n²) ground truth; this is its scale path — assign every vector
