@@ -176,12 +176,33 @@ object OraclesExt {
        |WHERE jaccard >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  val dedupNgramJaccard: String =
+  /** Twin of Dedup.ngramJaccardPairs — replays the identical capped
+    * algorithm: rare-shingle candidate join, hot-count upper-bound prune,
+    * exact full-set verify. */
+  val dedupNgramJaccard: String = {
+    val cap = graft.ext.Dedup.MaxShingleDf
     s"""WITH $shinglesCte,
        |${jaccardVerifySql(
-        """cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id)""".stripMargin)}""".stripMargin
+        s"""wdf AS (
+          |  SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh),
+          |szs AS (
+          |  SELECT doc_id, count(*) AS n,
+          |    count(CASE WHEN df > $cap THEN 1 END) AS n_hot
+          |  FROM wdf GROUP BY doc_id),
+          |rare AS (SELECT doc_id, shingle FROM wdf WHERE df <= $cap),
+          |sharedr AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_rare
+          |  FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id
+          |  GROUP BY a.doc_id, b.doc_id),
+          |cand AS (
+          |  SELECT doc_a, doc_b
+          |  FROM sharedr
+          |  JOIN szs sa ON doc_a = sa.doc_id
+          |  JOIN szs sb ON doc_b = sb.doc_id
+          |  WHERE CAST(shared_rare + LEAST(sa.n_hot, sb.n_hot) AS DOUBLE)
+          |    / (sa.n + sb.n - shared_rare - LEAST(sa.n_hot, sb.n_hot))
+          |    >= $JaccardThreshold)""".stripMargin)}""".stripMargin
+  }
 
   /** Twin of Dedup.minhashSignatures + bandBucket: 32 Lehmer-permutation
     * minhashes over rolling-hashed shingles, folded into 8 band buckets. */
@@ -893,6 +914,10 @@ object OraclesExt {
        |ORDER BY kind""".stripMargin
   }
 
+  /** Image rows are REAL PNGs of solid gray `(doc_id·A + C) >>> 56` (the
+    * LCG's step-0 top byte — `gen` at i = 0): the decoded per-pixel mean is
+    * exactly that level. Audio/video luma replays the fake payload (LCG
+    * steps 1..64). */
   val mediaKindSummary: String = {
     val A = "6364136223846793005"
     val C = "1442695040888963407"
@@ -911,9 +936,15 @@ object OraclesExt {
        |  FROM documents
        |  UNION ALL
        |  SELECT doc_id, i + 1, ((s * $A + $C) % $M64) FROM gen WHERE i < 64),
-       |luma AS (
+       |payload_luma AS (
        |  SELECT doc_id, CAST(SUM(s // $TOP) AS DOUBLE) / 64 AS mean_luma
-       |  FROM gen WHERE i >= 1 GROUP BY doc_id)
+       |  FROM gen WHERE i >= 1 GROUP BY doc_id),
+       |gray AS (
+       |  SELECT doc_id, CAST(s // $TOP AS DOUBLE) AS mean_luma FROM gen WHERE i = 0),
+       |luma AS (
+       |  SELECT p.doc_id,
+       |    CASE WHEN p.doc_id % 3 = 0 THEN g.mean_luma ELSE p.mean_luma END AS mean_luma
+       |  FROM payload_luma p JOIN gray g USING (doc_id))
        |SELECT m.kind,
        |  COUNT(*) AS n_media,
        |  CAST(SUM(CAST(m.w AS BIGINT) * m.h * m.frames) AS BIGINT) AS total_pixels,

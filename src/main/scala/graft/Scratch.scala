@@ -15,10 +15,10 @@ object Scratch {
         stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
       }
     })
-    val probes = Seq(
+    val probes = sys.env.get("SPARK_GRAFT_PROBES").map(_.split(",").toSeq).getOrElse(Seq(
       "silver_customer_orders", "gold_customer_lifetime_value",
       "consumer_top_clv", "consumer_strategic_suppliers",
-      "gold_supplier_performance", "dedup_clusters")
+      "gold_supplier_performance", "dedup_clusters"))
     SparkEntry.queries("bronze_orders")(spark, d).count() // warmup
     for (rep <- 1 to 2; name <- probes) {
       Thread.sleep(300) // let listener drain

@@ -12,31 +12,66 @@ import org.apache.spark.sql.functions._
   * Every family is a UNION of tiny single-row aggregates — each arm is a
   * full-table aggregate that Spark runs as partial+final with map-side
   * combine, so the driver only ever sees one row per check at any scale.
+  *
+  * Check inputs come through a [[TableResolver]] so the same families run in
+  * two modes:
+  *  - [[sourceTables]]: re-derive each layer from source (the standalone
+  *    verification surface — what the oracle checks);
+  *  - [[warehouseTables]]: read the PIPELINE'S WRITTEN parquet outputs.
+  *    In a deployment the DQ stage audits what was materialized — re-running
+  *    the silver derivation to check it would double the pipeline's cost at
+  *    100 TB and verify a recomputation instead of the actual tables.
   */
 object Quality {
 
-  private def statusOf(cnt: Column, pass: String = "PASS", fail: String = "FAIL"): Column =
-    when(cnt === 0, fail).otherwise(pass) // only for row counts: >0 passes
+  /** Logical table name → frame. */
+  type TableResolver = String => DataFrame
+
+  /** Every logical table the check families reference. */
+  val AllTables: Seq[String] = Seq(
+    "orders", "customer", "lineitem", "supplier", "part", "nation", "region",
+    "order_details", "customer_orders", "supplier_parts")
+
+  /** Re-derive each layer from source (bronze gates + silver models). */
+  def sourceTables(spark: SparkSession, dir: String): TableResolver = {
+    case "orders"          => Bronze.orders(spark, dir)
+    case "customer"        => Bronze.customer(spark, dir)
+    case "lineitem"        => Bronze.lineitem(spark, dir)
+    case "supplier"        => Bronze.supplier(spark, dir)
+    case "part"            => Bronze.part(spark, dir)
+    case "nation"          => Bronze.nation(spark, dir)
+    case "region"          => Bronze.region(spark, dir)
+    case "order_details"   => Silver.orderDetails(spark, dir)
+    case "customer_orders" => Silver.customerOrders(spark, dir)
+    case "supplier_parts"  => Silver.supplierParts(spark, dir)
+    case "events"          => Sources.events(spark, dir)
+    case other             => throw new IllegalArgumentException(s"unknown table: $other")
+  }
+
+  /** Layer-prefixed paths the [[Pipeline]] writes under its warehouse dir. */
+  private val WarehousePath: Map[String, String] = Map(
+    "orders" -> "bronze_orders", "customer" -> "bronze_customer",
+    "lineitem" -> "bronze_lineitem", "supplier" -> "bronze_supplier",
+    "part" -> "bronze_part", "nation" -> "bronze_nation", "region" -> "bronze_region",
+    "order_details" -> "silver_order_details",
+    "customer_orders" -> "silver_customer_orders",
+    "supplier_parts" -> "silver_supplier_parts")
+
+  /** Read the pipeline's written outputs — plain parquet scans, so the DQ
+    * stage's plan contains no joins/windows re-deriving silver. */
+  def warehouseTables(spark: SparkSession, outDir: String): TableResolver =
+    name => spark.read.parquet(s"$outDir/${WarehousePath(name)}")
 
   /** Row-count > 0 gate (reference: data_quality_checks.py:27-44). */
-  def rowCounts(spark: SparkSession, dir: String): DataFrame = {
-    val tables: Seq[(String, DataFrame)] = Seq(
-      "orders" -> Bronze.orders(spark, dir),
-      "customer" -> Bronze.customer(spark, dir),
-      "lineitem" -> Bronze.lineitem(spark, dir),
-      "supplier" -> Bronze.supplier(spark, dir),
-      "part" -> Bronze.part(spark, dir),
-      "nation" -> Bronze.nation(spark, dir),
-      "region" -> Bronze.region(spark, dir),
-      "order_details" -> Silver.orderDetails(spark, dir),
-      "customer_orders" -> Silver.customerOrders(spark, dir),
-      "supplier_parts" -> Silver.supplierParts(spark, dir))
-    tables.map { case (name, df) =>
-      df.agg(count(lit(1)).as("row_count"))
+  def rowCountsOver(t: TableResolver, names: Seq[String] = AllTables): DataFrame =
+    names.map { name =>
+      t(name).agg(count(lit(1)).as("row_count"))
         .select(lit(name).as("table_name"), col("row_count"),
           when(col("row_count") > 0, "PASS").otherwise("FAIL").as("status"))
     }.reduce(_.unionByName(_)).orderBy("table_name")
-  }
+
+  def rowCounts(spark: SparkSession, dir: String): DataFrame =
+    rowCountsOver(sourceTables(spark, dir))
 
   /** One pass per source: each (label, predicate) family over a table is a
     * single multi-aggregate job, exploded back into per-check rows. The naive
@@ -56,45 +91,51 @@ object Quality {
       .select(explode(map(kv: _*)).as(Seq("check_name", countName)))
   }
 
-  /** Null checks on critical columns (reference: data_quality_checks.py:53-64). */
-  def nullChecks(spark: SparkSession, dir: String): DataFrame = {
-    val families: Seq[(DataFrame, Seq[(String, Column)])] = Seq(
-      Silver.orderDetails(spark, dir) -> Seq(
-        "order_details.customer_key" -> col("customer_key").isNull,
-        "order_details.order_date" -> col("order_date").isNull),
-      Silver.customerOrders(spark, dir) -> Seq(
-        "customer_orders.customer_segment" -> col("customer_segment").isNull),
-      Silver.supplierParts(spark, dir) -> Seq(
-        "supplier_parts.supply_cost" -> col("supply_cost").isNull),
-      Bronze.orders(spark, dir) -> Seq(
-        "orders.o_orderdate" -> col("o_orderdate").isNull))
-    families.map { case (df, checks) => countsInOnePass(df, checks, "null_count") }
+  /** Null-check families per logical table (reference:
+    * data_quality_checks.py:53-64). */
+  private val NullCheckFamilies: Seq[(String, Seq[(String, Column)])] = Seq(
+    "order_details" -> Seq(
+      "order_details.customer_key" -> col("customer_key").isNull,
+      "order_details.order_date" -> col("order_date").isNull),
+    "customer_orders" -> Seq(
+      "customer_orders.customer_segment" -> col("customer_segment").isNull),
+    "supplier_parts" -> Seq(
+      "supplier_parts.supply_cost" -> col("supply_cost").isNull),
+    "orders" -> Seq(
+      "orders.o_orderdate" -> col("o_orderdate").isNull))
+
+  def nullChecksOver(t: TableResolver,
+                     names: Seq[String] = NullCheckFamilies.map(_._1)): DataFrame =
+    NullCheckFamilies.filter(f => names.contains(f._1))
+      .map { case (table, checks) => countsInOnePass(t(table), checks, "null_count") }
       .reduce(_.unionByName(_))
       .withColumn("status", when(col("null_count") === 0, "PASS").otherwise("FAIL"))
       .orderBy("check_name")
-  }
+
+  def nullChecks(spark: SparkSession, dir: String): DataFrame =
+    nullChecksOver(sourceTables(spark, dir))
 
   /** Referential-integrity orphan probes (reference's `LEFT JOIN … WHERE
     * right.key IS NULL`, data_quality_checks.py:73-93). The three lineitem
     * probes run as ONE pass: left-join the fact to each dimension's distinct
     * key set (no row multiplication) and count the null sides together —
     * one fact scan instead of three, dims broadcast. */
-  def referentialIntegrity(spark: SparkSession, dir: String): DataFrame = {
-    val o = Bronze.orders(spark, dir)
+  def referentialIntegrityOver(t: TableResolver): DataFrame = {
+    val o = t("orders")
     def keys(df: DataFrame, c: String, as: String): DataFrame =
       df.select(col(c).as(as)).distinct()
-    val lineProbes = Bronze.lineitem(spark, dir)
+    val lineProbes = t("lineitem")
       .join(keys(o, "o_orderkey", "_ko"), col("l_orderkey") === col("_ko"), "left")
-      .join(broadcast(keys(Bronze.part(spark, dir), "p_partkey", "_kp")),
+      .join(broadcast(keys(t("part"), "p_partkey", "_kp")),
         col("l_partkey") === col("_kp"), "left")
-      .join(broadcast(keys(Bronze.supplier(spark, dir), "s_suppkey", "_ks")),
+      .join(broadcast(keys(t("supplier"), "s_suppkey", "_ks")),
         col("l_suppkey") === col("_ks"), "left")
     val lineCounts = countsInOnePass(lineProbes, Seq(
       "lineitem->orders" -> col("_ko").isNull,
       "lineitem->part" -> col("_kp").isNull,
       "lineitem->supplier" -> col("_ks").isNull), "orphan_count")
     val orderCounts = countsInOnePass(
-      o.join(broadcast(keys(Bronze.customer(spark, dir), "c_custkey", "_kc")),
+      o.join(broadcast(keys(t("customer"), "c_custkey", "_kc")),
         col("o_custkey") === col("_kc"), "left"),
       Seq("orders->customer" -> col("_kc").isNull), "orphan_count")
     orderCounts.unionByName(lineCounts)
@@ -102,24 +143,33 @@ object Quality {
       .orderBy("check_name")
   }
 
-  /** Business-rule range checks (reference: data_quality_checks.py:102-114). */
-  def businessRules(spark: SparkSession, dir: String): DataFrame = {
-    val families: Seq[(DataFrame, Seq[(String, Column)])] = Seq(
-      Silver.orderDetails(spark, dir) -> Seq(
-        "od_net_revenue_non_negative" -> (col("net_revenue") < 0),
-        "od_quantity_positive" -> (col("quantity") <= 0),
-        "od_discount_range" -> (col("discount_pct") < 0 || col("discount_pct") > 1),
-        "od_tax_range" -> (col("tax_pct") < 0 || col("tax_pct") > 1)),
-      Silver.customerOrders(spark, dir) -> Seq(
-        "co_fulfillment_rate_range" ->
-          (col("fulfillment_rate") < 0 || col("fulfillment_rate") > 100),
-        "co_segment_not_null" -> col("customer_segment").isNull))
-    families.map { case (df, checks) => countsInOnePass(df, checks, "violation_count") }
+  def referentialIntegrity(spark: SparkSession, dir: String): DataFrame =
+    referentialIntegrityOver(sourceTables(spark, dir))
+
+  /** Business-rule range-check families (reference:
+    * data_quality_checks.py:102-114). */
+  private val RuleFamilies: Seq[(String, Seq[(String, Column)])] = Seq(
+    "order_details" -> Seq(
+      "od_net_revenue_non_negative" -> (col("net_revenue") < 0),
+      "od_quantity_positive" -> (col("quantity") <= 0),
+      "od_discount_range" -> (col("discount_pct") < 0 || col("discount_pct") > 1),
+      "od_tax_range" -> (col("tax_pct") < 0 || col("tax_pct") > 1)),
+    "customer_orders" -> Seq(
+      "co_fulfillment_rate_range" ->
+        (col("fulfillment_rate") < 0 || col("fulfillment_rate") > 100),
+      "co_segment_not_null" -> col("customer_segment").isNull))
+
+  def businessRulesOver(t: TableResolver,
+                        names: Seq[String] = RuleFamilies.map(_._1)): DataFrame =
+    RuleFamilies.filter(f => names.contains(f._1))
+      .map { case (table, checks) => countsInOnePass(t(table), checks, "violation_count") }
       .reduce(_.unionByName(_))
       .withColumnRenamed("check_name", "rule_name")
       .withColumn("status", when(col("violation_count") === 0, "PASS").otherwise("FAIL"))
       .orderBy("rule_name")
-  }
+
+  def businessRules(spark: SparkSession, dir: String): DataFrame =
+    businessRulesOver(sourceTables(spark, dir))
 
   /** Freshness vs the pinned reference instant (reference:
     * data_quality_checks.py:123-140: hours since `max(_ingested_at)` /
@@ -128,7 +178,7 @@ object Quality {
     * for determinism). The events arm extends the family to the event stream's
     * own data clock — its staleness is a property of the fixture, not the
     * pipeline, and is reported deterministically either way. */
-  def freshness(spark: SparkSession, dir: String): DataFrame = {
+  def freshnessOver(t: TableResolver, withEvents: Boolean = true): DataFrame = {
     val pinnedEpoch = lit(1009843200L) // 2002-01-01 00:00:00 UTC
     def arm(name: String, df: DataFrame, tsCol: String): DataFrame =
       df.agg(max(col(tsCol)).as("last_refresh"))
@@ -139,11 +189,27 @@ object Quality {
           Num.r1((pinnedEpoch - unix_timestamp(col("last_refresh"))) / 3600.0)
             .as("hours_since"))
         .withColumn("status", when(col("hours_since") <= 25, "PASS").otherwise("STALE"))
-    arm("bronze.orders", Bronze.orders(spark, dir), "_ingested_at")
-      .unionByName(arm("silver.order_details", Silver.orderDetails(spark, dir), "_refined_at"))
-      .unionByName(arm("silver.customer_orders", Silver.customerOrders(spark, dir), "_refined_at"))
-      .unionByName(arm("events", Sources.events(spark, dir), "ts"))
+    val base = arm("bronze.orders", t("orders"), "_ingested_at")
+      .unionByName(arm("silver.order_details", t("order_details"), "_refined_at"))
+      .unionByName(arm("silver.customer_orders", t("customer_orders"), "_refined_at"))
+    (if (withEvents) base.unionByName(arm("events", t("events"), "ts")) else base)
       .orderBy("table_name")
+  }
+
+  def freshness(spark: SparkSession, dir: String): DataFrame =
+    freshnessOver(sourceTables(spark, dir))
+
+  /** The DQ audit a DEPLOYED pipeline runs: every family, evaluated over the
+    * tables the pipeline actually wrote under `outDir` (restricted to
+    * `names` — a pipeline only audits the tables it materializes). Plain
+    * parquet scans in, single-row aggregates out: no silver recompute. */
+  def overWarehouse(spark: SparkSession, outDir: String,
+                    names: Seq[String]): DataFrame = {
+    val t = warehouseTables(spark, outDir)
+    rowCountsOver(t, names)
+      .unionByName(nullChecksOver(t, names)
+        .withColumnRenamed("check_name", "table_name")
+        .withColumnRenamed("null_count", "row_count"))
   }
 
   /** Pipeline gate: throws if any check FAILs (stronger than the reference,

@@ -41,7 +41,30 @@ object Sources {
   def events(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  /** Fan a narrow scan out to the session's parallelism before compute-heavy
+    * per-row work. The local fixtures are single-row-group parquet files, so
+    * every scan starts as ONE partition; without this, the text/dedup
+    * suite's explodes and codegen kernels run single-task while the other
+    * 31 cores idle (measured: the shingle explode alone was 3.5 s of a
+    * 14 s query). On a real cluster inputs arrive in ≥ parallelism splits
+    * (`maxPartitionBytes` splitting), the guard is true, and this is a
+    * no-op — so the repartition costs nothing at 100 TB. The partition
+    * check reads the planned RDD's partition count; it runs no job. */
+  def spread(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val target = math.min(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    if (df.queryExecution.toRdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
+
+  /** `documents` is the corpus every text/dedup operator explodes into
+    * shingles/tokens — the highest per-row compute in the suite, so it is
+    * the one scan that gets [[spread]] at the source. All its downstream
+    * aggregates are order-insensitive (integer counts, min/max, decimal
+    * sums), so the repartition cannot perturb any oracle hash. */
+  def documents(spark: SparkSession, dir: String): DataFrame  =
+    spread(load(spark, dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
   // ------------------------------------------------- non-parquet formats

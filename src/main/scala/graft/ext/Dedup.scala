@@ -97,24 +97,49 @@ object Dedup {
         col("doc_id") === col("doc_b"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
 
-  /** Exact n-gram Jaccard near-dup pairs at τ = [[JaccardThreshold]].
-    * Candidates come from a shared-shingle equi-join (shuffle keyed on the
-    * shingle), so cost is Σ bucket² over shingle buckets — at 100 TB, drop
-    * ultra-frequent shingles (stopword runs) first; here buckets are tiny. */
+  /** Document-frequency cap for n-gram candidate generation: shingles seen
+    * in more than this many documents (stopword runs, boilerplate) are
+    * excluded from the shared-shingle JOIN — the Σ df² term the join pays is
+    * quadratic in the hottest bucket, so at 100 TB uncapped candidate
+    * generation dies on exactly those shingles. The JACCARD VALUE stays
+    * exact (full sets in the verify); only candidate discovery is capped. */
+  val MaxShingleDf = 128
+
+  /** n-gram Jaccard near-dup pairs at τ = [[JaccardThreshold]].
+    *
+    * Three stages, all shuffles keyed on bounded keys:
+    *  1. candidates: shared-shingle equi-join over RARE shingles only
+    *     (df ≤ [[MaxShingleDf]]) — Σ df² with df capped, so no hot bucket
+    *     can blow up the join at any scale;
+    *  2. prune: jaccard UPPER BOUND from the rare-shared count + each doc's
+    *     hot-shingle count (shared_all ≤ shared_rare + min(hot_a, hot_b)) —
+    *     drops the overwhelming share of candidate pairs before exact work;
+    *  3. verify: exact Jaccard over the FULL shingle sets of survivors only
+    *     ([[jaccardVerify]] — same exactness contract as the LSH path).
+    *
+    * A true pair escapes only if EVERY shared shingle is hot AND the bound
+    * prune fires — the same "declared approximation" contract as LSH
+    * banding; the DuckDB twin replays the identical capped algorithm, and
+    * DedupSpec pins capped == uncapped on the fixture's df distribution. */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Sources.documents(spark, dir)).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = sh.as("a").join(sh.as("b"), Seq("shingle"))
+    val docs = Sources.documents(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val withDf = shingles(docs).withColumn("df", count(lit(1)).over(w)).cache()
+    val sizes = withDf.groupBy("doc_id").agg(
+      count(lit(1)).as("n"),
+      count(when(col("df") > MaxShingleDf, 1)).as("n_hot"))
+    val rare = withDf.where(col("df") <= MaxShingleDf).select("doc_id", "shingle")
+    val sharedRare = rare.as("a").join(rare.as("b"), Seq("shingle"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("jaccard",
-        r(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
-      .where(col("jaccard") >= JaccardThreshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .agg(count(lit(1)).as("shared_rare"))
+    val ubShared = col("shared_rare") + least(col("hot_a"), col("hot_b"))
+    val cand = sharedRare
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"), col("n_hot").as("hot_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("n_hot").as("hot_b")), "doc_b")
+      .where(ubShared.cast("double") / (col("na") + col("nb") - ubShared) >= JaccardThreshold)
+      .select("doc_a", "doc_b")
+    jaccardVerify(docs, cand)
   }
 
   /** Per-doc minhash signature as an array column `mh` — ONE map-side
@@ -262,21 +287,38 @@ object Dedup {
     // localCheckpoint — justified here, unlike the ranks, because the
     // convergence LOOP genuinely needs an action per round). Dataset
     // construction analyzes its whole tree eagerly, the round plans
-    // reference edges every round and `next` twice, and persist() does NOT
-    // truncate the logical plan — only a checkpoint leaf does. Measured on a
-    // 500-doc graph: untruncated labels = 2^rounds blowup (49 s); truncated
-    // labels but persisted-only edges still re-analyzed the entire upstream
-    // LSH pipeline several times per round (31 s of driver-side plan
-    // analysis vs 0.08 s of execution). With both as leaves: sub-second.
+    // reference edges every round, and persist() does NOT truncate the
+    // logical plan — only a checkpoint leaf does. Measured on a 500-doc
+    // graph: untruncated labels = 2^rounds blowup (49 s); truncated labels
+    // but persisted-only edges still re-analyzed the entire upstream LSH
+    // pipeline several times per round (31 s of driver-side plan analysis
+    // vs 0.08 s of execution). With both as leaves: sub-second.
+    //
+    // Round discipline (the round-4 regression was violating both rules):
+    //  1. `next` is checkpointed BEFORE the pointer-jump self-join —
+    //     otherwise the two join sides each evaluate the round's
+    //     edges⋈labels pass, doubling every round's work.
+    //  2. Checkpoint RDDs of superseded rounds are UNPERSISTED — a lazy
+    //     localCheckpoint pins its RDD in the storage pool forever;
+    //     5-20 convergence rounds were accumulating that many stale label
+    //     sets (at 100 TB label sets are corpus-sized: a genuine leak).
+    val sc = nodes.sparkSession.sparkContext
+    def checkpointLeaf(df: DataFrame): (DataFrame, scala.collection.Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val leaf = df.localCheckpoint(false)
+      (leaf, sc.getPersistentRDDs.keySet.diff(before))
+    }
+    def free(ids: scala.collection.Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(false)
-    var labels = nodes
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint(false)
+    var (labels, labelIds) = checkpointLeaf(
+      nodes.select(col("doc_id"), col("doc_id").as("cluster_id")))
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
+      val t0 = System.nanoTime()
       // one neighbor-min pass per round; the convergence signal rides on the
       // SAME action that materializes the round's labels (a separate isEmpty
       // probe would run the edges⋈labels join a second time per round)
@@ -284,26 +326,32 @@ object Dedup {
         .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id")), "doc_b")
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"),
-          (col("nbr_min") < col("cluster_id")).as("_chg"))
-      // pointer jump: label(x) <- label(label(x)) — labels are doc ids, so
-      // the parent lookup is a self-equi-join on the label value
-      val jumped = next
-        .join(next.select(col("doc_id").as("_pid"), col("cluster_id").as("_pcid")),
-          col("cluster_id") === col("_pid"), "left")
-        .select(col("doc_id"),
-          coalesce(col("_pcid"), col("cluster_id")).as("cluster_id"), col("_chg"))
-        .localCheckpoint(false)
-      val t0 = System.nanoTime()
+      val (next, nextIds) = checkpointLeaf(
+        labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("cluster_id"),
+            (col("nbr_min") < col("cluster_id")).as("_chg")))
       val changed = // materialize + count improved labels in one job
-        jumped.agg(count(when(col("_chg"), 1))).first().getLong(0)
+        next.agg(count(when(col("_chg"), 1))).first().getLong(0)
+      if (changed == 0) { // fixpoint: next ≡ labels; skip the jump entirely
+        free(nextIds)
+        converged = true
+      } else {
+        // pointer jump: label(x) <- label(label(x)) — labels are doc ids, so
+        // the parent lookup is a self-equi-join on the CHECKPOINTED leaf
+        // (both sides read the materialized rows; nothing recomputes)
+        val (jumped, jumpedIds) = checkpointLeaf(next
+          .join(next.select(col("doc_id").as("_pid"), col("cluster_id").as("_pcid")),
+            col("cluster_id") === col("_pid"), "left")
+          .select(col("doc_id"),
+            coalesce(col("_pcid"), col("cluster_id")).as("cluster_id")))
+        jumped.count() // materialize so the inputs below can be freed
+        free(labelIds); free(nextIds)
+        labels = jumped; labelIds = jumpedIds
+      }
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"CC round=$rounds changed=$changed t=${(System.nanoTime() - t0) / 1e9}%.2fs")
-      labels = jumped
-      converged = changed == 0
       rounds += 1
     }
     labels.select("doc_id", "cluster_id")

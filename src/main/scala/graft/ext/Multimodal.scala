@@ -1,5 +1,8 @@
 package graft.ext
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Sources
@@ -8,11 +11,17 @@ import graft.engine.Sources
   *
   * Design: media lives in the lake as opaque `binary` columns + typed
   * metadata — the schema, partitioning, and batch shape are the real
-  * engineering at 100 TB; the codec call is a leaf. This container has no
-  * image/audio libraries, so the DECODE LEAF IS A DETERMINISTIC STUB
-  * ([[FakeCodec]], clearly marked): it "decodes" a header-prefixed synthetic
-  * byte format. Swapping in javacv/ffmpeg means replacing ONLY
-  * [[FakeCodec.decode]] — every Spark-side shape stays.
+  * engineering at 100 TB; the codec call is a leaf.
+  *
+  * Codec status per kind:
+  *  - image: REAL PNG. The corpus carries genuine PNG bytes and the decode
+  *    leaf runs `javax.imageio` (stock JDK) — actual pixel decode, actual
+  *    resample on resize. Pixel content is a deterministic solid gray
+  *    (level = top byte of one LCG step of the id) so the decoded luma is
+  *    exactly replayable in the DuckDB oracle.
+  *  - audio/video: DETERMINISTIC STUB ([[FakeCodec]], clearly marked) — the
+  *    container ships no audio/video codecs. Swapping in javacv/ffmpeg means
+  *    replacing ONLY the codec leaf; every Spark-side shape stays.
   *
   * Scale notes:
   *  - Blobs skew partitions by *bytes*, not rows: [[balancedByBytes]]
@@ -36,7 +45,75 @@ object Multimodal {
                            n_pixels: Long, mean_luma: Double, embedding: Array[Float])
   case class Frame(media_id: Long, frame_idx: Int, content: Array[Byte])
 
-  /** STUB codec boundary — deterministic fake, NOT a real decoder. */
+  /** REAL image codec over `javax.imageio` (ships in the stock JDK).
+    * Encode renders a solid-gray RGB frame and emits genuine PNG bytes;
+    * decode reads the PNG and measures dims/luma/embedding from the ACTUAL
+    * pixels — nothing is inferred from metadata. */
+  object PngCodec {
+    /** Deterministic gray level for an id: the unsigned top byte of one LCG
+      * step — the same generator the fake payloads use, so the DuckDB twin
+      * reads it as `((id·A + C) mod 2⁶⁴) ÷ 2⁵⁶`. */
+    def grayLevel(id: Long): Int =
+      (((id * 6364136223846793005L + 1442695040888963407L) >>> 56) & 0xff).toInt
+
+    def encode(id: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = grayLevel(id)
+      val gfx = img.createGraphics()
+      gfx.setColor(new java.awt.Color(g, g, g))
+      gfx.fillRect(0, 0, w, h)
+      gfx.dispose()
+      toPng(img)
+    }
+
+    def toPng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): BufferedImage =
+      ImageIO.read(new ByteArrayInputStream(bytes))
+
+    /** Real pixel scan: mean of (r+g+b)/3 over every pixel, plus an 8-dim
+      * column-stripe mean embedding (stripe i = pixels with x ≡ i mod 8). */
+    def features(m: MediaFile): MediaFeatures = {
+      val img = decode(m.content)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var lumaSum = 0.0
+      val stripe = new Array[Double](8)
+      val stripeN = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val l = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+          lumaSum += l
+          stripe(x % 8) += l; stripeN(x % 8) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val emb = Array.tabulate(8)(i =>
+        if (stripeN(i) == 0) 0f else (stripe(i) / stripeN(i) / 255.0).toFloat)
+      MediaFeatures(m.media_id, m.kind, w, h, w.toLong * h,
+        lumaSum / (w.toLong * h), emb)
+    }
+
+    /** Real resample: redraw into the target geometry, re-encode as PNG. */
+    def resize(m: MediaFile, w1: Int, h1: Int): MediaFile = {
+      val img = decode(m.content)
+      val scaled = new BufferedImage(w1, h1, BufferedImage.TYPE_INT_RGB)
+      val gfx = scaled.createGraphics()
+      gfx.drawImage(img, 0, 0, w1, h1, null)
+      gfx.dispose()
+      m.copy(width = w1, height = h1, content = toPng(scaled))
+    }
+  }
+
+  /** STUB codec boundary for audio/video — deterministic fake, NOT a real
+    * decoder (no audio/video codec ships in this container). */
   object FakeCodec {
     /** Synthesize an opaque blob for (id, kind): 16-byte header
       * [w:4][h:4][frames:4][magic:4] + pseudo-random payload. */
@@ -68,9 +145,17 @@ object Multimodal {
     }
   }
 
+  /** Batch dispatch across the per-kind codecs: PNG rows decode for real,
+    * audio/video go to the declared stub. One codec entry per batch. */
+  private def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] = {
+    val (images, rest) = batch.partition(_.kind == "image")
+    images.map(PngCodec.features) ++ FakeCodec.decode(rest)
+  }
+
   /** Synthetic media corpus derived from the documents table (deterministic:
     * dims/kind are functions of doc_id). Stands in for `spark.read.format
-    * ("binaryFile")` + a metadata join in a real lake. */
+    * ("binaryFile")` + a metadata join in a real lake. Image rows carry
+    * GENUINE PNG bytes; audio/video carry the declared fake container. */
   def mediaCorpus(spark: SparkSession, dir: String): Dataset[MediaFile] = {
     import spark.implicits._
     Sources.documents(spark, dir).select("doc_id").as[Long].map { id =>
@@ -80,8 +165,10 @@ object Multimodal {
       val w = 64 + (id % 8).toInt * 32
       val h = 64 + (id % 5).toInt * 32
       val frames = if (kind == "video") 8 + (id % 4).toInt else 1
-      MediaFile(id, kind, s"lake://media/$kind/$id", w, h, frames,
-        FakeCodec.encode(id, kind, w, h, frames))
+      val bytes =
+        if (kind == "image") PngCodec.encode(id, w, h)
+        else FakeCodec.encode(id, kind, w, h, frames)
+      MediaFile(id, kind, s"lake://media/$kind/$id", w, h, frames, bytes)
     }
   }
 
@@ -91,23 +178,26 @@ object Multimodal {
     media.repartitionByRange(partitions, length(col("content")), col("media_id"))
 
   /** Batched decode/feature-extract: the mapInPandas twin — each partition's
-    * rows are fed to the codec [[DecodeBatch]] at a time. */
+    * rows are fed to the codec [[DecodeBatch]] at a time. Image batches run
+    * the REAL `javax.imageio` decode. */
   def extractFeatures(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.grouped(DecodeBatch).flatMap(FakeCodec.decode))
+    media.mapPartitions(_.grouped(DecodeBatch).flatMap(decodeBatch))
   }
 
   /** Batched resize to a bounding box, preserving aspect ratio (the
-    * thumbnail/normalization stage before feature extraction). The geometry
-    * is real; the pixel resampling is the [[FakeCodec]] stub — a real codec
-    * replaces only the `encode` call. Same batched `mapPartitions` shape as
-    * [[extractFeatures]]: one codec init per batch, not per row. */
+    * thumbnail/normalization stage before feature extraction). Image rows
+    * are resampled FOR REAL (decode → redraw → PNG re-encode); audio/video
+    * re-emit the stub container at the new geometry. Same batched
+    * `mapPartitions` shape as [[extractFeatures]]: one codec init per
+    * batch, not per row. */
   def resize(media: Dataset[MediaFile], maxW: Int, maxH: Int): Dataset[MediaFile] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.grouped(DecodeBatch).flatMap(_.map { m =>
       val scale = math.min(1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
       val (w, h) = (math.max(1, (m.width * scale).toInt), math.max(1, (m.height * scale).toInt))
       if (w == m.width && h == m.height) m
+      else if (m.kind == "image") PngCodec.resize(m, w, h)
       else m.copy(width = w, height = h,
         content = FakeCodec.encode(m.media_id, m.kind, w, h, m.n_frames))
     }))
@@ -130,11 +220,10 @@ object Multimodal {
 
   /** The resize stage as a queryable table: per kind, the post-resize
     * geometry and how many blobs the [[ResizeBox]]² bounding box actually
-    * shrank. The codec byte-work is the stub; the GEOMETRY (scale factor,
-    * floor-to-int, 1-pixel floor) is the real contract and is what the
-    * DuckDB twin re-derives — `n_downscaled` compares against the
-    * original dims recomputed from `media_id`, so the check is
-    * non-vacuous at every SF. */
+    * shrank. For images the resample is a REAL decode/redraw/encode; the
+    * GEOMETRY (scale factor, floor-to-int, 1-pixel floor) is the verified
+    * contract — `n_downscaled` compares against the original dims recomputed
+    * from `media_id`, so the check is non-vacuous at every SF. */
   def resizeSummary(spark: SparkSession, dir: String): DataFrame = {
     val origW = lit(64) + (col("media_id") % 8).cast("int") * 32
     val origH = lit(64) + (col("media_id") % 5).cast("int") * 32
@@ -149,7 +238,8 @@ object Multimodal {
   }
 
   /** The media pipeline as a queryable table: features joined back to doc
-    * language (metadata join pattern), aggregated per kind. */
+    * language (metadata join pattern), aggregated per kind. Image stats come
+    * from the real PNG pixel scan; audio/video from the declared stub. */
   def kindSummary(spark: SparkSession, dir: String): DataFrame = {
     import graft.engine.Num._
     extractFeatures(balancedByBytes(mediaCorpus(spark, dir), 8)).toDF()

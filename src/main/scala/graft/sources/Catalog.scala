@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
-import graft.engine.{Bronze, Silver, Sources}
+import graft.engine.{Bronze, Gold, Quality, Silver, Sources}
 
 /** Temp-view registration — the reference's `CREATE OR REPLACE TEMPORARY
   * VIEW tv_X AS …` staging surface (reference: src/extract/extract_orders
@@ -29,9 +29,34 @@ object Catalog {
     Bronze.orders(spark, dir).createOrReplaceTempView("bronze_orders")
     Bronze.lineitem(spark, dir).createOrReplaceTempView("bronze_lineitem")
     Bronze.customer(spark, dir).createOrReplaceTempView("bronze_customer")
-    Silver.orderDetails(spark, dir).createOrReplaceTempView("silver_order_details")
+    Bronze.supplier(spark, dir).createOrReplaceTempView("bronze_supplier")
+    Bronze.part(spark, dir).createOrReplaceTempView("bronze_part")
+    Bronze.nation(spark, dir).createOrReplaceTempView("bronze_nation")
+    Bronze.region(spark, dir).createOrReplaceTempView("bronze_region")
+    val od = Silver.orderDetails(spark, dir)
+    od.createOrReplaceTempView("silver_order_details")
     Silver.customerOrders(spark, dir).createOrReplaceTempView("silver_customer_orders")
     Silver.supplierParts(spark, dir).createOrReplaceTempView("silver_supplier_parts")
+    // gold analytical views under the reference's published names
+    // (reference: src/schemas/create_views_schemas.py:17, vw_*.py:20-21 —
+    // `CREATE OR REPLACE VIEW vw_X` is how its BI consumers address the
+    // gold layer; temp views are the same named-logical-plan surface)
+    Gold.revenueByRegion(od, Silver.customerGeo(spark, dir))
+      .createOrReplaceTempView("gold_revenue_by_region")
+    Gold.customerLifetimeValue(Silver.customerOrders(spark, dir), od)
+      .createOrReplaceTempView("gold_customer_lifetime_value")
+    Gold.supplierPerformance(Silver.supplierParts(spark, dir), od)
+      .createOrReplaceTempView("gold_supplier_performance")
+    Gold.monthlySalesTrends(od)
+      .createOrReplaceTempView("gold_monthly_sales_trends")
+    // data-quality check families — queryable like any other table, so an
+    // operator can `SELECT * FROM quality_null_checks WHERE status='FAIL'`
+    Quality.rowCounts(spark, dir).createOrReplaceTempView("quality_row_counts")
+    Quality.nullChecks(spark, dir).createOrReplaceTempView("quality_null_checks")
+    Quality.referentialIntegrity(spark, dir)
+      .createOrReplaceTempView("quality_referential_integrity")
+    Quality.businessRules(spark, dir).createOrReplaceTempView("quality_business_rules")
+    Quality.freshness(spark, dir).createOrReplaceTempView("quality_freshness")
     graft.functions.Native.register(spark)
   }
 }

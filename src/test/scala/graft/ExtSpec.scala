@@ -25,6 +25,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hot-shingle df-cap loses no pair at the fixture's df distribution") {
+    // uncapped reference: the plain shared-shingle self-join (the pre-r5
+    // formulation) — candidate generation over ALL shingles
+    val sh = Dedup.shingles(graft.engine.Sources.documents(spark, sf))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val uncapped = sh.as("a").join(sh.as("b"), Seq("shingle"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .where(graft.engine.Num.r(
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6)
+        >= Dedup.JaccardThreshold)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === uncapped,
+      s"capped candidate generation changed the pair set: " +
+        s"missing=${uncapped -- capped} extra=${capped -- uncapped}")
+  }
+
   test("minhash-LSH finds every high-similarity ngram pair (recall at J≥0.8)") {
     val exact = Dedup.ngramJaccardPairs(spark, sf)
       .where(col("jaccard") >= 0.8)

@@ -1,22 +1,37 @@
 package graft
 
 import graft.ext.Multimodal
-import graft.ext.Multimodal.{FakeCodec, MediaFile}
+import graft.ext.Multimodal.{FakeCodec, MediaFile, PngCodec}
 
 class MultimodalSpec extends SparkSpec {
 
-  test("media corpus is deterministic and binary round-trips its header") {
+  test("media corpus is deterministic; stub blobs round-trip their header") {
     val a = Multimodal.mediaCorpus(spark, sf).collect().sortBy(_.media_id)
     val b = Multimodal.mediaCorpus(spark, sf).collect().sortBy(_.media_id)
     assert(a.length === 500)
     assert(a.zip(b).forall { case (x, y) => x.content.sameElements(y.content) })
-    val m = a.head
+    val m = a.find(_.kind != "image").get
     val w = ((m.content(0) & 0xff) << 24) | ((m.content(1) & 0xff) << 16) |
       ((m.content(2) & 0xff) << 8) | (m.content(3) & 0xff)
     assert(w === m.width, "header width must round-trip")
   }
 
-  test("extractFeatures preserves every row and computes bounded stats") {
+  test("image blobs are genuine PNGs: real decode matches declared dims and gray level") {
+    val images = Multimodal.mediaCorpus(spark, sf).collect().filter(_.kind == "image")
+    assert(images.nonEmpty)
+    images.take(25).foreach { m =>
+      // PNG magic bytes, then an actual javax.imageio decode
+      assert((m.content(0) & 0xff) === 0x89 && m.content(1) === 'P'.toByte)
+      val img = PngCodec.decode(m.content)
+      assert(img.getWidth === m.width && img.getHeight === m.height,
+        s"decoded dims ${img.getWidth}x${img.getHeight} != declared ${m.width}x${m.height}")
+      val g = PngCodec.grayLevel(m.media_id)
+      val rgb = img.getRGB(m.width / 2, m.height / 2)
+      assert(((rgb >> 16) & 0xff) === g && ((rgb >> 8) & 0xff) === g && (rgb & 0xff) === g)
+    }
+  }
+
+  test("extractFeatures preserves every row; image stats come from real pixels") {
     val media = Multimodal.mediaCorpus(spark, sf)
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length === 500)
@@ -25,6 +40,9 @@ class MultimodalSpec extends SparkSpec {
       assert(f.embedding.length === 8)
       assert(f.n_pixels >= f.width.toLong * f.height)
       if (f.kind != "video") assert(f.n_pixels === f.width.toLong * f.height)
+      if (f.kind == "image") // solid gray: decoded mean luma IS the gray level
+        assert(f.mean_luma === PngCodec.grayLevel(f.media_id).toDouble,
+          s"real decode luma ${f.mean_luma} != gray ${PngCodec.grayLevel(f.media_id)}")
     }
   }
 
@@ -71,10 +89,19 @@ class MultimodalSpec extends SparkSpec {
         val scale = math.min(100.0 / o.width, 100.0 / o.height)
         assert(m.width === math.max(1, (o.width * scale).toInt))
         assert(m.height === math.max(1, (o.height * scale).toInt))
-        // header carries the new dims (re-encoded deterministically)
-        val headerW = ((m.content(0) & 0xff) << 24) | ((m.content(1) & 0xff) << 16) |
-          ((m.content(2) & 0xff) << 8) | (m.content(3) & 0xff)
-        assert(headerW === m.width)
+        if (m.kind == "image") {
+          // real resample: the re-encoded PNG decodes at the NEW dims and
+          // keeps the solid gray content
+          val img = PngCodec.decode(m.content)
+          assert(img.getWidth === m.width && img.getHeight === m.height)
+          val g = PngCodec.grayLevel(m.media_id)
+          assert((img.getRGB(0, 0) & 0xff) === g)
+        } else {
+          // stub container carries the new dims in its header
+          val headerW = ((m.content(0) & 0xff) << 24) | ((m.content(1) & 0xff) << 16) |
+            ((m.content(2) & 0xff) << 8) | (m.content(3) & 0xff)
+          assert(headerW === m.width)
+        }
       }
     }
   }

@@ -19,6 +19,27 @@ class PipelineSpec extends SparkSpec {
     // written snapshot is readable and matches the live plan's count
     val written = spark.read.parquet(s"$out/silver_order_details").count()
     assert(written === graft.engine.Silver.orderDetails(spark, sf).count())
+    // the DQ stage audits the WRITTEN tables: its plan is parquet scans +
+    // single-row aggregates — no Window (silver re-derivation) and no Join
+    // beyond none at all; and its verdicts match the derived-mode families
+    val dq = graft.engine.Quality.overWarehouse(spark, out,
+      Seq("orders", "customer", "lineitem", "part",
+        "order_details", "customer_orders"))
+    val dqPlan = dq.queryExecution.executedPlan.toString
+    assert(!dqPlan.contains("Window"), "DQ stage re-derived silver:\n" + dqPlan.take(800))
+    assert(!dqPlan.contains("Join"), "DQ stage joined instead of scanning:\n" + dqPlan.take(800))
+    val audited = dq.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val derived = graft.engine.Quality.rowCountsOver(
+        graft.engine.Quality.sourceTables(spark, sf),
+        Seq("orders", "customer", "lineitem", "part", "order_details", "customer_orders"))
+      .unionByName(graft.engine.Quality.nullChecksOver(
+        graft.engine.Quality.sourceTables(spark, sf),
+        Seq("orders", "order_details", "customer_orders"))
+        .withColumnRenamed("check_name", "table_name")
+        .withColumnRenamed("null_count", "row_count"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(audited === derived,
+      s"warehouse DQ disagrees with derived DQ: ${audited.diff(derived)} vs ${derived.diff(audited)}")
   }
 
   test("supplier pipeline runs the reference's full stage list incl. nation/region") {
