@@ -23,7 +23,12 @@ object Bench {
     // warmup: exercise scans/joins/windows/aggs once at tiny SF so the first
     // timed query doesn't absorb JVM + whole-stage-codegen compilation
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // optional subset (comma-separated names) — used by the sf0.1-vs-sf1
+    // scaling run, which times only the expensive queries at both SFs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val samples = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     for (_ <- 1 to passes; name <- names) {
       val fn = SparkEntry.queries(name)

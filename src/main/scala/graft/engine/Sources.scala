@@ -65,7 +65,13 @@ object Sources {
     * sums), so the repartition cannot perturb any oracle hash. */
   def documents(spark: SparkSession, dir: String): DataFrame  =
     spread(load(spark, dir, "documents"))
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** `embeddings` gets [[spread]] on the same grounds as `documents`: the
+    * ANN/kNN paths run 64-dim norm/hash/quantize kernels map-side before
+    * their first shuffle, and every downstream float aggregate is
+    * decimal-summed (order-free — Similarity.ivfCentroids) or per-row. */
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spread(load(spark, dir, "embeddings"))
 
   // ------------------------------------------------- non-parquet formats
   // The lake's interchange formats, schema-pinned from the Schemas catalog

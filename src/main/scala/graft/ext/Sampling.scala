@@ -49,16 +49,14 @@ object Sampling {
     * n-gram dedup, restricted across the split boundary. Only test docs
     * with ≥ 1 shingle appear (shorter docs have no shingles to leak). */
   def testSetContamination(spark: SparkSession, dir: String): DataFrame = {
-    // the split is a pure per-row hash — derive it inline on the shingle
-    // rows (no join), and cache the exploded set: the train-distinct arm and
-    // the test arm otherwise each re-run the corpus shingle explode
+    // the split is a pure per-row hash — derived inline on the shingle
+    // rows (no join); the explode is spread map-work, cheap to run per arm
     val bucket = mixHash(col("doc_id")) % 100
     val sh = Dedup.shingles(Sources.documents(spark, dir))
       .withColumn("split",
         when(bucket < TrainPct, "train")
           .when(bucket < TrainPct + ValPct, "val")
           .otherwise("test"))
-      .cache()
     val trainShingles = sh.where(col("split") === "train")
       .select("shingle").distinct()
     val testSh = sh.where(col("split") === "test")

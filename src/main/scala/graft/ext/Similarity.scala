@@ -135,7 +135,7 @@ object Similarity {
     val base = Sources.embeddings(spark, dir)
     val v = transform(col("embedding"), x => x.cast("double"))
     val vecs = base.select(col("vec_id"), col("label"), v.as("v"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v")))).cache()
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val cents = ivfCentroids(vecs).withColumnRenamed("label", "cl")
     // rank centroids per vector by raw cosine (ties → smaller label)
     val scored = vecs.drop("label").crossJoin(broadcast(cents))
@@ -180,7 +180,7 @@ object Similarity {
     * [[knnBruteForce]], so the two result sets diff directly: the end-to-end
     * ranking drift of 8-bit storage. */
   def quantizedKnn(spark: SparkSession, dir: String): DataFrame = {
-    val e = dequantized(withNorm(Sources.embeddings(spark, dir))).cache()
+    val e = dequantized(withNorm(Sources.embeddings(spark, dir)))
     val q = e.select(col("vec_id").as("query_id"), col("dv").as("va"), col("dnorm").as("na"))
     val n = e.select(col("vec_id").as("neighbor_id"), col("dv").as("vb"), col("dnorm").as("nb"))
     topK(cosinePairs(q, n), TopK)
@@ -202,7 +202,7 @@ object Similarity {
   /** Exact top-[[TopK]] cosine neighbors for every vector (the O(n²) ground
     * truth; ties broken by neighbor id so results are total-ordered). */
   def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Sources.embeddings(spark, dir)).cache()
+    val e = withNorm(Sources.embeddings(spark, dir))
     val q = e.select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
     val n = e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("norm").as("nb"))
     topK(cosinePairs(q, n), TopK)
@@ -215,13 +215,14 @@ object Similarity {
     * key → distinct pairs → two vector-lookup joins → per-query top-k. Same
     * output schema as [[knnBruteForce]]; recall measured in SimilaritySpec. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Sources.embeddings(spark, dir)).cache()
+    val e = withNorm(Sources.embeddings(spark, dir))
     val bands = e.select(col("vec_id"),
       explode(array((0 until LshTables).map(t =>
         struct(lit(t).as("t"), srpSignature(col("v"), t).as("sig"))): _*)).as("b"))
       .select(col("vec_id"), col("b.t").as("t"), col("b.sig").as("sig"))
-      .cache() // tiny (L rows/vector); self-join reads one materialization
-               // instead of projecting 24 hyperplanes twice per vector
+      // no cache: the self-join shares the explode's exchange via AQE reuse;
+      // re-projecting 24 hyperplanes is map-only codegen, cheaper than a
+      // materialization barrier
     val cand = bands.as("x").join(bands.as("y"), Seq("t", "sig"))
       .where(col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("neighbor_id"))
