@@ -95,13 +95,18 @@ write("documents", replicated(
     "t -> t || 'z{k}'), ' ') END AS text, "
     "n_chars FROM documents"))
 
-# direction-perturb per replica (deterministic, component-indexed) so
-# replicas aren't exact duplicate vectors
+# direction-perturb per replica: mix each component with a deterministic
+# pseudo-random direction at ~45% weight, so replicas are genuinely
+# different vectors (10 near-parallel copies of every vector would make
+# the sf1 ANN benchmarks pathologically collision-heavy — a real 10x
+# corpus is spread out, not 10 copies of the same point cloud)
 write("embeddings", replicated(
     "SELECT vec_id + {k}*" + str(OFF) + " AS vec_id, label, "
     "CASE WHEN {k} = 0 THEN embedding ELSE "
-    "list_transform(embedding, x -> CAST(x + 0.01 * {k} * "
-    "sin(vec_id + {k}) AS FLOAT)) END AS embedding "
+    "list_transform(list_zip(embedding, "
+    "list_transform(generate_series(1, len(embedding)), "
+    "i -> sin(vec_id * 7919 + i * 104729 + {k} * 15485863))), "
+    "p -> CAST(0.75 * p[1] + 0.45 * p[2] AS FLOAT)) END AS embedding "
     "FROM embeddings"))
 
 print("done ->", OUT)
