@@ -9,17 +9,49 @@ import org.apache.spark.sql.SparkSession
   * phantom 10-40x outliers on individual queries): each query is timed in
   * THREE interleaved passes over the whole suite and the per-query MEDIAN is
   * reported. Interleaving (pass-major, not query-major) decorrelates a
-  * throttle episode from any single query's three samples. The JSON line is
-  * printed after `spark.stop()` so it is the final stdout line, and values
-  * are rounded to 3 decimals to keep the line well under tail-capture limits.
+  * throttle episode from any single query's three samples.
+  *
+  * Self-auditing (r5 shipped a 3x throttle-inflated snapshot with no
+  * cross-check): the JSON also carries per-query `mins`, the suite
+  * `throttle_ratio` = Σmedian / Σmin, and the pass count — and when the
+  * ratio exceeds [[ThrottleLimit]] the bench runs EXTRA interleaved passes
+  * (up to SPARK_GRAFT_BENCH_MAX_PASSES) until the medians settle, so a
+  * throttle episode widens the sample instead of poisoning the artifact.
+  *
+  * Modes:
+  *  - SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the timed set; the output then
+  *    carries `"partial":true` so a subset total is never compared against
+  *    full-run baselines.
+  *  - SPARK_GRAFT_SF_DIRS=dirA,dirB times every query at SEVERAL scale
+  *    factors in one process, interleaved at the query grain (each query
+  *    runs at both SFs back-to-back), so throttle episodes hit the SFs
+  *    alike and sf-vs-sf ratios are honest — the scaling-table mode. One
+  *    JSON line per SF is printed.
+  *
+  * The JSON line(s) are printed after `spark.stop()` so they are the final
+  * stdout lines, and values are rounded to 3 decimals to keep each line well
+  * under tail-capture limits.
   */
 object Bench {
+
+  val ThrottleLimit = 1.5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDirs = sys.env.get("SPARK_GRAFT_SF_DIRS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq(sfDir))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PASSES", "7").toInt
     val spark = Session.build(s"local[$cpus]", cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    // componentsOf intentionally unpersists superseded localCheckpoint
+    // rounds; RDD.unpersist logs a benign "was locally checkpointed …"
+    // warning for each (logger = the concrete RDD subclass, so silence the
+    // whole rdd package). Keep it out of the parsed stdout tail.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // warmup: exercise scans/joins/windows/aggs once at tiny SF so the first
     // timed query doesn't absorb JVM + whole-stage-codegen compilation
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -29,47 +61,72 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val samples = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
-    for (_ <- 1 to passes; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // per-query isolation: queries cache intermediates (shingle sets,
-      // normalized embeddings) for their own multi-use plans; letting those
-      // accumulate across 58 sequential queries turns the storage pool into
-      // an eviction battleground (observed 3 s -> 95 s on a late query)
-      spark.catalog.clearCache()
-      samples(name) = dt :: samples(name)
-    }
+    val samples = scala.collection.mutable.Map.empty[(String, String), List[Double]]
+      .withDefaultValue(Nil)
+    def runPass(): Unit =
+      for (name <- names; dir <- sfDirs) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, dir).count() } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // per-query isolation: queries cache intermediates (shingle sets,
+        // normalized embeddings) for their own multi-use plans; letting those
+        // accumulate across 58 sequential queries turns the storage pool into
+        // an eviction battleground (observed 3 s -> 95 s on a late query)
+        spark.catalog.clearCache()
+        samples((dir, name)) = dt :: samples((dir, name))
+      }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
-      s(s.size / 2) // odd pass counts -> true median; even -> upper-median
+      s(s.size / 2) // odd sample counts -> true median; even -> upper-median
     }
-    val results = names.map(n => n -> median(samples(n)))
-    // The driver tail-captures a fixed number of trailing stdout chars; the
-    // JSON must fit whole or the parse fails. The suite has grown past the
-    // point where a full 3-decimal per-query map always fits, so the map
+    def ratio(): Double = {
+      val meds = samples.values.map(median).sum
+      val mins = samples.values.map(_.min).sum
+      if (mins > 0) meds / mins else 1.0
+    }
+    var done = 0
+    while (done < passes) { runPass(); done += 1 }
+    // throttle sentinel: a ratio past the limit means at least one query's
+    // median is riding a throttle episode — widen the sample rather than
+    // committing a poisoned artifact
+    while (ratio() > ThrottleLimit && done < maxPasses) { runPass(); done += 1 }
+    // The driver tail-captures a fixed number of trailing stdout chars; each
+    // JSON line must fit whole or the parse fails. The suite has grown past
+    // the point where a full 3-decimal per-query map always fits, so the map
     // keeps the most expensive queries (the ones a reader scans for
     // outliers) at full precision and collapses the cheap tail into
-    // `_rest` (count `_rest_n`); `value` is always the full-suite total.
+    // `_rest` (count `_rest_n`); `value` is always the run's total.
     def fmt(v: Double): String = {
       val s = "%.3f".format(v)
       s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
     }
-    val total = fmt(results.map(_._2).sum)
-    val byCost = results.sortBy { case (k, v) => (-v, k) }
-    def encode(keep: Int): String = {
-      val (kept, rest) = byCost.splitAt(keep)
-      val entries = kept.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
-        (if (rest.isEmpty) Nil
-         else Seq("\"_rest\":" + fmt(rest.map(_._2).sum), "\"_rest_n\":" + rest.size))
-      val qs = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def lineFor(dir: String): String = {
+      val results = names.map(n => n -> median(samples((dir, n))))
+      val mins = names.map(n => n -> samples((dir, n)).min).toMap
+      val total = fmt(results.map(_._2).sum)
+      val tr = fmt {
+        val m = results.map(_._2).sum
+        val lo = names.map(mins).sum
+        if (lo > 0) m / lo else 1.0
+      }
+      val byCost = results.sortBy { case (k, v) => (-v, k) }
+      def encode(keep: Int): String = {
+        val (kept, rest) = byCost.splitAt(keep)
+        val entries = kept.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
+          (if (rest.isEmpty) Nil
+           else Seq("\"_rest\":" + fmt(rest.map(_._2).sum), "\"_rest_n\":" + rest.size))
+        val minEntries = kept.sortBy(_._1).map { case (k, _) => "\"" + k + "\":" + fmt(mins(k)) }
+        val qs = entries.mkString("{", ",", "}")
+        val ms = minEntries.mkString("{", ",", "}")
+        val partial = if (only.isDefined) "\"partial\":true," else ""
+        s"""{"metric":"total","value":$total,"unit":"sec",$partial"throttle_ratio":$tr,"passes":$done,"queries":$qs,"mins":$ms,"sf":"$dir"}"""
+      }
+      (results.size to 0 by -1).map(encode).find(_.length <= 1900).getOrElse(encode(0))
     }
-    val line = (results.size to 0 by -1).map(encode).find(_.length <= 1900).getOrElse(encode(0))
-    spark.stop() // stop first: the JSON must be the last line of stdout
-    println(line)
+    val lines = sfDirs.map(lineFor)
+    spark.stop() // stop first: the JSON must be the last line(s) of stdout
+    lines.foreach(println)
     System.out.flush()
   }
 }

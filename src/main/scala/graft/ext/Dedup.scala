@@ -197,19 +197,21 @@ object Dedup {
 
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Sources.documents(spark, dir)
-    // NO caches here: the self-join's sides and the verify's two reads of
-    // `candidates` share work through AQE exchange reuse (identical subplans
-    // reuse the band-join / distinct shuffles); a cache() is a
-    // materialization barrier whose cold-path races each consumer into
-    // recomputing the whole upstream pipeline (measured 22 s -> 2 s on the
-    // ngram twin when its cache was dropped). The fused signature kernel is
-    // map-only codegen — re-running it per consumer is cheaper than the
-    // barrier.
+    // The band self-join's two SIDES share one exchange via AQE reuse (no
+    // cache needed there — identical subplans). But `candidates` itself is
+    // consumed THREE ways inside jaccardVerify (doc-id union ×2 + the pair
+    // join), each under a differently-shaped parent, so AQE does NOT reuse
+    // the distinct's exchange across them — unpinned, the whole band-join
+    // pipeline recomputes per consumer (measured 4.6 s -> 10.9 s when the
+    // pin was dropped in r5). Persist exactly this frame: it is the pair
+    // CANDIDATE set — thousands of rows at any corpus size (LSH exists to
+    // make it so), never the corpus. Bench's per-query clearCache() frees it.
     val bands = bandBuckets(docs)
     val candidates = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .persist()
     // exact verification on candidates only
     jaccardVerify(docs, candidates)
   }
@@ -292,7 +294,10 @@ object Dedup {
   def clusters(spark: SparkSession, dir: String): DataFrame =
     componentsOf(
       Sources.documents(spark, dir).select("doc_id"),
-      minhashLshPairs(spark, dir).select("doc_a", "doc_b"))
+      // componentsOf reads the pair set twice (the undirected union with its
+      // swap); pin it — it is the VERIFIED near-dup pair set, tiny at any
+      // corpus size — so the LSH+verify pipeline runs once, not twice
+      minhashLshPairs(spark, dir).select("doc_a", "doc_b").persist())
       .withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
 
@@ -327,9 +332,8 @@ object Dedup {
     }
     def free(ids: scala.collection.Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(false)
+    val (edges, edgeIds) = checkpointLeaf(pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     var (labels, labelIds) = checkpointLeaf(
       nodes.select(col("doc_id"), col("doc_id").as("cluster_id")))
     var converged = false
@@ -371,6 +375,12 @@ object Dedup {
         println(f"CC round=$rounds changed=$changed t=${(System.nanoTime() - t0) / 1e9}%.2fs")
       rounds += 1
     }
+    // the returned labels leaf is materialized (every round's checkpoint
+    // rode a counting action), so the edge set is no longer reachable from
+    // it — free the corpus-sized edges checkpoint now rather than pinning
+    // it for session life. The labels checkpoint itself stays pinned by
+    // design: it backs the returned frame.
+    free(edgeIds)
     labels.select("doc_id", "cluster_id")
   }
 
@@ -446,6 +456,13 @@ object Dedup {
     val vecs = base.select(col("vec_id"), col("label"), v.as("v"))
       .withColumn("norm", sqrt(Similarity.dot(col("v"), col("v"))))
     val cents = Similarity.ivfCentroids(vecs).withColumnRenamed("label", "cl")
+    // `assigned` is consumed THREE ways (both self-join sides + the final
+    // verdict join) under differently-shaped parents, so AQE exchange reuse
+    // does not cover it — unpinned, the crossJoin+window assignment pipeline
+    // recomputes per consumer (measured 2.3 s -> 5.0 s when the pin was
+    // dropped in r5). Persist exactly this frame: one row per vector with
+    // its cluster id — corpus-row-count sized but shuffle-final and small
+    // relative to recomputing the centroid assignment per consumer.
     val assigned = vecs.drop("label").crossJoin(broadcast(cents))
       .withColumn("_cos",
         Similarity.dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
@@ -453,6 +470,7 @@ object Dedup {
         .partitionBy("vec_id").orderBy(col("_cos").desc, col("cl"))))
       .where(col("_crank") === 1)
       .select(col("vec_id"), col("cl").as("cluster"), col("v"), col("norm"))
+      .persist()
     val a = assigned.select(col("cluster"), col("vec_id").as("ia"),
       col("v").as("va"), col("norm").as("na"))
     val b = assigned.select(col("cluster"), col("vec_id").as("ib"),

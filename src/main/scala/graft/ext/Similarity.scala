@@ -137,15 +137,23 @@ object Similarity {
     val vecs = base.select(col("vec_id"), col("label"), v.as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val cents = ivfCentroids(vecs).withColumnRenamed("label", "cl")
-    // rank centroids per vector by raw cosine (ties → smaller label)
+    // rank centroids per vector by raw cosine (ties → smaller label).
+    // The post-window top-IvfProbes frame feeds BOTH the inverted lists
+    // (_crank = 1) and the probe set (_crank ≤ IvfProbes) under different
+    // parents, so AQE exchange reuse does not cover it — unpinned, the
+    // crossJoin+window centroid assignment recomputes per consumer
+    // (measured 2.2 s -> 7.1 s when the pin was dropped in r5). Persist
+    // exactly this frame: IvfProbes rows per vector, shuffle-final.
     val scored = vecs.drop("label").crossJoin(broadcast(cents))
       .withColumn("_cos", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
       .withColumn("_crank", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("_cos").desc, col("cl"))))
+      .where(col("_crank") <= IvfProbes)
+      .persist()
     val inverted = scored.where(col("_crank") === 1)
       .select(col("cl"), col("vec_id").as("neighbor_id"),
         col("v").as("vb"), col("norm").as("nb"))
-    val probes = scored.where(col("_crank") <= IvfProbes)
+    val probes = scored
       .select(col("cl"), col("vec_id").as("query_id"),
         col("v").as("va"), col("norm").as("na"))
     val pairs = probes.join(inverted, "cl")
