@@ -139,7 +139,8 @@ object Pipeline {
       Gold.customerLifetimeValue(Silver.customerOrders(spark, dir), od))
     results += st("gold_monthly_sales_trends", critical = false)(
       Gold.monthlySalesTrends(od))
-    // quality (run_sales_analytics.py:134) — audits the tables this run just
+    // quality (run_sales_analytics.py:134) — ALL FIVE families
+    // (data_quality_checks.py:27-140), audited over the tables this run just
     // WROTE (plain parquet scans of outDir), not a re-derivation of silver:
     // at 100 TB re-deriving silver to check it doubles the pipeline's cost
     // and verifies a recomputation instead of the actual tables
@@ -176,9 +177,16 @@ object Pipeline {
     results += st("silver_order_details", critical = false)(od)
     val sp = Silver.supplierParts(spark, dir)
     results += st("silver_supplier_parts", critical = true)(sp)
-    // gold + quality (run_supplier_analytics.py:115-126)
+    // gold + quality (run_supplier_analytics.py:115-126) — the DQ stage runs
+    // every applicable family over the tables THIS pipeline wrote (no
+    // customer → no orders->customer probe; no customer_orders → no
+    // freshness arm for it)
     results += st("gold_supplier_performance", critical = false)(
       Gold.supplierPerformance(sp, od))
+    results += st("quality_checks", critical = false)(
+      Quality.overWarehouse(spark, outDir,
+        Seq("orders", "supplier", "part", "lineitem", "nation", "region",
+          "order_details", "supplier_parts")))
     val out = results.result()
     require(!out.exists(_.status == "FAIL"), s"supplier pipeline failed: $out")
     out

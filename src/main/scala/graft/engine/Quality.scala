@@ -120,25 +120,42 @@ object Quality {
     * probes run as ONE pass: left-join the fact to each dimension's distinct
     * key set (no row multiplication) and count the null sides together —
     * one fact scan instead of three, dims broadcast. */
-  def referentialIntegrityOver(t: TableResolver): DataFrame = {
-    val o = t("orders")
+  def referentialIntegrityOver(t: TableResolver,
+                               names: Seq[String] = AllTables): DataFrame = {
+    val has = names.toSet
     def keys(df: DataFrame, c: String, as: String): DataFrame =
       df.select(col(c).as(as)).distinct()
-    val lineProbes = t("lineitem")
-      .join(keys(o, "o_orderkey", "_ko"), col("l_orderkey") === col("_ko"), "left")
-      .join(broadcast(keys(t("part"), "p_partkey", "_kp")),
-        col("l_partkey") === col("_kp"), "left")
-      .join(broadcast(keys(t("supplier"), "s_suppkey", "_ks")),
-        col("l_suppkey") === col("_ks"), "left")
-    val lineCounts = countsInOnePass(lineProbes, Seq(
-      "lineitem->orders" -> col("_ko").isNull,
-      "lineitem->part" -> col("_kp").isNull,
-      "lineitem->supplier" -> col("_ks").isNull), "orphan_count")
-    val orderCounts = countsInOnePass(
-      o.join(broadcast(keys(t("customer"), "c_custkey", "_kc")),
-        col("o_custkey") === col("_kc"), "left"),
-      Seq("orders->customer" -> col("_kc").isNull), "orphan_count")
-    orderCounts.unionByName(lineCounts)
+    val arms = Seq.newBuilder[DataFrame]
+    // fact->dim probes exist only when BOTH sides are among the audited
+    // tables — a pipeline that doesn't materialize `supplier` can't (and
+    // shouldn't) audit lineitem->supplier
+    if (has("orders") && has("customer"))
+      arms += countsInOnePass(
+        t("orders").join(broadcast(keys(t("customer"), "c_custkey", "_kc")),
+          col("o_custkey") === col("_kc"), "left"),
+        Seq("orders->customer" -> col("_kc").isNull), "orphan_count")
+    if (has("lineitem")) {
+      var probes = t("lineitem")
+      val checks = Seq.newBuilder[(String, Column)]
+      if (has("orders")) {
+        probes = probes.join(keys(t("orders"), "o_orderkey", "_ko"),
+          col("l_orderkey") === col("_ko"), "left")
+        checks += "lineitem->orders" -> col("_ko").isNull
+      }
+      if (has("part")) {
+        probes = probes.join(broadcast(keys(t("part"), "p_partkey", "_kp")),
+          col("l_partkey") === col("_kp"), "left")
+        checks += "lineitem->part" -> col("_kp").isNull
+      }
+      if (has("supplier")) {
+        probes = probes.join(broadcast(keys(t("supplier"), "s_suppkey", "_ks")),
+          col("l_suppkey") === col("_ks"), "left")
+        checks += "lineitem->supplier" -> col("_ks").isNull
+      }
+      val cs = checks.result()
+      if (cs.nonEmpty) arms += countsInOnePass(probes, cs, "orphan_count")
+    }
+    arms.result().reduce(_.unionByName(_))
       .withColumn("status", when(col("orphan_count") === 0, "PASS").otherwise("FAIL"))
       .orderBy("check_name")
   }
@@ -178,7 +195,17 @@ object Quality {
     * for determinism). The events arm extends the family to the event stream's
     * own data clock — its staleness is a property of the fixture, not the
     * pipeline, and is reported deterministically either way. */
-  def freshnessOver(t: TableResolver, withEvents: Boolean = true): DataFrame = {
+  /** (logical table, freshness label, timestamp column) arms the family
+    * knows how to audit — restricted by `names` so a pipeline only audits
+    * the tables it materialized. */
+  private val FreshnessArms: Seq[(String, String, String)] = Seq(
+    ("orders", "bronze.orders", "_ingested_at"),
+    ("order_details", "silver.order_details", "_refined_at"),
+    ("customer_orders", "silver.customer_orders", "_refined_at"),
+    ("events", "events", "ts"))
+
+  def freshnessOver(t: TableResolver,
+                    names: Seq[String] = FreshnessArms.map(_._1)): DataFrame = {
     val pinnedEpoch = lit(1009843200L) // 2002-01-01 00:00:00 UTC
     def arm(name: String, df: DataFrame, tsCol: String): DataFrame =
       df.agg(max(col(tsCol)).as("last_refresh"))
@@ -189,28 +216,52 @@ object Quality {
           Num.r1((pinnedEpoch - unix_timestamp(col("last_refresh"))) / 3600.0)
             .as("hours_since"))
         .withColumn("status", when(col("hours_since") <= 25, "PASS").otherwise("STALE"))
-    val base = arm("bronze.orders", t("orders"), "_ingested_at")
-      .unionByName(arm("silver.order_details", t("order_details"), "_refined_at"))
-      .unionByName(arm("silver.customer_orders", t("customer_orders"), "_refined_at"))
-    (if (withEvents) base.unionByName(arm("events", t("events"), "ts")) else base)
+    FreshnessArms.filter(a => names.contains(a._1))
+      .map { case (table, label, tsCol) => arm(label, t(table), tsCol) }
+      .reduce(_.unionByName(_))
       .orderBy("table_name")
   }
 
   def freshness(spark: SparkSession, dir: String): DataFrame =
     freshnessOver(sourceTables(spark, dir))
 
-  /** The DQ audit a DEPLOYED pipeline runs: every family, evaluated over the
-    * tables the pipeline actually wrote under `outDir` (restricted to
-    * `names` — a pipeline only audits the tables it materializes). Plain
-    * parquet scans in, single-row aggregates out: no silver recompute. */
-  def overWarehouse(spark: SparkSession, outDir: String,
-                    names: Seq[String]): DataFrame = {
-    val t = warehouseTables(spark, outDir)
-    rowCountsOver(t, names)
-      .unionByName(nullChecksOver(t, names)
-        .withColumnRenamed("check_name", "table_name")
-        .withColumnRenamed("null_count", "row_count"))
+  /** ALL FIVE check families over one table resolver, in a unified shape
+    * (family, check_name, metric, status) — the union the reference's DQ
+    * stage displays (data_quality_checks.py:27-140 runs every family,
+    * invoked at run_sales_analytics.py:134). Each family is restricted by
+    * `names` to the tables the caller materialized; a family with no
+    * applicable table contributes no rows. Metric semantics per family:
+    * row count / null count / orphan count / violation count / hours since
+    * refresh. */
+  def allFamiliesOver(t: TableResolver, names: Seq[String]): DataFrame = {
+    def fam(family: String, df: DataFrame, check: String, metric: String): DataFrame =
+      df.select(lit(family).as("family"), col(check).as("check_name"),
+        col(metric).cast("double").as("metric"), col("status"))
+    val arms = Seq.newBuilder[DataFrame]
+    arms += fam("row_counts", rowCountsOver(t, names), "table_name", "row_count")
+    if (NullCheckFamilies.exists(f => names.contains(f._1)))
+      arms += fam("null_checks", nullChecksOver(t, names), "check_name", "null_count")
+    val has = names.toSet
+    if ((has("orders") && has("customer")) ||
+        (has("lineitem") && (has("orders") || has("part") || has("supplier"))))
+      arms += fam("referential_integrity", referentialIntegrityOver(t, names),
+        "check_name", "orphan_count")
+    if (RuleFamilies.exists(f => names.contains(f._1)))
+      arms += fam("business_rules", businessRulesOver(t, names), "rule_name", "violation_count")
+    if (FreshnessArms.exists(a => names.contains(a._1)))
+      arms += fam("freshness", freshnessOver(t, names), "table_name", "hours_since")
+    arms.result().reduce(_.unionByName(_)).orderBy("family", "check_name")
   }
+
+  /** The DQ audit a DEPLOYED pipeline runs: EVERY family, evaluated over the
+    * tables the pipeline actually wrote under `outDir` (restricted to
+    * `names` — a pipeline only audits the tables it materializes). Inputs
+    * are plain parquet scans of the written outputs — no silver recompute;
+    * the only joins in the plan are the RI orphan probes against distinct
+    * key sets (dims broadcast), exactly what the family means. */
+  def overWarehouse(spark: SparkSession, outDir: String,
+                    names: Seq[String]): DataFrame =
+    allFamiliesOver(warehouseTables(spark, outDir), names)
 
   /** Pipeline gate: throws if any check FAILs (stronger than the reference,
     * which only displays results — SURVEY.md §5). */

@@ -19,25 +19,31 @@ class PipelineSpec extends SparkSpec {
     // written snapshot is readable and matches the live plan's count
     val written = spark.read.parquet(s"$out/silver_order_details").count()
     assert(written === graft.engine.Silver.orderDetails(spark, sf).count())
-    // the DQ stage audits the WRITTEN tables: its plan is parquet scans +
-    // single-row aggregates — no Window (silver re-derivation) and no Join
-    // beyond none at all; and its verdicts match the derived-mode families
-    val dq = graft.engine.Quality.overWarehouse(spark, out,
-      Seq("orders", "customer", "lineitem", "part",
-        "order_details", "customer_orders"))
+    // the DQ stage audits the WRITTEN tables with ALL FIVE families
+    // (reference: data_quality_checks.py:27-140 run at
+    // run_sales_analytics.py:134). Its plan is parquet scans + single-row
+    // aggregates — no Window (that would mean a silver re-derivation); the
+    // only joins allowed are the RI orphan probes. Verdicts and metrics
+    // must equal the source-derived mode exactly (audit stamps are pinned
+    // literals, so even freshness hours agree).
+    val auditNames = Seq("orders", "customer", "lineitem", "part",
+      "order_details", "customer_orders")
+    val dq = graft.engine.Quality.overWarehouse(spark, out, auditNames)
     val dqPlan = dq.queryExecution.executedPlan.toString
     assert(!dqPlan.contains("Window"), "DQ stage re-derived silver:\n" + dqPlan.take(800))
-    assert(!dqPlan.contains("Join"), "DQ stage joined instead of scanning:\n" + dqPlan.take(800))
-    val audited = dq.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
-    val derived = graft.engine.Quality.rowCountsOver(
-        graft.engine.Quality.sourceTables(spark, sf),
-        Seq("orders", "customer", "lineitem", "part", "order_details", "customer_orders"))
-      .unionByName(graft.engine.Quality.nullChecksOver(
-        graft.engine.Quality.sourceTables(spark, sf),
-        Seq("orders", "order_details", "customer_orders"))
-        .withColumnRenamed("check_name", "table_name")
-        .withColumnRenamed("null_count", "row_count"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val audited = dq.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getString(3))).toSet
+    assert(audited.map(_._1) ===
+      Set("row_counts", "null_checks", "referential_integrity",
+        "business_rules", "freshness"),
+      s"DQ stage must run all five families, got: ${audited.map(_._1)}")
+    assert(audited.forall(c => c._4 == "PASS"), s"DQ failures: ${audited.filter(_._4 != "PASS")}")
+    // no supplier in this pipeline -> no lineitem->supplier probe
+    assert(!audited.exists(_._2 == "lineitem->supplier"))
+    val derived = graft.engine.Quality.allFamiliesOver(
+        graft.engine.Quality.sourceTables(spark, sf), auditNames)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getString(3))).toSet
     assert(audited === derived,
       s"warehouse DQ disagrees with derived DQ: ${audited.diff(derived)} vs ${derived.diff(audited)}")
   }
@@ -48,10 +54,19 @@ class PipelineSpec extends SparkSpec {
     assert(results.map(_.stage) === Seq(
       "bronze_nation", "bronze_region", "bronze_supplier", "bronze_part",
       "bronze_orders", "bronze_lineitem", "silver_order_details",
-      "silver_supplier_parts", "gold_supplier_performance"))
+      "silver_supplier_parts", "gold_supplier_performance", "quality_checks"))
     assert(results.forall(_.status == "PASS"))
     // rows come from write-side metrics, not a read-back scan — must be real
     assert(results.forall(_.rows > 0), results.mkString("; "))
+    // the supplier DQ stage covers the supplier-side families, including the
+    // lineitem->supplier probe the sales pipeline can't run
+    val dq = spark.read.parquet(s"$out/quality_checks")
+    val families = dq.select("family").distinct().collect().map(_.getString(0)).toSet
+    assert(families === Set("row_counts", "null_checks", "referential_integrity",
+      "business_rules", "freshness"), families.toString)
+    val checks = dq.select("check_name").collect().map(_.getString(0)).toSet
+    assert(checks.contains("lineitem->supplier") && !checks.contains("orders->customer"))
+    assert(dq.where(org.apache.spark.sql.functions.col("status") =!= "PASS").count() === 0)
   }
 
   test("stage retries with delay and succeeds on a later attempt") {
