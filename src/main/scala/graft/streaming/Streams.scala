@@ -191,10 +191,12 @@ object Streams {
     * real corpus).
     *
     * Store layout at `storePath`: `bands/` (doc_id, band, bucket — 8
-    * rows/doc) and `docs/` (full rows), both append-only parquet — O(delta)
+    * rows/doc) registered as an EXTERNAL TABLE BUCKETED on (band, bucket)
+    * ([[bandsTable]]), and `docs/` (full rows, plain parquet) — O(delta)
     * written per batch; the collision join reads the band index, not the
-    * corpus. At 100 TB the band store gets bucketed by (band, bucket) so
-    * the probe is partition-local; the shape is unchanged. */
+    * corpus. The bucketing means the per-batch probe join needs NO exchange
+    * on the store side at any history size — only the micro-batch's own 8
+    * rows/doc shuffle (StreamingSpec pins the plan shape). */
   def nearDupIngest(docs: DataFrame, storePath: String,
                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
@@ -214,6 +216,41 @@ object Streams {
     * History reads exclude the current batch's partition (a crashed earlier
     * attempt may have left a partial copy there); partition pruning makes
     * the exclusion free. */
+  /** Buckets of the band-index table. At 100 TB raise so one bucket's files
+    * stay executor-sized; the probe cost is per-bucket, not per-store. */
+  val LshStoreBuckets = 8
+
+  /** Catalog name of the band-index table for a store path (external table
+    * LOCATION'd at `storePath/bands`, so the DATA survives the session and a
+    * new session just re-registers the same layout). */
+  private[graft] def bandsTable(storePath: String): String =
+    "graft_lsh_bands_" + Integer.toHexString(storePath.hashCode)
+
+  /** Ensure the band-index table exists: external parquet at
+    * `storePath/bands`, PARTITIONED BY batch (replay-idempotent overwrite
+    * unit) and CLUSTERED BY (band, bucket) — the join key — so every future
+    * probe join reads the store side already hash-distributed: no exchange,
+    * however large the history grows. Re-registering over an existing
+    * location recovers its partitions. */
+  private def ensureBandsTable(spark: org.apache.spark.sql.SparkSession,
+                               storePath: String): String = {
+    val tbl = bandsTable(storePath)
+    if (!spark.catalog.tableExists(tbl)) {
+      // CREATE TABLE registers the location but does not create it; the
+      // first history scan of an empty store must see an empty dir, not ENOENT
+      val loc = new org.apache.hadoop.fs.Path(s"$storePath/bands")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(loc)
+      spark.sql(
+        s"""CREATE TABLE $tbl (doc_id BIGINT, band INT, bucket BIGINT, batch BIGINT)
+           |USING PARQUET
+           |PARTITIONED BY (batch)
+           |CLUSTERED BY (band, bucket) INTO $LshStoreBuckets BUCKETS
+           |LOCATION '$storePath/bands'""".stripMargin)
+      spark.catalog.recoverPartitions(tbl)
+    }
+    tbl
+  }
+
   private[graft] def ingestDedupBatch(batch0: DataFrame, storePath: String,
                                       batchId: Long): Unit = {
     import graft.ext.Dedup
@@ -222,19 +259,24 @@ object Streams {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batch = batch0.persist()
     val newBands = Dedup.bandBuckets(batch).persist()
+    val bandsTbl = ensureBandsTable(spark, storePath)
     val seen = fs.exists(new org.apache.hadoop.fs.Path(s"$storePath/docs"))
-    def history(sub: String, like: DataFrame): DataFrame =
-      if (!seen) like.limit(0)
-      else spark.read.parquet(s"$storePath/$sub")
+    // history reads exclude the current batch's partition (a crashed earlier
+    // attempt may have left a partial copy); pruning makes the exclusion free
+    val histBands = spark.table(bandsTbl)
+      .where(col("batch") =!= batchId).drop("batch")
+    val histDocs =
+      if (!seen) batch.limit(0)
+      else spark.read.parquet(s"$storePath/docs")
         .where(col("batch") =!= batchId).drop("batch")
-    val histBands = history("bands", newBands)
-    val histDocs = history("docs", batch)
     // candidate = new doc (right) colliding with ANY lower-id doc seen so
-    // far (left: history ∪ this batch — within-batch dups count too)
-    val cand = histBands.unionByName(newBands).as("x")
-      .join(newBands.as("y"), Seq("band", "bucket"))
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // far: history ⋈ batch + batch ⋈ batch (within-batch dups count too),
+    // kept as two joins so the history side rides the table's (band,
+    // bucket) bucketing — no exchange on the store side of the probe
+    // (newDupProbe is the spec-pinned plan); a single union'd left side
+    // would re-shuffle the whole history every micro-batch
+    val cand = newDupProbe(histBands, newBands)
+      .unionByName(newDupProbe(newBands, newBands))
       .distinct().persist()
     val allDocs = histDocs.unionByName(batch)
     val dups = Dedup.jaccardVerify(allDocs, cand)
@@ -244,10 +286,29 @@ object Streams {
     // index EVERY arrival (kept or not) so future dups of rejected docs
     // are still caught; per-batch partitions — never a history rewrite
     batch.write.mode("overwrite").parquet(s"$storePath/docs/batch=$batchId")
-    newBands.write.mode("overwrite").parquet(s"$storePath/bands/batch=$batchId")
+    // dynamic overwrite: replace ONLY this batch's partition (replay-safe),
+    // never the history. Set via session conf — the per-write option is not
+    // honored on the insertInto path (observed: each insert truncated the
+    // table, silently dropping all history bands).
+    val pomKey = "spark.sql.sources.partitionOverwriteMode"
+    val pomPrev = spark.conf.get(pomKey)
+    spark.conf.set(pomKey, "dynamic")
+    try newBands.withColumn("batch", lit(batchId))
+      .select("doc_id", "band", "bucket", "batch") // insertInto is positional
+      .write.mode("overwrite")
+      .insertInto(bandsTbl)
+    finally spark.conf.set(pomKey, pomPrev)
     batch.unpersist(); newBands.unpersist(); cand.unpersist()
     ()
   }
+
+  /** The probe join of one ingest batch: (earlier doc, new doc) pairs
+    * colliding in any LSH band bucket. Left side is the (possibly huge)
+    * already-indexed history; right side is the micro-batch's bands. */
+  private[graft] def newDupProbe(earlier: DataFrame, fresh: DataFrame): DataFrame =
+    earlier.as("x").join(fresh.as("y"), Seq("band", "bucket"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
 
   /** Streaming GOLD maintenance: each micro-batch of orders folds into the
     * persisted monthly-revenue STATE table ([[graft.engine.Incremental]]'s

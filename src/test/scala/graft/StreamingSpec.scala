@@ -303,6 +303,40 @@ class StreamingSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("LSH band store is bucketed: probe join has no exchange on the store side") {
+    val dir = Files.createTempDirectory("graft_bstore").toString
+    val d = graft.engine.Sources.documents(spark, sf)
+    Streams.ingestDedupBatch(d.where(col("doc_id") < 100), s"$dir/store", 0L)
+    Streams.ingestDedupBatch(
+      d.where(col("doc_id") >= 100 && col("doc_id") < 150), s"$dir/store", 1L)
+    val tbl = Streams.bandsTable(s"$dir/store")
+    assert(spark.catalog.tableExists(tbl))
+    val hist = spark.table(tbl).where(col("batch") =!= 2L).drop("batch")
+    val fresh = graft.ext.Dedup.bandBuckets(
+      d.where(col("doc_id") >= 150 && col("doc_id") < 200))
+    // force the sort-merge path: broadcast of the tiny fresh side (what AQE
+    // picks at test SF) ALSO leaves the store exchange-free, but SMJ is the
+    // shape that matters at 100 TB history
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = Streams.newDupProbe(hist, fresh)
+      val p = probe.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(p.contains("SelectedBucketsCount"),
+        "store scan must be bucketed:\n" + p.take(1200))
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(shuffles === 1,
+        s"only the micro-batch side may shuffle, got $shuffles:\n${p.take(1500)}")
+      // and the probe is still correct: pairs match the unbucketed join
+      val naive = spark.read.parquet(s"$dir/store/bands").drop("batch").as("x")
+        .join(fresh.as("y"), Seq("band", "bucket"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      assert(probe.distinct().count() === naive.distinct().count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("replayed micro-batches are no-ops: idempotent ingest, exactly-once fold") {
     val dir = Files.createTempDirectory("graft_replay").toString
     // near-dup ingest: a replay of the same (batch, id) must not grow the store
