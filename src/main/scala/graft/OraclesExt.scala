@@ -916,13 +916,17 @@ object OraclesExt {
 
   /** Image rows are REAL PNGs of solid gray `(doc_id·A + C) >>> 56` (the
     * LCG's step-0 top byte — `gen` at i = 0): the decoded per-pixel mean is
-    * exactly that level. Audio/video luma replays the fake payload (LCG
-    * steps 1..64). */
+    * exactly that level. Audio rows are REAL WAV PCM16 whose decoded 8-bit
+    * levels are LCG steps 1..64 (so the level mean is the same expression
+    * as the old fake payload, but n_pixels is now the DECODED frame count —
+    * [[graft.ext.Multimodal.WavCodec.Samples]] per file). Video luma
+    * replays the fake payload (LCG steps 1..64). */
   val mediaKindSummary: String = {
     val A = "6364136223846793005"
     val C = "1442695040888963407"
     val M64 = "18446744073709551616" // 2^64
     val TOP = "72057594037927936" // 2^56
+    val wavFrames = graft.ext.Multimodal.WavCodec.Samples
     s"""WITH RECURSIVE media AS (
        |  SELECT doc_id,
        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -947,7 +951,9 @@ object OraclesExt {
        |  FROM payload_luma p JOIN gray g USING (doc_id))
        |SELECT m.kind,
        |  COUNT(*) AS n_media,
-       |  CAST(SUM(CAST(m.w AS BIGINT) * m.h * m.frames) AS BIGINT) AS total_pixels,
+       |  CAST(SUM(CASE WHEN m.kind = 'audio' THEN $wavFrames
+       |           ELSE CAST(m.w AS BIGINT) * m.h * m.frames END) AS BIGINT)
+       |    AS total_pixels,
        |  ${R(s"${DS("l.mean_luma")} / COUNT(*)", 4)} AS avg_luma
        |FROM media m JOIN luma l USING (doc_id)
        |GROUP BY m.kind

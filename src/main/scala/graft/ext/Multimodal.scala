@@ -19,8 +19,13 @@ import graft.engine.Sources
   *    resample on resize. Pixel content is a deterministic solid gray
   *    (level = top byte of one LCG step of the id) so the decoded luma is
   *    exactly replayable in the DuckDB oracle.
-  *  - audio/video: DETERMINISTIC STUB ([[FakeCodec]], clearly marked) — the
-  *    container ships no audio/video codecs. Swapping in javacv/ffmpeg means
+  *  - audio: REAL WAV. The corpus carries genuine RIFF/WAV PCM16 bytes and
+  *    the decode leaf runs `javax.sound.sampled` (stock JDK) — actual
+  *    container parse, actual frame decode; level stats come from the
+  *    decoded samples. Sample content is a deterministic LCG tone so the
+  *    decoded levels are exactly replayable in the DuckDB oracle.
+  *  - video: DETERMINISTIC STUB ([[FakeCodec]], clearly marked) — the
+  *    container ships no video codecs. Swapping in javacv/ffmpeg means
   *    replacing ONLY the codec leaf; every Spark-side shape stays.
   *
   * Scale notes:
@@ -112,8 +117,82 @@ object Multimodal {
     }
   }
 
-  /** STUB codec boundary for audio/video — deterministic fake, NOT a real
-    * decoder (no audio/video codec ships in this container). */
+  /** REAL audio codec over `javax.sound.sampled` (ships in the stock JDK —
+    * RIFF/WAV PCM needs no native libs). Encode emits a genuine 16-bit mono
+    * PCM WAV whose samples are an LCG byte tone; decode parses the RIFF
+    * container through `AudioSystem` and measures level stats from the
+    * ACTUAL decoded frames. The sample bytes replay the same LCG stream the
+    * fake payload used (steps 1..[[WavCodec.Samples]]), so the DuckDB twin's
+    * level arithmetic is unchanged. */
+  object WavCodec {
+    val Samples = 64
+    val SampleRate = 8000
+
+    /** The LCG byte stream for an id: steps 1..n of
+      * s ← s·6364136223846793005 + 1442695040888963407, top byte. */
+    private def lcgBytes(id: Long, n: Int): Array[Int] = {
+      var s = id * 6364136223846793005L + 1442695040888963407L
+      Array.fill(n) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 56) & 0xff).toInt
+      }
+    }
+
+    /** Genuine RIFF/WAV: 44-byte canonical header + PCM16LE mono frames.
+      * Sample k = (byte_k − 128)·256, so the decoded 8-bit level is byte_k. */
+    def encode(id: Long): Array[Byte] = {
+      val data = lcgBytes(id, Samples).flatMap { b =>
+        val s = (b - 128) * 256
+        Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+      }
+      val out = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+        .put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(SampleRate)
+        .putInt(SampleRate * 2) // byte rate
+        .putShort(2)            // block align
+        .putShort(16)           // bits/sample
+      out.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+      out.array()
+    }
+
+    /** Real container parse + frame decode: `AudioSystem` reads the RIFF
+      * header (format, rate, frame count are taken from the DECODER, not
+      * from our metadata), then levels come from the actual PCM samples. */
+    def features(m: MediaFile): MediaFeatures = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(m.content))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"unexpected WAV layout: $fmt")
+      val nFrames = ais.getFrameLength.toInt
+      val raw = ais.readAllBytes()
+      val stripe = new Array[Double](8)
+      val stripeN = new Array[Long](8)
+      var lumaSum = 0.0
+      var k = 0
+      while (k < nFrames) {
+        val lo = raw(2 * k) & 0xff
+        val hi = raw(2 * k + 1).toInt // sign-carrying high byte
+        val sample = (hi << 8) | lo
+        val level = (sample >> 8) + 128 // back to the 8-bit grid
+        lumaSum += level
+        stripe(k % 8) += level; stripeN(k % 8) += 1
+        k += 1
+      }
+      val emb = Array.tabulate(8)(j =>
+        if (stripeN(j) == 0) 0f else (stripe(j) / 255.0).toFloat)
+      MediaFeatures(m.media_id, m.kind, m.width, m.height,
+        nFrames.toLong, lumaSum / nFrames, emb)
+    }
+  }
+
+  /** STUB codec boundary for video — deterministic fake, NOT a real
+    * decoder (no video codec ships in this container). */
   object FakeCodec {
     /** Synthesize an opaque blob for (id, kind): 16-byte header
       * [w:4][h:4][frames:4][magic:4] + pseudo-random payload. */
@@ -133,7 +212,8 @@ object Multimodal {
     }
 
     /** [STUB — replace with a real codec] Parse the fake header + derive a
-      * deterministic 8-dim "embedding" and luma stat from the payload. */
+      * deterministic 8-dim "embedding" and luma stat from the payload.
+      * Only video rows reach this path now. */
     def decode(batch: Seq[MediaFile]): Seq[MediaFeatures] = batch.map { m =>
       val lumaBytes = m.content.drop(16)
       val luma = lumaBytes.map(b => (b & 0xff).toDouble).sum / lumaBytes.length
@@ -145,11 +225,13 @@ object Multimodal {
     }
   }
 
-  /** Batch dispatch across the per-kind codecs: PNG rows decode for real,
-    * audio/video go to the declared stub. One codec entry per batch. */
+  /** Batch dispatch across the per-kind codecs: PNG and WAV rows decode for
+    * real, video goes to the declared stub. One codec entry per batch. */
   private def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] = {
     val (images, rest) = batch.partition(_.kind == "image")
-    images.map(PngCodec.features) ++ FakeCodec.decode(rest)
+    val (audio, video) = rest.partition(_.kind == "audio")
+    images.map(PngCodec.features) ++ audio.map(WavCodec.features) ++
+      FakeCodec.decode(video)
   }
 
   /** Synthetic media corpus derived from the documents table (deterministic:
@@ -165,9 +247,11 @@ object Multimodal {
       val w = 64 + (id % 8).toInt * 32
       val h = 64 + (id % 5).toInt * 32
       val frames = if (kind == "video") 8 + (id % 4).toInt else 1
-      val bytes =
-        if (kind == "image") PngCodec.encode(id, w, h)
-        else FakeCodec.encode(id, kind, w, h, frames)
+      val bytes = kind match {
+        case "image" => PngCodec.encode(id, w, h)
+        case "audio" => WavCodec.encode(id)
+        case _       => FakeCodec.encode(id, kind, w, h, frames)
+      }
       MediaFile(id, kind, s"lake://media/$kind/$id", w, h, frames, bytes)
     }
   }
@@ -198,6 +282,8 @@ object Multimodal {
       val (w, h) = (math.max(1, (m.width * scale).toInt), math.max(1, (m.height * scale).toInt))
       if (w == m.width && h == m.height) m
       else if (m.kind == "image") PngCodec.resize(m, w, h)
+      else if (m.kind == "audio") m.copy(width = w, height = h) // display
+      // geometry is metadata for audio; the real WAV stream is untouched
       else m.copy(width = w, height = h,
         content = FakeCodec.encode(m.media_id, m.kind, w, h, m.n_frames))
     }))
@@ -239,7 +325,8 @@ object Multimodal {
 
   /** The media pipeline as a queryable table: features joined back to doc
     * language (metadata join pattern), aggregated per kind. Image stats come
-    * from the real PNG pixel scan; audio/video from the declared stub. */
+    * from the real PNG pixel scan, audio from the real WAV frame decode
+    * (n_pixels = decoded frame count); video from the declared stub. */
   def kindSummary(spark: SparkSession, dir: String): DataFrame = {
     import graft.engine.Num._
     extractFeatures(balancedByBytes(mediaCorpus(spark, dir), 8)).toDF()

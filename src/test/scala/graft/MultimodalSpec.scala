@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.Multimodal
-import graft.ext.Multimodal.{FakeCodec, MediaFile, PngCodec}
+import graft.ext.Multimodal.{FakeCodec, MediaFile, PngCodec, WavCodec}
 
 class MultimodalSpec extends SparkSpec {
 
@@ -10,10 +10,33 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.mediaCorpus(spark, sf).collect().sortBy(_.media_id)
     assert(a.length === 500)
     assert(a.zip(b).forall { case (x, y) => x.content.sameElements(y.content) })
-    val m = a.find(_.kind != "image").get
+    val m = a.find(_.kind == "video").get
     val w = ((m.content(0) & 0xff) << 24) | ((m.content(1) & 0xff) << 16) |
       ((m.content(2) & 0xff) << 8) | (m.content(3) & 0xff)
     assert(w === m.width, "header width must round-trip")
+  }
+
+  test("audio blobs are genuine WAVs: real frame decode matches the LCG tone") {
+    val audio = Multimodal.mediaCorpus(spark, sf).collect().filter(_.kind == "audio")
+    assert(audio.nonEmpty)
+    audio.take(25).foreach { m =>
+      // RIFF magic, then an actual javax.sound.sampled decode
+      assert(new String(m.content.take(4), "US-ASCII") === "RIFF")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.content))
+      assert(ais.getFormat.getSampleRate === WavCodec.SampleRate.toFloat)
+      assert(ais.getFrameLength === WavCodec.Samples.toLong)
+      // decoded levels ARE the LCG byte stream (steps 1..Samples)
+      val raw = ais.readAllBytes()
+      var s = m.media_id * 6364136223846793005L + 1442695040888963407L
+      (0 until WavCodec.Samples).foreach { k =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val expected = ((s >>> 56) & 0xff).toInt
+        val sample = ((raw(2 * k + 1).toInt) << 8) | (raw(2 * k) & 0xff)
+        assert((sample >> 8) + 128 === expected,
+          s"media ${m.media_id} frame $k decoded ${(sample >> 8) + 128} != lcg $expected")
+      }
+    }
   }
 
   test("image blobs are genuine PNGs: real decode matches declared dims and gray level") {
@@ -38,11 +61,18 @@ class MultimodalSpec extends SparkSpec {
     feats.foreach { f =>
       assert(f.mean_luma >= 0 && f.mean_luma <= 255)
       assert(f.embedding.length === 8)
-      assert(f.n_pixels >= f.width.toLong * f.height)
-      if (f.kind != "video") assert(f.n_pixels === f.width.toLong * f.height)
-      if (f.kind == "image") // solid gray: decoded mean luma IS the gray level
-        assert(f.mean_luma === PngCodec.grayLevel(f.media_id).toDouble,
-          s"real decode luma ${f.mean_luma} != gray ${PngCodec.grayLevel(f.media_id)}")
+      f.kind match {
+        case "image" =>
+          assert(f.n_pixels === f.width.toLong * f.height)
+          // solid gray: decoded mean luma IS the gray level
+          assert(f.mean_luma === PngCodec.grayLevel(f.media_id).toDouble,
+            s"real decode luma ${f.mean_luma} != gray ${PngCodec.grayLevel(f.media_id)}")
+        case "audio" => // real decode: size is the DECODED frame count
+          assert(f.n_pixels === WavCodec.Samples.toLong)
+        case _ => // video stub: geometry × frames
+          assert(f.n_pixels >= f.width.toLong * f.height)
+          assert(f.n_pixels % (f.width.toLong * f.height) === 0)
+      }
     }
   }
 
@@ -96,6 +126,10 @@ class MultimodalSpec extends SparkSpec {
           assert(img.getWidth === m.width && img.getHeight === m.height)
           val g = PngCodec.grayLevel(m.media_id)
           assert((img.getRGB(0, 0) & 0xff) === g)
+        } else if (m.kind == "audio") {
+          // display geometry is metadata for audio; the real WAV is untouched
+          assert(m.content.sameElements(o.content))
+          assert(new String(m.content.take(4), "US-ASCII") === "RIFF")
         } else {
           // stub container carries the new dims in its header
           val headerW = ((m.content(0) & 0xff) << 24) | ((m.content(1) & 0xff) << 16) |
