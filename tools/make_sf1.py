@@ -87,13 +87,17 @@ pq.write_table(pa.concat_tables(parts), f"{OUT}/events.parquet",
 print(f"events: {sum(p.num_rows for p in parts)} rows")
 
 # replica 0 keeps the original text; k>0 gets a per-token tag so replicas are
-# not near-duplicates of each other (shingle sets become disjoint)
+# not near-duplicates of each other (shingle sets become disjoint).
+# n_chars is recomputed from the PERTURBED text (the fixture invariant is
+# n_chars == length(text); copying the original value would ship data that
+# is internally inconsistent for any n_chars-keyed operator).
 write("documents", replicated(
-    "SELECT doc_id + {k}*" + str(OFF) + " AS doc_id, lang, source, "
+    "SELECT doc_id + {k}*" + str(OFF) + " AS doc_id, lang, source, text, "
+    "CAST(length(text) AS BIGINT) AS n_chars FROM ("
+    "SELECT doc_id, lang, source, "
     "CASE WHEN {k} = 0 THEN text ELSE "
     "array_to_string(list_transform(string_split(text, ' '), "
-    "t -> t || 'z{k}'), ' ') END AS text, "
-    "n_chars FROM documents"))
+    "t -> t || 'z{k}'), ' ') END AS text FROM documents)"))
 
 # direction-perturb per replica: mix each component with a deterministic
 # pseudo-random direction at ~45% weight, so replicas are genuinely
