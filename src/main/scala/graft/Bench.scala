@@ -63,18 +63,30 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val samples = scala.collection.mutable.Map.empty[(String, String), List[Double]]
       .withDefaultValue(Nil)
+    // a throwing query must never masquerade as a (fast) timing sample — its
+    // wall time measures the failure, not the query. Count it here instead;
+    // the JSON carries an `errors` map whenever any run failed.
+    val failures = scala.collection.mutable.Map.empty[(String, String), Int]
+      .withDefaultValue(0)
     def runPass(): Unit =
       for (name <- names; dir <- sfDirs) {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        try { fn(spark, dir).count() } catch { case _: Throwable => () }
+        val ok =
+          try { fn(spark, dir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"bench FAIL $name @ $dir: ${e.getClass.getName}: " +
+              String.valueOf(e.getMessage).takeWhile(_ != '\n').take(200))
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // per-query isolation: queries cache intermediates (shingle sets,
         // normalized embeddings) for their own multi-use plans; letting those
         // accumulate across 58 sequential queries turns the storage pool into
         // an eviction battleground (observed 3 s -> 95 s on a late query)
         spark.catalog.clearCache()
-        samples((dir, name)) = dt :: samples((dir, name))
+        if (ok) samples((dir, name)) = dt :: samples((dir, name))
+        else failures((dir, name)) += 1
       }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
@@ -102,12 +114,21 @@ object Bench {
       s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
     }
     def lineFor(dir: String): String = {
-      val results = names.map(n => n -> median(samples((dir, n))))
-      val mins = names.map(n => n -> samples((dir, n)).min).toMap
-      val total = fmt(results.map(_._2).sum)
+      // a query whose every run failed has no samples — reported as -1 with
+      // its failure count in `errors`, and excluded from the total
+      val results = names.map { n =>
+        val xs = samples((dir, n))
+        n -> (if (xs.isEmpty) -1.0 else median(xs))
+      }
+      val mins = names.map { n =>
+        val xs = samples((dir, n))
+        n -> (if (xs.isEmpty) -1.0 else xs.min)
+      }.toMap
+      val good = results.filter(_._2 >= 0)
+      val total = fmt(good.map(_._2).sum)
       val tr = fmt {
-        val m = results.map(_._2).sum
-        val lo = names.map(mins).sum
+        val m = good.map(_._2).sum
+        val lo = good.map { case (k, _) => mins(k) }.sum
         if (lo > 0) m / lo else 1.0
       }
       val byCost = results.sortBy { case (k, v) => (-v, k) }

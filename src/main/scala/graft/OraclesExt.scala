@@ -648,6 +648,49 @@ object OraclesExt {
            |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id)""".stripMargin)}""".stripMargin
   }
 
+  /** Twin of Similarity.kmeansCentroids/annIvfKmeans: ⌈√n⌉ seeds by the
+    * sampling mix hash of vec_id, [[graft.ext.Similarity.KmeansIters]] Lloyd
+    * rounds (cosine argmax assignment, decimal-mean update), then the same
+    * probe/refine as [[simAnnIvf]]. Cluster id = seed vec_id. */
+  val simAnnIvfKmeans: String = {
+    import graft.ext.Similarity.{IvfProbes, KmeansIters}
+    val listNorm =
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x * x)), (a, b) -> a + b))"
+    def round(prev: String, out: String, r: Int): String =
+      s"""a$r AS (
+         |  SELECT x.vec_id, x.v, c.cl,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY (${dotSql("x.v", "c.cv")}) / (x.norm * c.cnorm) DESC, c.cl) AS crank
+         |  FROM n x CROSS JOIN $prev c),
+         |${out}m AS (
+         |  SELECT cl, i, CAST(SUM(CAST(v[i] AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS c
+         |  FROM a$r, (SELECT unnest(generate_series(1, $Dim)) AS i) AS dims
+         |  WHERE crank = 1 GROUP BY cl, i),
+         |${out}v AS (SELECT cl, list(c ORDER BY i) AS cv FROM ${out}m GROUP BY cl),
+         |$out AS (SELECT cl, cv, $listNorm AS cnorm FROM ${out}v)""".stripMargin
+    val rounds = (1 to KmeansIters)
+      .map(r => round(s"c${r - 1}", s"c$r", r)).mkString(",\n")
+    s"""WITH $normCte,
+       |sr AS (SELECT vec_id AS cl, v AS cv,
+       |    row_number() OVER (ORDER BY ${mixSql("vec_id")}, vec_id) AS rk
+       |  FROM n),
+       |c0 AS (SELECT cl, cv, $listNorm AS cnorm FROM sr
+       |  WHERE rk <= (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM n)),
+       |$rounds,
+       |scored AS (
+       |  SELECT x.vec_id, x.v, x.norm, c.cl,
+       |    row_number() OVER (PARTITION BY x.vec_id
+       |      ORDER BY (${dotSql("x.v", "c.cv")}) / (x.norm * c.cnorm) DESC, c.cl) AS crank
+       |  FROM n x CROSS JOIN c$KmeansIters c),
+       |inv AS (SELECT cl, vec_id, v, norm FROM scored WHERE crank = 1),
+       |probes AS (SELECT cl, vec_id, v, norm FROM scored WHERE crank <= $IvfProbes),
+       |${topKSql(
+        s"""p AS (
+           |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           |    ${R(s"(${dotSql("q.v", "x.v")}) / (q.norm * x.norm)", 6)} AS cosine
+           |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id)""".stripMargin)}""".stripMargin
+  }
+
   /** Twin of AsOf.purchaseAsOfView: the identical union + IGNORE NULLS
     * carry-forward window (not DuckDB's native ASOF JOIN, whose tie rule at
     * equal timestamps is not spelled out — this formulation pins ties). */
@@ -1133,6 +1176,7 @@ object OraclesExt {
     "corpus_batch_padding" -> corpusBatchPadding,
     "corpus_token_budget_mix" -> corpusTokenBudgetMix,
     "sim_ann_ivf" -> simAnnIvf,
+    "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
     "events_asof_purchase_view" -> eventsAsofPurchaseView,
     "events_user_type_pivot" -> eventsUserTypePivot,
     "revenue_rollup" -> revenueRollup,

@@ -162,6 +162,75 @@ object Similarity {
     topK(pairs, TopK)
   }
 
+  // ----------------------------------------- scaled IVF (√n k-means cells)
+
+  /** Lloyd rounds for [[kmeansCentroids]] — fixed and small so both engines
+    * run the identical bounded computation. */
+  val KmeansIters = 2
+
+  /** Deterministic √n-cell coarse quantizer: K = ⌈√n⌉ seed vectors (the K
+    * smallest by the [[Sampling.mixHash]] of vec_id — a TakeOrdered, never a
+    * single-partition sort), refined by [[KmeansIters]] Lloyd rounds:
+    * assignment by raw cosine (ties → lower seed id), update by exact
+    * order-free decimal means. Every step is a deterministic function of the
+    * data, so the DuckDB twin replays it bit-for-bit — which is what the
+    * fixture-label quantizer of [[annIvf]] had and a random-init k-means
+    * loses. Cluster id = seed vec_id.
+    *
+    * This is the scale fix for the r6 scaling table's one superlinear row:
+    * cells GROW with the corpus (√n), so the probe stage scans
+    * O(√n·nProbe) per query and the whole ANN is ~n^1.5, not n². At 100 TB
+    * the broadcast of √n centroids is the size knob to watch (10¹⁰ vectors →
+    * 10⁵ cells ≈ 50 MB at d=64): past broadcast range, the centroid rank
+    * becomes one more shuffle join on the cell id — same plan shape. */
+  def kmeansCentroids(e: DataFrame): DataFrame = {
+    val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
+    val seeds = e
+      .orderBy(Sampling.mixHash(col("vec_id")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cl"), col("v").as("cv"))
+      .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+    (1 to KmeansIters).foldLeft(seeds) { (cents, _) =>
+      val dims = (0 until Dim).map(i =>
+        (sum(col("v")(i).cast(Num.SumDec)).cast("double") / count(lit(1))).as(s"c$i"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("_cos", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+        .withColumn("_crank", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("_cos").desc, col("cl"))))
+        .where(col("_crank") === 1)
+        .groupBy("cl").agg(dims.head, dims.tail: _*)
+        .select(col("cl"), array((0 until Dim).map(i => col(s"c$i")): _*).as("cv"))
+        .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+    }
+  }
+
+  /** IVF-flat ANN over the √n k-means cells — identical probe/refine shape
+    * to [[annIvf]] (broadcast centroid rank, inverted lists, bounded top-k
+    * aggregate), different quantizer. Registered as its own query so the
+    * fixture-label variant stays oracle-pinned alongside this scale path. */
+  def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = withNorm(Sources.embeddings(spark, dir))
+    val cents = kmeansCentroids(vecs).persist() // ≤ √n rows — broadcast side
+    // same multi-consumer pin as annIvf: inverted lists + probes both read
+    // the post-window ranks
+    val scored = vecs.crossJoin(broadcast(cents))
+      .withColumn("_cos", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      .withColumn("_crank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("_cos").desc, col("cl"))))
+      .where(col("_crank") <= IvfProbes)
+      .persist()
+    val inverted = scored.where(col("_crank") === 1)
+      .select(col("cl"), col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("norm").as("nb"))
+    val probes = scored
+      .select(col("cl"), col("vec_id").as("query_id"),
+        col("v").as("va"), col("norm").as("na"))
+    val pairs = probes.join(inverted, "cl")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", r(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+    topK(pairs, TopK)
+  }
+
   // --------------------------------------------------- int8 quantization
 
   /** Symmetric per-vector int8 levels: q = clamp(⌊x/scale + 0.5⌋, ±127),
