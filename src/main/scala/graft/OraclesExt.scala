@@ -333,6 +333,27 @@ object OraclesExt {
        |FROM asg a LEFT JOIN dups d ON d.dup_id = a.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  /** Twin of Dedup.semanticDedupKmeans: the [[kmeansCtes]] label-free
+    * quantizer feeding the identical within-cluster pair scan and
+    * keep-lowest-id verdict as [[dedupSemantic]]. */
+  val dedupSemanticKmeans: String = {
+    import graft.ext.Similarity.KmeansIters
+    s"""WITH $normCte,
+       |$kmeansCtes,
+       |scored AS (
+       |  SELECT x.vec_id, x.v, x.norm, c.cl,
+       |    row_number() OVER (PARTITION BY x.vec_id
+       |      ORDER BY (${dotSql("x.v", "c.cv")}) / (x.norm * c.cnorm) DESC, c.cl) AS crank
+       |  FROM n x CROSS JOIN c$KmeansIters c),
+       |asg AS (SELECT cl AS cluster, vec_id, v, norm FROM scored WHERE crank = 1),
+       |dups AS (SELECT DISTINCT b.vec_id AS dup_id
+       |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${R(s"(${dotSql("a.v", "b.v")}) / (a.norm * b.norm)", 6)} >= $CosineThreshold)
+       |SELECT a.vec_id, a.cluster, d.dup_id IS NULL AS kept
+       |FROM asg a LEFT JOIN dups d ON d.dup_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   private def topKSql(pairsCte: String): String =
     s"""$pairsCte,
        |ranked AS (
@@ -648,12 +669,15 @@ object OraclesExt {
            |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id)""".stripMargin)}""".stripMargin
   }
 
-  /** Twin of Similarity.kmeansCentroids/annIvfKmeans: ⌈√n⌉ seeds by the
-    * sampling mix hash of vec_id, [[graft.ext.Similarity.KmeansIters]] Lloyd
-    * rounds (cosine argmax assignment, decimal-mean update), then the same
-    * probe/refine as [[simAnnIvf]]. Cluster id = seed vec_id. */
-  val simAnnIvfKmeans: String = {
-    import graft.ext.Similarity.{IvfProbes, KmeansIters}
+  /** The k-means coarse-quantizer CTE chain shared by [[simAnnIvfKmeans]]
+    * and [[dedupSemanticKmeans]] — twin of `Similarity.kmeansCentroids`:
+    * ⌈√n⌉ seeds by the sampling mix hash of vec_id, then
+    * [[graft.ext.Similarity.KmeansIters]] Lloyd rounds (cosine argmax
+    * assignment with ties→lower seed id, exact decimal-mean update).
+    * Appends after `n` ([[normCte]]); the final centroid table is
+    * `c<KmeansIters>` with columns (cl, cv, cnorm). */
+  private def kmeansCtes: String = {
+    import graft.ext.Similarity.KmeansIters
     val listNorm =
       "sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x * x)), (a, b) -> a + b))"
     def round(prev: String, out: String, r: Int): String =
@@ -670,13 +694,21 @@ object OraclesExt {
          |$out AS (SELECT cl, cv, $listNorm AS cnorm FROM ${out}v)""".stripMargin
     val rounds = (1 to KmeansIters)
       .map(r => round(s"c${r - 1}", s"c$r", r)).mkString(",\n")
-    s"""WITH $normCte,
-       |sr AS (SELECT vec_id AS cl, v AS cv,
+    s"""sr AS (SELECT vec_id AS cl, v AS cv,
        |    row_number() OVER (ORDER BY ${mixSql("vec_id")}, vec_id) AS rk
        |  FROM n),
        |c0 AS (SELECT cl, cv, $listNorm AS cnorm FROM sr
        |  WHERE rk <= (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM n)),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  /** Twin of Similarity.kmeansCentroids/annIvfKmeans: the [[kmeansCtes]]
+    * quantizer, then the same probe/refine as [[simAnnIvf]]. Cluster id =
+    * seed vec_id. */
+  val simAnnIvfKmeans: String = {
+    import graft.ext.Similarity.{IvfProbes, KmeansIters}
+    s"""WITH $normCte,
+       |$kmeansCtes,
        |scored AS (
        |  SELECT x.vec_id, x.v, x.norm, c.cl,
        |    row_number() OVER (PARTITION BY x.vec_id
@@ -937,8 +969,10 @@ object OraclesExt {
     s"""WITH media AS (
        |  SELECT doc_id,
        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       |    CAST(64 + (doc_id % 8) * 32 AS INTEGER) AS w0,
-       |    CAST(64 + (doc_id % 5) * 32 AS INTEGER) AS h0
+       |    CAST(CASE WHEN doc_id % 3 = 2 THEN 48 + (doc_id % 8) * 16
+       |              ELSE 64 + (doc_id % 8) * 32 END AS INTEGER) AS w0,
+       |    CAST(CASE WHEN doc_id % 3 = 2 THEN 36 + (doc_id % 5) * 16
+       |              ELSE 64 + (doc_id % 5) * 32 END AS INTEGER) AS h0
        |  FROM documents),
        |resized AS (
        |  SELECT kind, w0, h0,
@@ -960,10 +994,11 @@ object OraclesExt {
   /** Image rows are REAL PNGs of solid gray `(doc_id·A + C) >>> 56` (the
     * LCG's step-0 top byte — `gen` at i = 0): the decoded per-pixel mean is
     * exactly that level. Audio rows are REAL WAV PCM16 whose decoded 8-bit
-    * levels are LCG steps 1..64 (so the level mean is the same expression
-    * as the old fake payload, but n_pixels is now the DECODED frame count —
-    * [[graft.ext.Multimodal.WavCodec.Samples]] per file). Video luma
-    * replays the fake payload (LCG steps 1..64). */
+    * levels are LCG steps 1..64 ([[graft.ext.Multimodal.WavCodec.Samples]]
+    * decoded frames per file). Video rows are REAL uncompressed AVIs whose
+    * decoded frame k is a solid gray at LCG step k+1 — so the per-pixel
+    * luma mean over the whole clip is the mean of steps 1..frames, and
+    * n_pixels is the decoded w·h·frames on the video dim grid. */
   val mediaKindSummary: String = {
     val A = "6364136223846793005"
     val C = "1442695040888963407"
@@ -973,8 +1008,10 @@ object OraclesExt {
     s"""WITH RECURSIVE media AS (
        |  SELECT doc_id,
        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       |    (64 + (doc_id % 8) * 32) AS w,
-       |    (64 + (doc_id % 5) * 32) AS h,
+       |    CASE WHEN doc_id % 3 = 2 THEN 48 + (doc_id % 8) * 16
+       |         ELSE 64 + (doc_id % 8) * 32 END AS w,
+       |    CASE WHEN doc_id % 3 = 2 THEN 36 + (doc_id % 5) * 16
+       |         ELSE 64 + (doc_id % 5) * 32 END AS h,
        |    CASE WHEN doc_id % 3 = 2 THEN 8 + (doc_id % 4) ELSE 1 END AS frames
        |  FROM documents),
        |gen AS (
@@ -986,12 +1023,22 @@ object OraclesExt {
        |payload_luma AS (
        |  SELECT doc_id, CAST(SUM(s // $TOP) AS DOUBLE) / 64 AS mean_luma
        |  FROM gen WHERE i >= 1 GROUP BY doc_id),
+       |video_luma AS (
+       |  SELECT g.doc_id,
+       |    CAST(SUM(g.s // $TOP) AS DOUBLE) / m.frames AS mean_luma
+       |  FROM gen g JOIN media m USING (doc_id)
+       |  WHERE g.i >= 1 AND g.i <= m.frames
+       |  GROUP BY g.doc_id, m.frames),
        |gray AS (
        |  SELECT doc_id, CAST(s // $TOP AS DOUBLE) AS mean_luma FROM gen WHERE i = 0),
        |luma AS (
        |  SELECT p.doc_id,
-       |    CASE WHEN p.doc_id % 3 = 0 THEN g.mean_luma ELSE p.mean_luma END AS mean_luma
-       |  FROM payload_luma p JOIN gray g USING (doc_id))
+       |    CASE WHEN p.doc_id % 3 = 0 THEN g.mean_luma
+       |         WHEN p.doc_id % 3 = 2 THEN v.mean_luma
+       |         ELSE p.mean_luma END AS mean_luma
+       |  FROM payload_luma p
+       |  JOIN gray g USING (doc_id)
+       |  LEFT JOIN video_luma v USING (doc_id))
        |SELECT m.kind,
        |  COUNT(*) AS n_media,
        |  CAST(SUM(CASE WHEN m.kind = 'audio' THEN $wavFrames
@@ -1199,6 +1246,7 @@ object OraclesExt {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic_kmeans" -> dedupSemanticKmeans,
     "dedup_chunk_spans" -> dedupChunkSpans,
     "sim_knn_bruteforce" -> simKnnBruteForce,
     "sim_ann_lsh" -> simAnnLsh,

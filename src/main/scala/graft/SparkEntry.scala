@@ -70,6 +70,8 @@ object SparkEntry {
       ext.Dedup.embeddingCosinePairs(s, d).orderBy("vec_a", "vec_b")),
     "dedup_clusters" -> ((s, d) => ext.Dedup.clusters(s, d).orderBy("doc_id")),
     "dedup_semantic" -> ((s, d) => ext.Dedup.semanticDedup(s, d).orderBy("vec_id")),
+    "dedup_semantic_kmeans" -> ((s, d) =>
+      ext.Dedup.semanticDedupKmeans(s, d).orderBy("vec_id")),
     "dedup_chunk_spans" -> ((s, d) => ext.Dedup.chunkSpans(s, d).orderBy("doc_id")),
     // ext: similarity search (brute-force ground truth + SRP-LSH ANN)
     "sim_knn_bruteforce" -> ((s, d) =>

@@ -456,6 +456,26 @@ object Dedup {
     val vecs = base.select(col("vec_id"), col("label"), v.as("v"))
       .withColumn("norm", sqrt(Similarity.dot(col("v"), col("v"))))
     val cents = Similarity.ivfCentroids(vecs).withColumnRenamed("label", "cl")
+    semanticVerdictOver(vecs.drop("label"), cents)
+  }
+
+  /** [[semanticDedup]] with the label-free ⌈√n⌉-cell k-means quantizer
+    * ([[Similarity.kmeansCentroids]]) — the deployment path on corpora that
+    * carry NO fixture labels, and the scale path: cells grow with √n, so
+    * the within-cluster pair scan stays O(Σ cᵢ²) ≈ O(n^1.5) instead of
+    * O(n²/K) at a fixed cell count. Cluster id = k-means seed vec_id;
+    * keep/drop verdicts use the identical keep-lowest-id rule, and the
+    * DuckDB twin replays seeds + Lloyd rounds bit-for-bit. */
+  def semanticDedupKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Similarity.withNorm(Sources.embeddings(spark, dir))
+    val cents = Similarity.kmeansCentroids(vecs).persist() // ≤ √n rows
+    semanticVerdictOver(vecs, cents)
+  }
+
+  /** Shared SemDeDup tail: nearest-centroid assignment (broadcast rank),
+    * within-cluster pair scan, keep-lowest-id verdict. `vecs` must be
+    * (vec_id, v, norm); `cents` must be (cl, cv, cnorm). */
+  private def semanticVerdictOver(vecs: DataFrame, cents: DataFrame): DataFrame = {
     // `assigned` is consumed THREE ways (both self-join sides + the final
     // verdict join) under differently-shaped parents, so AQE exchange reuse
     // does not cover it — unpinned, the crossJoin+window assignment pipeline
@@ -463,7 +483,7 @@ object Dedup {
     // dropped in r5). Persist exactly this frame: one row per vector with
     // its cluster id — corpus-row-count sized but shuffle-final and small
     // relative to recomputing the centroid assignment per consumer.
-    val assigned = vecs.drop("label").crossJoin(broadcast(cents))
+    val assigned = vecs.crossJoin(broadcast(cents))
       .withColumn("_cos",
         Similarity.dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
       .withColumn("_crank", row_number().over(org.apache.spark.sql.expressions.Window

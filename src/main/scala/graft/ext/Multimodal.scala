@@ -24,9 +24,15 @@ import graft.engine.Sources
   *    container parse, actual frame decode; level stats come from the
   *    decoded samples. Sample content is a deterministic LCG tone so the
   *    decoded levels are exactly replayable in the DuckDB oracle.
-  *  - video: DETERMINISTIC STUB ([[FakeCodec]], clearly marked) — the
-  *    container ships no video codecs. Swapping in javacv/ffmpeg means
-  *    replacing ONLY the codec leaf; every Spark-side shape stays.
+  *  - video: REAL AVI. The corpus carries genuine RIFF/AVI containers with
+  *    uncompressed 8-bpp palettized DIB frames (BI_RGB — raw bitmap bits,
+  *    the one video format that needs no native codec), and the decode leaf
+  *    is a real chunk walk ([[AviCodec]]): dims from the stream's
+  *    BITMAPINFOHEADER, frame count from the movi chunks, every pixel level
+  *    from palette[index] of the actual frame bits. Frame k is a solid gray
+  *    at LCG step k+1 (the WAV tone's stream), so the decoded luma is
+  *    exactly replayable in the DuckDB oracle. Swapping in a compressed
+  *    codec (javacv/ffmpeg) means replacing ONLY this leaf.
   *
   * Scale notes:
   *  - Blobs skew partitions by *bytes*, not rows: [[balancedByBytes]]
@@ -42,6 +48,18 @@ import graft.engine.Sources
 object Multimodal {
 
   val DecodeBatch = 64
+
+  /** The LCG top-byte stream for an id: steps 1..n of
+    * s ← s·6364136223846793005 + 1442695040888963407. Shared by the WAV
+    * sample tone and the AVI per-frame gray levels, so every modality's
+    * decoded content is one replayable integer recurrence. */
+  private[graft] def lcgLevels(id: Long, n: Int): Array[Int] = {
+    var s = id * 6364136223846793005L + 1442695040888963407L
+    Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 56) & 0xff).toInt
+    }
+  }
 
   case class MediaFile(media_id: Long, kind: String, uri: String,
                        width: Int, height: Int, n_frames: Int,
@@ -128,20 +146,10 @@ object Multimodal {
     val Samples = 64
     val SampleRate = 8000
 
-    /** The LCG byte stream for an id: steps 1..n of
-      * s ← s·6364136223846793005 + 1442695040888963407, top byte. */
-    private def lcgBytes(id: Long, n: Int): Array[Int] = {
-      var s = id * 6364136223846793005L + 1442695040888963407L
-      Array.fill(n) {
-        s = s * 6364136223846793005L + 1442695040888963407L
-        ((s >>> 56) & 0xff).toInt
-      }
-    }
-
     /** Genuine RIFF/WAV: 44-byte canonical header + PCM16LE mono frames.
       * Sample k = (byte_k − 128)·256, so the decoded 8-bit level is byte_k. */
     def encode(id: Long): Array[Byte] = {
-      val data = lcgBytes(id, Samples).flatMap { b =>
+      val data = lcgLevels(id, Samples).flatMap { b =>
         val s = (b - 128) * 256
         Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
       }
@@ -191,66 +199,257 @@ object Multimodal {
     }
   }
 
-  /** STUB codec boundary for video — deterministic fake, NOT a real
-    * decoder (no video codec ships in this container). */
-  object FakeCodec {
-    /** Synthesize an opaque blob for (id, kind): 16-byte header
-      * [w:4][h:4][frames:4][magic:4] + pseudo-random payload. */
-    def encode(id: Long, kind: String, w: Int, h: Int, frames: Int): Array[Byte] = {
-      val payload = new Array[Byte](16 + 64)
-      def putInt(off: Int, v: Int): Unit = {
-        payload(off) = (v >> 24).toByte; payload(off + 1) = (v >> 16).toByte
-        payload(off + 2) = (v >> 8).toByte; payload(off + 3) = v.toByte
+  /** REAL video codec: uncompressed RIFF/AVI with 8-bpp palettized DIB
+    * frames — the one video container a stock JVM can both emit and decode
+    * for real, because BI_RGB frames are raw bitmap bits, not a compressed
+    * stream. Encode writes a genuine AVI (avih/strh/strf headers, identity
+    * grayscale palette, one `00db` keyframe chunk per frame in bottom-up
+    * DIB row order, an idx1 index — standard players accept it). Decode is
+    * a real chunk walk: dims come from the stream's BITMAPINFOHEADER,
+    * frames from the movi `00db`/`00dc` chunks, and every pixel level from
+    * palette[index] of the ACTUAL frame bits — nothing is read from our
+    * row metadata. Corpus frame k is a solid gray at [[lcgLevels]] step
+    * k+1, so the DuckDB twin replays the decoded luma exactly. Swapping in
+    * a compressed codec (javacv/ffmpeg) replaces only this leaf. */
+  object AviCodec {
+    val Fps = 10
+
+    /** DIB rows pad to 4-byte boundaries. */
+    def stride(w: Int): Int = (w + 3) & ~3
+
+    /** Genuine AVI container from per-frame 8-bpp index rasters
+      * (`frames(k)` = w·h palette indices, row-major TOP-DOWN; the encoder
+      * flips to the DIB's bottom-up storage order). Palette is the identity
+      * gray ramp, so index == gray level. */
+    def encodeRaster(w: Int, h: Int, frames: Array[Array[Byte]]): Array[Byte] = {
+      val n = frames.length
+      val st = stride(w)
+      val frameBytes = st * h // st is a multiple of 4 → chunks stay word-aligned
+      val strfLen = 40 + 256 * 4
+      val strlLen = 4 + (8 + 56) + (8 + strfLen)
+      val hdrlLen = 4 + (8 + 56) + (8 + strlLen)
+      val moviLen = 4 + n * (8 + frameBytes)
+      val idxLen = 16 * n
+      val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen) + (8 + idxLen)
+      val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def cc(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+      cc("RIFF"); bb.putInt(riffLen); cc("AVI ")
+      cc("LIST"); bb.putInt(hdrlLen); cc("hdrl")
+      cc("avih"); bb.putInt(56)
+      bb.putInt(1000000 / Fps) // dwMicroSecPerFrame
+        .putInt(frameBytes * Fps) // dwMaxBytesPerSec
+        .putInt(0)    // dwPaddingGranularity
+        .putInt(0x10) // AVIF_HASINDEX
+        .putInt(n)    // dwTotalFrames
+        .putInt(0)    // dwInitialFrames
+        .putInt(1)    // dwStreams
+        .putInt(frameBytes) // dwSuggestedBufferSize
+        .putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved
+      cc("LIST"); bb.putInt(strlLen); cc("strl")
+      cc("strh"); bb.putInt(56)
+      cc("vids"); cc("DIB ")
+      bb.putInt(0) // dwFlags
+        .putShort(0).putShort(0) // wPriority, wLanguage
+        .putInt(0)   // dwInitialFrames
+        .putInt(1)   // dwScale
+        .putInt(Fps) // dwRate
+        .putInt(0)   // dwStart
+        .putInt(n)   // dwLength
+        .putInt(frameBytes) // dwSuggestedBufferSize
+        .putInt(-1)  // dwQuality: driver default
+        .putInt(0)   // dwSampleSize
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+      cc("strf"); bb.putInt(strfLen)
+      bb.putInt(40).putInt(w).putInt(h)
+        .putShort(1).putShort(8) // biPlanes, biBitCount
+        .putInt(0)               // BI_RGB
+        .putInt(frameBytes)      // biSizeImage
+        .putInt(0).putInt(0)     // pels/meter
+        .putInt(256).putInt(0)   // biClrUsed, biClrImportant
+      var i = 0
+      while (i < 256) { // RGBQUAD palette: (b, g, r, reserved) identity gray
+        bb.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte); i += 1
       }
-      putInt(0, w); putInt(4, h); putInt(8, frames); putInt(12, 0x47524654) // "GRFT"
-      var s = id * 6364136223846793005L + 1442695040888963407L
-      (16 until payload.length).foreach { i =>
-        s = s * 6364136223846793005L + 1442695040888963407L
-        payload(i) = (s >> 56).toByte
+      val moviStart = bb.position() + 8 // position of the 'movi' fourcc
+      cc("LIST"); bb.putInt(moviLen); cc("movi")
+      val offsets = new Array[Int](n)
+      frames.zipWithIndex.foreach { case (f, k) =>
+        require(f.length == w * h, s"raster ${f.length} != ${w}x$h")
+        offsets(k) = bb.position() - moviStart
+        cc("00db"); bb.putInt(frameBytes)
+        var row = h - 1
+        while (row >= 0) {
+          bb.put(f, row * w, w)
+          var p = w
+          while (p < st) { bb.put(0.toByte); p += 1 }
+          row -= 1
+        }
       }
-      payload
+      cc("idx1"); bb.putInt(idxLen)
+      offsets.foreach { o =>
+        cc("00db"); bb.putInt(0x10).putInt(o).putInt(frameBytes) // AVIIF_KEYFRAME
+      }
+      bb.array()
     }
 
-    /** [STUB — replace with a real codec] Parse the fake header + derive a
-      * deterministic 8-dim "embedding" and luma stat from the payload.
-      * Only video rows reach this path now. */
-    def decode(batch: Seq[MediaFile]): Seq[MediaFeatures] = batch.map { m =>
-      val lumaBytes = m.content.drop(16)
-      val luma = lumaBytes.map(b => (b & 0xff).toDouble).sum / lumaBytes.length
-      val emb = Array.tabulate(8) { j =>
-        lumaBytes.zipWithIndex.collect { case (b, i) if i % 8 == j => (b & 0xff).toFloat }.sum / 255f
+    /** Corpus entry: frame k (0-based) is a solid gray at LCG step k+1. */
+    def encode(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] =
+      encodeRaster(w, h,
+        lcgLevels(id, nFrames).map(l => Array.fill(w * h)(l.toByte)))
+
+    /** Decoded container: stream dims + gray palette + the byte range of
+      * each movi frame chunk's bits inside `bytes`. */
+    case class Parsed(width: Int, height: Int, palette: Array[Int],
+                      frames: Vector[(Int, Int)], totalFrames: Int,
+                      bytes: Array[Byte])
+
+    /** Real chunk walk over the RIFF tree. Fails loudly on anything that
+      * is not an uncompressed 8-bpp AVI — the boundary where a compressed
+      * codec would plug in. */
+    def parse(bytes: Array[Byte]): Parsed = {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      require(fourcc(0) == "RIFF" && fourcc(8) == "AVI ",
+        s"not a RIFF/AVI container: ${fourcc(0)}/${fourcc(8)}")
+      var width = 0; var height = 0; var total = 0
+      var palette: Array[Int] = null
+      val frames = Vector.newBuilder[(Int, Int)]
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = fourcc(off)
+          val len = bb.getInt(off + 4)
+          val body = off + 8
+          id match {
+            case "LIST" => walk(body + 4, body + len)
+            case "avih" => total = bb.getInt(body + 16) // dwTotalFrames
+            case "strf" =>
+              require(bb.getInt(body) == 40, "expected BITMAPINFOHEADER")
+              width = bb.getInt(body + 4)
+              height = bb.getInt(body + 8)
+              val bpp = bb.getShort(body + 14).toInt
+              val compression = bb.getInt(body + 16)
+              require(bpp == 8 && compression == 0,
+                s"unsupported video format: bpp=$bpp compression=$compression")
+              palette = Array.tabulate(256) { i =>
+                val b = bytes(body + 40 + 4 * i) & 0xff
+                val g = bytes(body + 40 + 4 * i + 1) & 0xff
+                val r = bytes(body + 40 + 4 * i + 2) & 0xff
+                (r + g + b) / 3
+              }
+            case "00db" | "00dc" => frames += ((body, len))
+            case _ => () // idx1 and friends: not needed for decode
+          }
+          off = body + len + (len & 1) // RIFF chunks are word-aligned
+        }
       }
-      MediaFeatures(m.media_id, m.kind, m.width, m.height,
-        m.width.toLong * m.height * math.max(m.n_frames, 1), luma, emb)
+      walk(12, math.min(bytes.length, 8 + bb.getInt(4)))
+      val fs = frames.result()
+      require(width > 0 && height > 0 && fs.nonEmpty, "no video stream found")
+      Parsed(width, height, palette, fs, total, bytes)
+    }
+
+    /** Frame k's pixel raster back in row-major TOP-DOWN order (undoes the
+      * DIB bottom-up storage + row padding). */
+    def raster(p: Parsed, k: Int): Array[Byte] = {
+      val (off, len) = p.frames(k)
+      val st = stride(p.width)
+      require(len >= st * p.height, s"frame $k truncated: $len < ${st * p.height}")
+      val out = new Array[Byte](p.width * p.height)
+      var y = 0
+      while (y < p.height) {
+        System.arraycopy(p.bytes, off + (p.height - 1 - y) * st, out, y * p.width, p.width)
+        y += 1
+      }
+      out
+    }
+
+    /** Real decode: per-pixel palette lookup over every frame's actual
+      * bits. n_pixels = decoded w·h·frames; embedding dim j = mean level of
+      * frames ≡ j (mod 8), scaled to [0,1] — the temporal twin of the PNG
+      * codec's spatial stripes. */
+    def features(m: MediaFile): MediaFeatures = {
+      val p = parse(m.content)
+      val st = stride(p.width)
+      val stripe = new Array[Double](8)
+      val stripeN = new Array[Long](8)
+      var lumaSum = 0.0
+      p.frames.zipWithIndex.foreach { case ((off, _), k) =>
+        var sum = 0L
+        var y = 0
+        while (y < p.height) {
+          var x = 0
+          while (x < p.width) {
+            sum += p.palette(p.bytes(off + y * st + x) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val frameMean = sum.toDouble / (p.width.toLong * p.height)
+        stripe(k % 8) += frameMean; stripeN(k % 8) += 1
+        lumaSum += sum
+      }
+      val nPix = p.width.toLong * p.height * p.frames.length
+      val emb = Array.tabulate(8)(j =>
+        if (stripeN(j) == 0) 0f else (stripe(j) / stripeN(j) / 255.0).toFloat)
+      MediaFeatures(m.media_id, m.kind, p.width, p.height, nPix, lumaSum / nPix, emb)
+    }
+
+    /** Real resample: nearest-neighbor over each frame's decoded raster,
+      * re-encoded at the new geometry with the same palette. */
+    def resize(m: MediaFile, w1: Int, h1: Int): MediaFile = {
+      val p = parse(m.content)
+      val out = Array.tabulate(p.frames.length) { k =>
+        val src = raster(p, k)
+        val dst = new Array[Byte](w1 * h1)
+        var y = 0
+        while (y < h1) {
+          val sy = y * p.height / h1
+          var x = 0
+          while (x < w1) {
+            dst(y * w1 + x) = src(sy * p.width + x * p.width / w1)
+            x += 1
+          }
+          y += 1
+        }
+        dst
+      }
+      m.copy(width = w1, height = h1, content = encodeRaster(w1, h1, out))
     }
   }
 
-  /** Batch dispatch across the per-kind codecs: PNG and WAV rows decode for
-    * real, video goes to the declared stub. One codec entry per batch. */
+  /** Batch dispatch across the per-kind codecs — every kind decodes for
+    * real (PNG pixels, WAV frames, AVI chunk walk). One codec entry per
+    * batch. */
   private def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] = {
     val (images, rest) = batch.partition(_.kind == "image")
     val (audio, video) = rest.partition(_.kind == "audio")
     images.map(PngCodec.features) ++ audio.map(WavCodec.features) ++
-      FakeCodec.decode(video)
+      video.map(AviCodec.features)
   }
 
   /** Synthetic media corpus derived from the documents table (deterministic:
     * dims/kind are functions of doc_id). Stands in for `spark.read.format
-    * ("binaryFile")` + a metadata join in a real lake. Image rows carry
-    * GENUINE PNG bytes; audio/video carry the declared fake container. */
+    * ("binaryFile")` + a metadata join in a real lake. EVERY kind carries a
+    * genuine container: PNG, WAV PCM16, uncompressed AVI. Video dims use a
+    * smaller grid than images (48..160 × 36..100) because every frame is
+    * raw bits — the corpus stays fixture-sized while still crossing the
+    * [[ResizeBox]] on the larger dims so downscales are exercised. */
   def mediaCorpus(spark: SparkSession, dir: String): Dataset[MediaFile] = {
     import spark.implicits._
     Sources.documents(spark, dir).select("doc_id").as[Long].map { id =>
       val kind = (id % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      val w = 64 + (id % 8).toInt * 32
-      val h = 64 + (id % 5).toInt * 32
+      val w = if (kind == "video") 48 + (id % 8).toInt * 16 else 64 + (id % 8).toInt * 32
+      val h = if (kind == "video") 36 + (id % 5).toInt * 16 else 64 + (id % 5).toInt * 32
       val frames = if (kind == "video") 8 + (id % 4).toInt else 1
       val bytes = kind match {
         case "image" => PngCodec.encode(id, w, h)
         case "audio" => WavCodec.encode(id)
-        case _       => FakeCodec.encode(id, kind, w, h, frames)
+        case _       => AviCodec.encode(id, w, h, frames)
       }
       MediaFile(id, kind, s"lake://media/$kind/$id", w, h, frames, bytes)
     }
@@ -262,19 +461,20 @@ object Multimodal {
     media.repartitionByRange(partitions, length(col("content")), col("media_id"))
 
   /** Batched decode/feature-extract: the mapInPandas twin — each partition's
-    * rows are fed to the codec [[DecodeBatch]] at a time. Image batches run
-    * the REAL `javax.imageio` decode. */
+    * rows are fed to the codec [[DecodeBatch]] at a time. Every kind runs a
+    * REAL decode (`javax.imageio` / `javax.sound.sampled` / the AVI chunk
+    * walk). */
   def extractFeatures(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.grouped(DecodeBatch).flatMap(decodeBatch))
   }
 
   /** Batched resize to a bounding box, preserving aspect ratio (the
-    * thumbnail/normalization stage before feature extraction). Image rows
-    * are resampled FOR REAL (decode → redraw → PNG re-encode); audio/video
-    * re-emit the stub container at the new geometry. Same batched
-    * `mapPartitions` shape as [[extractFeatures]]: one codec init per
-    * batch, not per row. */
+    * thumbnail/normalization stage before feature extraction). Image and
+    * video rows are resampled FOR REAL (decode → redraw/NN-sample →
+    * re-encode); audio keeps its stream (display geometry is metadata).
+    * Same batched `mapPartitions` shape as [[extractFeatures]]: one codec
+    * init per batch, not per row. */
   def resize(media: Dataset[MediaFile], maxW: Int, maxH: Int): Dataset[MediaFile] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.grouped(DecodeBatch).flatMap(_.map { m =>
@@ -284,20 +484,25 @@ object Multimodal {
       else if (m.kind == "image") PngCodec.resize(m, w, h)
       else if (m.kind == "audio") m.copy(width = w, height = h) // display
       // geometry is metadata for audio; the real WAV stream is untouched
-      else m.copy(width = w, height = h,
-        content = FakeCodec.encode(m.media_id, m.kind, w, h, m.n_frames))
+      else AviCodec.resize(m, w, h)
     }))
   }
 
   /** Sample every `nth` frame of video rows into per-frame records (explode
-    * before shuffle → per-frame parallelism downstream). Non-video rows pass
-    * through as their single frame 0. */
+    * before shuffle → per-frame parallelism downstream). Video frames are
+    * REALLY sliced out of the container: each record carries a standalone
+    * single-frame AVI of that frame's actual bits, independently decodable
+    * downstream. Non-video rows pass through as their single frame 0. */
   def sampleFrames(media: Dataset[MediaFile], nth: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      (0 until math.max(m.n_frames, 1) by nth).map { i =>
-        Frame(m.media_id, i, m.content) // real codec would slice the stream
-      }
+      if (m.kind == "video") {
+        val p = AviCodec.parse(m.content)
+        (0 until p.frames.length by nth).map { i =>
+          Frame(m.media_id, i,
+            AviCodec.encodeRaster(p.width, p.height, Array(AviCodec.raster(p, i))))
+        }
+      } else Seq(Frame(m.media_id, 0, m.content))
     }
   }
 
@@ -311,8 +516,11 @@ object Multimodal {
     * contract — `n_downscaled` compares against the original dims recomputed
     * from `media_id`, so the check is non-vacuous at every SF. */
   def resizeSummary(spark: SparkSession, dir: String): DataFrame = {
-    val origW = lit(64) + (col("media_id") % 8).cast("int") * 32
-    val origH = lit(64) + (col("media_id") % 5).cast("int") * 32
+    val isVideo = col("kind") === "video"
+    val origW = when(isVideo, lit(48) + (col("media_id") % 8).cast("int") * 16)
+      .otherwise(lit(64) + (col("media_id") % 8).cast("int") * 32)
+    val origH = when(isVideo, lit(36) + (col("media_id") % 5).cast("int") * 16)
+      .otherwise(lit(64) + (col("media_id") % 5).cast("int") * 32)
     resize(mediaCorpus(spark, dir), ResizeBox, ResizeBox).toDF()
       .groupBy("kind")
       .agg(
@@ -324,9 +532,10 @@ object Multimodal {
   }
 
   /** The media pipeline as a queryable table: features joined back to doc
-    * language (metadata join pattern), aggregated per kind. Image stats come
-    * from the real PNG pixel scan, audio from the real WAV frame decode
-    * (n_pixels = decoded frame count); video from the declared stub. */
+    * language (metadata join pattern), aggregated per kind. Every kind's
+    * stats come from a real decode: PNG pixel scan, WAV frame decode
+    * (n_pixels = decoded frame count), AVI chunk walk (n_pixels = decoded
+    * w·h·frames, luma from actual frame bits). */
   def kindSummary(spark: SparkSession, dir: String): DataFrame = {
     import graft.engine.Num._
     extractFeatures(balancedByBytes(mediaCorpus(spark, dir), 8)).toDF()

@@ -195,6 +195,33 @@ class DedupSpec extends SparkSpec {
     }
     assert(dropped.nonEmpty, "no semantic dups at this SF — vacuous test")
   }
+
+  test("label-free k-means semantic dedup: full coverage, sound verdicts, deterministic") {
+    val rows = Dedup.semanticDedupKmeans(spark, sf).collect()
+    val all = Similarity.withNorm(
+      graft.engine.Sources.embeddings(spark, sf)).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet === all, "one verdict per vector")
+    // cluster ids are k-means seed vec ids — members of the corpus
+    val clusters = rows.map(_.getAs[Long]("cluster")).toSet
+    assert(clusters.subsetOf(all), "cluster ids must be seed vec ids")
+    // soundness vs the exact O(n²) scan: dropped ⊆ globally-confirmed dups
+    val globalDropped = Dedup.embeddingCosinePairs(spark, sf)
+      .select("vec_b").collect().map(_.getLong(0)).toSet
+    val dropped = rows.filterNot(_.getAs[Boolean]("kept")).map(_.getAs[Long]("vec_id")).toSet
+    assert(dropped.subsetOf(globalDropped),
+      s"kmeans semantic dropped a pair the exact scan never found: ${dropped -- globalDropped}")
+    rows.groupBy(_.getAs[Long]("cluster")).foreach { case (cl, members) =>
+      val min = members.map(_.getAs[Long]("vec_id")).min
+      assert(members.find(_.getAs[Long]("vec_id") == min).get.getAs[Boolean]("kept"),
+        s"cluster $cl dropped its own minimum id")
+    }
+    assert(dropped.nonEmpty, "no semantic dups at this SF — vacuous test")
+    val again = Dedup.semanticDedupKmeans(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"), r.getAs[Boolean]("kept")))
+    assert(rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+      r.getAs[Boolean]("kept"))).sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
