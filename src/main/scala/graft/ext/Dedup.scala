@@ -468,7 +468,7 @@ object Dedup {
     * DuckDB twin replays seeds + Lloyd rounds bit-for-bit. */
   def semanticDedupKmeans(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Similarity.withNorm(Sources.embeddings(spark, dir))
-    val cents = Similarity.kmeansCentroids(vecs).persist() // ≤ √n rows
+    val cents = Similarity.kmeansCentroids(vecs) // driver-resident LocalRelation
     semanticVerdictOver(vecs, cents)
   }
 

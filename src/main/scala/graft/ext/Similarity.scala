@@ -180,27 +180,38 @@ object Similarity {
     * This is the scale fix for the r6 scaling table's one superlinear row:
     * cells GROW with the corpus (√n), so the probe stage scans
     * O(√n·nProbe) per query and the whole ANN is ~n^1.5, not n². At 100 TB
-    * the broadcast of √n centroids is the size knob to watch (10¹⁰ vectors →
-    * 10⁵ cells ≈ 50 MB at d=64): past broadcast range, the centroid rank
-    * becomes one more shuffle join on the cell id — same plan shape. */
+    * the DRIVER-RESIDENT centroid table is the size knob to watch (10¹⁰
+    * vectors → 10⁵ cells ≈ 50 MB at d=64): past broadcast range, the
+    * centroid rank becomes one more shuffle join on the cell id — same
+    * plan shape.
+    *
+    * Each round's centroid table is materialized to the driver as a
+    * LocalRelation (bounded: ≤ √n rows, the broadcast side anyway). A lazy
+    * fold would nest round r−1's whole plan inside round r's broadcast, so
+    * round r re-runs EVERY prior round's corpus pass — at 100 TB that
+    * turns 2 Lloyd rounds into 6 full scans. Pinned per round, each Lloyd
+    * round is exactly one corpus pass and the values are unchanged. */
   def kmeansCentroids(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    def pin(df: DataFrame): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
     val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
-    val seeds = e
+    val seeds = pin(e
       .orderBy(Sampling.mixHash(col("vec_id")), col("vec_id"))
       .limit(k)
       .select(col("vec_id").as("cl"), col("v").as("cv"))
-      .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+      .withColumn("cnorm", sqrt(dot(col("cv"), col("cv")))))
     (1 to KmeansIters).foldLeft(seeds) { (cents, _) =>
       val dims = (0 until Dim).map(i =>
         (sum(col("v")(i).cast(Num.SumDec)).cast("double") / count(lit(1))).as(s"c$i"))
-      e.crossJoin(broadcast(cents))
+      pin(e.crossJoin(broadcast(cents))
         .withColumn("_cos", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
         .withColumn("_crank", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("_cos").desc, col("cl"))))
         .where(col("_crank") === 1)
         .groupBy("cl").agg(dims.head, dims.tail: _*)
         .select(col("cl"), array((0 until Dim).map(i => col(s"c$i")): _*).as("cv"))
-        .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+        .withColumn("cnorm", sqrt(dot(col("cv"), col("cv")))))
     }
   }
 
@@ -210,7 +221,7 @@ object Similarity {
     * fixture-label variant stays oracle-pinned alongside this scale path. */
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val vecs = withNorm(Sources.embeddings(spark, dir))
-    val cents = kmeansCentroids(vecs).persist() // ≤ √n rows — broadcast side
+    val cents = kmeansCentroids(vecs) // driver-resident LocalRelation, ≤ √n rows
     // same multi-consumer pin as annIvf: inverted lists + probes both read
     // the post-window ranks
     val scored = vecs.crossJoin(broadcast(cents))
