@@ -141,7 +141,13 @@ object Bench {
         val qs = entries.mkString("{", ",", "}")
         val ms = minEntries.mkString("{", ",", "}")
         val partial = if (only.isDefined) "\"partial\":true," else ""
-        s"""{"metric":"total","value":$total,"unit":"sec",$partial"throttle_ratio":$tr,"passes":$done,"queries":$qs,"mins":$ms,"sf":"$dir"}"""
+        val errs = {
+          val fs = names.flatMap(n => failures.get((dir, n)).map(n -> _))
+          if (fs.isEmpty) ""
+          else fs.map { case (k, c) => "\"" + k + "\":" + c }
+            .mkString("\"errors\":{", ",", "},")
+        }
+        s"""{"metric":"total","value":$total,"unit":"sec",$partial$errs"throttle_ratio":$tr,"passes":$done,"queries":$qs,"mins":$ms,"sf":"$dir"}"""
       }
       (results.size to 0 by -1).map(encode).find(_.length <= 1900).getOrElse(encode(0))
     }

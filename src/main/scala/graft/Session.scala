@@ -18,5 +18,14 @@ object Session {
       // and let Sources.events truncate to a µs timestamp
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // this VM throttles CPU ~10x at random for minutes at a time; at the
+      // default 10s heartbeat x 60 allowed misses, one long starved task
+      // (a 10-min quadratic baseline at sf1) kills the in-process executor
+      // ("unable to send heartbeats to driver more than 60 times") and the
+      // whole context with it. 60s x 60 tolerates a full hour of stall
+      // without weakening real-cluster semantics (network.timeout must stay
+      // above the heartbeat interval).
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
 }

@@ -158,4 +158,21 @@ class PlanSpec extends SparkSpec {
       assert(spark.catalog.tableExists(v), s"missing temp view: $v")
     }
   }
+
+  test("k-means quantizer: centroids are a driver-local leaf; assignments broadcast, " +
+    "never Cartesian") {
+    val e = graft.ext.Similarity.withNorm(graft.engine.Sources.embeddings(spark, sf))
+    // per-round materialization: the returned centroid table must be a
+    // LocalTableScan leaf (one corpus pass per Lloyd round — a lazy fold
+    // would nest and re-run every prior round inside each broadcast)
+    assert(plan(graft.ext.Similarity.kmeansCentroids(e)).contains("LocalTableScan"),
+      "centroid table must be a materialized local leaf")
+    // both consumers: the corpus x centroids assignment must ride a
+    // broadcast (BNLJ over <= sqrt(n) local rows), never a shuffled
+    // CartesianProduct of corpus-sized sides
+    val ann = plan(graft.ext.Similarity.annIvfKmeans(spark, sf))
+    assert(!ann.contains("CartesianProduct"), ann.take(1500))
+    val sem = plan(graft.ext.Dedup.semanticDedupKmeans(spark, sf))
+    assert(!sem.contains("CartesianProduct"), sem.take(1500))
+  }
 }
