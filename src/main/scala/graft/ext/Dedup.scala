@@ -468,29 +468,40 @@ object Dedup {
     * DuckDB twin replays seeds + Lloyd rounds bit-for-bit. */
   def semanticDedupKmeans(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Similarity.withNorm(Sources.embeddings(spark, dir))
-    val cents = Similarity.kmeansCentroids(vecs) // driver-resident LocalRelation
-    semanticVerdictOver(vecs, cents)
+    val cents = Similarity.kmeansCentroidsLocal(vecs) // driver-resident, ≤ √n
+    // map-only assignment (Similarity.nearestCells): no n×K shuffle — the
+    // first exchange in the whole operator is the pair scan's cluster join
+    verdictFromAssigned(vecs
+      .withColumn("cluster",
+        element_at(Similarity.nearestCells(cents, 1), 1).getField("cl"))
+      .select(col("vec_id"), col("cluster"), col("v"), col("norm")))
   }
 
-  /** Shared SemDeDup tail: nearest-centroid assignment (broadcast rank),
-    * within-cluster pair scan, keep-lowest-id verdict. `vecs` must be
-    * (vec_id, v, norm); `cents` must be (cl, cv, cnorm). */
-  private def semanticVerdictOver(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    // `assigned` is consumed THREE ways (both self-join sides + the final
-    // verdict join) under differently-shaped parents, so AQE exchange reuse
-    // does not cover it — unpinned, the crossJoin+window assignment pipeline
-    // recomputes per consumer (measured 2.3 s -> 5.0 s when the pin was
-    // dropped in r5). Persist exactly this frame: one row per vector with
-    // its cluster id — corpus-row-count sized but shuffle-final and small
-    // relative to recomputing the centroid assignment per consumer.
-    val assigned = vecs.crossJoin(broadcast(cents))
+  /** Label-quantizer SemDeDup assignment: nearest-centroid by broadcast
+    * rank over the fixture's ~|labels| centroids (K is FIXED here, so the
+    * n×K window stays n×10 at any corpus size — harmless, unlike the √n
+    * k-means case which goes map-only). `vecs` must be (vec_id, v, norm);
+    * `cents` must be (cl, cv, cnorm). */
+  private def semanticVerdictOver(vecs: DataFrame, cents: DataFrame): DataFrame =
+    verdictFromAssigned(vecs.crossJoin(broadcast(cents))
       .withColumn("_cos",
         Similarity.dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
       .withColumn("_crank", row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("_cos").desc, col("cl"))))
       .where(col("_crank") === 1)
-      .select(col("vec_id"), col("cl").as("cluster"), col("v"), col("norm"))
-      .persist()
+      .select(col("vec_id"), col("cl").as("cluster"), col("v"), col("norm")))
+
+  /** Shared SemDeDup tail: within-cluster pair scan + keep-lowest-id
+    * verdict over an assignment frame (vec_id, cluster, v, norm) — one
+    * implementation so the label and k-means quantizer paths cannot
+    * drift. */
+  private def verdictFromAssigned(preAssigned: DataFrame): DataFrame = {
+    // `assigned` is consumed THREE ways (both self-join sides + the final
+    // verdict join) under differently-shaped parents, so AQE exchange reuse
+    // does not cover it — unpinned, the assignment pipeline recomputes per
+    // consumer (measured 2.3 s -> 5.0 s when the pin was dropped in r5).
+    // Persist exactly this frame: one row per vector with its cluster id.
+    val assigned = preAssigned.persist()
     val a = assigned.select(col("cluster"), col("vec_id").as("ia"),
       col("v").as("va"), col("norm").as("na"))
     val b = assigned.select(col("cluster"), col("vec_id").as("ib"),

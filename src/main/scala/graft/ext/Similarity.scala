@@ -185,18 +185,16 @@ object Similarity {
     * centroid rank becomes one more shuffle join on the cell id — same
     * plan shape.
     *
-    * Each round's centroid table is materialized to the driver as a
-    * LocalRelation (bounded: ≤ √n rows, the broadcast side anyway). A lazy
-    * fold would nest round r−1's whole plan inside round r's broadcast, so
-    * round r re-runs EVERY prior round's corpus pass — at 100 TB that
-    * turns 2 Lloyd rounds into 6 full scans. Pinned per round, each Lloyd
-    * round is exactly one corpus pass and the values are unchanged. */
-  def kmeansCentroids(e: DataFrame): DataFrame = {
-    val spark = e.sparkSession
-    def pin(df: DataFrame): DataFrame =
-      spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+    * Each round's centroid table is materialized to the driver (bounded:
+    * ≤ √n rows — the size knob above). A lazy fold would nest round r−1's
+    * whole plan inside round r, so round r re-runs EVERY prior round's
+    * corpus pass — at 100 TB that turns 2 Lloyd rounds into 6 full scans.
+    * Pinned per round, each Lloyd round is exactly one corpus pass, and
+    * with [[nearestCells]] that pass is MAP-ONLY followed by a K·Dim-sized
+    * partial aggregate: no n×K shuffle anywhere in the quantizer. */
+  def kmeansCentroidsLocal(e: DataFrame): Array[Cent] = {
     val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
-    val seeds = pin(e
+    val seeds = collectCents(e
       .orderBy(Sampling.mixHash(col("vec_id")), col("vec_id"))
       .limit(k)
       .select(col("vec_id").as("cl"), col("v").as("cv"))
@@ -204,31 +202,64 @@ object Similarity {
     (1 to KmeansIters).foldLeft(seeds) { (cents, _) =>
       val dims = (0 until Dim).map(i =>
         (sum(col("v")(i).cast(Num.SumDec)).cast("double") / count(lit(1))).as(s"c$i"))
-      pin(e.crossJoin(broadcast(cents))
-        .withColumn("_cos", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
-        .withColumn("_crank", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("_cos").desc, col("cl"))))
-        .where(col("_crank") === 1)
+      collectCents(e
+        .withColumn("cl", element_at(nearestCells(cents, 1), 1).getField("cl"))
         .groupBy("cl").agg(dims.head, dims.tail: _*)
         .select(col("cl"), array((0 until Dim).map(i => col(s"c$i")): _*).as("cv"))
         .withColumn("cnorm", sqrt(dot(col("cv"), col("cv")))))
     }
   }
 
-  /** IVF-flat ANN over the √n k-means cells — identical probe/refine shape
-    * to [[annIvf]] (broadcast centroid rank, inverted lists, bounded top-k
-    * aggregate), different quantizer. Registered as its own query so the
+  /** DataFrame view of [[kmeansCentroidsLocal]] — a LocalRelation leaf
+    * (cl, cv, cnorm), for SQL-side consumers and plan tests. */
+  def kmeansCentroids(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    kmeansCentroidsLocal(e).toSeq
+      .map(c => (c.cl, c.cv.toSeq, c.cnorm)).toDF("cl", "cv", "cnorm")
+  }
+
+  /** Driver-resident centroid: id, vector, L2 norm. */
+  case class Cent(cl: Long, cv: Array[Double], cnorm: Double)
+
+  private def collectCents(df: DataFrame): Array[Cent] =
+    df.collect().map(r => Cent(r.getLong(0),
+      r.getSeq[Double](1).toArray, r.getDouble(2)))
+
+  /** The `take` nearest cells of row column `v` (with `norm`), as a sorted
+    * array<struct<negcos,cl>> — computed per row against a [[Cent]] array
+    * embedded as ONE typed literal (it ships with the broadcast task
+    * binary, not per-row), so centroid assignment is MAP-ONLY. The old
+    * shape — crossJoin(broadcast) + row_number window — shuffled and
+    * sorted n×K rows just to rank each row's private K candidates; at
+    * K = √n that shuffle is n^1.5 rows and dominates the whole operator.
+    * Ordering: sort by (−cosine, cl) ascending ≡ cosine desc, ties → lower
+    * cell id — bit-identical to the window's ORDER BY and to both DuckDB
+    * twins (negation is exact in IEEE). */
+  def nearestCells(cents: Array[Cent], take: Int): Column = {
+    val centsCol = typedlit(cents.toSeq.map(c => (c.cl, c.cv.toSeq, c.cnorm)))
+    val scored = transform(centsCol, c => struct(
+      (-(dot(col("v"), c.getField("_2")) / (col("norm") * c.getField("_3"))))
+        .as("negcos"),
+      c.getField("_1").as("cl")))
+    slice(array_sort(scored), 1, take)
+  }
+
+  /** IVF-flat ANN over the √n k-means cells — map-only probe assignment
+    * ([[nearestCells]]), then the same inverted-list equi-join and bounded
+    * top-k refine as [[annIvf]]. Registered as its own query so the
     * fixture-label variant stays oracle-pinned alongside this scale path. */
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val vecs = withNorm(Sources.embeddings(spark, dir))
-    val cents = kmeansCentroids(vecs) // driver-resident LocalRelation, ≤ √n rows
-    // same multi-consumer pin as annIvf: inverted lists + probes both read
-    // the post-window ranks
-    val scored = vecs.crossJoin(broadcast(cents))
-      .withColumn("_cos", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
-      .withColumn("_crank", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("_cos").desc, col("cl"))))
-      .where(col("_crank") <= IvfProbes)
+    val cents = kmeansCentroidsLocal(vecs) // driver-resident, ≤ √n rows
+    // multi-consumer pin: inverted lists + probes both read the assignment;
+    // n×nProbe rows, map-only upstream — pinned so the corpus isn't
+    // re-scanned per consumer
+    val scored = vecs
+      .select(col("vec_id"), col("v"), col("norm"),
+        posexplode(nearestCells(cents, IvfProbes)).as(Seq("_pos", "_cell")))
+      .select(col("vec_id"), col("v"), col("norm"),
+        (col("_pos") + 1).as("_crank"), col("_cell").getField("cl").as("cl"))
       .persist()
     val inverted = scored.where(col("_crank") === 1)
       .select(col("cl"), col("vec_id").as("neighbor_id"),

@@ -167,12 +167,14 @@ class PlanSpec extends SparkSpec {
     // would nest and re-run every prior round inside each broadcast)
     assert(plan(graft.ext.Similarity.kmeansCentroids(e)).contains("LocalTableScan"),
       "centroid table must be a materialized local leaf")
-    // both consumers: the corpus x centroids assignment must ride a
-    // broadcast (BNLJ over <= sqrt(n) local rows), never a shuffled
-    // CartesianProduct of corpus-sized sides
+    // both consumers: centroid assignment is MAP-ONLY (nearestCells over a
+    // typed literal) — no CartesianProduct, and no n×K Window shuffle
+    // anywhere in the plan (the pair/probe equi-join is the first exchange)
     val ann = plan(graft.ext.Similarity.annIvfKmeans(spark, sf))
     assert(!ann.contains("CartesianProduct"), ann.take(1500))
+    assert(!ann.contains("Window"), "kmeans ANN must not rank via a window shuffle")
     val sem = plan(graft.ext.Dedup.semanticDedupKmeans(spark, sf))
     assert(!sem.contains("CartesianProduct"), sem.take(1500))
+    assert(!sem.contains("Window"), "kmeans SemDeDup must not rank via a window shuffle")
   }
 }
