@@ -723,6 +723,33 @@ object OraclesExt {
            |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id)""".stripMargin)}""".stripMargin
   }
 
+  /** Twin of Similarity.recallAudit: the brute-force top-k as one CTE, each
+    * approximate method's FULL registered SQL as a subquery arm, the same
+    * per-query |approx ∩ exact| / TopK recall and decimal-mean stats. */
+  val simRecallAudit: String = {
+    def arm(name: String, sql: String) =
+      s"""SELECT '$name' AS method, COUNT(*) AS n_queries,
+         |  ${R(s"${DS("recall")} / COUNT(*)", 4)} AS mean_recall,
+         |  ${R("MIN(recall)", 4)} AS min_recall
+         |FROM (
+         |  SELECT e.query_id,
+         |    CAST(COUNT(a.neighbor_id) AS DOUBLE) / $TopK AS recall
+         |  FROM exact e
+         |  LEFT JOIN (SELECT query_id, neighbor_id FROM ($sql)) a
+         |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |  GROUP BY e.query_id)""".stripMargin
+    s"""WITH exact AS (
+       |  SELECT query_id, neighbor_id FROM ($simKnnBruteForce))
+       |${arm("ann_ivf", simAnnIvf)}
+       |UNION ALL
+       |${arm("ann_ivf_kmeans", simAnnIvfKmeans)}
+       |UNION ALL
+       |${arm("ann_lsh", simAnnLsh)}
+       |UNION ALL
+       |${arm("knn_quantized", simQuantizedKnn)}
+       |ORDER BY method""".stripMargin
+  }
+
   /** Twin of AsOf.purchaseAsOfView: the identical union + IGNORE NULLS
     * carry-forward window (not DuckDB's native ASOF JOIN, whose tie rule at
     * equal timestamps is not spelled out — this formulation pins ties). */
@@ -1224,6 +1251,7 @@ object OraclesExt {
     "corpus_token_budget_mix" -> corpusTokenBudgetMix,
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
+    "sim_recall_audit" -> simRecallAudit,
     "events_asof_purchase_view" -> eventsAsofPurchaseView,
     "events_user_type_pivot" -> eventsUserTypePivot,
     "revenue_rollup" -> revenueRollup,

@@ -318,6 +318,38 @@ object Similarity {
         r(dot(col("v"), col("dv")) / (col("norm") * col("dnorm")), 6)
           .as("cosine_orig_deq"))
 
+  /** Recall@[[TopK]] of every approximate method against [[knnBruteForce]],
+    * as a queryable table — evaluation-as-data: ANN quality regressions
+    * fail the oracle gate, not just a spec threshold. Per query, recall =
+    * |approx ∩ exact| / TopK (a query the method misses entirely counts as
+    * 0); the mean rides an exact decimal sum of identical doubles so both
+    * engines agree bit-for-bit. At 100 TB this runs on a SAMPLE of queries
+    * (the exact arm is the O(n²) baseline) — the audit shape is unchanged,
+    * only the query-side input shrinks. */
+  def recallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnBruteForce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist() // consumed by all four arms
+    val methods = Seq(
+      "ann_ivf" -> annIvf(spark, dir),
+      "ann_ivf_kmeans" -> annIvfKmeans(spark, dir),
+      "ann_lsh" -> annLsh(spark, dir),
+      "knn_quantized" -> quantizedKnn(spark, dir))
+    methods.map { case (name, approx) =>
+      exact
+        .join(approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("_hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg((count(col("_hit")).cast("double") / TopK).as("recall"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          r(dsum(col("recall")) / count(lit(1)), 4).as("mean_recall"),
+          r(min(col("recall")), 4).as("min_recall"))
+        .select(lit(name).as("method"), col("n_queries"),
+          col("mean_recall"), col("min_recall"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Exact top-[[TopK]] cosine neighbors for every vector (the O(n²) ground
     * truth; ties broken by neighbor id so results are total-ordered). */
   def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
