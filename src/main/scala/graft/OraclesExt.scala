@@ -691,22 +691,53 @@ object OraclesExt {
          |  FROM a$r, (SELECT unnest(generate_series(1, $Dim)) AS i) AS dims
          |  WHERE crank = 1 GROUP BY cl, i),
          |${out}v AS (SELECT cl, list(c ORDER BY i) AS cv FROM ${out}m GROUP BY cl),
-         |$out AS (SELECT cl, cv, $listNorm AS cnorm FROM ${out}v)""".stripMargin
+         |$out AS (SELECT cl, cv, $listNorm AS cnorm FROM ${out}v
+         |  WHERE $listNorm > 0)""".stripMargin
     val rounds = (1 to KmeansIters)
       .map(r => round(s"c${r - 1}", s"c$r", r)).mkString(",\n")
     s"""sr AS (SELECT vec_id AS cl, v AS cv,
        |    row_number() OVER (ORDER BY ${mixSql("vec_id")}, vec_id) AS rk
        |  FROM n),
        |c0 AS (SELECT cl, cv, $listNorm AS cnorm FROM sr
-       |  WHERE rk <= (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM n)),
+       |  WHERE rk <= (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM n)
+       |    AND $listNorm > 0),
        |$rounds""".stripMargin
   }
 
+  /** The probe-calibration CTE chain shared by the k-means and hierarchical
+    * IVF twins — twin of `Similarity.nProbeFromThresh` + its callers: the
+    * [[graft.ext.Similarity.CalQueries]]-query sample, its exact sampled
+    * top-K, each pair's cell-rank threshold against the caller-supplied
+    * full-ranking CTE (`query_id, cl, qcrank` — unreachable cells LEFT-JOIN
+    * to ∞) and assigned-cell CTE (`neighbor_id, cl`), and the integer
+    * ⌈pct·N/100⌉ quantile. Emits CTEs calq/cex/th/np; probe depth is
+    * `(SELECT p FROM np)`. */
+  private def calibrationCtes(qRankCte: String, nbCellCte: String): String = {
+    import graft.ext.Similarity.{CalQueries, RecallTargetPct}
+    s"""calq AS (SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY ${mixSql("vec_id")}, vec_id) AS rk
+       |    FROM n) WHERE rk <= $CalQueries),
+       |cex AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${R(s"(${dotSql("q.v", "x.v")}) / (q.norm * x.norm)", 6)} DESC, x.vec_id) AS rk
+       |    FROM n q JOIN calq cq ON cq.vec_id = q.vec_id
+       |    JOIN n x ON x.vec_id <> q.vec_id) WHERE rk <= $TopK),
+       |th AS (SELECT COALESCE(qr.qcrank, 2147483647) AS thresh
+       |  FROM cex ex JOIN ($nbCellCte) nbc ON nbc.neighbor_id = ex.neighbor_id
+       |  LEFT JOIN ($qRankCte) qr
+       |    ON qr.query_id = ex.query_id AND qr.cl = nbc.cl),
+       |np AS (SELECT GREATEST(${graft.ext.Similarity.IvfProbes}, (
+       |    SELECT thresh FROM (
+       |      SELECT thresh, row_number() OVER (ORDER BY thresh) AS rn FROM th)
+       |    WHERE rn = (SELECT ($RecallTargetPct * COUNT(*) + 99) // 100 FROM th))) AS p)""".stripMargin
+  }
+
   /** Twin of Similarity.kmeansCentroids/annIvfKmeans: the [[kmeansCtes]]
-    * quantizer, then the same probe/refine as [[simAnnIvf]]. Cluster id =
-    * seed vec_id. */
+    * quantizer, the [[calibrationCtes]] recall-targeted probe depth, then
+    * the same probe/refine as [[simAnnIvf]]. Cluster id = seed vec_id. */
   val simAnnIvfKmeans: String = {
-    import graft.ext.Similarity.{IvfProbes, KmeansIters}
+    import graft.ext.Similarity.KmeansIters
     s"""WITH $normCte,
        |$kmeansCtes,
        |scored AS (
@@ -714,8 +745,12 @@ object OraclesExt {
        |    row_number() OVER (PARTITION BY x.vec_id
        |      ORDER BY (${dotSql("x.v", "c.cv")}) / (x.norm * c.cnorm) DESC, c.cl) AS crank
        |  FROM n x CROSS JOIN c$KmeansIters c),
+       |${calibrationCtes(
+        "SELECT vec_id AS query_id, cl, crank AS qcrank FROM scored",
+        "SELECT vec_id AS neighbor_id, cl FROM scored WHERE crank = 1")},
        |inv AS (SELECT cl, vec_id, v, norm FROM scored WHERE crank = 1),
-       |probes AS (SELECT cl, vec_id, v, norm FROM scored WHERE crank <= $IvfProbes),
+       |probes AS (SELECT cl, vec_id, v, norm FROM scored
+       |  WHERE crank <= (SELECT p FROM np)),
        |${topKSql(
         s"""p AS (
            |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
