@@ -758,30 +758,139 @@ object OraclesExt {
            |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id)""".stripMargin)}""".stripMargin
   }
 
+  /** Twin of Similarity.annIvfHier: the two-level quantizer — K₁ fixed L1
+    * cells (seeds + Lloyd rounds, prefixed h*), per-cell sub-centroid table
+    * (s*: per-L1 seeds by (mix, vec_id), one Lloyd round restricted to each
+    * vector's own L1 cell), candidate sub-cells from the HierL1Probes
+    * nearest L1 cells, the shared [[calibrationCtes]] probe depth, and the
+    * same inverted-list refine tail as every IVF twin. */
+  val simAnnIvfHier: String = {
+    import graft.ext.Similarity.{HierL1Probes, HierSubIters, HierTopCells, KmeansIters}
+    val listNorm =
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x * x)), (a, b) -> a + b))"
+    // L1 Lloyd rounds over the fixed-K₁ seed set (names prefixed h)
+    def l1Round(prev: String, out: String, r: Int): String =
+      s"""ha$r AS (
+         |  SELECT x.vec_id, x.v, c.cl,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY (${dotSql("x.v", "c.cv")}) / (x.norm * c.cnorm) DESC, c.cl) AS crank
+         |  FROM n x CROSS JOIN $prev c),
+         |${out}m AS (
+         |  SELECT cl, i, CAST(SUM(CAST(v[i] AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS c
+         |  FROM ha$r, (SELECT unnest(generate_series(1, $Dim)) AS i) AS dims
+         |  WHERE crank = 1 GROUP BY cl, i),
+         |${out}v AS (SELECT cl, list(c ORDER BY i) AS cv FROM ${out}m GROUP BY cl),
+         |$out AS (SELECT cl, cv, $listNorm AS cnorm FROM ${out}v WHERE $listNorm > 0)""".stripMargin
+    val l1Rounds = (1 to KmeansIters)
+      .map(r => l1Round(s"h${r - 1}", s"h$r", r)).mkString(",\n")
+    // L2 Lloyd rounds: assignment meets only the sub-centroids of the
+    // vector's own L1 cell; sub-cells keep their seed's l1
+    def l2Round(prev: String, out: String, r: Int): String =
+      s"""sa$r AS (
+         |  SELECT x.vec_id, x.v, s.cl,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY (${dotSql("x.v", "s.cv")}) / (x.norm * s.cnorm) DESC, s.cl) AS crank
+         |  FROM a1 x JOIN $prev s ON s.l1 = x.l1),
+         |${out}m AS (
+         |  SELECT cl, i, CAST(SUM(CAST(v[i] AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS c
+         |  FROM sa$r, (SELECT unnest(generate_series(1, $Dim)) AS i) AS dims
+         |  WHERE crank = 1 GROUP BY cl, i),
+         |${out}v AS (SELECT cl, list(c ORDER BY i) AS cv FROM ${out}m GROUP BY cl),
+         |${out}n AS (SELECT cl, cv, $listNorm AS cnorm FROM ${out}v WHERE $listNorm > 0),
+         |$out AS (SELECT s0.l1, t.cl, t.cv, t.cnorm FROM ${out}n t
+         |  JOIN s0 ON s0.cl = t.cl)""".stripMargin
+    val l2Rounds = (1 to HierSubIters)
+      .map(r => l2Round(if (r == 1) "s0" else s"s${r - 1}", s"s$r", r)).mkString(",\n")
+    s"""WITH $normCte,
+       |hsr AS (SELECT vec_id AS cl, v AS cv,
+       |    row_number() OVER (ORDER BY ${mixSql("vec_id")}, vec_id) AS rk
+       |  FROM n),
+       |h0 AS (SELECT cl, cv, $listNorm AS cnorm FROM hsr
+       |  WHERE rk <= $HierTopCells AND $listNorm > 0),
+       |$l1Rounds,
+       |hasg AS (
+       |  SELECT x.vec_id, x.v, x.norm, c.cl AS l1,
+       |    row_number() OVER (PARTITION BY x.vec_id
+       |      ORDER BY (${dotSql("x.v", "c.cv")}) / (x.norm * c.cnorm) DESC, c.cl) AS lrank
+       |  FROM n x CROSS JOIN h$KmeansIters c),
+       |a1 AS (SELECT vec_id, v, norm, l1 FROM hasg WHERE lrank = 1),
+       |k2c AS (SELECT CAST(ceil(ceil(sqrt(count(*))) / $HierTopCells.0) AS BIGINT) AS v FROM n),
+       |ss AS (SELECT a.l1, a.vec_id AS cl, a.v AS cv,
+       |    row_number() OVER (PARTITION BY a.l1
+       |      ORDER BY ${mixSql("a.vec_id")}, a.vec_id) AS rk
+       |  FROM a1 a),
+       |s0 AS (SELECT l1, cl, cv, $listNorm AS cnorm FROM ss
+       |  WHERE rk <= (SELECT v FROM k2c) AND $listNorm > 0),
+       |$l2Rounds,
+       |cand AS (
+       |  SELECT x.vec_id, x.v, x.norm, s.cl,
+       |    (${dotSql("x.v", "s.cv")}) / (x.norm * s.cnorm) AS c
+       |  FROM (SELECT vec_id, v, norm, l1 FROM hasg WHERE lrank <= $HierL1Probes) x
+       |  JOIN s$HierSubIters s ON s.l1 = x.l1),
+       |scored AS (
+       |  SELECT vec_id, v, norm, cl,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cl) AS crank
+       |  FROM cand),
+       |${calibrationCtes(
+        "SELECT vec_id AS query_id, cl, crank AS qcrank FROM scored",
+        "SELECT vec_id AS neighbor_id, cl FROM scored WHERE crank = 1")},
+       |inv AS (SELECT cl, vec_id, v, norm FROM scored WHERE crank = 1),
+       |probes AS (SELECT cl, vec_id, v, norm FROM scored
+       |  WHERE crank <= (SELECT p FROM np)),
+       |${topKSql(
+        s"""p AS (
+           |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           |    ${R(s"(${dotSql("q.v", "x.v")}) / (q.norm * x.norm)", 6)} AS cosine
+           |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id)""".stripMargin)}""".stripMargin
+  }
+
   /** Twin of Similarity.recallAudit: the brute-force top-k as one CTE, each
     * approximate method's FULL registered SQL as a subquery arm, the same
     * per-query |approx ∩ exact| / TopK recall and decimal-mean stats. */
-  val simRecallAudit: String = {
-    def arm(name: String, sql: String) =
-      s"""SELECT '$name' AS method, COUNT(*) AS n_queries,
-         |  ${R(s"${DS("recall")} / COUNT(*)", 4)} AS mean_recall,
-         |  ${R("MIN(recall)", 4)} AS min_recall
-         |FROM (
-         |  SELECT e.query_id,
-         |    CAST(COUNT(a.neighbor_id) AS DOUBLE) / $TopK AS recall
-         |  FROM exact e
-         |  LEFT JOIN (SELECT query_id, neighbor_id FROM ($sql)) a
-         |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-         |  GROUP BY e.query_id)""".stripMargin
+  private def auditArmSql(name: String, sql: String): String =
+    s"""SELECT '$name' AS method, COUNT(*) AS n_queries,
+       |  ${R(s"${DS("recall")} / COUNT(*)", 4)} AS mean_recall,
+       |  ${R("MIN(recall)", 4)} AS min_recall
+       |FROM (
+       |  SELECT e.query_id,
+       |    CAST(COUNT(a.neighbor_id) AS DOUBLE) / $TopK AS recall
+       |  FROM exact e
+       |  LEFT JOIN (SELECT query_id, neighbor_id FROM ($sql)) a
+       |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY e.query_id)""".stripMargin
+
+  val simRecallAudit: String =
     s"""WITH exact AS (
        |  SELECT query_id, neighbor_id FROM ($simKnnBruteForce))
-       |${arm("ann_ivf", simAnnIvf)}
+       |${auditArmSql("ann_ivf", simAnnIvf)}
        |UNION ALL
-       |${arm("ann_ivf_kmeans", simAnnIvfKmeans)}
+       |${auditArmSql("ann_ivf_hier", simAnnIvfHier)}
        |UNION ALL
-       |${arm("ann_lsh", simAnnLsh)}
+       |${auditArmSql("ann_ivf_kmeans", simAnnIvfKmeans)}
        |UNION ALL
-       |${arm("knn_quantized", simQuantizedKnn)}
+       |${auditArmSql("ann_lsh", simAnnLsh)}
+       |UNION ALL
+       |${auditArmSql("knn_quantized", simQuantizedKnn)}
+       |ORDER BY method""".stripMargin
+
+  /** Twin of Similarity.recallAuditSampled: the exact arm restricted to the
+    * deterministic [[graft.ext.Similarity.SampleAuditQueries]]-query
+    * sample; arms are the two deployment-path quantizers. */
+  val simRecallAuditSampled: String = {
+    import graft.ext.Similarity.SampleAuditQueries
+    s"""WITH $normCte,
+       |aq AS (SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY ${mixSql("vec_id")}, vec_id) AS rk
+       |    FROM n) WHERE rk <= $SampleAuditQueries),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${R(s"(${dotSql("q.v", "x.v")}) / (q.norm * x.norm)", 6)} DESC, x.vec_id) AS rk
+       |    FROM n q JOIN aq ON aq.vec_id = q.vec_id
+       |    JOIN n x ON x.vec_id <> q.vec_id) WHERE rk <= $TopK)
+       |${auditArmSql("ann_ivf_hier", simAnnIvfHier)}
+       |UNION ALL
+       |${auditArmSql("ann_ivf_kmeans", simAnnIvfKmeans)}
        |ORDER BY method""".stripMargin
   }
 
@@ -1286,7 +1395,9 @@ object OraclesExt {
     "corpus_token_budget_mix" -> corpusTokenBudgetMix,
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
+    "sim_ann_ivf_hier" -> simAnnIvfHier,
     "sim_recall_audit" -> simRecallAudit,
+    "sim_recall_audit_sampled" -> simRecallAuditSampled,
     "events_asof_purchase_view" -> eventsAsofPurchaseView,
     "events_user_type_pivot" -> eventsUserTypePivot,
     "revenue_rollup" -> revenueRollup,

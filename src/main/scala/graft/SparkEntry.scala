@@ -84,8 +84,12 @@ object SparkEntry {
     "sim_ann_ivf" -> ((s, d) => ext.Similarity.annIvf(s, d).orderBy("query_id", "rank")),
     "sim_ann_ivf_kmeans" -> ((s, d) =>
       ext.Similarity.annIvfKmeans(s, d).orderBy("query_id", "rank")),
+    "sim_ann_ivf_hier" -> ((s, d) =>
+      ext.Similarity.annIvfHier(s, d).orderBy("query_id", "rank")),
     "sim_recall_audit" -> ((s, d) =>
       ext.Similarity.recallAudit(s, d).orderBy("method")),
+    "sim_recall_audit_sampled" -> ((s, d) =>
+      ext.Similarity.recallAuditSampled(s, d).orderBy("method")),
     // ext: event-stream analytics, batch twins of graft.streaming
     "events_tumbling_hourly" -> ((s, d) =>
       ext.Events.tumblingHourly(s, d).orderBy("window_start", "event_type")),

@@ -370,6 +370,138 @@ object Similarity {
     topK(pairs, TopK)
   }
 
+  // ------------------------------- two-level (hierarchical) IVF quantizer
+
+  /** Top-level cell count K₁ of the hierarchical quantizer — FIXED, so the
+    * only plan-literal centroid set ([[nearestCells]] over the L1 cells) is
+    * bounded at any corpus size. The flat √n quantizer's one scale flaw was
+    * exactly here: its K=√n literal ships with every task binary (16.3 MiB
+    * at sf1, unbounded growth). The hierarchy bounds the literal at K₁ and
+    * keeps the √n sub-centroids in an ordinary broadcast-joined frame —
+    * sized like any broadcast dim table, never codegen'd into the plan.
+    * (256 is the usual production pick; 16 keeps every level exercised at
+    * the test SFs — with n=500, 16 cells × 2 sub-cells each.) */
+  val HierTopCells = 16
+
+  /** L1 cells probed per vector: its sub-cell candidate set is the union of
+    * the sub-centroids of this many nearest top-level cells. Bounds probe
+    * compute at n·(K₁ + HierL1Probes·K₂) centroid dots instead of the flat
+    * quantizer's n·√n. Half the tree keeps the reachability ceiling high
+    * (the calibration CDF counts unreachable pairs as ∞, so a too-small
+    * value shows up as a recall ceiling, not silent loss). */
+  val HierL1Probes = 8
+
+  /** Lloyd rounds refining the per-cell sub-centroids (level 2). */
+  val HierSubIters = 1
+
+  /** Sub-cells per L1 cell: ⌈⌈√n⌉/K₁⌉, so total cells still grow ≈√n. */
+  def hierSubCells(n: Long): Int =
+    math.ceil(math.ceil(math.sqrt(n.toDouble)) / HierTopCells).toInt
+
+  /** Per-vector L1 assignment (map-only: K₁-literal [[nearestCells]]). */
+  private def hierAssignL1(vecs: DataFrame, l1: Array[Cent]): DataFrame =
+    vecs.withColumn("l1", element_at(nearestCells(l1, 1), 1).getField("cl"))
+
+  /** The distributed sub-centroid table (l1, cl, cv, cnorm), ≈√n rows:
+    * per-L1-cell seeds (the k₂ lowest by (mixHash, vec_id), selected via
+    * the bounded [[graft.functions.TopKByScore]] per-cell aggregate — never
+    * a window over K₁ giant partitions), refined by [[HierSubIters]] Lloyd
+    * rounds where each vector meets only the sub-centroids OF ITS OWN L1
+    * cell (broadcast equi-join on l1 — no corpus shuffle, n·k₂ map-side
+    * dots). A sub-cell keeps its seed's l1. Zero-norm sub-centroids are
+    * dropped like every other centroid set. */
+  def hierSubCentroids(vecs: DataFrame, l1: Array[Cent], k2: Int): DataFrame = {
+    val a1 = hierAssignL1(vecs, l1)
+    val seeds = a1.groupBy("l1")
+      .agg(graft.functions.TopKByScore.topK(
+        -Sampling.mixHash(col("vec_id")).cast("double"), col("vec_id"), k2).as("_top"))
+      .select(col("l1"), explode(col("_top")).as("_s"))
+      .select(col("l1"), col("_s").getField("id").as("cl"))
+      .join(vecs.select(col("vec_id").as("cl"), col("v").as("cv")), "cl")
+      .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+      .where(col("cnorm") > 0)
+      .select("l1", "cl", "cv", "cnorm")
+    (1 to HierSubIters).foldLeft(seeds) { (subs, _) =>
+      val best = a1.join(broadcast(subs), "l1")
+        .withColumn("_cos", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+        .groupBy("vec_id")
+        .agg(first(col("v")).as("v"),
+          graft.functions.TopKByScore.topK(col("_cos"), col("cl"), 1).as("_top"))
+        .select(col("v"), element_at(col("_top"), 1).getField("id").as("cl"))
+      val dims = (0 until Dim).map(i =>
+        (sum(col("v")(i).cast(Num.SumDec)).cast("double") / count(lit(1))).as(s"c$i"))
+      best.groupBy("cl").agg(dims.head, dims.tail: _*)
+        .select(col("cl"), array((0 until Dim).map(i => col(s"c$i")): _*).as("cv"))
+        .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+        .where(col("cnorm") > 0)
+        .join(seeds.select("l1", "cl"), "cl")
+        .select("l1", "cl", "cv", "cnorm")
+    }
+  }
+
+  /** Two-level IVF-flat ANN — the 100-TB deployment path. Level 1: K₁ fixed
+    * cells, assignment map-only against a BOUNDED literal. Level 2: ≈√n
+    * sub-centroids in a broadcast-joined frame; each vector's candidate
+    * sub-cells are those of its [[HierL1Probes]] nearest L1 cells, ranked
+    * by cosine through the bounded top-k aggregate (map-side combinable —
+    * the shuffle carries ≤ nProbe rows per vector, not the n·√n the flat
+    * literal avoided by other means). Probe depth is the same
+    * [[RecallTargetPct]] calibration as [[annIvfKmeans]], computed over
+    * the hierarchy's own reachable-cell ranking. Same inverted-list
+    * equi-join + bounded refine tail as every IVF variant. */
+  def annIvfHier(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = withNorm(Sources.embeddings(spark, dir)).persist()
+    val k2 = hierSubCells(vecs.count())
+    val l1 = kmeansCentroidsLocalK(vecs, HierTopCells, KmeansIters)
+    val subs = hierSubCentroids(vecs, l1, k2).persist()
+    // candidate sub-cells per vector — map-only generation (K₁ literal +
+    // broadcast equi-join), recomputed per consumer rather than persisting
+    // a wide n·probes·k₂ frame
+    def cand: DataFrame = hierAssignL1(vecs, l1)
+      .select(col("vec_id"), col("v"), col("norm"),
+        explode(nearestCells(l1, HierL1Probes)).as("_l1c"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("_l1c").getField("cl").as("l1"))
+      .join(broadcast(subs), "l1")
+      .withColumn("_cos", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+    val sample = querySample(vecs, CalQueries)
+    val qRank = cand
+      .join(sample.select(col("query_id")), col("vec_id") === col("query_id"))
+      .withColumn("qcrank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("_cos").desc, col("cl"))))
+      .select(col("query_id"), col("cl"), col("qcrank"))
+    val exact = exactSampled(vecs, sample).persist()
+    val nbCell = cand
+      .join(exact.select(col("neighbor_id")).distinct(),
+        col("vec_id") === col("neighbor_id"))
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKByScore.topK(col("_cos"), col("cl"), 1).as("_top"))
+      .select(col("vec_id").as("neighbor_id"),
+        element_at(col("_top"), 1).getField("id").as("cl"))
+    val nProbe = math.min(nProbeFromThresh(exact, qRank, nbCell),
+      HierL1Probes * k2) // cap: the top-k buffer is sized by nProbe
+    // multi-consumer pin: inverted lists + probes read the same assignment
+    val scored = cand
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("v"), first(col("norm")).as("norm"),
+        graft.functions.TopKByScore.topK(col("_cos"), col("cl"), nProbe).as("_top"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("vec_id"), col("v"), col("norm"),
+        (col("_pos") + 1).as("_crank"), col("_t").getField("id").as("cl"))
+      .persist()
+    val inverted = scored.where(col("_crank") === 1)
+      .select(col("cl"), col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("norm").as("nb"))
+    val probes = scored
+      .select(col("cl"), col("vec_id").as("query_id"),
+        col("v").as("va"), col("norm").as("na"))
+    val pairs = probes.join(inverted, "cl")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", r(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+    topK(pairs, TopK)
+  }
+
   // --------------------------------------------------- int8 quantization
 
   /** Symmetric per-vector int8 levels: q = clamp(⌊x/scale + 0.5⌋, ±127),
@@ -426,12 +558,20 @@ object Similarity {
   def recallAudit(spark: SparkSession, dir: String): DataFrame = {
     val exact = knnBruteForce(spark, dir)
       .select(col("query_id"), col("neighbor_id"))
-      .persist() // consumed by all four arms
-    val methods = Seq(
+      .persist() // consumed by every arm
+    recallOver(exact, Seq(
       "ann_ivf" -> annIvf(spark, dir),
+      "ann_ivf_hier" -> annIvfHier(spark, dir),
       "ann_ivf_kmeans" -> annIvfKmeans(spark, dir),
       "ann_lsh" -> annLsh(spark, dir),
-      "knn_quantized" -> quantizedKnn(spark, dir))
+      "knn_quantized" -> quantizedKnn(spark, dir)))
+  }
+
+  /** Recall stats of each (name, approx-result) arm against `exact` —
+    * a query absent from an arm counts 0; queries absent from `exact`
+    * (unsampled) don't constrain the arm (the left join never matches). */
+  private def recallOver(exact: DataFrame,
+                         methods: Seq[(String, DataFrame)]): DataFrame =
     methods.map { case (name, approx) =>
       exact
         .join(approx.select(col("query_id"), col("neighbor_id"))
@@ -445,6 +585,23 @@ object Similarity {
         .select(lit(name).as("method"), col("n_queries"),
           col("mean_recall"), col("min_recall"))
     }.reduce(_.unionByName(_))
+
+  /** Audit query-sample size for [[recallAuditSampled]] — smaller than the
+    * sf0.01 corpus so the oracle genuinely exercises the sampling. */
+  val SampleAuditQueries = 250
+
+  /** [[recallAudit]] at scale: the exact arm runs on a deterministic
+    * [[SampleAuditQueries]]-query sample (cost |sample|·n, not n²), and the
+    * audited arms are the two deployment-path quantizers — the label
+    * baselines and the all-pairs arms are small-n oracle pins, excluded by
+    * design from at-scale runs (README deployment table). This is the query
+    * the sf0.1/sf1 scaling evidence runs. */
+  def recallAuditSampled(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = withNorm(Sources.embeddings(spark, dir)).persist()
+    val exact = exactSampled(vecs, querySample(vecs, SampleAuditQueries)).persist()
+    recallOver(exact, Seq(
+      "ann_ivf_hier" -> annIvfHier(spark, dir),
+      "ann_ivf_kmeans" -> annIvfKmeans(spark, dir)))
   }
 
   /** Exact top-[[TopK]] cosine neighbors for every vector (the O(n²) ground

@@ -177,4 +177,51 @@ class PlanSpec extends SparkSpec {
     assert(!sem.contains("CartesianProduct"), sem.take(1500))
     assert(!sem.contains("Window"), "kmeans SemDeDup must not rank via a window shuffle")
   }
+
+  test("hier IVF: plan-literal centroid sets bounded at HierTopCells; " +
+    "sub-centroids broadcast-joined") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.ArrayType
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    def litSizes(e: Expression): Seq[Int] =
+      e.collect { case Literal(a: ArrayData, ArrayType(_, _)) => a.numElements() }
+    // the IVF paths persist their assignment frames, so the literal lives
+    // inside an InMemoryRelation's cached physical plan — recurse into it
+    def fromPhysical(p: SparkPlan): Seq[Int] = p.flatMap {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fromPhysical(a.inputPlan) // AQE hides its input from TreeNode traversal
+      case s: InMemoryTableScanExec =>
+        s.expressions.flatMap(litSizes) ++ fromPhysical(s.relation.cachedPlan)
+      case node => node.expressions.flatMap(litSizes)
+    }
+    def maxArrayLiteral(df: DataFrame): Int = {
+      val sizes = df.queryExecution.optimizedPlan.flatMap {
+        case im: InMemoryRelation => fromPhysical(im.cachedPlan)
+        case node => node.expressions.flatMap(litSizes)
+      }
+      if (sizes.isEmpty) 0 else sizes.max
+    }
+    // the r6 scale flaw: the flat √n quantizer ships K=√n centroids as a
+    // plan literal (16.3 MiB task binary at sf1, unbounded). The two-level
+    // quantizer's ONLY literal centroid set is the K₁ top level.
+    val hier = graft.ext.Similarity.annIvfHier(spark, sf)
+    val hierMax = maxArrayLiteral(hier)
+    assert(hierMax <= graft.ext.Similarity.HierTopCells,
+      s"hier plan embeds a $hierMax-element literal (cap ${graft.ext.Similarity.HierTopCells})")
+    // contrast — the cap is not vacuous: at this SF the flat variant's
+    // literal already exceeds it
+    val flatMax = maxArrayLiteral(graft.ext.Similarity.annIvfKmeans(spark, sf))
+    assert(flatMax > graft.ext.Similarity.HierTopCells,
+      s"expected the flat √n literal ($flatMax) to exceed the hier cap — test is vacuous")
+    // the ≈√n sub-centroid frame rides an ordinary broadcast equi-join —
+    // never a shuffle of the corpus against it, never a Cartesian product,
+    // and no window ranking (the bounded top-k aggregate instead)
+    val p = plan(hier)
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("Window"), "hier ANN must not rank via a window shuffle")
+  }
 }
