@@ -61,6 +61,15 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // multi-SF scaling mode: beyond the smallest SF (dirs are ordered
+    // smallest-first), the declared small-n baselines are excluded — they
+    // are quadratic by construction (SparkEntry.smallNOnly; measured r6:
+    // sim_ann_ivf 242.8 s at sf1) and a deployment runs their scale twins.
+    // Each line carries the exclusion count so a subset total is never
+    // read as a full-suite total.
+    def namesFor(dir: String): Seq[String] =
+      if (sfDirs.size > 1 && dir != sfDirs.head)
+        names.filterNot(SparkEntry.smallNOnly) else names
     val samples = scala.collection.mutable.Map.empty[(String, String), List[Double]]
       .withDefaultValue(Nil)
     // a throwing query must never masquerade as a (fast) timing sample — its
@@ -69,7 +78,7 @@ object Bench {
     val failures = scala.collection.mutable.Map.empty[(String, String), Int]
       .withDefaultValue(0)
     def runPass(): Unit =
-      for (name <- names; dir <- sfDirs) {
+      for (name <- names; dir <- sfDirs; if namesFor(dir).contains(name)) {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val ok =
@@ -114,13 +123,14 @@ object Bench {
       s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
     }
     def lineFor(dir: String): String = {
+      val dirNames = namesFor(dir)
       // a query whose every run failed has no samples — reported as -1 with
       // its failure count in `errors`, and excluded from the total
-      val results = names.map { n =>
+      val results = dirNames.map { n =>
         val xs = samples((dir, n))
         n -> (if (xs.isEmpty) -1.0 else median(xs))
       }
-      val mins = names.map { n =>
+      val mins = dirNames.map { n =>
         val xs = samples((dir, n))
         n -> (if (xs.isEmpty) -1.0 else xs.min)
       }.toMap
@@ -141,15 +151,22 @@ object Bench {
         val qs = entries.mkString("{", ",", "}")
         val ms = minEntries.mkString("{", ",", "}")
         val partial = if (only.isDefined) "\"partial\":true," else ""
+        val excluded = names.size - dirNames.size
+        val excl = if (excluded > 0) s""""excluded_small_n":$excluded,""" else ""
         val errs = {
-          val fs = names.flatMap(n => failures.get((dir, n)).map(n -> _))
+          val fs = dirNames.flatMap(n => failures.get((dir, n)).map(n -> _))
           if (fs.isEmpty) ""
           else fs.map { case (k, c) => "\"" + k + "\":" + c }
             .mkString("\"errors\":{", ",", "},")
         }
-        s"""{"metric":"total","value":$total,"unit":"sec",$partial$errs"throttle_ratio":$tr,"passes":$done,"queries":$qs,"mins":$ms,"sf":"$dir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec",$partial$excl$errs"throttle_ratio":$tr,"passes":$done,"queries":$qs,"mins":$ms,"sf":"$dir"}"""
       }
-      (results.size to 0 by -1).map(encode).find(_.length <= 1900).getOrElse(encode(0))
+      // the driver tail-captures a fixed TOTAL trailing-char budget; in
+      // multi-SF mode every line must fit together or the earlier line(s)
+      // get pushed out of the capture window — divide the budget
+      val lineBudget = math.max(600, 1900 / sfDirs.size)
+      (results.size to 0 by -1).map(encode).find(_.length <= lineBudget)
+        .getOrElse(encode(0))
     }
     val lines = sfDirs.map(lineFor)
     spark.stop() // stop first: the JSON must be the last line(s) of stdout

@@ -167,5 +167,28 @@ object SparkEntry {
         .orderBy("order_year", "order_month"))
   )
 
+  /** Queries that are DECLARED small-n baselines — exact all-pairs ground
+    * truths and the fixture-label quantizer variants whose pair scan is
+    * quadratic by construction (measured at r6: `sim_ann_ivf` cost exponent
+    * 1.85, 242.8 s at sf1; `dedup_semantic` is the same n²/K shape). They
+    * stay oracle-pinned at verify SF — they DEFINE ground truth — but a
+    * deployment runs their scale twins instead: `sim_ann_ivf_kmeans` /
+    * `sim_ann_ivf_hier` for ANN, `dedup_semantic_kmeans` for SemDeDup,
+    * `sim_recall_audit_sampled` for the recall audit. [[Bench]]'s multi-SF
+    * scaling mode excludes them beyond its smallest SF for the same reason
+    * (README "deployment paths" table). `sim_ann_lsh` is here on fixture
+    * grounds, not structural ones: SRP-LSH collision probability at this
+    * fixture's cosine≈0.3 neighbor regime makes nearly every pair a
+    * candidate, so at scale it degenerates to all-pairs unless bits/tables
+    * are retuned to the corpus (the knob its Scaladoc documents). */
+  val smallNOnly: Set[String] = Set(
+    "sim_knn_bruteforce",     // exact O(n²) ground truth
+    "sim_quantized_knn",      // exact O(n²) over dequantized vectors
+    "dedup_embedding_cosine", // declared all-pairs baseline
+    "sim_ann_ivf",            // fixture-label IVF: n²/K probe join, K fixed
+    "dedup_semantic",         // fixture-label SemDeDup: n²/K pair scan
+    "sim_recall_audit",       // embeds the O(n²) exact arm + every baseline
+    "sim_ann_lsh")            // near-all-pairs candidates at this fixture's regime
+
   def oracleSql: Map[String, String] = Oracles.all ++ OraclesExt.all
 }

@@ -263,17 +263,20 @@ object Quality {
                     names: Seq[String]): DataFrame =
     allFamiliesOver(warehouseTables(spark, outDir), names)
 
-  /** Pipeline gate: throws if any check FAILs (stronger than the reference,
-    * which only displays results — SURVEY.md §5). */
-  def assertAll(spark: SparkSession, dir: String): Unit = {
-    val failed = rowCounts(spark, dir).where(col("status") === "FAIL")
-      .unionByName(nullChecks(spark, dir).where(col("status") === "FAIL")
-        .withColumnRenamed("check_name", "table_name")
-        .withColumnRenamed("null_count", "row_count"))
-      .unionByName(businessRules(spark, dir).where(col("status") === "FAIL")
-        .withColumnRenamed("rule_name", "table_name")
-        .withColumnRenamed("violation_count", "row_count"))
-    val bad = failed.collect()
+  /** Pipeline gate over ALL FIVE families ([[allFamiliesOver]]): throws if
+    * any check is non-PASS — including referential-integrity orphans and
+    * freshness STALE, which the pre-r7 gate could not trip on (it unioned
+    * only three families). Stronger than the reference, which only displays
+    * results — SURVEY.md §5. */
+  def assertAll(spark: SparkSession, dir: String): Unit =
+    assertAllOver(sourceTables(spark, dir), AllTables :+ "events")
+
+  /** [[assertAll]] over an arbitrary resolver/table set — the gate a
+    * deployed pipeline points at its own warehouse (and the seam tests use
+    * to prove an injected orphan or a stale table actually throws). The
+    * collect is control-plane: non-PASS check rows only. */
+  def assertAllOver(t: TableResolver, names: Seq[String]): Unit = {
+    val bad = allFamiliesOver(t, names).where(col("status") =!= "PASS").collect()
     require(bad.isEmpty, s"data-quality failures: ${bad.mkString("; ")}")
   }
 }

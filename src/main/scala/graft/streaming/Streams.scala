@@ -222,16 +222,33 @@ object Streams {
 
   /** Catalog name of the band-index table for a store path (external table
     * LOCATION'd at `storePath/bands`, so the DATA survives the session and a
-    * new session just re-registers the same layout). */
-  private[graft] def bandsTable(storePath: String): String =
-    "graft_lsh_bands_" + Integer.toHexString(storePath.hashCode)
+    * new session just re-registers the same layout). The name embeds 96 bits
+    * of SHA-256 of the path — a 32-bit String.hashCode here would let two
+    * distinct store paths silently share one catalog entry and cross-wire
+    * their band indexes (inserts and probes hitting the first-registered
+    * LOCATION) with no error. */
+  private[graft] def bandsTable(storePath: String): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(storePath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "graft_lsh_bands_" + sha.take(12).map("%02x".format(_)).mkString
+  }
+
+  /** Marker file recording that `bands/` holds the CLUSTERED BY (band,
+    * bucket) layout. A non-empty bands dir WITHOUT it was written by the
+    * pre-bucketed code: registering the bucketed table straight over it
+    * would fail history reads (bucket-id file names absent) or mis-prune. */
+  private val StoreFormatMarker = "_graft_format_v2_bucketed"
 
   /** Ensure the band-index table exists: external parquet at
     * `storePath/bands`, PARTITIONED BY batch (replay-idempotent overwrite
     * unit) and CLUSTERED BY (band, bucket) — the join key — so every future
     * probe join reads the store side already hash-distributed: no exchange,
     * however large the history grows. Re-registering over an existing
-    * location recovers its partitions. */
+    * location recovers its partitions. A legacy (pre-bucketed) store is
+    * migrated in place: its rows are moved aside, re-inserted through the
+    * bucketed table, then [[StoreFormatMarker]] is written. A crash mid-
+    * migration resumes from the moved-aside copy (per-partition dynamic
+    * overwrite makes the re-insert idempotent). */
   private def ensureBandsTable(spark: org.apache.spark.sql.SparkSession,
                                storePath: String): String = {
     val tbl = bandsTable(storePath)
@@ -239,7 +256,14 @@ object Streams {
       // CREATE TABLE registers the location but does not create it; the
       // first history scan of an empty store must see an empty dir, not ENOENT
       val loc = new org.apache.hadoop.fs.Path(s"$storePath/bands")
-      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(loc)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(loc, StoreFormatMarker)
+      val legacyDir = new org.apache.hadoop.fs.Path(s"$storePath/bands_prebucketed")
+      val resuming = fs.exists(legacyDir)
+      val legacy = resuming || (fs.exists(loc) && !fs.exists(marker) &&
+        fs.listStatus(loc).nonEmpty)
+      if (legacy && !resuming) fs.rename(loc, legacyDir)
+      fs.mkdirs(loc)
       spark.sql(
         s"""CREATE TABLE $tbl (doc_id BIGINT, band INT, bucket BIGINT, batch BIGINT)
            |USING PARQUET
@@ -247,6 +271,18 @@ object Streams {
            |CLUSTERED BY (band, bucket) INTO $LshStoreBuckets BUCKETS
            |LOCATION '$storePath/bands'""".stripMargin)
       spark.catalog.recoverPartitions(tbl)
+      if (legacy) {
+        val pomKey = "spark.sql.sources.partitionOverwriteMode"
+        val pomPrev = spark.conf.get(pomKey)
+        spark.conf.set(pomKey, "dynamic")
+        try spark.read.parquet(legacyDir.toString)
+          .select("doc_id", "band", "bucket", "batch") // insertInto is positional
+          .write.mode("overwrite").insertInto(tbl)
+        finally spark.conf.set(pomKey, pomPrev)
+        fs.delete(legacyDir, true)
+        spark.catalog.recoverPartitions(tbl)
+      }
+      fs.create(marker, true).close()
     }
     tbl
   }

@@ -69,6 +69,32 @@ class PipelineSpec extends SparkSpec {
     assert(dq.where(org.apache.spark.sql.functions.col("status") =!= "PASS").count() === 0)
   }
 
+  test("quality gate trips on an injected orphan key and on a stale table") {
+    import org.apache.spark.sql.functions._
+    val Q = graft.engine.Quality
+    val base = Q.sourceTables(spark, sf)
+    val names = Seq("orders", "customer")
+    Q.assertAllOver(base, names) // clean fixture: gate passes
+    // orphan: orders rows pointing at a customer key no customer has —
+    // pre-r7 the gate unioned only 3 families and could not see this
+    val orphaned: Q.TableResolver = {
+      case "orders" => base("orders").unionByName(
+        base("orders").limit(3).withColumn("o_custkey",
+          lit(999999999L).cast(base("orders").schema("o_custkey").dataType)))
+      case other => base(other)
+    }
+    val e1 = intercept[IllegalArgumentException] { Q.assertAllOver(orphaned, names) }
+    assert(e1.getMessage.contains("referential_integrity"), e1.getMessage)
+    // staleness: _ingested_at pushed a week before the pinned audit instant
+    val stale: Q.TableResolver = {
+      case "orders" => base("orders").withColumn("_ingested_at",
+        lit(java.sql.Timestamp.valueOf("2001-12-25 00:00:00")))
+      case other => base(other)
+    }
+    val e2 = intercept[IllegalArgumentException] { Q.assertAllOver(stale, names) }
+    assert(e2.getMessage.contains("freshness"), e2.getMessage)
+  }
+
   test("stage retries with delay and succeeds on a later attempt") {
     val out = Files.createTempDirectory("graft_retry").toString
     val cfg = engine.EngineConfig.defaults("dev")

@@ -337,6 +337,36 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("legacy (pre-bucketed) band store migrates in place; history still probes") {
+    val dir = Files.createTempDirectory("graft_legacy").toString
+    val d = graft.engine.Sources.documents(spark, sf)
+    val old = d.where(col("doc_id") < 100)
+    // fabricate a pre-bucketed store: batch-partitioned PLAIN parquet bands
+    // (no bucket-id file names, no format marker) + matching docs — what the
+    // pre-r7 ingest wrote. Registering the bucketed table straight over it
+    // would fail or mis-prune history reads.
+    graft.ext.Dedup.bandBuckets(old).withColumn("batch", lit(0L))
+      .write.partitionBy("batch").mode("overwrite").parquet(s"$dir/store/bands")
+    old.withColumn("batch", lit(0L))
+      .write.partitionBy("batch").mode("overwrite").parquet(s"$dir/store/docs")
+    val next = d.where(col("doc_id") >= 100 && col("doc_id") < 150)
+    Streams.ingestDedupBatch(next, s"$dir/store", 1L)
+    val keptMigrated = spark.read.parquet(s"$dir/store/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // equivalence oracle: a store that was bucketed from birth
+    val fresh = Files.createTempDirectory("graft_fresh").toString
+    Streams.ingestDedupBatch(old, s"$fresh/store", 0L)
+    Streams.ingestDedupBatch(next, s"$fresh/store", 1L)
+    val keptFresh = spark.read.parquet(s"$fresh/store/kept")
+      .where(col("batch") === 1L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptMigrated === keptFresh,
+      s"migrated-store dedup diverged: only-migrated=${(keptMigrated -- keptFresh).take(5)} " +
+        s"only-fresh=${(keptFresh -- keptMigrated).take(5)}")
+    // the migrated table serves history through the bucketed layout now
+    assert(spark.table(Streams.bandsTable(s"$dir/store"))
+      .where(col("batch") === 0L).count() > 0, "legacy band rows lost in migration")
+  }
+
   test("replayed micro-batches are no-ops: idempotent ingest, exactly-once fold") {
     val dir = Files.createTempDirectory("graft_replay").toString
     // near-dup ingest: a replay of the same (batch, id) must not grow the store
