@@ -41,6 +41,25 @@ object Incremental {
     state.select(col("order_year"), col("order_month"), col("n_orders"),
       Num.r2(col("_rev").cast("double")).as("total_revenue"))
 
+  /** Partial state of the per-customer order profile over an orders slice —
+    * same algebra as [[monthlyRevenueState]] at customer grain (the schema
+    * [[Cdf.customerOrderChanges]] snapshots use). */
+  def customerProfileState(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_custkey").as("customer_key"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("o_totalprice").cast(Num.SumDec)).as("_spent"))
+
+  /** Merge mergeable customer-profile states. */
+  def mergeCustomerProfiles(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy("customer_key")
+      .agg(sum(col("order_count")).as("order_count"), sum(col("_spent")).as("_spent"))
+
+  /** Finalize the customer profile: rounding once, at the end. */
+  def finalizeCustomerProfile(state: DataFrame): DataFrame =
+    state.select(col("customer_key"), col("order_count"),
+      Num.r2(col("_spent").cast("double")).as("total_spent"))
+
   /** The verified query: the monthly-revenue aggregate maintained from three
     * date-sliced delta batches. The oracle aggregates the orders table
     * directly, so the hash match PROVES the incremental path reproduces the

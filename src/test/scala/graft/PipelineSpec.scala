@@ -69,6 +69,64 @@ class PipelineSpec extends SparkSpec {
     assert(dq.where(org.apache.spark.sql.functions.col("status") =!= "PASS").count() === 0)
   }
 
+  test("incremental mode == from-scratch aggregates bit-for-bit; replay no-ops; " +
+    "published change feeds reconstruct the profile") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Incremental
+    import graft.sources.Versioned
+    val out = Files.createTempDirectory("graft_incr").toString
+    val o = graft.engine.Sources.orders(spark, sf).cache()
+    val slices = Seq(
+      col("o_orderdate") < lit("1995-01-01"),
+      col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1997-01-01"),
+      col("o_orderdate") >= lit("1997-01-01"))
+    def assertSetEqual(a: org.apache.spark.sql.DataFrame,
+                       b: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      assert(a.count() === b.count(), s"$what: row counts differ")
+      assert(a.unionByName(b).distinct().count() === b.count(),
+        s"$what: values differ from the from-scratch run")
+    }
+    slices.zipWithIndex.foreach { case (pred, i) =>
+      val rs = Pipeline.runSalesIncrement(spark, o.where(pred), out, i.toLong)
+      assert(rs.forall(_.status == "PASS"), rs.mkString("; "))
+      val sofar = slices.take(i + 1).map(o.where).reduce(_ unionByName _)
+      // bit-identity after EVERY batch, both maintained aggregates
+      assertSetEqual(
+        Incremental.finalize(Versioned.read(spark, s"$out/state_monthly_revenue")),
+        Incremental.finalize(Incremental.monthlyRevenueState(sofar)),
+        s"monthly revenue after batch $i")
+      assertSetEqual(
+        Incremental.finalizeCustomerProfile(
+          Versioned.read(spark, s"$out/state_customer_profile")),
+        Incremental.finalizeCustomerProfile(Incremental.customerProfileState(sofar)),
+        s"customer profile after batch $i")
+    }
+    // at-least-once replay of the last batch: no new versions committed
+    val vm = Versioned.latestVersion(spark, s"$out/state_monthly_revenue")
+    val vp = Versioned.latestVersion(spark, s"$out/state_customer_profile")
+    Pipeline.runSalesIncrement(spark, o.where(slices.last), out, 2L)
+    assert(Versioned.latestVersion(spark, s"$out/state_monthly_revenue") === vm)
+    assert(Versioned.latestVersion(spark, s"$out/state_customer_profile") === vp)
+    // a downstream consumer replaying ONLY the published change feeds, in
+    // order, lands on the exact final profile (upsert new_*, drop deletes)
+    val feeds = spark.read.parquet(s"$out/cdf_customer_profile")
+    var replayed = Incremental.finalizeCustomerProfile(
+      Incremental.customerProfileState(o.limit(0)))
+    (0L to 2L).foreach { b =>
+      val f = feeds.where(col("batch") === b)
+      replayed = replayed
+        .join(f.select(col("customer_key")), Seq("customer_key"), "left_anti")
+        .unionByName(f.where(col("change_type") =!= "delete")
+          .select(col("customer_key"), col("new_order_count").as("order_count"),
+            col("new_total_spent").as("total_spent")))
+    }
+    assertSetEqual(replayed,
+      Incremental.finalizeCustomerProfile(
+        Versioned.read(spark, s"$out/state_customer_profile")),
+      "feed replay")
+    o.unpersist()
+  }
+
   test("quality gate trips on an injected orphan key and on a stale table") {
     import org.apache.spark.sql.functions._
     val Q = graft.engine.Quality
