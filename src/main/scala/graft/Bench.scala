@@ -52,6 +52,16 @@ object Bench {
     // whole rdd package). Keep it out of the parsed stdout tail.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // "Broadcasting large task binary" (DAGScheduler WARN): the deployment
+    // ANN path (hier) no longer triggers it — its centroid literal is
+    // bounded — but the flat √n BASELINE still measured at sf1 does, and
+    // the driver's tail capture must contain only the JSON line(s)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler", org.apache.logging.log4j.Level.ERROR)
+    // per-query isolation clearCache()+re-persist makes "Asked to cache
+    // already cached data" (CacheManager WARN) routine across passes
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.CacheManager", org.apache.logging.log4j.Level.ERROR)
     // warmup: exercise scans/joins/windows/aggs once at tiny SF so the first
     // timed query doesn't absorb JVM + whole-stage-codegen compilation
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

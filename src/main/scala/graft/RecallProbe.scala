@@ -69,6 +69,11 @@ object RecallProbe {
           f"recall=$recall%.3f  ${dt}%6.2f s")
       }
       scored.unpersist(); exact.unpersist(); qids.unpersist(); vecs.unpersist()
+      // the deployment arms as registered (calibrated nProbe chosen
+      // internally by nProbeFromThresh): what a user actually gets per SF
+      for (row <- Similarity.recallAuditSampled(spark, dir).collect())
+        println(s"[audit] dir=$dir ${row.mkString(" ")}")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
