@@ -1396,6 +1396,11 @@ object OraclesExt {
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
     "sim_ann_ivf_hier" -> simAnnIvfHier,
+    // the persisted index is bit-identical to the hier operator by
+    // construction (same frozen model, exact parquet round-trip), so it is
+    // held to the SAME oracle — an independent full-strength check, not a
+    // rows-only waiver
+    "sim_ann_index" -> simAnnIvfHier,
     "sim_recall_audit" -> simRecallAudit,
     "sim_recall_audit_sampled" -> simRecallAuditSampled,
     "events_asof_purchase_view" -> eventsAsofPurchaseView,

@@ -86,6 +86,8 @@ object SparkEntry {
       ext.Similarity.annIvfKmeans(s, d).orderBy("query_id", "rank")),
     "sim_ann_ivf_hier" -> ((s, d) =>
       ext.Similarity.annIvfHier(s, d).orderBy("query_id", "rank")),
+    "sim_ann_index" -> ((s, d) =>
+      ext.VectorIndex.annIndexed(s, d).orderBy("query_id", "rank")),
     "sim_recall_audit" -> ((s, d) =>
       ext.Similarity.recallAudit(s, d).orderBy("method")),
     "sim_recall_audit_sampled" -> ((s, d) =>

@@ -439,31 +439,34 @@ object Similarity {
     }
   }
 
-  /** Two-level IVF-flat ANN — the 100-TB deployment path. Level 1: K₁ fixed
-    * cells, assignment map-only against a BOUNDED literal. Level 2: ≈√n
-    * sub-centroids in a broadcast-joined frame; each vector's candidate
-    * sub-cells are those of its [[HierL1Probes]] nearest L1 cells, ranked
-    * by cosine through the bounded top-k aggregate (map-side combinable —
-    * the shuffle carries ≤ nProbe rows per vector, not the n·√n the flat
-    * literal avoided by other means). Probe depth is the same
-    * [[RecallTargetPct]] calibration as [[annIvfKmeans]], computed over
-    * the hierarchy's own reachable-cell ranking. Same inverted-list
-    * equi-join + bounded refine tail as every IVF variant. */
-  def annIvfHier(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = withNorm(Sources.embeddings(spark, dir)).persist()
-    val k2 = hierSubCells(vecs.count())
-    val l1 = kmeansCentroidsLocalK(vecs, HierTopCells, KmeansIters)
-    val subs = hierSubCentroids(vecs, l1, k2).persist()
-    // candidate sub-cells per vector — map-only generation (K₁ literal +
-    // broadcast equi-join), recomputed per consumer rather than persisting
-    // a wide n·probes·k₂ frame
-    def cand: DataFrame = hierAssignL1(vecs, l1)
-      .select(col("vec_id"), col("v"), col("norm"),
+  /** The hierarchical quantizer's build-time artifacts: the K₁ L1 centroid
+    * literal, the ≈√n sub-centroid frame (persisted), the sub-cell count,
+    * and the probe depth calibrated to [[RecallTargetPct]]. Everything a
+    * persisted index ([[VectorIndex]]) must durably store — and everything
+    * [[annIvfHier]] computes before its refine tail. */
+  private[ext] case class HierModel(l1: Array[Cent], subs: DataFrame,
+                                    k2: Int, nProbe: Int)
+
+  /** Candidate sub-cells per vector — map-only generation (K₁ literal +
+    * broadcast equi-join), recomputed per consumer rather than persisting a
+    * wide n·probes·k₂ frame. */
+  private[ext] def hierCand(vecs: DataFrame, l1: Array[Cent],
+                            subs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), col("v"), col("norm"),
         explode(nearestCells(l1, HierL1Probes)).as("_l1c"))
       .select(col("vec_id"), col("v"), col("norm"),
         col("_l1c").getField("cl").as("l1"))
       .join(broadcast(subs), "l1")
       .withColumn("_cos", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+
+  /** Quantizer + calibration over a (vec_id, v, norm) corpus. Persists the
+    * sub-centroid frame (callers unpersist via the returned model when the
+    * consuming plans are done). */
+  private[ext] def hierModel(vecs: DataFrame): HierModel = {
+    val k2 = hierSubCells(vecs.count())
+    val l1 = kmeansCentroidsLocalK(vecs, HierTopCells, KmeansIters)
+    val subs = hierSubCentroids(vecs, l1, k2).persist()
+    def cand: DataFrame = hierCand(vecs, l1, subs)
     val sample = querySample(vecs, CalQueries)
     val qRank = cand
       .join(sample.select(col("query_id")), col("vec_id") === col("query_id"))
@@ -480,8 +483,17 @@ object Similarity {
         element_at(col("_top"), 1).getField("id").as("cl"))
     val nProbe = math.min(nProbeFromThresh(exact, qRank, nbCell),
       HierL1Probes * k2) // cap: the top-k buffer is sized by nProbe
-    // multi-consumer pin: inverted lists + probes read the same assignment
-    val scored = cand
+    exact.unpersist()
+    HierModel(l1, subs, k2, nProbe)
+  }
+
+  /** Each vector's top-`nProbe` candidate sub-cells, ranked by cosine
+    * through the bounded top-k aggregate (map-side combinable — the shuffle
+    * carries ≤ nProbe rows per vector): (vec_id, v, norm, _crank, cl).
+    * `_crank = 1` is the vector's inverted-list assignment. */
+  private[ext] def hierScored(vecs: DataFrame, l1: Array[Cent],
+                              subs: DataFrame, nProbe: Int): DataFrame =
+    hierCand(vecs, l1, subs)
       .groupBy("vec_id")
       .agg(first(col("v")).as("v"), first(col("norm")).as("norm"),
         graft.functions.TopKByScore.topK(col("_cos"), col("cl"), nProbe).as("_top"))
@@ -489,17 +501,41 @@ object Similarity {
         posexplode(col("_top")).as(Seq("_pos", "_t")))
       .select(col("vec_id"), col("v"), col("norm"),
         (col("_pos") + 1).as("_crank"), col("_t").getField("id").as("cl"))
-      .persist()
+
+  /** The shared IVF refine tail: probes (cl, query_id, va, na) equi-joined
+    * to inverted lists (cl, neighbor_id, vb, nb), exact cosine on the
+    * candidates only, bounded per-query top-[[TopK]]. */
+  private[ext] def refineTail(probes: DataFrame, inverted: DataFrame): DataFrame = {
+    val pairs = probes.join(inverted, "cl")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", r(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+    topK(pairs, TopK)
+  }
+
+  /** Two-level IVF-flat ANN — the 100-TB deployment path. Level 1: K₁ fixed
+    * cells, assignment map-only against a BOUNDED literal. Level 2: ≈√n
+    * sub-centroids in a broadcast-joined frame; each vector's candidate
+    * sub-cells are those of its [[HierL1Probes]] nearest L1 cells, ranked
+    * by cosine through the bounded top-k aggregate (map-side combinable —
+    * the shuffle carries ≤ nProbe rows per vector, not the n·√n the flat
+    * literal avoided by other means). Probe depth is the same
+    * [[RecallTargetPct]] calibration as [[annIvfKmeans]], computed over
+    * the hierarchy's own reachable-cell ranking. Same inverted-list
+    * equi-join + bounded refine tail as every IVF variant.
+    * [[VectorIndex]] is this operator with the model and inverted lists
+    * persisted (and incrementally maintainable) instead of recomputed. */
+  def annIvfHier(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = withNorm(Sources.embeddings(spark, dir)).persist()
+    val m = hierModel(vecs)
+    // multi-consumer pin: inverted lists + probes read the same assignment
+    val scored = hierScored(vecs, m.l1, m.subs, m.nProbe).persist()
     val inverted = scored.where(col("_crank") === 1)
       .select(col("cl"), col("vec_id").as("neighbor_id"),
         col("v").as("vb"), col("norm").as("nb"))
     val probes = scored
       .select(col("cl"), col("vec_id").as("query_id"),
         col("v").as("va"), col("norm").as("na"))
-    val pairs = probes.join(inverted, "cl")
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", r(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
-    topK(pairs, TopK)
+    refineTail(probes, inverted)
   }
 
   // --------------------------------------------------- int8 quantization

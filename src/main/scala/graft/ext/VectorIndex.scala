@@ -1,0 +1,185 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.engine.Sources
+import Similarity._
+
+/** Persisted, incrementally-maintainable ANN index — the two-level IVF
+  * quantizer of [[Similarity.annIvfHier]] made durable, so the expensive
+  * parts (k-means, recall calibration, corpus assignment) run ONCE and new
+  * vectors fold in without re-running any of them. This is the index shape a
+  * 100-TB embedding store actually operates: k-means over 10¹⁰ vectors is a
+  * scheduled rebuild, not a per-query cost, while ingest and search are
+  * continuous.
+  *
+  * Store layout under `storePath`:
+  *   - `l1/`    — the K₁ top-level centroids (bounded: [[Similarity.HierTopCells]] rows)
+  *   - `subs/`  — the ≈√n sub-centroid frame (l1, cl, cv, cnorm)
+  *   - `meta/`  — one row: calibrated n_probe, k2, corpus n at build
+  *   - `lists/` — inverted lists (cl, neighbor_id, vb, nb), an external
+  *     table PARTITIONED BY (batch) and CLUSTERED BY (cl) INTO
+  *     [[IndexBuckets]] BUCKETS — the same store discipline as the
+  *     streaming LSH band store ([[graft.streaming.Streams]]): per-batch
+  *     partitions make replays idempotent (dynamic overwrite rewrites one
+  *     partition, never history), and bucketing on the join key means every
+  *     future probe join reads the store side already hash-distributed —
+  *     NO exchange on the (possibly huge) corpus side at any index size;
+  *     only the query batch shuffles.
+  *
+  * Scale contract: `build` is the one corpus-heavy step (Lloyd rounds +
+  * calibration + one assignment pass, all map-only against bounded/broadcast
+  * centroid state). `ingest` is O(delta·(K₁ + probes·k₂)) dots + one
+  * bucketed write of delta rows. `search` is O(queries) probe generation +
+  * one bucketed equi-join that never re-shuffles the corpus. The frozen
+  * quantizer is the standard IVF trade: cell quality decays as the corpus
+  * drifts from the build distribution, which degrades RECALL, never
+  * correctness — the recall audit re-run against the store is the signal
+  * to schedule a rebuild.
+  *
+  * Reference anchor: serves the same ANN surface as the reference's
+  * similarity queries; the registered `sim_ann_index` twin is bit-identical
+  * to `sim_ann_ivf_hier` and shares its DuckDB oracle.
+  */
+object VectorIndex {
+
+  /** Bucket count of the inverted-list table. Like the band store's, this
+    * is the store's fixed parallelism on disk; at 100 TB pick ≈ cluster
+    * cores. Test value keeps bucket files small at fixture SF. */
+  val IndexBuckets = 8
+
+  private def sha12(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(12).map("%02x".format(_)).mkString
+
+  /** Catalog name of a store's inverted-list table — 96 bits of SHA-256 of
+    * the path (a 32-bit hashCode would let two stores silently share one
+    * catalog entry and cross-wire their lists; same reasoning as
+    * [[graft.streaming.Streams.bandsTable]]). */
+  private[graft] def listsTable(storePath: String): String =
+    "graft_vec_lists_" + sha12(storePath)
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Register (or re-register, e.g. in a new session over an existing
+    * store) the bucketed inverted-list table. CREATE TABLE records the
+    * layout; recoverPartitions picks up any batch partitions already on
+    * disk. No legacy-layout migration arm: this store type has had the
+    * bucketed layout from its first version. */
+  private def ensureListsTable(spark: SparkSession, storePath: String): String = {
+    val tbl = listsTable(storePath)
+    if (!spark.catalog.tableExists(tbl)) {
+      fsOf(spark, storePath)
+        .mkdirs(new org.apache.hadoop.fs.Path(s"$storePath/lists"))
+      spark.sql(
+        s"""CREATE TABLE $tbl (cl BIGINT, neighbor_id BIGINT,
+           |vb ARRAY<DOUBLE>, nb DOUBLE, batch BIGINT)
+           |USING PARQUET
+           |PARTITIONED BY (batch)
+           |CLUSTERED BY (cl) INTO $IndexBuckets BUCKETS
+           |LOCATION '$storePath/lists'""".stripMargin)
+      spark.catalog.recoverPartitions(tbl)
+    }
+    tbl
+  }
+
+  /** Load the frozen model back from the store: the bounded L1 centroid
+    * array (control-plane collect, ≤ K₁ rows), the sub-centroid frame, and
+    * the build-time calibrated probe depth. Parquet round-trips doubles
+    * exactly, and [[Similarity.nearestCells]] is order-independent, so the
+    * loaded model assigns bit-identically to the in-memory one. */
+  private[graft] def loadModel(spark: SparkSession,
+                               storePath: String): (Array[Cent], DataFrame, Int) = {
+    val l1 = spark.read.parquet(s"$storePath/l1").select("cl", "cv", "cnorm")
+      .collect()
+      .map(r => Cent(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val subs = spark.read.parquet(s"$storePath/subs").select("l1", "cl", "cv", "cnorm")
+    val nProbe = spark.read.parquet(s"$storePath/meta").select("n_probe").head().getInt(0)
+    (l1, subs, nProbe)
+  }
+
+  /** One batch's inverted-list rows under the store's frozen quantizer:
+    * each vector's nearest REACHABLE sub-cell (top-1 of the same ranking
+    * search probes, so lists and probes can never disagree on a cell). */
+  private[graft] def assignment(spark: SparkSession, storePath: String,
+                                vecs: DataFrame): DataFrame = {
+    val (l1, subs, _) = loadModel(spark, storePath)
+    hierScored(vecs, l1, subs, 1)
+      .select(col("cl"), col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("norm").as("nb"))
+  }
+
+  /** Build the index from scratch over a (vec_id, v, norm) corpus (see
+    * [[Similarity.withNorm]]): wipe any prior store at the path, run the
+    * quantizer + calibration ONCE, persist every artifact, and load the
+    * corpus as batch 0. Idempotent — a re-build is a clean replace. */
+  def build(spark: SparkSession, storePath: String, vecs: DataFrame): Unit = {
+    val pinned = vecs.storageLevel != StorageLevel.NONE
+    if (!pinned) vecs.persist()
+    val m = hierModel(vecs)
+    spark.sql(s"DROP TABLE IF EXISTS ${listsTable(storePath)}")
+    fsOf(spark, storePath).delete(new org.apache.hadoop.fs.Path(storePath), true)
+    import spark.implicits._
+    m.l1.toSeq.map(c => (c.cl, c.cv.toSeq, c.cnorm)).toDF("cl", "cv", "cnorm")
+      .coalesce(1).write.parquet(s"$storePath/l1")
+    m.subs.write.parquet(s"$storePath/subs")
+    Seq((m.nProbe, m.k2, m.l1.length)).toDF("n_probe", "k2", "k1")
+      .coalesce(1).write.parquet(s"$storePath/meta")
+    ensureListsTable(spark, storePath)
+    ingest(spark, storePath, vecs, 0L)
+    m.subs.unpersist()
+    if (!pinned) vecs.unpersist()
+    ()
+  }
+
+  /** Fold a delta batch of vectors into the index WITHOUT touching the
+    * quantizer: map-only assignment against the frozen centroids, then one
+    * write into this batch's own partition. Replay-safe the same way as
+    * every incremental sink here: dynamic partition overwrite (session
+    * conf, not the silently-ignored per-write option) rewrites ONLY
+    * `batch=batchId`, so a crashed-and-replayed batch lands once. */
+  def ingest(spark: SparkSession, storePath: String, delta: DataFrame,
+             batchId: Long): Unit = {
+    val tbl = ensureListsTable(spark, storePath)
+    val rows = assignment(spark, storePath, delta).withColumn("batch", lit(batchId))
+    val pomKey = "spark.sql.sources.partitionOverwriteMode"
+    val pomPrev = spark.conf.get(pomKey)
+    spark.conf.set(pomKey, "dynamic")
+    try rows.select("cl", "neighbor_id", "vb", "nb", "batch") // insertInto is positional
+      .write.mode("overwrite").insertInto(tbl)
+    finally spark.conf.set(pomKey, pomPrev)
+  }
+
+  /** ANN search for a (vec_id, v, norm) query batch against the store.
+    * Probe generation is the model's map-only/broadcast pipeline over the
+    * QUERIES only; the refine join then reads the inverted lists through
+    * the bucketed table, so the store side arrives hash-distributed on
+    * `cl` — no exchange on the corpus however large the index has grown
+    * (VectorIndexSpec pins the plan). Output: (query_id, neighbor_id,
+    * cosine, rank), bit-identical to [[Similarity.annIvfHier]] when the
+    * store was built from the same corpus. */
+  def search(spark: SparkSession, storePath: String, queries: DataFrame): DataFrame = {
+    val (l1, subs, nProbe) = loadModel(spark, storePath)
+    val probes = hierScored(queries, l1, subs, nProbe)
+      .select(col("cl"), col("vec_id").as("query_id"),
+        col("v").as("va"), col("norm").as("na"))
+    val inverted = spark.table(ensureListsTable(spark, storePath)).drop("batch")
+    refineTail(probes, inverted)
+  }
+
+  /** Registered end-to-end twin: build the index for `dir`'s embeddings in
+    * a warehouse-scoped scratch store, then self-search the corpus —
+    * bit-identical to `sim_ann_ivf_hier`, so it shares that DuckDB oracle.
+    * The rebuild-each-run is the verification harness's idempotence, not
+    * the deployment shape (deployments build once and ingest). */
+  def annIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val store = s"${spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")}" +
+      s"/graft_vecindex_${sha12(dir)}"
+    build(spark, store, withNorm(Sources.embeddings(spark, dir)))
+    search(spark, store, withNorm(Sources.embeddings(spark, dir)))
+  }
+}

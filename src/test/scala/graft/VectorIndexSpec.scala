@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Similarity, VectorIndex}
+
+/** The persisted ANN index ([[graft.ext.VectorIndex]]): build/search parity
+  * with the recompute-everything operator, incremental-ingest equivalence
+  * under the frozen quantizer, replay idempotence, and the bucketed-store
+  * plan shape (oracle parity of `sim_ann_index` itself is Verify's job). */
+class VectorIndexSpec extends SparkSpec {
+
+  private def vecsOf(dir: String) =
+    Similarity.withNorm(graft.engine.Sources.embeddings(spark, dir))
+
+  private def store(): String =
+    Files.createTempDirectory("graft_vidx").toString + "/store"
+
+  test("indexed self-search reproduces annIvfHier bit-for-bit") {
+    val got = VectorIndex.annIndexed(spark, sf)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val want = Similarity.annIvfHier(spark, sf)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
+  test("incremental ingest equals bulk load under the frozen quantizer") {
+    val s = store()
+    val all = vecsOf(sf).persist()
+    val a = all.where(col("vec_id") % 2 === 0)
+    val b = all.where(col("vec_id") % 2 === 1)
+    VectorIndex.build(spark, s, a)
+    VectorIndex.ingest(spark, s, b, batchId = 1L)
+    val tbl = VectorIndex.listsTable(s)
+    val got = spark.table(tbl).select("cl", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // expected: one assignment pass over the WHOLE corpus through the same
+    // frozen store model — build-then-ingest must land the identical lists
+    val want = VectorIndex.assignment(spark, s, all)
+      .select("cl", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.size === all.count())
+    // and the ingested half is searchable: every query gets neighbors
+    val hits = VectorIndex.search(spark, s, all)
+      .select(countDistinct("query_id")).first().getLong(0)
+    assert(hits === all.count())
+    all.unpersist()
+  }
+
+  test("replaying an ingest batch rewrites its partition, never duplicates") {
+    val s = store()
+    val all = vecsOf(sf).persist()
+    val a = all.where(col("vec_id") < 250)
+    val b = all.where(col("vec_id") >= 250)
+    VectorIndex.build(spark, s, a)
+    VectorIndex.ingest(spark, s, b, batchId = 1L)
+    val tbl = VectorIndex.listsTable(s)
+    val once = spark.table(tbl).count()
+    VectorIndex.ingest(spark, s, b, batchId = 1L) // crash-replay of batch 1
+    assert(spark.table(tbl).count() === once)
+    assert(once === all.count())
+    all.unpersist()
+  }
+
+  test("probe join reads the store bucketed: no exchange on the corpus side") {
+    val s = store()
+    VectorIndex.build(spark, s, vecsOf(sf))
+    val tbl = VectorIndex.listsTable(s)
+    // probe side: a plain (unbucketed) parquet read of the same rows, so
+    // ONLY it can satisfy the join's distribution by shuffling; force the
+    // sort-merge path — broadcast also leaves the store exchange-free, but
+    // SMJ is the shape that matters once the index outgrows broadcast range
+    val probes = spark.read.parquet(s"$s/lists").drop("batch")
+      .select(col("cl"), col("neighbor_id").as("query_id"),
+        col("vb").as("va"), col("nb").as("na"))
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = probes.join(spark.table(tbl).drop("batch"), "cl")
+      val p = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(p.contains("SelectedBucketsCount"),
+        "store scan must be bucketed:\n" + p.take(1200))
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(shuffles === 1,
+        s"only the query side may shuffle, got $shuffles:\n${p.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+}
