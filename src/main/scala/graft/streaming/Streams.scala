@@ -207,6 +207,28 @@ object Streams {
       }
       .start()
 
+  /** STREAMING VECTOR-INDEX MAINTENANCE — continuous embedding ingest into
+    * a [[graft.ext.VectorIndex]] store built beforehand: each micro-batch
+    * of raw (vec_id, embedding) rows is normalized and folded in map-only
+    * against the store's frozen quantizer. No k-means re-run on the hot
+    * path — the build is the scheduled heavy step, the stream pays
+    * O(delta) centroid dots + one bucketed partition write per batch.
+    * foreachBatch ids are offset by one: `batch=0` is the bulk load,
+    * stream batch b lands in `batch=b+1`, so a crash-replayed batch
+    * rewrites ITS OWN partition ([[graft.ext.VectorIndex.ingest]]'s
+    * dynamic overwrite) and can never clobber the bulk load or a
+    * neighboring batch. */
+  def vectorIngest(embs: DataFrame, storePath: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    embs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.VectorIndex.ingest(batch.sparkSession, storePath,
+          graft.ext.Similarity.withNorm(batch), batchId + 1L)
+      }
+      .start()
+
   /** One micro-batch of [[nearDupIngest]], REPLAY-IDEMPOTENT by layout:
     * foreachBatch is at-least-once (a crash between the data write and the
     * checkpoint advance replays the batch), and replaying a plain append

@@ -2,8 +2,12 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.ext.{Similarity, VectorIndex}
+
+/** Raw embeddings row shape for streaming the fixture through MemoryStream. */
+case class EmbRow(vec_id: Long, embedding: Seq[Float])
 
 /** The persisted ANN index ([[graft.ext.VectorIndex]]): build/search parity
   * with the recompute-everything operator, incremental-ingest equivalence
@@ -62,6 +66,36 @@ class VectorIndexSpec extends SparkSpec {
     VectorIndex.ingest(spark, s, b, batchId = 1L) // crash-replay of batch 1
     assert(spark.table(tbl).count() === once)
     assert(once === all.count())
+    all.unpersist()
+  }
+
+  test("streamed vector ingest equals one batch assignment pass") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val s = store()
+    val all = vecsOf(sf).persist()
+    VectorIndex.build(spark, s, all.where(col("vec_id") < 250))
+    val rows = graft.engine.Sources.embeddings(spark, sf)
+      .where(col("vec_id") >= 250)
+      .select("vec_id", "embedding").as[EmbRow].collect().toSeq
+    val (b1, b2) = rows.partition(_.vec_id < 375)
+    val in = MemoryStream[EmbRow]
+    val ck = Files.createTempDirectory("graft_vidx_ck").toString
+    val q = graft.streaming.Streams.vectorIngest(in.toDF(), s, ck)
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val tbl = VectorIndex.listsTable(s)
+    val got = spark.table(tbl).select("cl", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = VectorIndex.assignment(spark, s, all).select("cl", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    // bulk load and each micro-batch keep their own replay partitions
+    val batches = spark.table(tbl).select("batch").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batches === Set(0L, 1L, 2L))
     all.unpersist()
   }
 
