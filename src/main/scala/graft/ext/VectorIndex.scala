@@ -87,6 +87,43 @@ object VectorIndex {
     tbl
   }
 
+  // ------------------------------------------------------- compaction state
+
+  /** Pointer file holding the live-read state `(ceiling, generation)`:
+    * live rows are `batch == -generation` (the compacted partition) or
+    * `batch > ceiling` (ingested after the last compaction). Swapped via
+    * write-temp + rename — the same atomic-commit device as
+    * [[graft.sources.Versioned]]. */
+  private val FloorPointer = "_COMPACT_STATE"
+
+  /** (ceiling, generation) — `(-1, 0)` before any compaction, under which
+    * the live predicate reduces to `batch >= 0`, i.e. everything. */
+  private[graft] def compactState(spark: SparkSession, storePath: String): (Long, Long) = {
+    val f = fsOf(spark, storePath)
+    val p = new org.apache.hadoop.fs.Path(storePath, FloorPointer)
+    if (!f.exists(p)) (-1L, 0L)
+    else {
+      val in = f.open(p)
+      val parts =
+        try new String(in.readAllBytes(), "UTF-8").trim.split(" ")
+        finally in.close()
+      (parts(0).toLong, parts(1).toLong)
+    }
+  }
+
+  /** The live partition-pruning predicate for the current compact state. */
+  private def livePred(state: (Long, Long)) =
+    col("batch") === lit(-state._2) || col("batch") > lit(state._1)
+
+  /** The index's live inverted-list rows (batch column retained). All reads
+    * go through this so partitions below the compaction floor — including
+    * any written by a crash-replay of a compacted-away batch id — are
+    * pruned, never scanned. */
+  private[graft] def liveLists(spark: SparkSession, storePath: String): DataFrame = {
+    val tbl = ensureListsTable(spark, storePath)
+    spark.table(tbl).where(livePred(compactState(spark, storePath)))
+  }
+
   /** Load the frozen model back from the store: the bounded L1 centroid
     * array (control-plane collect, ≤ K₁ rows), the sub-centroid frame, and
     * the build-time calibrated probe depth. Parquet round-trips doubles
@@ -154,6 +191,66 @@ object VectorIndex {
     finally spark.conf.set(pomKey, pomPrev)
   }
 
+  /** Compact every live batch partition with id ≤ `upTo` into one fresh
+    * compacted-generation partition — the small-file fix for continuous
+    * ingest, which otherwise accretes one partition (× [[IndexBuckets]]
+    * files) per micro-batch forever. Commit protocol:
+    *
+    *   1. write the live rows with batch ≤ upTo into partition
+    *      `batch = -(generation+1)` — a partition id no stream batch can
+    *      ever use (ids are nonnegative) and that doesn't exist yet, so
+    *      there is no read-overwrite cycle; the rows are read via the
+    *      partition DIRECTORIES, not the table, for the same reason
+    *   2. swap the state pointer to `(upTo, generation+1)` — the atomic
+    *      commit point: from here reads prune everything at or below upTo
+    *      except the new compacted partition
+    *   3. lazily drop the dead partitions (crash-safe: they are already
+    *      unreadable; a crash mid-cleanup just leaves them for the next
+    *      compact's sweep)
+    *
+    * A crash between 1 and 2 leaves an invisible `-(g+1)` partition that a
+    * re-run overwrites — idempotent. A replayed ingest of a compacted-away
+    * batch id rewrites a DEAD partition below the floor: invisible to every
+    * read, swept later. Caller contract (same as any lakehouse compaction
+    * vs late writers): `upTo` must be ≤ the stream's committed watermark,
+    * i.e. a batch id that can still replay must be > upTo. */
+  def compact(spark: SparkSession, storePath: String, upTo: Long): Unit = {
+    require(upTo >= 0, s"compact upTo=$upTo must be a real batch id")
+    val tbl = ensureListsTable(spark, storePath)
+    val (ceil, gen) = compactState(spark, storePath)
+    val fs = fsOf(spark, storePath)
+    val listsDir = new org.apache.hadoop.fs.Path(s"$storePath/lists")
+    def batchDirs: Seq[(Long, org.apache.hadoop.fs.Path)] =
+      fs.listStatus(listsDir).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+        .map(p => (p.getName.stripPrefix("batch=").toLong, p))
+    val live = batchDirs.filter { case (b, _) => b == -gen || b > ceil }
+    val doomed = live.filter { case (b, _) => b <= upTo || b == -gen }
+    if (doomed.nonEmpty) {
+      val consolidated = spark.read.parquet(doomed.map(_._2.toString): _*)
+        .select(col("cl"), col("neighbor_id"), col("vb"), col("nb"),
+          lit(-(gen + 1)).as("batch"))
+      val pomKey = "spark.sql.sources.partitionOverwriteMode"
+      val pomPrev = spark.conf.get(pomKey)
+      spark.conf.set(pomKey, "dynamic")
+      try consolidated.write.mode("overwrite").insertInto(tbl)
+      finally spark.conf.set(pomKey, pomPrev)
+    }
+    val tmp = new org.apache.hadoop.fs.Path(storePath, s"$FloorPointer.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$upTo ${gen + 1}".getBytes("UTF-8")) finally out.close()
+    val ptr = new org.apache.hadoop.fs.Path(storePath, FloorPointer)
+    if (fs.exists(ptr)) fs.delete(ptr, false)
+    require(fs.rename(tmp, ptr), s"compact-state swap failed for $storePath")
+    // sweep EVERYTHING dead under the new state — not just what this pass
+    // consolidated: replays of compacted-away batch ids leave dead dirs
+    // between compactions, and they must not accrete forever
+    for ((b, dir) <- batchDirs if !(b == -(gen + 1) || b > upTo)) {
+      spark.sql(s"ALTER TABLE $tbl DROP IF EXISTS PARTITION (batch=$b)")
+      fs.delete(dir, true)
+    }
+  }
+
   /** ANN search for a (vec_id, v, norm) query batch against the store.
     * Probe generation is the model's map-only/broadcast pipeline over the
     * QUERIES only; the refine join then reads the inverted lists through
@@ -167,8 +264,7 @@ object VectorIndex {
     val probes = hierScored(queries, l1, subs, nProbe)
       .select(col("cl"), col("vec_id").as("query_id"),
         col("v").as("va"), col("norm").as("na"))
-    val inverted = spark.table(ensureListsTable(spark, storePath)).drop("batch")
-    refineTail(probes, inverted)
+    refineTail(probes, liveLists(spark, storePath).drop("batch"))
   }
 
   /** Registered end-to-end twin: build the index for `dir`'s embeddings in

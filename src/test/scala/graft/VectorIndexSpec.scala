@@ -99,6 +99,41 @@ class VectorIndexSpec extends SparkSpec {
     all.unpersist()
   }
 
+  test("compaction folds partitions behind an atomic floor; dead-batch replays stay invisible") {
+    val s = store()
+    val all = vecsOf(sf).persist()
+    val a = all.where(col("vec_id") < 200)
+    val b1 = all.where(col("vec_id") >= 200 && col("vec_id") < 350)
+    val b2 = all.where(col("vec_id") >= 350)
+    VectorIndex.build(spark, s, a)
+    VectorIndex.ingest(spark, s, b1, batchId = 1L)
+    VectorIndex.ingest(spark, s, b2, batchId = 2L)
+    val before = VectorIndex.search(spark, s, all).orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    VectorIndex.compact(spark, s, upTo = 2L)
+    // one live partition, every row intact, search bit-identical
+    val live = VectorIndex.liveLists(spark, s)
+    assert(live.select("batch").distinct().collect().map(_.getLong(0)).toSet === Set(-1L))
+    assert(live.count() === all.count())
+    assert(VectorIndex.search(spark, s, all).orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq === before)
+    // a crash-replay of a compacted-away batch id lands below the floor:
+    // unreadable, search unmoved
+    VectorIndex.ingest(spark, s, b1, batchId = 1L)
+    assert(VectorIndex.liveLists(spark, s).count() === all.count())
+    assert(VectorIndex.search(spark, s, all).orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq === before)
+    // the next compact sweeps the dead replay dir and is idempotent
+    VectorIndex.compact(spark, s, upTo = 2L)
+    assert(VectorIndex.liveLists(spark, s).select("batch").distinct()
+      .collect().map(_.getLong(0)).toSet === Set(-2L))
+    assert(VectorIndex.liveLists(spark, s).count() === all.count())
+    val dirs = new java.io.File(s"$s/lists").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(dirs === Set("batch=-2"), s"dead dirs must be swept, got $dirs")
+    all.unpersist()
+  }
+
   test("probe join reads the store bucketed: no exchange on the corpus side") {
     val s = store()
     VectorIndex.build(spark, s, vecsOf(sf))
