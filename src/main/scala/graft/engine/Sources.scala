@@ -33,14 +33,24 @@ object Sources {
     load(spark, dir, "lineitem")
       .withColumn("l_shipdate", col("l_shipdate").cast("date"))
 
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark rejects
-    * natively — the session must set `spark.sql.legacy.parquet.nanosAsLong`
-    * (done in [[graft.Session.build]]; loaders are side-effect-free) and this
-    * scan truncates the nanos to a µs timestamp (exactly what DuckDB's ns→µs
-    * conversion does, keeping the oracle comparable). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  /** `events.ts` normalizes to session-TZ µs TIMESTAMP whatever the fixture
+    * stored. Two physical forms exist across fixture generations: INT64
+    * TIMESTAMP(NANOS), which Spark only reads as long under
+    * `spark.sql.legacy.parquet.nanosAsLong` (set in [[graft.Session.build]];
+    * loaders are side-effect-free) and is truncated here exactly like
+    * DuckDB's ns→µs conversion, and plain TIMESTAMP(MICROS) without a zone,
+    * which arrives as TIMESTAMP_NTZ and under the pinned UTC session casts
+    * to the identical instant. Branching on the scanned schema keeps both
+    * generations loadable with one oracle-comparable output type. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
+  }
   /** Fan a narrow scan out to the session's parallelism before compute-heavy
     * per-row work. The local fixtures are single-row-group parquet files, so
     * every scan starts as ONE partition; without this, the text/dedup
