@@ -758,13 +758,15 @@ object OraclesExt {
            |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id)""".stripMargin)}""".stripMargin
   }
 
-  /** Twin of Similarity.annIvfHier: the two-level quantizer — K₁ fixed L1
-    * cells (seeds + Lloyd rounds, prefixed h*), per-cell sub-centroid table
-    * (s*: per-L1 seeds by (mix, vec_id), one Lloyd round restricted to each
-    * vector's own L1 cell), candidate sub-cells from the HierL1Probes
-    * nearest L1 cells, the shared [[calibrationCtes]] probe depth, and the
-    * same inverted-list refine tail as every IVF twin. */
-  val simAnnIvfHier: String = {
+  /** The two-level quantizer CTE chain shared by [[simAnnIvfHier]] and
+    * [[simAnnIvfPq]] — K₁ fixed L1 cells (seeds + Lloyd rounds, prefixed
+    * h*), per-cell sub-centroid table (s*: per-L1 seeds by (mix, vec_id),
+    * one Lloyd round restricted to each vector's own L1 cell), candidate
+    * sub-cells from the HierL1Probes nearest L1 cells, and the shared
+    * [[calibrationCtes]] probe depth. Emits `n`, `inv` (cl, vec_id, v,
+    * norm) and `probes` (same shape, crank ≤ calibrated depth); appends
+    * directly after WITH. */
+  private val hierChain: String = {
     import graft.ext.Similarity.{HierL1Probes, HierSubIters, HierTopCells, KmeansIters}
     val listNorm =
       "sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x * x)), (a, b) -> a + b))"
@@ -801,7 +803,7 @@ object OraclesExt {
          |  JOIN s0 ON s0.cl = t.cl)""".stripMargin
     val l2Rounds = (1 to HierSubIters)
       .map(r => l2Round(if (r == 1) "s0" else s"s${r - 1}", s"s$r", r)).mkString(",\n")
-    s"""WITH $normCte,
+    s"""$normCte,
        |hsr AS (SELECT vec_id AS cl, v AS cv,
        |    row_number() OVER (ORDER BY ${mixSql("vec_id")}, vec_id) AS rk
        |  FROM n),
@@ -836,12 +838,134 @@ object OraclesExt {
         "SELECT vec_id AS neighbor_id, cl FROM scored WHERE crank = 1")},
        |inv AS (SELECT cl, vec_id, v, norm FROM scored WHERE crank = 1),
        |probes AS (SELECT cl, vec_id, v, norm FROM scored
-       |  WHERE crank <= (SELECT p FROM np)),
+       |  WHERE crank <= (SELECT p FROM np))""".stripMargin
+  }
+
+  /** Twin of Similarity.annIvfHier: the [[hierChain]] quantizer +
+    * calibration, then the same inverted-list refine tail as every IVF
+    * twin. */
+  val simAnnIvfHier: String =
+    s"""WITH $hierChain,
        |${topKSql(
-        s"""p AS (
-           |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
-           |    ${R(s"(${dotSql("q.v", "x.v")}) / (q.norm * x.norm)", 6)} AS cosine
-           |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id)""".stripMargin)}""".stripMargin
+      s"""p AS (
+         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |    ${R(s"(${dotSql("q.v", "x.v")}) / (q.norm * x.norm)", 6)} AS cosine
+         |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id)""".stripMargin)}""".stripMargin
+
+  /** PQ codebook + encoding CTE chain — twin of [[graft.ext.Pq]]'s
+    * deterministic trainer/encoder (appends after a chain that emits `n`):
+    * global (mix, vec_id)-ranked seeds sliced per subspace, PqIters Lloyd
+    * rounds (squared-L2 argmin folded index-order, ties → lower code;
+    * exact decimal-mean update; dense renumbering per subspace in old-id
+    * order), then per-vector codes and the s-ordered-fold reconstruction
+    * norm. Emits pb<PqIters> (s, code, cw), penc (vec_id, s, code), pnorm
+    * (vec_id, rnorm). */
+  private def pqCtes: String = {
+    import graft.ext.Pq.{PqCodes, PqIters, PqSub, PqSubDim}
+    def l2Sql(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0, list_transform(
+         |      generate_series(1, $PqSubDim), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (x, y) -> x + y)""".stripMargin
+    def round(prev: String, out: String, rn: Int): String =
+      s"""pas$rn AS (
+         |  SELECT a.vec_id, a.s, a.sv, c.code,
+         |    row_number() OVER (PARTITION BY a.vec_id, a.s
+         |      ORDER BY ${l2Sql("a.sv", "c.cw")} ASC, c.code) AS rk
+         |  FROM psl a JOIN $prev c ON c.s = a.s),
+         |${out}m AS (
+         |  SELECT s, code, i,
+         |    CAST(SUM(CAST(sv[i] AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS c
+         |  FROM pas$rn, (SELECT unnest(generate_series(1, $PqSubDim)) AS i) AS dims
+         |  WHERE rk = 1 GROUP BY s, code, i),
+         |${out}v AS (SELECT s, code, list(c ORDER BY i) AS cw FROM ${out}m
+         |  GROUP BY s, code),
+         |$out AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY code) AS code, cw
+         |  FROM ${out}v)""".stripMargin
+    val rounds = (1 to PqIters)
+      .map(rn => round(s"pb${rn - 1}", s"pb$rn", rn)).mkString(",\n")
+    s"""psd AS (SELECT vec_id, v,
+       |    row_number() OVER (ORDER BY ${mixSql("vec_id")}, vec_id) AS code
+       |  FROM n),
+       |psub AS (SELECT unnest(generate_series(0, ${PqSub - 1})) AS s),
+       |pb0 AS (SELECT u.s, p.code,
+       |    list_slice(p.v, u.s * $PqSubDim + 1, (u.s + 1) * $PqSubDim) AS cw
+       |  FROM psd p CROSS JOIN psub u WHERE p.code <= $PqCodes),
+       |psl AS (SELECT x.vec_id, u.s,
+       |    list_slice(x.v, u.s * $PqSubDim + 1, (u.s + 1) * $PqSubDim) AS sv
+       |  FROM n x CROSS JOIN psub u),
+       |$rounds,
+       |pe AS (SELECT a.vec_id, a.s, c.code,
+       |    row_number() OVER (PARTITION BY a.vec_id, a.s
+       |      ORDER BY ${l2Sql("a.sv", "c.cw")} ASC, c.code) AS rk
+       |  FROM psl a JOIN pb$PqIters c ON c.s = a.s),
+       |penc AS (SELECT vec_id, s, code FROM pe WHERE rk = 1),
+       |prn AS (SELECT s, code,
+       |    list_reduce(list_prepend(0.0, list_transform(cw, x -> x * x)),
+       |      (x, y) -> x + y) AS rn2
+       |  FROM pb$PqIters),
+       |pnorm AS (SELECT e.vec_id,
+       |    sqrt(list_reduce(list_prepend(0.0, list(r.rn2 ORDER BY e.s)),
+       |      (x, y) -> x + y)) AS rnorm
+       |  FROM penc e JOIN prn r ON r.s = e.s AND r.code = e.code
+       |  GROUP BY e.vec_id)""".stripMargin
+  }
+
+  /** Twin of Pq.annIvfPq: the [[hierChain]] coarse structure, the
+    * [[pqCtes]] codebooks, ADC scoring (per-subspace query-slice ×
+    * codeword dots, s-ordered fold), ADC top-PqRerank per query, exact
+    * re-rank of just those candidates. */
+  val simAnnIvfPq: String = {
+    import graft.ext.Pq.{PqIters, PqRerank, PqSubDim}
+    val subDot =
+      s"""list_reduce(list_prepend(0.0, list_transform(
+         |      generate_series(1, $PqSubDim), i -> q.v[e.s * $PqSubDim + i] * b.cw[i])),
+         |      (x, y) -> x + y)""".stripMargin
+    s"""WITH $hierChain,
+       |$pqCtes,
+       |padc AS (
+       |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, e.s, $subDot AS t
+       |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id
+       |  JOIN penc e ON e.vec_id = x.vec_id
+       |  JOIN pb$PqIters b ON b.s = e.s AND b.code = e.code),
+       |pscore AS (
+       |  SELECT a.query_id, a.neighbor_id,
+       |    ${R("list_reduce(list_prepend(0.0, list(a.t ORDER BY a.s)), (x, y) -> x + y)" +
+           " / (qn.norm * pn.rnorm)", 6)} AS adc
+       |  FROM padc a
+       |  JOIN n qn ON qn.vec_id = a.query_id
+       |  JOIN pnorm pn ON pn.vec_id = a.neighbor_id
+       |  GROUP BY a.query_id, a.neighbor_id, qn.norm, pn.rnorm),
+       |pcand AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc DESC, neighbor_id) AS crk
+       |  FROM pscore),
+       |${topKSql(
+      s"""p AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    ${R(s"(${dotSql("q.v", "x.v")}) / (q.norm * x.norm)", 6)} AS cosine
+         |  FROM pcand c
+         |  JOIN n q ON q.vec_id = c.query_id
+         |  JOIN n x ON x.vec_id = c.neighbor_id
+         |  WHERE c.crk <= $PqRerank)""".stripMargin)}""".stripMargin
+  }
+
+  /** Twin of Pq.pqError: the [[pqCtes]] encoder, the s-ordered codeword
+    * concat as the reconstruction, max-abs error and original-vs-recon
+    * cosine (index-ordered dot over the flattened reconstruction). */
+  val simPqError: String = {
+    import graft.ext.Pq.PqIters
+    s"""WITH $normCte,
+       |$pqCtes,
+       |prec AS (SELECT e.vec_id, flatten(list(b.cw ORDER BY e.s)) AS rv
+       |  FROM penc e JOIN pb$PqIters b ON b.s = e.s AND b.code = e.code
+       |  GROUP BY e.vec_id)
+       |SELECT n.vec_id,
+       |  ${R(s"list_aggregate(list_transform(generate_series(1, $Dim)," +
+         " i -> abs(n.v[i] - p.rv[i])), 'max')", 6)} AS max_abs_err,
+       |  ${R(s"(${dotSql("n.v", "p.rv")}) / (n.norm * pn.rnorm)", 6)} AS cosine_orig_recon
+       |FROM n JOIN prec p ON p.vec_id = n.vec_id
+       |JOIN pnorm pn ON pn.vec_id = n.vec_id
+       |ORDER BY n.vec_id""".stripMargin
   }
 
   /** Twin of Similarity.recallAudit: the brute-force top-k as one CTE, each
@@ -868,6 +992,8 @@ object OraclesExt {
        |UNION ALL
        |${auditArmSql("ann_ivf_kmeans", simAnnIvfKmeans)}
        |UNION ALL
+       |${auditArmSql("ann_ivf_pq", simAnnIvfPq)}
+       |UNION ALL
        |${auditArmSql("ann_lsh", simAnnLsh)}
        |UNION ALL
        |${auditArmSql("knn_quantized", simQuantizedKnn)}
@@ -875,7 +1001,7 @@ object OraclesExt {
 
   /** Twin of Similarity.recallAuditSampled: the exact arm restricted to the
     * deterministic [[graft.ext.Similarity.SampleAuditQueries]]-query
-    * sample; arms are the two deployment-path quantizers. */
+    * sample; arms are the deployment-path quantizers. */
   val simRecallAuditSampled: String = {
     import graft.ext.Similarity.SampleAuditQueries
     s"""WITH $normCte,
@@ -891,6 +1017,8 @@ object OraclesExt {
        |${auditArmSql("ann_ivf_hier", simAnnIvfHier)}
        |UNION ALL
        |${auditArmSql("ann_ivf_kmeans", simAnnIvfKmeans)}
+       |UNION ALL
+       |${auditArmSql("ann_ivf_pq", simAnnIvfPq)}
        |ORDER BY method""".stripMargin
   }
 
@@ -1401,6 +1529,8 @@ object OraclesExt {
     // held to the SAME oracle — an independent full-strength check, not a
     // rows-only waiver
     "sim_ann_index" -> simAnnIvfHier,
+    "sim_ann_ivf_pq" -> simAnnIvfPq,
+    "sim_pq_error" -> simPqError,
     "sim_recall_audit" -> simRecallAudit,
     "sim_recall_audit_sampled" -> simRecallAuditSampled,
     "events_asof_purchase_view" -> eventsAsofPurchaseView,

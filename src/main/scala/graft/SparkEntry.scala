@@ -88,6 +88,9 @@ object SparkEntry {
       ext.Similarity.annIvfHier(s, d).orderBy("query_id", "rank")),
     "sim_ann_index" -> ((s, d) =>
       ext.VectorIndex.annIndexed(s, d).orderBy("query_id", "rank")),
+    "sim_ann_ivf_pq" -> ((s, d) =>
+      ext.Pq.annIvfPq(s, d).orderBy("query_id", "rank")),
+    "sim_pq_error" -> ((s, d) => ext.Pq.pqError(s, d).orderBy("vec_id")),
     "sim_recall_audit" -> ((s, d) =>
       ext.Similarity.recallAudit(s, d).orderBy("method")),
     "sim_recall_audit_sampled" -> ((s, d) =>

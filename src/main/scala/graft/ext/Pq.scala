@@ -1,0 +1,208 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Num, Sources}
+import Num._
+
+/** Product quantization (PQ) over the `embeddings` table — the memory side
+  * of the 100-TB ANN story (reference surface: the same ANN retrieval as
+  * `Similarity`; technique: Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", IEEE TPAMI 2011 — public literature, like SemDeDup /
+  * SRP-LSH elsewhere in this package).
+  *
+  * The IVF variants in [[Similarity]] shrink SEARCH to O(scanned-fraction),
+  * but their inverted lists still carry the full vector: 64 doubles + norm
+  * ≈ 520 B/row through every probe join. At 10¹⁰ vectors that is ~5 TB of
+  * list payload shuffled and cached; PQ cuts the per-row payload to
+  * [[PqSub]] small-alphabet codes + one norm (logically [[PqSub]] bytes +
+  * 8 — a ~32× reduction), which is what lets a planet-scale index hold its
+  * lists in executor memory. Queries keep their full vector and score
+  * candidates by ASYMMETRIC distance (ADC): dot(query, reconstruction)
+  * computed code-wise, then only the ADC top-[[PqRerank]] are re-ranked
+  * with exact vectors fetched by id.
+  *
+  * Determinism (same contract as the k-means quantizers): codebook seeds
+  * are the [[PqCodes]] corpus vectors lowest by ([[Sampling.mixHash]],
+  * vec_id); [[PqIters]] Lloyd round(s) assign by squared-L2 argmin (ties →
+  * lower code id, folded index-order — [[graft.functions.Native.l2sq]])
+  * and update by exact order-free decimal means; codes are renumbered
+  * densely per subspace in old-id order after each round. Every step is a
+  * pure function of the corpus, so the DuckDB twin
+  * ([[graft.OraclesExt]].simAnnIvfPq) replays it bit-for-bit.
+  */
+object Pq {
+
+  import Similarity.{Dim, TopK}
+
+  /** Subspaces: 64 dims → [[PqSub]] blocks of [[PqSubDim]]. */
+  val PqSub = 8
+  val PqSubDim: Int = Dim / PqSub
+
+  /** Codes per subspace codebook. 16 (4 bits) keeps every code populated at
+    * the test SFs; production at 10¹⁰ vectors uses 256 (1 byte) — a
+    * constant, not a structural change. */
+  val PqCodes = 16
+
+  /** Lloyd rounds refining the seed codebooks — one distributed pass each. */
+  val PqIters = 1
+
+  /** ADC candidates re-ranked with exact vectors per query. */
+  val PqRerank: Int = 3 * TopK
+
+  /** Driver-resident codebooks: books(s)(k) = codeword k+1 of subspace s
+    * (dense 1-based codes; a code that loses all members in a Lloyd update
+    * vanishes and later codes shift down — both engines renumber
+    * identically). Bounded: ≤ [[PqSub]]·[[PqCodes]]·[[PqSubDim]] doubles
+    * (8 KiB here; 128 KiB at production 256 codes) — plan-literal safe. */
+  type Books = Array[Array[Array[Double]]]
+
+  private def sliceCol(v: Column, s: Int): Column =
+    slice(v, s * PqSubDim + 1, PqSubDim)
+
+  /** 1-based code of subspace `s` for the row's `v` — map-only argmin over
+    * the codebook literal, ties → lower code (array_sort on (dist, idx);
+    * L2 distances are finite, so no NaN ordering hazard). */
+  private def codeCol(v: Column, s: Int, books: Books): Column = {
+    val bk = typedlit(books(s).map(_.toSeq).toSeq)
+    val sv = sliceCol(v, s)
+    val scored = transform(bk, (cw, j) =>
+      struct(graft.functions.Native.l2sq(sv, cw).as("d"), j.as("j")))
+    (element_at(array_sort(scored), 1).getField("j") + 1).cast("int")
+  }
+
+  /** Codebook training: seed with the [[PqCodes]] (mixHash, vec_id)-lowest
+    * vectors' slices, then [[PqIters]] Lloyd rounds — each ONE distributed
+    * pass (map-only assignment against the codebook literal, explode to
+    * (s, code, slice), exact decimal-mean update, driver collect bounded at
+    * [[PqSub]]·[[PqCodes]] rows). */
+  def pqCodebooksLocal(vecs: DataFrame): Books = {
+    val seedRows = vecs
+      .orderBy(Sampling.mixHash(col("vec_id")), col("vec_id")).limit(PqCodes)
+      .select(Sampling.mixHash(col("vec_id")).as("m"), col("vec_id"), col("v"))
+      .collect()
+      .sortBy(r => (r.getLong(0), r.getLong(1)))
+    val seeds: Books = Array.tabulate(PqSub) { s =>
+      seedRows.map(r =>
+        r.getSeq[Double](2).slice(s * PqSubDim, (s + 1) * PqSubDim).toArray)
+    }
+    (1 to PqIters).foldLeft(seeds) { (books, _) =>
+      val assigned = vecs.select(col("vec_id"),
+          explode(array((0 until PqSub).map { s =>
+            struct(lit(s).as("s"), codeCol(col("v"), s, books).as("code"),
+              sliceCol(col("v"), s).as("sv"))
+          }: _*)).as("a"))
+        .select(col("a.s").as("s"), col("a.code").as("code"), col("a.sv").as("sv"))
+      val dims = (0 until PqSubDim).map(i =>
+        (sum(col("sv")(i).cast(Num.SumDec)).cast("double") / count(lit(1))).as(s"c$i"))
+      val rows = assigned.groupBy("s", "code").agg(dims.head, dims.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1),
+          (0 until PqSubDim).map(i => r.getDouble(2 + i)).toArray))
+      Array.tabulate(PqSub) { s =>
+        rows.filter(_._1 == s).sortBy(_._2).map(_._3)
+      }
+    }
+  }
+
+  /** Codeword squared norms per subspace, folded 0.0-left like the DuckDB
+    * twin's list_reduce(list_prepend(0.0, …)). */
+  private def norm2(books: Books): Array[Array[Double]] =
+    books.map(_.map(cw => cw.foldLeft(0.0)((a, x) => a + x * x)))
+
+  /** The row's [[PqSub]] codes as array<int> — map-only. */
+  def pqCodesCol(v: Column, books: Books): Column =
+    array((0 until PqSub).map(codeCol(v, _, books)): _*)
+
+  /** ‖reconstruction‖ from a `codes` column: subspaces are disjoint
+    * coordinates, so ‖recon‖² = Σ_s ‖codeword_s‖² — an s-ordered left fold
+    * over the precomputed norm² literal (both engines fold identically). */
+  def rnormCol(codes: Column, books: Books): Column = {
+    val n2 = norm2(books)
+    sqrt((0 until PqSub).foldLeft(lit(0.0): Column)((acc, s) =>
+      acc + element_at(typedlit(n2(s).toSeq), element_at(codes, s + 1))))
+  }
+
+  /** Reconstructed vector from a `codes` column (code-wise concat). */
+  def reconCol(codes: Column, books: Books): Column =
+    concat((0 until PqSub).map(s =>
+      element_at(typedlit(books(s).map(_.toSeq).toSeq),
+        element_at(codes, s + 1))): _*)
+
+  /** ADC dot product: Σ_s ⟨query slice s, codeword(codes[s])⟩, s-ordered
+    * left fold from 0.0; each term is one codegen'd 8-dim dot against the
+    * codebook literal. Equal to dot(query, reconstruction) — the spec pins
+    * the identity — but computed without materializing the reconstruction:
+    * the candidate row needs only its [[PqSub]] codes. */
+  def adcDotCol(qv: Column, codes: Column, books: Books): Column =
+    (0 until PqSub).foldLeft(lit(0.0): Column)((acc, s) =>
+      acc + Similarity.dot(sliceCol(qv, s),
+        element_at(typedlit(books(s).map(_.toSeq).toSeq),
+          element_at(codes, s + 1))))
+
+  /** IVF-PQ ANN — the memory-bounded deployment path. Same two-level
+    * quantizer, calibration, and probe assignment as
+    * [[Similarity.annIvfHier]] (the coarse structure decides WHAT is
+    * scanned; PQ only changes what a scanned row COSTS), but the inverted
+    * lists carry (cell, id, [[PqSub]] codes, ‖recon‖) instead of the full
+    * vector — the ~32× list-payload cut. Candidates score by ADC
+    * approximate cosine; the ADC top-[[PqRerank]] per query fetch exact
+    * vectors by id (one equi-join — the "refine from the store" read every
+    * production PQ system does) for the final exact top-[[TopK]].
+    *
+    * ADC here computes each sub-dot directly (8×8 mults — same FLOPs as a
+    * full dot); the classic per-query LUT (precompute [[PqSub]]·[[PqCodes]]
+    * sub-dots, then 8 lookups+adds per candidate) is an executor-side
+    * refinement of the same plan. The win this operator banks is
+    * plan-level: list bytes through the probe join and the store. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Similarity.withNorm(Sources.embeddings(spark, dir)).persist()
+    val m = Similarity.hierModel(vecs)
+    val books = pqCodebooksLocal(vecs)
+    // multi-consumer pin: inverted lists + probes read the same assignment
+    val scored = Similarity.hierScored(vecs, m.l1, m.subs, m.nProbe).persist()
+    val inverted = scored.where(col("_crank") === 1)
+      .select(col("cl"), col("vec_id").as("neighbor_id"),
+        pqCodesCol(col("v"), books).as("codes"))
+      .withColumn("rnorm", rnormCol(col("codes"), books))
+    val probes = scored
+      .select(col("cl"), col("vec_id").as("query_id"),
+        col("v").as("va"), col("norm").as("na"))
+    val cand = probes.join(inverted, "cl")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc",
+        r(adcDotCol(col("va"), col("codes"), books) / (col("na") * col("rnorm")), 6))
+    val topr = cand.groupBy("query_id")
+      .agg(first(col("va")).as("va"), first(col("na")).as("na"),
+        graft.functions.TopKByScore.topK(col("adc"), col("neighbor_id"), PqRerank).as("_top"))
+      .select(col("query_id"), col("va"), col("na"), explode(col("_top")).as("_t"))
+      .select(col("query_id"), col("va"), col("na"),
+        col("_t").getField("id").as("neighbor_id"))
+    val pairs = topr.join(vecs.select(col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("norm").as("nb")), "neighbor_id")
+      .withColumn("cosine",
+        r(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+    Similarity.topK(pairs, TopK)
+  }
+
+  /** Per-vector PQ reconstruction fidelity — the PQ twin of
+    * [[Similarity.quantizationError]]: max-abs reconstruction error and
+    * cosine(original, reconstruction). Map-only against the codebook
+    * literal; this is the number that says what the 32× payload cut costs
+    * in geometry, next to the recall audit that says what it costs in
+    * retrieval. */
+  def pqError(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Similarity.withNorm(Sources.embeddings(spark, dir))
+    val books = pqCodebooksLocal(vecs)
+    vecs
+      .withColumn("codes", pqCodesCol(col("v"), books))
+      .withColumn("rv", reconCol(col("codes"), books))
+      .withColumn("rnorm", rnormCol(col("codes"), books))
+      .select(
+        col("vec_id"),
+        r(array_max(zip_with(col("v"), col("rv"), (a, b) => abs(a - b))), 6)
+          .as("max_abs_err"),
+        r(Similarity.dot(col("v"), col("rv")) / (col("norm") * col("rnorm")), 6)
+          .as("cosine_orig_recon"))
+  }
+}

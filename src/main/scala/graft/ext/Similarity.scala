@@ -94,7 +94,7 @@ object Similarity {
     * (the row_number window it replaces sorted ALL pairs: ~4 s of the 4.5 s
     * brute-force knn at sf0.1, and the whole pair set through the shuffle
     * at cluster scale). Output is bit-identical: the ordering is total. */
-  private def topK(pairs: DataFrame, k: Int): DataFrame =
+  private[ext] def topK(pairs: DataFrame, k: Int): DataFrame =
     pairs
       .groupBy("query_id")
       .agg(graft.functions.TopKByScore.topK(col("cosine"), col("neighbor_id"), k).as("top"))
@@ -599,6 +599,7 @@ object Similarity {
       "ann_ivf" -> annIvf(spark, dir),
       "ann_ivf_hier" -> annIvfHier(spark, dir),
       "ann_ivf_kmeans" -> annIvfKmeans(spark, dir),
+      "ann_ivf_pq" -> Pq.annIvfPq(spark, dir),
       "ann_lsh" -> annLsh(spark, dir),
       "knn_quantized" -> quantizedKnn(spark, dir)))
   }
@@ -628,7 +629,7 @@ object Similarity {
 
   /** [[recallAudit]] at scale: the exact arm runs on a deterministic
     * [[SampleAuditQueries]]-query sample (cost |sample|·n, not n²), and the
-    * audited arms are the two deployment-path quantizers — the label
+    * audited arms are the deployment-path quantizers — the label
     * baselines and the all-pairs arms are small-n oracle pins, excluded by
     * design from at-scale runs (README deployment table). This is the query
     * the sf0.1/sf1 scaling evidence runs. */
@@ -637,7 +638,8 @@ object Similarity {
     val exact = exactSampled(vecs, querySample(vecs, SampleAuditQueries)).persist()
     recallOver(exact, Seq(
       "ann_ivf_hier" -> annIvfHier(spark, dir),
-      "ann_ivf_kmeans" -> annIvfKmeans(spark, dir)))
+      "ann_ivf_kmeans" -> annIvfKmeans(spark, dir),
+      "ann_ivf_pq" -> Pq.annIvfPq(spark, dir)))
   }
 
   /** Exact top-[[TopK]] cosine neighbors for every vector (the O(n²) ground

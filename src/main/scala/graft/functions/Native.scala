@@ -32,6 +32,11 @@ object Native {
   def polyHash(c: Column, mult: Long = 131L, mod: Long = 2147483647L): Column =
     EU.column(PolyHash(EU.expression(c), mult, mod))
 
+  /** Σ(aᵢ−bᵢ)² over array<double>, left-fold in index order — the squared
+    * L2 distance of the PQ codebook argmin ([[graft.ext.Pq]]). */
+  def l2sq(a: Column, b: Column): Column =
+    EU.column(L2SqF64(EU.expression(a), EU.expression(b)))
+
   /** Imperative per-session registration (tests, notebooks). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -87,6 +92,54 @@ case class DotF64(left: Expression, right: Expression)
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc = $acc + $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 distance of two array<double> columns: one fused loop in
+  * generated code, accumulating (aᵢ−bᵢ)² left-to-right — the same IEEE
+  * sequence as `list_reduce(list_prepend(0.0, list_transform(gs, i ->
+  * (a[i]-b[i])*(a[i]-b[i]))), +)` on the DuckDB side. */
+case class L2SqF64(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2sq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc = $acc + $d * $d;
          |}
          |${ev.value} = $acc;
        """.stripMargin
