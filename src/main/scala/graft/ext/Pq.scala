@@ -156,11 +156,21 @@ object Pq {
     * refinement of the same plan. The win this operator banks is
     * plan-level: list bytes through the probe join and the store. */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    // session-lifetime pins by design (the result IS the big frame; per-query
+    // isolation or session teardown reclaims them) — the audits instead build
+    // one shared model and release through Similarity.Pins
     val vecs = Similarity.withNorm(Sources.embeddings(spark, dir)).persist()
     val m = Similarity.hierModel(vecs)
-    val books = pqCodebooksLocal(vecs)
     // multi-consumer pin: inverted lists + probes read the same assignment
     val scored = Similarity.hierScored(vecs, m.l1, m.subs, m.nProbe).persist()
+    annIvfPqFrom(vecs, scored, pqCodebooksLocal(vecs))
+  }
+
+  /** The PQ retrieval arm over a caller-built (and caller-pinned) corpus and
+    * hier-scored assignment — the coarse structure is [[Similarity.annIvfHier]]'s;
+    * PQ only changes what a scanned list row carries. */
+  private[ext] def annIvfPqFrom(vecs: DataFrame, scored: DataFrame,
+                                books: Books): DataFrame = {
     val inverted = scored.where(col("_crank") === 1)
       .select(col("cl"), col("vec_id").as("neighbor_id"),
         pqCodesCol(col("v"), books).as("codes"))

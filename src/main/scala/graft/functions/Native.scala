@@ -63,7 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 /** Dot product of two array<double> columns: one fused multiply-add loop in
-  * generated code, accumulating left-to-right like the interpreted fold. */
+  * generated code, accumulating left-to-right like the interpreted fold.
+  * Length mismatch throws — the DuckDB twins iterate a fixed dimension, so a
+  * silently truncated product would diverge between engines on malformed
+  * input instead of surfacing it. */
 case class DotF64(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -75,7 +78,10 @@ case class DotF64(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dot: array length mismatch ($n vs ${y.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -88,7 +94,11 @@ case class DotF64(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: array length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc = $acc + $a.getDouble($i) * $b.getDouble($i);
@@ -105,7 +115,10 @@ case class DotF64(left: Expression, right: Expression)
 /** Squared L2 distance of two array<double> columns: one fused loop in
   * generated code, accumulating (aᵢ−bᵢ)² left-to-right — the same IEEE
   * sequence as `list_reduce(list_prepend(0.0, list_transform(gs, i ->
-  * (a[i]-b[i])*(a[i]-b[i]))), +)` on the DuckDB side. */
+  * (a[i]-b[i])*(a[i]-b[i]))), +)` on the DuckDB side. Length mismatch
+  * throws (same convention as [[DotF64]]): the DuckDB twin iterates a fixed
+  * generate_series(1, PqSubDim), so a silently truncated distance would
+  * diverge between engines on malformed input. */
 case class L2SqF64(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -117,7 +130,10 @@ case class L2SqF64(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_l2sq: array length mismatch ($n vs ${y.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -135,7 +151,11 @@ case class L2SqF64(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_l2sq: array length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = $a.getDouble($i) - $b.getDouble($i);

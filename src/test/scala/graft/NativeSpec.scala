@@ -42,6 +42,20 @@ class NativeSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("length mismatch throws instead of silently truncating (dot and l2sq)") {
+    // the DuckDB twins iterate a fixed dimension; a truncated fold would
+    // diverge between engines on malformed input — both kernels surface it
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    val eDot = intercept[Exception](df.select(Native.dot(col("a"), col("b"))).first())
+    val eL2 = intercept[Exception](df.select(Native.l2sq(col("a"), col("b"))).first())
+    def rootMsg(e: Throwable): String = {
+      var t = e; while (t.getCause != null) t = t.getCause; String.valueOf(t.getMessage)
+    }
+    assert(rootMsg(eDot).contains("length mismatch"))
+    assert(rootMsg(eL2).contains("length mismatch"))
+  }
+
   test("ShingleMinhash == explode/groupBy minhash pipeline on every document") {
     import graft.ext.{Dedup, Text}
     val docs = graft.engine.Sources.documents(spark, sf)
