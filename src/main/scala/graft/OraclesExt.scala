@@ -1213,6 +1213,93 @@ object OraclesExt {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  /** Twin of Sampling.decontaminatedTrain — the removal half of the
+    * contamination probe: train docs kept iff their leaked-shingle share
+    * stays within DeconMaxLeakPct. */
+  val samplingDeconTrain: String = {
+    import graft.ext.Sampling.{TrainPct, ValPct, DeconMaxLeakPct}
+    s"""WITH $shinglesCte,
+       |split AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${mixSql("doc_id")} % 100 < $TrainPct THEN 'train'
+       |         WHEN ${mixSql("doc_id")} % 100 < ${TrainPct + ValPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |shs AS (SELECT sh.doc_id, sh.shingle, s.split
+       |        FROM sh JOIN split s ON sh.doc_id = s.doc_id),
+       |test_sh AS (SELECT DISTINCT shingle FROM shs WHERE split = 'test'),
+       |leak AS (
+       |  SELECT t.doc_id,
+       |    count(*) AS n_shingles,
+       |    count(ts.shingle) AS n_leaked
+       |  FROM shs t LEFT JOIN test_sh ts ON t.shingle = ts.shingle
+       |  WHERE t.split = 'train'
+       |  GROUP BY t.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(l.n_shingles, 0) AS n_shingles,
+       |  coalesce(l.n_leaked, 0) AS n_leaked,
+       |  ${R("CASE WHEN coalesce(l.n_shingles, 0) = 0 THEN 0.0 " +
+            "ELSE CAST(coalesce(l.n_leaked, 0) AS DOUBLE) / l.n_shingles END", 4)}
+       |    AS leak_ratio
+       |FROM split d LEFT JOIN leak l ON d.doc_id = l.doc_id
+       |WHERE d.split = 'train'
+       |  AND coalesce(l.n_leaked, 0) * 100 <= coalesce(l.n_shingles, 0) * $DeconMaxLeakPct
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** The synthetic-PII twin corpus — textual mirror of
+    * Pii.withSyntheticPii (the fixture carries no PII; both engines append
+    * identical doc_id-derived identifiers). */
+  // NB: no line may begin with '||' — this CTE is interpolated into outer
+  // stripMargin strings, which would strip one pipe of a leading '||'
+  private val piiMessyCte: String =
+    s"""messy AS (
+       |  SELECT doc_id, concat(text,
+       |    CASE WHEN doc_id % 2 = 0 THEN concat(' host 10.', CAST(doc_id % 256 AS VARCHAR),
+       |      '.0.', CAST((doc_id * 3) % 256 AS VARCHAR)) ELSE '' END,
+       |    CASE WHEN doc_id % 3 = 0 THEN concat(' mail user', CAST(doc_id AS VARCHAR),
+       |      '@example.com') ELSE '' END,
+       |    CASE WHEN doc_id % 4 = 0 THEN concat(' call 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+       |      '-', lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')) ELSE '' END,
+       |    CASE WHEN doc_id % 5 = 0 THEN concat(' ssn 123-45-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+       |      ELSE '' END)
+       |    AS text
+       |  FROM documents)""".stripMargin
+
+  private def piiCount(re: String): String =
+    s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT)"
+
+  /** Twin of Pii.scan. */
+  val piiScan: String = {
+    import graft.ext.Pii._
+    s"""WITH $piiMessyCte
+       |SELECT doc_id,
+       |  ${piiCount(EmailRe)} AS n_emails,
+       |  ${piiCount(SsnRe)} AS n_ssns,
+       |  ${piiCount(PhoneRe)} AS n_phones,
+       |  ${piiCount(Ipv4Re)} AS n_ips,
+       |  (${piiCount(EmailRe)} + ${piiCount(SsnRe)} + ${piiCount(PhoneRe)}
+       |    + ${piiCount(Ipv4Re)}) > 0 AS has_pii
+       |FROM messy
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Twin of Pii.redacted — same pattern order, 'g' flag (Spark replaces
+    * globally by default; DuckDB needs the flag). */
+  val piiRedacted: String = {
+    import graft.ext.Pii._
+    val clean = Redactions.foldLeft("text") {
+      case (e, (re, tag)) => s"regexp_replace($e, '$re', '$tag', 'g')"
+    }
+    s"""WITH $piiMessyCte
+       |SELECT doc_id,
+       |  (${piiCount(EmailRe)} + ${piiCount(SsnRe)} + ${piiCount(PhoneRe)}
+       |    + ${piiCount(Ipv4Re)}) AS n_redactions,
+       |  $clean AS redacted_text
+       |FROM messy
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Twin of Corpus.mixBySourceWeight. */
   val corpusMix: String =
     s"""SELECT source, count(*) AS n_kept
@@ -1509,6 +1596,9 @@ object OraclesExt {
     "sampling_train_val_test" -> samplingSplit,
     "sampling_k_per_stratum" -> samplingStratum,
     "sampling_contamination" -> samplingContamination,
+    "sampling_decon_train" -> samplingDeconTrain,
+    "pii_scan" -> piiScan,
+    "pii_redacted" -> piiRedacted,
     "corpus_mix_by_source" -> corpusMix,
     "media_kind_summary" -> mediaKindSummary,
     "media_resize_summary" -> mediaResizeSummary,

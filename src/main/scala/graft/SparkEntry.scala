@@ -126,6 +126,11 @@ object SparkEntry {
       ext.Sampling.sampleKPerStratum(s, d).orderBy("lang", "sample_rank")),
     "sampling_contamination" -> ((s, d) =>
       ext.Sampling.testSetContamination(s, d).orderBy("doc_id")),
+    "sampling_decon_train" -> ((s, d) =>
+      ext.Sampling.decontaminatedTrain(s, d).orderBy("doc_id")),
+    // ext: PII scrub (map-only regex scan + redaction over the synthetic twin)
+    "pii_scan" -> ((s, d) => ext.Pii.scan(s, d).orderBy("doc_id")),
+    "pii_redacted" -> ((s, d) => ext.Pii.redacted(s, d).orderBy("doc_id")),
     "corpus_mix_by_source" -> ((s, d) => ext.Corpus.mixBySourceWeight(s, d).orderBy("source")),
     "corpus_pack_sequences" -> ((s, d) => ext.Corpus.packSequences(s, d).orderBy("doc_id")),
     "corpus_preprocess" -> ((s, d) => ext.Corpus.preprocess(s, d).orderBy("doc_id")),

@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Sources
+
+/** PII detection and redaction over the `documents` corpus — the scrub
+  * stage every training-data pipeline runs before text leaves the ingest
+  * boundary (emails, phone numbers, IP addresses, national-id shapes).
+  *
+  * Reference surface: none (the reference's quality checks stop at
+  * null/range gates — `data_quality_checks.py`); this extends the DQ
+  * family the same way the dedup/similarity kit does.
+  *
+  * Shape at 100 TB: pure map-only regex work — no shuffle anywhere, scales
+  * with scan bandwidth. The patterns are codegen'd `regexp_extract_all` /
+  * `regexp_replace` over each partition; a real deployment swaps in
+  * domain-tuned patterns (or an NER model via mapInPandas at the
+  * [[Multimodal]] codec leaf) without changing the plan shape.
+  *
+  * Determinism / oracle parity: patterns are restricted to the
+  * Java-regex ∩ RE2 common subset — character classes, bounded repetition,
+  * `\b` word boundaries; NO backreferences or lookarounds (RE2, hence the
+  * DuckDB twin, rejects them). The corpus fixture carries no PII, so the
+  * queries run over [[withSyntheticPii]] — a deterministic PII-bearing twin
+  * derived from doc_id that both engines construct identically: the oracle
+  * then exercises nonzero matches of every pattern while the fixture stays
+  * clean. A production caller points the same operators at raw text.
+  */
+object Pii {
+
+  /** RFC-ish email shape (the pragmatic scrub pattern, not full RFC 5322). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NANP-style 3-3-4 phone with dash separators. */
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** US SSN shape 3-2-4 (distinct from the phone's 3-3-4). */
+  val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** Dotted-quad IPv4 (scrub-grade: no 0-255 range check). */
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redaction order + placeholder per pattern. Email first (it may embed
+    * digit runs), SSN before phone (both dashed-digit shapes; the shapes
+    * are disjoint but a fixed order keeps both engines identical), IP
+    * last. */
+  val Redactions: Seq[(String, String)] = Seq(
+    EmailRe -> "[EMAIL]",
+    SsnRe -> "[SSN]",
+    PhoneRe -> "[PHONE]",
+    Ipv4Re -> "[IP]")
+
+  /** Deterministic PII-bearing twin of a clean corpus: appends synthetic
+    * identifiers derived from doc_id (different moduli per type, so docs
+    * carry every subset of the four types and some stay clean). The DuckDB
+    * twin builds the identical string. */
+  def withSyntheticPii(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def num(c: Column): Column = c.cast("string")
+    val ip = when(id % 2 === 0, concat(lit(" host 10."), num(id % 256),
+      lit(".0."), num((id * 3) % 256))).otherwise(lit(""))
+    val mail = when(id % 3 === 0, concat(lit(" mail user"), num(id),
+      lit("@example.com"))).otherwise(lit(""))
+    val phone = when(id % 4 === 0, concat(lit(" call 555-"),
+      lpad(num(id % 1000), 3, "0"), lit("-"),
+      lpad(num((id * 7) % 10000), 4, "0"))).otherwise(lit(""))
+    val ssn = when(id % 5 === 0, concat(lit(" ssn 123-45-"),
+      lpad(num(id % 10000), 4, "0"))).otherwise(lit(""))
+    docs.withColumn("text", concat(col("text"), ip, mail, phone, ssn))
+  }
+
+  private def count(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+
+  /** Per-document PII inventory: match count per pattern family plus the
+    * has_pii gate a filter stage keys on. Map-only. */
+  def scan(spark: SparkSession, dir: String): DataFrame =
+    withSyntheticPii(Sources.documents(spark, dir))
+      .select(
+        col("doc_id"),
+        count(col("text"), EmailRe).as("n_emails"),
+        count(col("text"), SsnRe).as("n_ssns"),
+        count(col("text"), PhoneRe).as("n_phones"),
+        count(col("text"), Ipv4Re).as("n_ips"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ssns") + col("n_phones") + col("n_ips") > 0)
+
+  /** Redacted corpus: each pattern family replaced by its typed
+    * placeholder, in [[Redactions]] order, plus the redaction count (the
+    * audit number a scrub job reports). Map-only; the output is the
+    * training corpus every downstream stage reads. */
+  def redacted(spark: SparkSession, dir: String): DataFrame = {
+    val m = withSyntheticPii(Sources.documents(spark, dir))
+    val clean = Redactions.foldLeft(col("text")) {
+      case (c, (re, tag)) => regexp_replace(c, re, tag)
+    }
+    m.select(
+      col("doc_id"),
+      (count(col("text"), EmailRe) + count(col("text"), SsnRe) +
+        count(col("text"), PhoneRe) + count(col("text"), Ipv4Re))
+        .as("n_redactions"),
+      clean.as("redacted_text"))
+  }
+}

@@ -70,6 +70,50 @@ object Sampling {
         graft.engine.Num.r4(col("n_contaminated").cast("double") / col("n_shingles")))
   }
 
+  /** Max tolerated leak: a train doc sharing more than this percentage of
+    * its shingles with the test split is dropped by [[decontaminatedTrain]].
+    * 50% tolerates natural phrase reuse in a homogeneous corpus while
+    * catching test rows that leaked into train nearly whole. */
+  val DeconMaxLeakPct = 50
+
+  /** The decontamination REMOVAL stage — the other half of
+    * [[testSetContamination]] (which measures; this cleans): every
+    * train-split document keeps only if at most [[DeconMaxLeakPct]]% of its
+    * word-shingles occur anywhere in the test split. Emitted per kept doc:
+    * its shingle count, leaked-shingle count and leak ratio — the audit
+    * columns a scrub report carries. Same one-shuffle candidate-join shape
+    * as the measurement probe (distinct test shingles are the small side of
+    * a shuffle join on the shingle key; at 100 TB the test split is
+    * typically small enough that this side broadcasts). Docs with no
+    * shingles (< [[Dedup.ShingleK]] words) have nothing to leak and pass
+    * through with zero counts. */
+  def decontaminatedTrain(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = mixHash(col("doc_id")) % 100
+    val docs = Sources.documents(spark, dir)
+    val sh = Dedup.shingles(docs)
+      .withColumn("split",
+        when(bucket < TrainPct, "train")
+          .when(bucket < TrainPct + ValPct, "val")
+          .otherwise("test"))
+    val testShingles = sh.where(col("split") === "test")
+      .select("shingle").distinct()
+    val leak = sh.where(col("split") === "train")
+      .join(testShingles.withColumn("_hit", lit(1)), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("_hit")).as("n_leaked"))
+    docs.where(bucket < TrainPct).select("doc_id")
+      .join(leak, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+      .where(col("n_leaked") * 100 <= col("n_shingles") * DeconMaxLeakPct)
+      .withColumn("leak_ratio", graft.engine.Num.r4(
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_leaked").cast("double") / col("n_shingles"))))
+  }
+
   val StratumK = 20
 
   /** Exactly-k-per-stratum sample: rank rows inside each stratum by their

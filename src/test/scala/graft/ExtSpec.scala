@@ -325,4 +325,48 @@ class SimilaritySpec extends SparkSpec {
       exact.get(k).foreach(e => assert(r.getAs[Double]("cosine") <= e + 1e-9))
     }
   }
+
+  test("PII: the synthetic twin plants every family; scanning the redacted " +
+    "corpus finds zero PII") {
+    import graft.ext.Pii
+    val scan = Pii.scan(spark, sf)
+    // the injection moduli guarantee nonzero hits of every family, and
+    // clean docs exist (doc_id ≡ 1 mod 60 hits no modulus)
+    Seq("n_emails", "n_ssns", "n_phones", "n_ips").foreach { c =>
+      assert(scan.agg(sum(col(c))).first().getLong(0) > 0, s"$c never matched")
+    }
+    assert(scan.where(!col("has_pii")).count() > 0, "no clean docs survive")
+    // redaction is complete: re-scanning redacted text matches nothing
+    val redacted = Pii.redacted(spark, sf)
+    val rescan = Pii.Redactions.map { case (re, _) =>
+      redacted.where(size(regexp_extract_all(col("redacted_text"), lit(re), lit(0))) > 0).count()
+    }.sum
+    assert(rescan === 0L, s"$rescan docs still carry PII after redaction")
+    // the audit count equals what the scan saw
+    val total = scan.agg(sum(col("n_emails") + col("n_ssns") +
+      col("n_phones") + col("n_ips"))).first().getLong(0)
+    val redactions = redacted.agg(sum(col("n_redactions"))).first().getLong(0)
+    assert(total === redactions)
+  }
+
+  test("decontaminated train: subset of the train split, kept iff leak within " +
+    "the cap, and contaminated docs genuinely drop") {
+    import graft.ext.Sampling
+    val split = Sampling.trainValTestSplit(spark, sf)
+      .select("doc_id", "split").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val kept = Sampling.decontaminatedTrain(spark, sf).collect()
+    assert(kept.nonEmpty)
+    kept.foreach { r =>
+      assert(split(r.getAs[Long]("doc_id")) === "train", "non-train doc kept")
+      val n = r.getAs[Long]("n_shingles"); val l = r.getAs[Long]("n_leaked")
+      assert(l * 100 <= n * Sampling.DeconMaxLeakPct,
+        s"doc over the leak cap kept ($l/$n)")
+    }
+    // the stage must actually remove something on this fixture (word-salad
+    // corpus: heavy cross-split shingle reuse), else the gate is vacuous
+    val trainN = split.count(_._2 == "train")
+    assert(kept.length < trainN,
+      s"decontamination dropped nothing ($trainN train docs, ${kept.length} kept)")
+  }
 }
