@@ -723,10 +723,11 @@ object OraclesExt {
        |        ${R(s"(${dotSql("q.v", "x.v")}) / (q.norm * x.norm)", 6)} DESC, x.vec_id) AS rk
        |    FROM n q JOIN calq cq ON cq.vec_id = q.vec_id
        |    JOIN n x ON x.vec_id <> q.vec_id) WHERE rk <= $TopK),
-       |th AS (SELECT COALESCE(qr.qcrank, 2147483647) AS thresh
+       |th AS (SELECT min(COALESCE(qr.qcrank, 2147483647)) AS thresh
        |  FROM cex ex JOIN ($nbCellCte) nbc ON nbc.neighbor_id = ex.neighbor_id
        |  LEFT JOIN ($qRankCte) qr
-       |    ON qr.query_id = ex.query_id AND qr.cl = nbc.cl),
+       |    ON qr.query_id = ex.query_id AND qr.cl = nbc.cl
+       |  GROUP BY ex.query_id, ex.neighbor_id),
        |np AS (SELECT GREATEST(${graft.ext.Similarity.IvfProbes}, (
        |    SELECT thresh FROM (
        |      SELECT thresh, row_number() OVER (ORDER BY thresh) AS rn FROM th)
@@ -766,7 +767,13 @@ object OraclesExt {
     * [[calibrationCtes]] probe depth. Emits `n`, `inv` (cl, vec_id, v,
     * norm) and `probes` (same shape, crank ≤ calibrated depth); appends
     * directly after WITH. */
-  private val hierChain: String = {
+  private val hierChain: String = hierChainAt(listDepth = 1)
+
+  /** [[hierChain]] parameterized by inverted-list spill depth. Calibration
+    * stays at the BASE (depth-1) reachability on purpose: the spill
+    * operator's contract is a candidate-set superset of the base arm at
+    * the same probe depth (see Similarity.SpillS). */
+  private def hierChainAt(listDepth: Int): String = {
     import graft.ext.Similarity.{HierL1Probes, HierSubIters, HierTopCells, KmeansIters}
     val listNorm =
       "sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x * x)), (a, b) -> a + b))"
@@ -836,7 +843,7 @@ object OraclesExt {
        |${calibrationCtes(
         "SELECT vec_id AS query_id, cl, crank AS qcrank FROM scored",
         "SELECT vec_id AS neighbor_id, cl FROM scored WHERE crank = 1")},
-       |inv AS (SELECT cl, vec_id, v, norm FROM scored WHERE crank = 1),
+       |inv AS (SELECT cl, vec_id, v, norm FROM scored WHERE crank <= $listDepth),
        |probes AS (SELECT cl, vec_id, v, norm FROM scored
        |  WHERE crank <= (SELECT p FROM np))""".stripMargin
   }
@@ -849,6 +856,17 @@ object OraclesExt {
        |${topKSql(
       s"""p AS (
          |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |    ${R(s"(${dotSql("q.v", "x.v")}) / (q.norm * x.norm)", 6)} AS cosine
+         |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id)""".stripMargin)}""".stripMargin
+
+  /** Twin of Similarity.annIvfHierSpill: the [[hierChainAt]] chain with
+    * spilled lists + spill-aware calibration, DISTINCT pairs before the
+    * refine (a pair meets once per shared cell). */
+  val simAnnIvfHierSpill: String =
+    s"""WITH ${hierChainAt(graft.ext.Similarity.SpillS)},
+       |${topKSql(
+      s"""p AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, x.vec_id AS neighbor_id,
          |    ${R(s"(${dotSql("q.v", "x.v")}) / (q.norm * x.norm)", 6)} AS cosine
          |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id)""".stripMargin)}""".stripMargin
 
@@ -990,6 +1008,8 @@ object OraclesExt {
        |UNION ALL
        |${auditArmSql("ann_ivf_hier", simAnnIvfHier)}
        |UNION ALL
+       |${auditArmSql("ann_ivf_hier_spill", simAnnIvfHierSpill)}
+       |UNION ALL
        |${auditArmSql("ann_ivf_kmeans", simAnnIvfKmeans)}
        |UNION ALL
        |${auditArmSql("ann_ivf_pq", simAnnIvfPq)}
@@ -1015,6 +1035,8 @@ object OraclesExt {
        |    FROM n q JOIN aq ON aq.vec_id = q.vec_id
        |    JOIN n x ON x.vec_id <> q.vec_id) WHERE rk <= $TopK)
        |${auditArmSql("ann_ivf_hier", simAnnIvfHier)}
+       |UNION ALL
+       |${auditArmSql("ann_ivf_hier_spill", simAnnIvfHierSpill)}
        |UNION ALL
        |${auditArmSql("ann_ivf_kmeans", simAnnIvfKmeans)}
        |UNION ALL
@@ -1298,6 +1320,40 @@ object OraclesExt {
        |  $clean AS redacted_text
        |FROM messy
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Twin of Sketch.tableProfile — per profiled column: exact stats + the
+    * KMV order-statistic NDV sketch, replayed verbatim (DISTINCT → ORDER BY
+    * mixed hash → LIMIT k → max). Doubles hash their cent-scaled integer,
+    * exactly like the Spark side. */
+  val sketchTableProfile: String = {
+    import graft.ext.Sketch.{KmvK, ProfiledColumns}
+    import graft.ext.Similarity.M32
+    def arm(t: String, c: String, scaled: Boolean): String = {
+      val key = if (scaled) s"CAST(floor($c * 100 + 0.5) AS BIGINT)" else c
+      val est = s"CASE WHEN k.n_kept < $KmvK THEN CAST(k.n_kept AS DOUBLE) " +
+        s"ELSE ${R(s"CAST(${KmvK - 1} AS DOUBLE) * $M32 / k.h_k", 2)} END"
+      s"""SELECT '$t' AS table_name, '$c' AS column_name,
+         |  s.n_rows, s.n_nulls, s.ndv_exact,
+         |  $est AS ndv_kmv,
+         |  ${R(s"abs(($est) - s.ndv_exact) / greatest(CAST(s.ndv_exact AS DOUBLE), 1.0)", 4)}
+         |    AS kmv_rel_err,
+         |  s.min_value, s.max_value
+         |FROM (
+         |  SELECT count(*) AS n_rows, count(*) - count($c) AS n_nulls,
+         |    count(DISTINCT $c) AS ndv_exact,
+         |    CAST(min($c) AS DOUBLE) AS min_value,
+         |    CAST(max($c) AS DOUBLE) AS max_value
+         |  FROM $t) s,
+         |(
+         |  SELECT count(*) AS n_kept, max(h) AS h_k FROM (
+         |    SELECT DISTINCT ${mixSql(key)} AS h FROM $t
+         |    WHERE $c IS NOT NULL ORDER BY h LIMIT $KmvK)) k""".stripMargin
+    }
+    val doubles = Set("o_totalprice", "l_quantity")
+    ProfiledColumns
+      .map { case (t, c) => arm(t, c, doubles(c)) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
   }
 
   /** Twin of Corpus.mixBySourceWeight. */
@@ -1597,6 +1653,7 @@ object OraclesExt {
     "sampling_k_per_stratum" -> samplingStratum,
     "sampling_contamination" -> samplingContamination,
     "sampling_decon_train" -> samplingDeconTrain,
+    "stats_table_profile" -> sketchTableProfile,
     "pii_scan" -> piiScan,
     "pii_redacted" -> piiRedacted,
     "corpus_mix_by_source" -> corpusMix,
@@ -1614,6 +1671,7 @@ object OraclesExt {
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
     "sim_ann_ivf_hier" -> simAnnIvfHier,
+    "sim_ann_ivf_hier_spill" -> simAnnIvfHierSpill,
     // the persisted index is bit-identical to the hier operator by
     // construction (same frozen model, exact parquet round-trip), so it is
     // held to the SAME oracle — an independent full-strength check, not a

@@ -86,6 +86,8 @@ object SparkEntry {
       ext.Similarity.annIvfKmeans(s, d).orderBy("query_id", "rank")),
     "sim_ann_ivf_hier" -> ((s, d) =>
       ext.Similarity.annIvfHier(s, d).orderBy("query_id", "rank")),
+    "sim_ann_ivf_hier_spill" -> ((s, d) =>
+      ext.Similarity.annIvfHierSpill(s, d).orderBy("query_id", "rank")),
     "sim_ann_index" -> ((s, d) =>
       ext.VectorIndex.annIndexed(s, d).orderBy("query_id", "rank")),
     "sim_ann_ivf_pq" -> ((s, d) =>
@@ -131,6 +133,9 @@ object SparkEntry {
     // ext: PII scrub (map-only regex scan + redaction over the synthetic twin)
     "pii_scan" -> ((s, d) => ext.Pii.scan(s, d).orderBy("doc_id")),
     "pii_redacted" -> ((s, d) => ext.Pii.redacted(s, d).orderBy("doc_id")),
+    // ext: statistics catalog (exact stats + deterministic KMV NDV sketch)
+    "stats_table_profile" -> ((s, d) =>
+      ext.Sketch.tableProfile(s, d).orderBy("table_name", "column_name")),
     "corpus_mix_by_source" -> ((s, d) => ext.Corpus.mixBySourceWeight(s, d).orderBy("source")),
     "corpus_pack_sequences" -> ((s, d) => ext.Corpus.packSequences(s, d).orderBy("doc_id")),
     "corpus_preprocess" -> ((s, d) => ext.Corpus.preprocess(s, d).orderBy("doc_id")),

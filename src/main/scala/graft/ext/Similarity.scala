@@ -229,13 +229,21 @@ object Similarity {
     * CDF, and the smallest p with recall ≥ [[RecallTargetPct]]% is that
     * threshold distribution's quantile: no probe-depth sweep needed. A pair
     * whose cell is unreachable (hierarchical pruning) counts as threshold
-    * ∞. The collect is control-plane: ≤ TopK·CalQueries rows. */
+    * ∞. The collect is control-plane: ≤ TopK·CalQueries rows.
+    *
+    * `nbCell` may carry SEVERAL cells per neighbor (spill lists): the pair
+    * is then recalled at the SHALLOWEST of its cells' ranks — the group-min
+    * below. With one cell per neighbor the min is the identity, so the
+    * single-assignment variants are bit-unchanged. */
   private def nProbeFromThresh(exact: DataFrame, qRank: DataFrame,
                                nbCell: DataFrame): Int = {
     val thresh = exact
       .join(nbCell, "neighbor_id")
       .join(qRank, Seq("query_id", "cl"), "left")
-      .select(coalesce(col("qcrank").cast("int"), lit(Int.MaxValue)).as("thresh"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(min(coalesce(col("qcrank").cast("int"), lit(Int.MaxValue)))
+        .as("thresh"))
+      .select("thresh")
     val ts = thresh.collect().map(_.getInt(0)).sorted
     // idx = ⌈pct·N/100⌉ in pure integer arithmetic (no float pct·N — both
     // engines must land on the identical index)
@@ -500,9 +508,26 @@ object Similarity {
     * arm, so nProbe is unchanged and one m·n exact pass disappears. */
   private[ext] def hierModel(vecs: DataFrame,
                              preExact: Option[DataFrame] = None): HierModel = {
+    val (l1, subs, k2) = hierStructure(vecs)
+    HierModel(l1, subs, k2, hierCalibrate(vecs, l1, subs, k2, preExact))
+  }
+
+  /** The quantizer's structure alone: L1 centroids + persisted sub-centroid
+    * frame + sub-cell count — shared by every calibration (the spill
+    * variant recalibrates over the SAME structure; only list assignment
+    * depth differs). */
+  private def hierStructure(vecs: DataFrame): (Array[Cent], DataFrame, Int) = {
     val k2 = hierSubCells(vecs.count())
     val l1 = kmeansCentroidsLocalK(vecs, HierTopCells, KmeansIters)
     val subs = hierSubCentroids(vecs, l1, k2).persist()
+    (l1, subs, k2)
+  }
+
+  /** Probe-depth calibration against [[RecallTargetPct]], over a built
+    * structure, at depth-1 list reachability (the spill arm deliberately
+    * keeps this base depth — see [[SpillS]]). */
+  private def hierCalibrate(vecs: DataFrame, l1: Array[Cent], subs: DataFrame,
+                            k2: Int, preExact: Option[DataFrame]): Int = {
     def cand: DataFrame = hierCand(vecs, l1, subs)
     val sample = querySample(vecs, CalQueries)
     val qRank = cand
@@ -517,13 +542,14 @@ object Similarity {
       .join(exact.select(col("neighbor_id")).distinct(),
         col("vec_id") === col("neighbor_id"))
       .groupBy("vec_id")
-      .agg(graft.functions.TopKByScore.topK(col("_cos"), col("cl"), 1).as("_top"))
+      .agg(graft.functions.TopKByScore.topK(col("_cos"), col("cl"), 1)
+        .as("_top"))
       .select(col("vec_id").as("neighbor_id"),
         element_at(col("_top"), 1).getField("id").as("cl"))
     val nProbe = math.min(nProbeFromThresh(exact, qRank, nbCell),
       HierL1Probes * k2) // cap: the top-k buffer is sized by nProbe
     exact.unpersist()
-    HierModel(l1, subs, k2, nProbe)
+    nProbe
   }
 
   /** Each vector's top-`nProbe` candidate sub-cells, ranked by cosine
@@ -583,6 +609,53 @@ object Similarity {
       .select(col("cl"), col("vec_id").as("query_id"),
         col("v").as("va"), col("norm").as("na"))
     refineTail(probes, inverted)
+  }
+
+  /** Spill depth of [[annIvfHierSpill]]'s inverted lists: each vector joins
+    * its top-S sub-cells' lists instead of only its nearest. The classic
+    * worst-case-recall fix (multi-assignment, cf. SOAR / spilled IVF): a
+    * query whose true neighbor sits just across a cell boundary reaches it
+    * through the neighbor's second cell. Probe depth stays at the BASE
+    * calibration, so the spilled candidate set is a strict SUPERSET of
+    * [[annIvfHier]]'s — recall can only improve, per query, never just on
+    * average (recalibrating the probe depth down against the improved
+    * reachability holds the mean but measurably surrenders the tail:
+    * min-recall 0.2 → 0.0 on this fixture when we tried). Cost: list
+    * payload ×S, minus the pair dedup. */
+  val SpillS = 2
+
+  /** Two-level IVF with spilled inverted lists — same structure and BASE
+    * probe calibration as [[annIvfHier]] (see [[SpillS]]: the superset
+    * guarantee is the point), retrieval through the pair-deduplicating
+    * refine tail (a pair can meet in up to S cells). */
+  def annIvfHierSpill(spark: SparkSession, dir: String): DataFrame = {
+    val pins = new Pins
+    val vecs = pins.pin(withNorm(Sources.embeddings(spark, dir)))
+    val m = hierModel(vecs)
+    pins.track(m.subs)
+    val scored = pins.pin(
+      hierScored(vecs, m.l1, m.subs, math.max(m.nProbe, SpillS)))
+    hierArmSpill(scored, m.nProbe)
+  }
+
+  /** The spilled retrieval arm: lists at depth [[SpillS]], probes at the
+    * calibrated depth, exact-cosine refine over DISTINCT pairs. */
+  private[ext] def hierArmSpill(scored: DataFrame, nProbe: Int): DataFrame = {
+    val inverted = scored.where(col("_crank") <= SpillS)
+      .select(col("cl"), col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("norm").as("nb"))
+    val probes = scored.where(col("_crank") <= nProbe)
+      .select(col("cl"), col("vec_id").as("query_id"),
+        col("v").as("va"), col("norm").as("na"))
+    val pairs = probes.join(inverted, "cl")
+      .where(col("query_id") =!= col("neighbor_id"))
+      // a (query, neighbor) pair meets once per shared cell — up to S
+      // duplicate candidate rows with identical payloads; dedup BEFORE the
+      // dot products so the kernel runs once per pair (one shuffle on the
+      // dense pair key, carrying only ids + vectors already in flight)
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", r(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+    topK(pairs, TopK)
   }
 
   // --------------------------------------------------- int8 quantization
@@ -656,6 +729,7 @@ object Similarity {
     val out = recallOver(exact, Seq(
       "ann_ivf" -> annIvfPinned(spark, dir, pins),
       "ann_ivf_hier" -> hierArm(scored),
+      "ann_ivf_hier_spill" -> hierArmSpill(scored, m.nProbe),
       "ann_ivf_kmeans" -> kmArm,
       "ann_ivf_pq" -> Pq.annIvfPqFrom(vecs, scored, books),
       "ann_lsh" -> annLsh(spark, dir),
@@ -675,7 +749,10 @@ object Similarity {
     val fHier = Future {
       val m = hierModel(vecs, preExact = Some(exact))
       pins.track(m.subs)
-      val scored = pins.pin(hierScored(vecs, m.l1, m.subs, m.nProbe))
+      // the spill arm shares this frame: lists at crank ≤ SpillS, probes at
+      // the same base depth (SpillS ≤ IvfProbes ≤ nProbe always)
+      val scored = pins.pin(
+        hierScored(vecs, m.l1, m.subs, math.max(m.nProbe, SpillS)))
       scored.count() // the hier and PQ arms would contend on cold cache
       (m, scored)
     }
@@ -739,6 +816,7 @@ object Similarity {
     val (m, scored, kmArm, books) = buildArmsParallel(vecs, exact, pins)
     val out = recallOver(exact, Seq(
       "ann_ivf_hier" -> hierArm(scored),
+      "ann_ivf_hier_spill" -> hierArmSpill(scored, m.nProbe),
       "ann_ivf_kmeans" -> kmArm,
       "ann_ivf_pq" -> Pq.annIvfPqFrom(vecs, scored, books)))
     localized(spark, out, pins)

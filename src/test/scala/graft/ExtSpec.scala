@@ -317,6 +317,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, f"recall $recall%.3f below 0.3")
   }
 
+  test("spilled hier IVF dominates the base arm per query (superset guarantee)") {
+    import graft.ext.Similarity
+    val exact = Similarity.knnBruteForce(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) =>
+          q -> rs.map(_.getAs[Long]("neighbor_id")).toSet.intersect(exact(q)).size
+        }
+    val base = hits(Similarity.annIvfHier(spark, sf))
+    val spill = hits(Similarity.annIvfHierSpill(spark, sf))
+    // same structure + same probe depth + spilled lists ⊇ base lists ⇒ the
+    // spill arm's true-neighbor hits are ≥ the base arm's for EVERY query —
+    // the worst-case contract, not a mean
+    exact.keys.foreach { q =>
+      assert(spill.getOrElse(q, 0) >= base.getOrElse(q, 0),
+        s"query $q: spill ${spill.getOrElse(q, 0)} < base ${base.getOrElse(q, 0)}")
+    }
+    val meanB = base.values.sum.toDouble / exact.size
+    val meanS = spill.values.sum.toDouble / exact.size
+    info(f"mean hits: base $meanB%.2f, spill $meanS%.2f (of ${Similarity.TopK})")
+    assert(meanS > meanB, "spill should strictly improve mean recall on this fixture")
+  }
+
   test("ANN candidates never beat brute force (cosine at each rank ≤ exact)") {
     val exact = Similarity.knnBruteForce(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> r.getAs[Double]("cosine")).toMap
@@ -368,5 +393,38 @@ class SimilaritySpec extends SparkSpec {
     val trainN = split.count(_._2 == "train")
     assert(kept.length < trainN,
       s"decontamination dropped nothing ($trainN train docs, ${kept.length} kept)")
+  }
+}
+
+/** The statistics catalog: the KMV NDV sketch must be exact below its
+  * capacity, accurate within theory above it, and a pure function of the
+  * data (two runs bit-equal). */
+class SketchSpec extends SparkSpec {
+  import graft.ext.Sketch
+
+  test("KMV sketch: exact under capacity, within 4 stderr above, deterministic") {
+    val rows = Sketch.tableProfile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var filled = 0
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("ndv_exact")
+      val est = r.getAs[Double]("ndv_kmv")
+      val err = r.getAs[Double]("kmv_rel_err")
+      if (exact < Sketch.KmvK) {
+        assert(est === exact.toDouble, s"${r.getAs[String]("column_name")}: " +
+          s"sketch below capacity must be exact ($est vs $exact)")
+        assert(err === 0.0)
+      } else {
+        filled += 1
+        // rel stderr ≈ 1/√(k−2); 4σ keeps the gate tight but non-flaky
+        val bound = 4.0 / math.sqrt(Sketch.KmvK - 2.0)
+        assert(err <= bound,
+          s"${r.getAs[String]("column_name")}: rel err $err above $bound")
+      }
+      assert(r.getAs[Double]("min_value") <= r.getAs[Double]("max_value"))
+    }
+    assert(filled > 0, "no column filled the sketch — capacity gate untested")
+    val again = Sketch.tableProfile(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 }
