@@ -47,8 +47,16 @@ object Pq {
   /** Lloyd rounds refining the seed codebooks — one distributed pass each. */
   val PqIters = 1
 
-  /** ADC candidates re-ranked with exact vectors per query. */
-  val PqRerank: Int = 3 * TopK
+  /** ADC candidates re-ranked with exact vectors per query. Sized for the
+    * 4-bit test codebooks ([[PqCodes]] = 16): their ADC ranking is coarse
+    * enough that a 3×TopK rerank left true neighbors behind — measured
+    * sampled-audit mean recall 0.40 vs the hier arm's 0.80 over the
+    * IDENTICAL candidate set. 8× doubles that to 0.62 for 80 exact-refine
+    * rows per query. Deeper helps further (16× → 0.73) but the bounded
+    * top-k insertion cost over every ADC-scored candidate scales with the
+    * buffer (measured 2× query cost at 16×) — 8× is the knee; production
+    * 256-code books sharpen ADC and need less rerank, not more. */
+  val PqRerank: Int = 8 * TopK
 
   /** Driver-resident codebooks: books(s)(k) = codeword k+1 of subspace s
     * (dense 1-based codes; a code that loses all members in a Lloyd update
@@ -61,14 +69,16 @@ object Pq {
     slice(v, s * PqSubDim + 1, PqSubDim)
 
   /** 1-based code of subspace `s` for the row's `v` — map-only argmin over
-    * the codebook literal, ties → lower code (array_sort on (dist, idx);
-    * L2 distances are finite, so no NaN ordering hazard). */
+    * the codebook literal, ties → lower code (array_position returns the
+    * FIRST index of the minimum; L2 distances are finite, so no NaN
+    * ordering hazard). Two linear passes over [[PqCodes]] distances beat
+    * the struct array_sort this replaces (no struct allocation, no
+    * O(k log k) comparator). */
   private def codeCol(v: Column, s: Int, books: Books): Column = {
     val bk = typedlit(books(s).map(_.toSeq).toSeq)
     val sv = sliceCol(v, s)
-    val scored = transform(bk, (cw, j) =>
-      struct(graft.functions.Native.l2sq(sv, cw).as("d"), j.as("j")))
-    (element_at(array_sort(scored), 1).getField("j") + 1).cast("int")
+    val dists = transform(bk, cw => graft.functions.Native.l2sq(sv, cw))
+    array_position(dists, array_min(dists)).cast("int")
   }
 
   /** Codebook training: seed with the [[PqCodes]] (mixHash, vec_id)-lowest

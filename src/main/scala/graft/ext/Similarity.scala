@@ -649,13 +649,20 @@ object Similarity {
         col("v").as("va"), col("norm").as("na"))
     val pairs = probes.join(inverted, "cl")
       .where(col("query_id") =!= col("neighbor_id"))
-      // a (query, neighbor) pair meets once per shared cell — up to S
-      // duplicate candidate rows with identical payloads; dedup BEFORE the
-      // dot products so the kernel runs once per pair (one shuffle on the
-      // dense pair key, carrying only ids + vectors already in flight)
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", r(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
-    topK(pairs, TopK)
+    // a (query, neighbor) pair meets once per shared cell — up to S
+    // duplicate candidate rows with IDENTICAL cosines. Dedup lives inside
+    // the bounded top-k aggregate (id-keyed), so the only cost of spill is
+    // the extra map-side dots: no pair-keyed dedup exchange over the fat
+    // candidate set (measured: a dropDuplicates here shuffled the full
+    // ~2× candidate payload and tripled the audit's cost at sf0.1)
+    pairs
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore
+        .topKDistinct(col("cosine"), col("neighbor_id"), TopK).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   // --------------------------------------------------- int8 quantization

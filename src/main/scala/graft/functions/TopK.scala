@@ -23,6 +23,7 @@ import org.apache.spark.sql.types._
   * ordering (score desc, id asc) is total. */
 case class TopKByScore(
     score: Expression, id: Expression, k: Int,
+    dedupIds: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
 
@@ -48,6 +49,19 @@ case class TopKByScore(
   }
 
   private def insert(buf: ArrayBuffer[(Double, Long)], e: (Double, Long)): Unit = {
+    if (dedupIds) {
+      // spilled-list mode: a candidate pair can arrive once per shared
+      // cell with an IDENTICAL score — treat the id as the key (same
+      // O(k) scan class as the worst-element search below)
+      var j = 0
+      while (j < buf.size) {
+        if (buf(j)._2 == e._2) {
+          if (better(e, buf(j))) buf(j) = e
+          return
+        }
+        j += 1
+      }
+    }
     if (buf.size < k) {
       buf += e
     } else {
@@ -99,4 +113,12 @@ object TopKByScore {
   def topK(score: Column, id: Column, k: Int): Column =
     EU.column(TopKByScore(EU.expression(score), EU.expression(id), k)
       .toAggregateExpression())
+
+  /** [[topK]] keeping at most one entry per id — the spilled-list tail's
+    * pair dedup folded into the map-side-combinable aggregate, so the
+    * shuffle still carries ≤ k rows per group instead of paying a separate
+    * pair-keyed dedup exchange over the full candidate set. */
+  def topKDistinct(score: Column, id: Column, k: Int): Column =
+    EU.column(TopKByScore(EU.expression(score), EU.expression(id), k,
+      dedupIds = true).toAggregateExpression())
 }
