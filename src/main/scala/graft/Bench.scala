@@ -62,6 +62,14 @@ object Bench {
     // already cached data" (CacheManager WARN) routine across passes
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.CacheManager", org.apache.logging.log4j.Level.ERROR)
+    // same isolation makes "Block rdd_N already exists on this machine"
+    // (BlockManager WARN) routine, and wide profile rows trip the
+    // maxToStringFields truncation notice — neither may pollute the
+    // driver-parsed stdout tail (r7's tail carried both)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.storage", org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.util", org.apache.logging.log4j.Level.ERROR)
     // warmup: exercise scans/joins/windows/aggs once at tiny SF so the first
     // timed query doesn't absorb JVM + whole-stage-codegen compilation
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

@@ -140,15 +140,22 @@ object Pq {
         element_at(codes, s + 1))): _*)
 
   /** ADC dot product: Σ_s ⟨query slice s, codeword(codes[s])⟩, s-ordered
-    * left fold from 0.0; each term is one codegen'd 8-dim dot against the
-    * codebook literal. Equal to dot(query, reconstruction) — the spec pins
-    * the identity — but computed without materializing the reconstruction:
-    * the candidate row needs only its [[PqSub]] codes. */
-  def adcDotCol(qv: Column, codes: Column, books: Books): Column =
-    (0 until PqSub).foldLeft(lit(0.0): Column)((acc, s) =>
-      acc + Similarity.dot(sliceCol(qv, s),
-        element_at(typedlit(books(s).map(_.toSeq).toSeq),
-          element_at(codes, s + 1))))
+    * left fold from 0.0, inner 8-dim dots left-to-right. Mathematically
+    * equal to dot(query, reconstruction), but bitwise it reproduces the
+    * SUBSPACE-WISE association (the flat 64-term fold of dot-over-recon
+    * rounds differently in the last ulp) — which is the association the
+    * DuckDB twin replays. Computed without materializing the
+    * reconstruction: the candidate row needs only its [[PqSub]] codes.
+    * One fused codegen loop ([[graft.functions.AdcDotF64]]) with the same
+    * fold order as the slice/element_at composition it replaces (which
+    * allocated two arrays per candidate×subspace on the audit's
+    * ~12M-candidate hot path); NativeSpec pins kernel == composition. */
+  def adcDotCol(qv: Column, codes: Column, books: Books): Column = {
+    val flat = new Array[Double](PqSub * PqCodes * PqSubDim)
+    for (s <- 0 until PqSub; k <- books(s).indices; i <- 0 until PqSubDim)
+      flat((s * PqCodes + k) * PqSubDim + i) = books(s)(k)(i)
+    graft.functions.Native.adcDot(qv, codes, flat, PqSub, PqSubDim, PqCodes)
+  }
 
   /** IVF-PQ ANN — the memory-bounded deployment path. Same two-level
     * quantizer, calibration, and probe assignment as

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.{ColumnBridge => EU}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the engine's hot inner loops.
@@ -36,6 +36,12 @@ object Native {
     * L2 distance of the PQ codebook argmin ([[graft.ext.Pq]]). */
   def l2sq(a: Column, b: Column): Column =
     EU.column(L2SqF64(EU.expression(a), EU.expression(b)))
+
+  /** PQ ADC dot against flattened codebooks — see [[AdcDotF64]]. */
+  def adcDot(query: Column, codes: Column, books: Array[Double],
+             subs: Int, subDim: Int, nCodes: Int): Column =
+    EU.column(AdcDotF64(EU.expression(query), EU.expression(codes),
+      books, subs, subDim, nCodes))
 
   /** Imperative per-session registration (tests, notebooks). */
   def register(spark: SparkSession): Unit = {
@@ -168,6 +174,73 @@ case class L2SqF64(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** PQ asymmetric-distance dot: Σ_s ⟨query slice s, codeword(codes[s])⟩ —
+  * the scoring kernel of graft.ext.Pq, fused into one codegen loop. The
+  * declarative spelling (per subspace: `slice()` allocating an 8-element
+  * array + `element_at` over a nested array literal + a dot) allocated two
+  * arrays per candidate×subspace; over the ~12M ADC-scored candidates of
+  * an sf1 audit that was ~200M allocations in the hot path. Here the
+  * codebooks ride along flattened (subspace-major, then code, then dim —
+  * bounded at PqSub·PqCodes·PqSubDim doubles) as a referenced object, and
+  * the fold order is IDENTICAL to the composed form it replaces: for each
+  * s in order, an inner left-to-right 8-dim dot, accumulated left-to-right
+  * — bit-equal results, pinned by the unchanged DuckDB oracle. Codes are
+  * 1-based, exactly as Pq emits them. */
+case class AdcDotF64(query: Expression, codes: Expression,
+                     books: Array[Double], subs: Int, subDim: Int, nCodes: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def left: Expression = query
+  override def right: Expression = codes
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_adc_dot"
+
+  override protected def nullSafeEval(q: Any, c: Any): Any = {
+    val qv = q.asInstanceOf[ArrayData]
+    val cd = c.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var s = 0
+    while (s < subs) {
+      val base = (s * nCodes + cd.getInt(s) - 1) * subDim
+      var d = 0.0
+      var i = 0
+      while (i < subDim) { d += qv.getDouble(s * subDim + i) * books(base + i); i += 1 }
+      acc += d
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bk = ctx.addReferenceObj("pqBooks", books, "double[]")
+    nullSafeCodeGen(ctx, ev, (q, c) => {
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val base = ctx.freshName("base")
+      s"""
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $subs; $s++) {
+         |  int $base = ($s * $nCodes + $c.getInt($s) - 1) * $subDim;
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $subDim; $i++) {
+         |    $d = $d + $q.getDouble($s * $subDim + $i) * $bk[$base + $i];
+         |  }
+         |  $acc = $acc + $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(query = newLeft, codes = newRight)
 }
 
 /** Rolling hash over a string's unicode codepoints. Matches

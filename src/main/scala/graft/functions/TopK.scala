@@ -48,29 +48,36 @@ case class TopKByScore(
     buf
   }
 
+  /** The buffer is kept sorted WORST-FIRST (ascending under [[better]]), so
+    * the hot path — a candidate that doesn't beat the current worst once
+    * the buffer is full — is a single comparison against buf(0). The naive
+    * find-the-worst linear scan this replaces cost O(k) compares on EVERY
+    * candidate: at k=80 over the 12M ADC-scored PQ candidates of the sf1
+    * audit that was ~1G comparisons of pure overhead. Accepts (rare after
+    * warm-up: O(k·log n) of the n candidates) pay one binary search plus
+    * one ArrayBuffer shift. */
   private def insert(buf: ArrayBuffer[(Double, Long)], e: (Double, Long)): Unit = {
+    if (buf.size >= k && !better(e, buf(0))) return // common case: reject
     if (dedupIds) {
       // spilled-list mode: a candidate pair can arrive once per shared
-      // cell with an IDENTICAL score — treat the id as the key (same
-      // O(k) scan class as the worst-element search below)
+      // cell with an IDENTICAL score — the id is the key. O(size) scan,
+      // but only reached by candidates that beat the current worst.
       var j = 0
       while (j < buf.size) {
-        if (buf(j)._2 == e._2) {
-          if (better(e, buf(j))) buf(j) = e
-          return
-        }
+        if (buf(j)._2 == e._2) return // same pair, same score — keep first
         j += 1
       }
     }
-    if (buf.size < k) {
-      buf += e
-    } else {
-      // replace the worst element if e beats it (k is small: linear scan)
-      var worst = 0
-      var j = 1
-      while (j < buf.size) { if (better(buf(worst), buf(j))) worst = j; j += 1 }
-      if (better(e, buf(worst))) buf(worst) = e
+    // insertion point: first index whose element beats e (all before are
+    // worse than e) — binary search over the worst-first order
+    var lo = 0
+    var hi = buf.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (better(buf(mid), e)) hi = mid else lo = mid + 1
     }
+    buf.insert(lo, e)
+    if (buf.size > k) buf.remove(0) // evict the worst
   }
 
   override def merge(a: ArrayBuffer[(Double, Long)], b: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {

@@ -317,6 +317,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, f"recall $recall%.3f below 0.3")
   }
 
+  test("the sampled recall audit releases every frame it pinned") {
+    // the r7 advisor's finding: audits accumulated session-lifetime pins
+    // per arm. They now materialize their handful of rows and unpersist
+    // through the Pins tracker — the cache must end as empty as it began.
+    spark.catalog.clearCache()
+    assert(graft.ext.Similarity.recallAuditSampled(spark, sf).count() > 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "recallAuditSampled left frames pinned in the cache")
+  }
+
   test("spilled hier IVF dominates the base arm per query (superset guarantee)") {
     import graft.ext.Similarity
     val exact = Similarity.knnBruteForce(spark, sf).collect()
@@ -426,5 +436,19 @@ class SketchSpec extends SparkSpec {
     assert(filled > 0, "no column filled the sketch — capacity gate untested")
     val again = Sketch.tableProfile(spark, sf).collect()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("KMV is mergeable: k-smallest of a union == k-smallest over each " +
+    "part's k-smallest (what makes per-partition combine exact at scale)") {
+    import graft.ext.Sampling
+    val keys = graft.engine.Sources.lineitem(spark, sf).select(col("l_orderkey").as("k"))
+    def kmv(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select(Sampling.mixHash(col("k")).as("h")).distinct()
+        .orderBy("h").limit(Sketch.KmvK).collect().map(_.getLong(0)).toSeq
+    val whole = kmv(keys)
+    val merged = (0 until 3)
+      .flatMap(i => kmv(keys.where(col("k") % 3 === i)))
+      .distinct.sorted.take(Sketch.KmvK)
+    assert(whole == merged)
   }
 }

@@ -42,6 +42,29 @@ class NativeSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("AdcDotF64 == the slice/element_at composition it replaced, bitwise") {
+    import graft.ext.{Pq, Similarity}
+    val vecs = Similarity.withNorm(graft.engine.Sources.embeddings(spark, sf))
+    val books = Pq.pqCodebooksLocal(vecs)
+    // the declarative form the fused kernel replaced (and the form the
+    // DuckDB twin replays): per-subspace left-fold of 8-dim dots. NB this
+    // is NOT bitwise-equal to dot(query, reconstruction) — that folds all
+    // 64 products flat, a different IEEE association (measured: 379/500
+    // rows differ in the last ulp) — which is exactly why the kernel must
+    // reproduce the subspace-wise association.
+    val composed = (0 until Pq.PqSub)
+      .foldLeft(lit(0.0): org.apache.spark.sql.Column)((acc, s) =>
+      acc + Native.dot(slice(col("v"), s * Pq.PqSubDim + 1, Pq.PqSubDim),
+        element_at(typedlit(books(s).map(_.toSeq).toSeq),
+          element_at(col("codes"), s + 1))))
+    val diff = vecs
+      .withColumn("codes", Pq.pqCodesCol(col("v"), books))
+      .select(Pq.adcDotCol(col("v"), col("codes"), books).as("a"),
+        composed.as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff === 0L)
+  }
+
   test("length mismatch throws instead of silently truncating (dot and l2sq)") {
     // the DuckDB twins iterate a fixed dimension; a truncated fold would
     // diverge between engines on malformed input — both kernels surface it
