@@ -1645,7 +1645,43 @@ object OraclesExt {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  /** Twin of Text.lmScore — capped-vocab Laplace unigram LM, micro-nat
+    * integer surprise terms (exact BIGINT per-doc sums, order-free). */
+  val textLmScore: String = {
+    import graft.ext.Text.{LmVocabCap, LmCeOutlier}
+    val ce = "CAST(p.s AS DOUBLE) / (CAST(p.n_scored_tokens AS DOUBLE) * 1e6)"
+    s"""WITH nz AS (
+       |  SELECT doc_id, token
+       |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
+       |  WHERE token <> ''),
+       |counts AS (SELECT token, count(*) AS c FROM nz GROUP BY token),
+       |vocab AS (SELECT token, c FROM counts ORDER BY c DESC, token LIMIT $LmVocabCap),
+       |stats AS (SELECT
+       |    (SELECT sum(c) FROM counts) AS t,
+       |    LEAST((SELECT count(*) FROM counts), $LmVocabCap) + 1 AS veff,
+       |    (SELECT sum(c) FROM counts) - (SELECT coalesce(sum(c), 0) FROM vocab) AS coov),
+       |model AS (SELECT token,
+       |    CAST(FLOOR(-ln(CAST(c + 1 AS DOUBLE) / CAST(t + veff AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS mn
+       |  FROM vocab, stats),
+       |unk AS (SELECT
+       |    CAST(FLOOR(-ln(CAST(coov + 1 AS DOUBLE) / CAST(t + veff AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS unk_mn
+       |  FROM stats),
+       |perdoc AS (
+       |  SELECT nz.doc_id, count(*) AS n_scored_tokens,
+       |    sum(coalesce(model.mn, unk.unk_mn)) AS s
+       |  FROM nz LEFT JOIN model ON nz.token = model.token, unk
+       |  GROUP BY nz.doc_id)
+       |SELECT d.doc_id, d.lang, d.source,
+       |  coalesce(p.n_scored_tokens, 0) AS n_scored_tokens,
+       |  ${R(ce, 4)} AS cross_entropy,
+       |  ${R(s"exp($ce)", 2)} AS perplexity,
+       |  coalesce(${R(ce, 4)} > $LmCeOutlier, false) AS is_lm_outlier
+       |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "text_lm_score" -> textLmScore,
     "scd2_user_event_type" -> scd2UserEventType,
     "cdf_customer_orders" -> cdfCustomerOrders,
     "incr_monthly_revenue" -> incrMonthlyRevenue,

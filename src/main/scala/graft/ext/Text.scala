@@ -228,6 +228,81 @@ object Text {
           coalesce(col("dup_trigram_fraction") > MaxDupTrigramFraction, lit(false)))
   }
 
+  // ------------------------------------------- LM perplexity quality filter
+
+  /** Vocabulary cap for the corpus unigram LM: the model keeps the
+    * [[LmVocabCap]] most frequent tokens (ties → lexicographic) plus one
+    * `<unk>` bucket holding every out-of-vocabulary occurrence. Bounds the
+    * model at a broadcastable 4 KB–4 MB regardless of corpus size — the
+    * property that keeps scoring a broadcast-hash-join at 100 TB. */
+  val LmVocabCap = 4096
+
+  /** Cross-entropy (nats/token) above which a document is flagged as an LM
+    * outlier — the "perplexity filter" verdict. Calibrated to the fixture's
+    * ~98.5th percentile so both verdicts occur at every SF (measured CE spans
+    * 3.38–3.72 at sf0.001–0.1; 3.5 flags 7–8 docs per 500). */
+  val LmCeOutlier = 3.5
+
+  /** Per-token surprise −ln p(w) pre-rounded to integer MICRO-NATS
+    * (floor(x·10⁶+0.5), the [[Num.r]] device): per-doc totals then sum as
+    * exact BIGINTs — order-free in both engines — instead of accumulating
+    * raw doubles whose partial-sum order differs between Spark and DuckDB. */
+  private def microNats(p: Column): Column = floor(-log(p) * 1e6 + 0.5)
+
+  /** CCNet-style LM quality scoring (Wenzek et al., arXiv:1911.00359): score
+    * every document by its cross-entropy under a unigram LM trained on the
+    * corpus itself, and flag the high-perplexity tail. The classical recipe
+    * uses a KenLM 5-gram; the unigram form keeps the exact same pipeline
+    * shape (train on corpus → broadcast model → map-side score) with a
+    * deterministic, oracle-replayable model.
+    *
+    * Model: Laplace-smoothed capped-vocab unigram —
+    * p(w) = (c(w)+1)/(T+V_eff), vocabulary = top-[[LmVocabCap]] tokens by
+    * (count desc, token asc), all other occurrences pooled into `<unk>`,
+    * V_eff = min(distinct, cap)+1. Score: cross-entropy = mean −ln p over the
+    * doc's non-empty tokens; perplexity = e^CE.
+    *
+    * Scale shape: training is ONE token shuffle (explode → partial-agg count,
+    * identical to [[tokenFrequency]]) + a bounded top-K (TakeOrdered, no
+    * global sort); the model is ≤ [[LmVocabCap]]+1 rows → broadcast; scoring
+    * is a broadcast hash join + per-doc partial-agg. The repeated `counts`
+    * subtree collapses via exchange reuse. No driver-side loops; the one
+    * collect-free bounded structure is the broadcast model itself. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val toksNz = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+    val counts = toksNz.groupBy("token").agg(count(lit(1)).as("c"))
+    val vocab = counts.orderBy(col("c").desc, col("token")).limit(LmVocabCap)
+    val stats = counts
+      .agg(sum(col("c")).as("t"), count(lit(1)).as("d"))
+      .crossJoin(vocab.agg(coalesce(sum(col("c")), lit(0L)).as("vsum")))
+      .select(col("t"),
+        (least(col("d"), lit(LmVocabCap.toLong)) + lit(1L)).as("veff"),
+        (col("t") - col("vsum")).as("coov"))
+    val denom = (col("t") + col("veff")).cast("double")
+    val model = vocab.crossJoin(broadcast(stats))
+      .select(col("token"), microNats((col("c") + 1).cast("double") / denom).as("mn"))
+    val unk = stats.select(
+      microNats((col("coov") + 1).cast("double") / denom).as("unk_mn"))
+    val perDoc = toksNz
+      .join(broadcast(model), Seq("token"), "left")
+      .crossJoin(broadcast(unk))
+      .select(col("doc_id"), coalesce(col("mn"), col("unk_mn")).as("mn"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored_tokens"), sum(col("mn")).as("s"))
+    val ceRaw =
+      col("s").cast("double") / (col("n_scored_tokens").cast("double") * 1e6)
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("n_scored_tokens"), lit(0L)).as("n_scored_tokens"),
+        r4(ceRaw).as("cross_entropy"),
+        r2(exp(ceRaw)).as("perplexity"),
+        coalesce(r4(ceRaw) > LmCeOutlier, lit(false)).as("is_lm_outlier"))
+  }
+
   /** Top-5 TF-IDF terms per document: tf·ln(N/df) over non-empty tokens.
     * Two shuffles (per-doc tf, per-token df) + a broadcast of the token df
     * table; per-doc ranking is a window over that doc's distinct tokens —

@@ -165,6 +165,32 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists(!_.getAs[Boolean]("is_repetitive")))
   }
 
+  test("lm score: every doc scored, ppl = exp(ce), rare-token docs score higher") {
+    import graft.ext.Text
+    val rows = Text.lmScore(spark, sf).collect()
+    val docs = graft.engine.Sources.documents(spark, sf).count()
+    assert(rows.length === docs)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("cross_entropy"))) {
+        val ce = r.getAs[Double]("cross_entropy")
+        val ppl = r.getAs[Double]("perplexity")
+        assert(ce > 0.0, s"doc ${r.getAs[Long]("doc_id")}: non-positive CE $ce")
+        // ppl was rounded from exp(raw ce); ce itself rounded at 4dp
+        assert(math.abs(ppl - math.exp(ce)) <= math.exp(ce) * 2e-4 + 0.01,
+          s"ppl $ppl vs exp(ce) ${math.exp(ce)}")
+        assert(r.getAs[Boolean]("is_lm_outlier") === (ce > Text.LmCeOutlier))
+      } else assert(!r.getAs[Boolean]("is_lm_outlier"))
+    }
+    assert(rows.exists(_.getAs[Boolean]("is_lm_outlier")), "no outlier — vacuous filter")
+    assert(rows.exists(!_.getAs[Boolean]("is_lm_outlier")), "all outliers — vacuous filter")
+    // the LM orders documents sensibly: the outlier set's mean CE strictly
+    // above the corpus mean (high-perplexity tail = corpus-rare tokens)
+    val (out, in) = rows.partition(_.getAs[Boolean]("is_lm_outlier"))
+    def meanCe(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("cross_entropy")).sum / rs.length
+    assert(meanCe(out) > meanCe(in))
+  }
+
   test("embedding cosine pairs are symmetric-free and within [-1, 1]") {
     val rows = Dedup.embeddingCosinePairs(spark, sf).collect()
     rows.foreach { r =>
