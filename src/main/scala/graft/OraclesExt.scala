@@ -1680,8 +1680,57 @@ object OraclesExt {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Twin of Text.sourceDivergence — shared capped-vocab smoothing, signed
+    * nano-nat integer terms (exact BIGINT sums). */
+  val textSourceDivergence: String = {
+    import graft.ext.Text.LmVocabCap
+    val ps = "CAST(cs + 1 AS DOUBLE) / CAST(ts + veff AS DOUBLE)"
+    val p = "CAST(c + 1 AS DOUBLE) / CAST(t + veff AS DOUBLE)"
+    s"""WITH nz AS (
+       |  SELECT source, token
+       |  FROM (SELECT source, unnest($toks) AS token FROM documents)
+       |  WHERE token <> ''),
+       |counts AS (SELECT token, count(*) AS c FROM nz GROUP BY token),
+       |vocab AS (SELECT token, c FROM counts ORDER BY c DESC, token LIMIT $LmVocabCap),
+       |stats AS (SELECT
+       |    (SELECT sum(c) FROM counts) AS t,
+       |    LEAST((SELECT count(*) FROM counts), $LmVocabCap) + 1 AS veff,
+       |    (SELECT sum(c) FROM counts) - (SELECT coalesce(sum(c), 0) FROM vocab) AS coov),
+       |srcdocs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       |stok AS (SELECT source, count(*) AS ts FROM nz GROUP BY source),
+       |cs AS (
+       |  SELECT source, token, count(*) AS cs FROM nz
+       |  WHERE token IN (SELECT token FROM vocab)
+       |  GROUP BY source, token),
+       |grid AS (
+       |  SELECT s.source, s.ts, v.c, coalesce(cs.cs, 0) AS cs
+       |  FROM stok s CROSS JOIN vocab v
+       |  LEFT JOIN cs ON cs.source = s.source AND cs.token = v.token),
+       |soov AS (
+       |  SELECT s.source, s.ts, st.coov AS c,
+       |    s.ts - (SELECT coalesce(sum(cs), 0) FROM cs WHERE cs.source = s.source) AS cs
+       |  FROM stok s, stats st),
+       |terms AS (
+       |  SELECT source, ts, c, cs FROM grid
+       |  UNION ALL SELECT source, ts, c, cs FROM soov),
+       |scored AS (
+       |  SELECT source, ts,
+       |    CAST(FLOOR(($ps) * ln(($ps) / ($p)) * 1e9 + 0.5) AS BIGINT) AS term
+       |  FROM terms, stats),
+       |agg AS (SELECT source, any_value(ts) AS ts, sum(term) AS s
+       |  FROM scored GROUP BY source)
+       |SELECT a.source, d.n_docs, a.ts AS n_tokens,
+       |  ${R("CAST(o.cs AS DOUBLE) / CAST(a.ts AS DOUBLE)", 4)} AS oov_rate,
+       |  ${R("CAST(a.s AS DOUBLE) / 1e9", 6)} AS kl_nats
+       |FROM agg a
+       |JOIN srcdocs d ON d.source = a.source
+       |JOIN soov o ON o.source = a.source
+       |ORDER BY a.source""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "text_lm_score" -> textLmScore,
+    "text_source_divergence" -> textSourceDivergence,
     "scd2_user_event_type" -> scd2UserEventType,
     "cdf_customer_orders" -> cdfCustomerOrders,
     "incr_monthly_revenue" -> incrMonthlyRevenue,

@@ -59,6 +59,8 @@ object SparkEntry {
     "text_top_tfidf" -> ((s, d) => ext.Text.topTfidfTerms(s, d).orderBy("doc_id", "rank")),
     "text_gopher_rules" -> ((s, d) => ext.Text.gopherRules(s, d).orderBy("doc_id")),
     "text_lm_score" -> ((s, d) => ext.Text.lmScore(s, d).orderBy("doc_id")),
+    "text_source_divergence" ->
+      ((s, d) => ext.Text.sourceDivergence(s, d).orderBy("source")),
     "text_repetition" -> ((s, d) => ext.Text.repetition(s, d).orderBy("doc_id")),
     // ext: dedup suite (exact / n-gram Jaccard / MinHash-LSH / SimHash / cosine)
     "dedup_exact" -> ((s, d) => ext.Dedup.exact(s, d).orderBy("md5_hex")),

@@ -268,12 +268,16 @@ object Text {
     * is a broadcast hash join + per-doc partial-agg. The repeated `counts`
     * subtree collapses via exchange reuse. No driver-side loops; the one
     * collect-free bounded structure is the broadcast model itself. */
-  def lmScore(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Sources.documents(spark, dir)
-    val toksNz = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+  /** Non-empty whitespace tokens with a carried key column. */
+  private def tokensBy(docs: DataFrame, key: String): DataFrame =
+    docs.select(col(key), explode(tokens(col("text"))).as("token"))
       .where(col("token") =!= "")
-    val counts = toksNz.groupBy("token").agg(count(lit(1)).as("c"))
+
+  /** Corpus token counts → (vocab, stats) for the capped-vocab LM: vocab =
+    * top-[[LmVocabCap]] by (count desc, token asc) via TakeOrdered (bounded,
+    * no global sort); stats = (t total tokens, veff smoothing denominator
+    * term, coov pooled out-of-vocab count) — a one-row frame for broadcast. */
+  private def lmModel(counts: DataFrame): (DataFrame, DataFrame) = {
     val vocab = counts.orderBy(col("c").desc, col("token")).limit(LmVocabCap)
     val stats = counts
       .agg(sum(col("c")).as("t"), count(lit(1)).as("d"))
@@ -281,6 +285,14 @@ object Text {
       .select(col("t"),
         (least(col("d"), lit(LmVocabCap.toLong)) + lit(1L)).as("veff"),
         (col("t") - col("vsum")).as("coov"))
+    (vocab, stats)
+  }
+
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val toksNz = tokensBy(docs, "doc_id")
+    val counts = toksNz.groupBy("token").agg(count(lit(1)).as("c"))
+    val (vocab, stats) = lmModel(counts)
     val denom = (col("t") + col("veff")).cast("double")
     val model = vocab.crossJoin(broadcast(stats))
       .select(col("token"), microNats((col("c") + 1).cast("double") / denom).as("mn"))
@@ -301,6 +313,57 @@ object Text {
         r4(ceRaw).as("cross_entropy"),
         r2(exp(ceRaw)).as("perplexity"),
         coalesce(r4(ceRaw) > LmCeOutlier, lit(false)).as("is_lm_outlier"))
+  }
+
+  /** Per-source KL divergence KL(p_source ‖ p_corpus) over the shared
+    * capped-vocab Laplace unigram model — the data-mixture diagnostic: which
+    * sources' token distributions sit far from the corpus (candidates for
+    * up-/down-weighting in [[Corpus]] mixing), plus each source's OOV rate
+    * under the global vocabulary.
+    *
+    * Both distributions smooth over the SAME alphabet (global top-
+    * [[LmVocabCap]] vocab + `<unk>`), so KL is finite by construction.
+    * Per-term parity uses the nano-nat integer device (floor(x·10⁹+0.5) as
+    * BIGINT, exact order-free sums) — terms here are signed and tiny.
+    *
+    * Scale shape: the grid is |sources|·(cap+1) rows — sources here are the
+    * fixture's curated handful; at web scale (millions of domains) the same
+    * plan holds but the grid is the cost driver, so restrict to the sources
+    * under tuning or drop the zero-count smoothing terms to make it sparse. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val toksS = tokensBy(docs, "source")
+    val counts = toksS.groupBy("token").agg(count(lit(1)).as("c"))
+    val (vocab, stats) = lmModel(counts)
+    val srcDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val srcToks = toksS.groupBy("source").agg(count(lit(1)).as("ts"))
+    val cs = toksS
+      .join(broadcast(vocab.select("token")), Seq("token"), "leftsemi")
+      .groupBy("source", "token").agg(count(lit(1)).as("cs"))
+    val grid = srcToks.crossJoin(broadcast(vocab))
+      .join(cs, Seq("source", "token"), "left")
+      .select(col("source"), col("ts"), col("c"),
+        coalesce(col("cs"), lit(0L)).as("cs"))
+    val srcOov = srcToks
+      .join(cs.groupBy("source").agg(sum(col("cs")).as("svsum")), Seq("source"), "left")
+      .crossJoin(broadcast(stats.select("coov")))
+      .select(col("source"), col("ts"), col("coov").as("c"),
+        (col("ts") - coalesce(col("svsum"), lit(0L))).as("cs"))
+    val ps = (col("cs") + 1).cast("double") / (col("ts") + col("veff")).cast("double")
+    val p = (col("c") + 1).cast("double") / (col("t") + col("veff")).cast("double")
+    val scored = grid.unionByName(srcOov)
+      .crossJoin(broadcast(stats))
+      .select(col("source"), col("ts"),
+        floor(ps * log(ps / p) * 1e9 + 0.5).as("term"))
+    val oovRate =
+      col("oov_cs").cast("double") / col("ts").cast("double")
+    scored.groupBy("source")
+      .agg(first(col("ts")).as("ts"), sum(col("term")).as("s"))
+      .join(srcDocs, Seq("source"))
+      .join(srcOov.select(col("source"), col("cs").as("oov_cs")), Seq("source"))
+      .select(col("source"), col("n_docs"), col("ts").as("n_tokens"),
+        r4(oovRate).as("oov_rate"),
+        r(col("s").cast("double") / 1e9, 6).as("kl_nats"))
   }
 
   /** Top-5 TF-IDF terms per document: tf·ln(N/df) over non-empty tokens.

@@ -191,6 +191,25 @@ class DedupSpec extends SparkSpec {
     assert(meanCe(out) > meanCe(in))
   }
 
+  test("source divergence: KL ≥ 0 (Gibbs), oov in [0,1], token totals add up") {
+    import graft.ext.Text
+    val rows = Text.sourceDivergence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // ≥ −5e-7: nano-nat pre-rounding can dip an exact-zero KL a hair negative
+      assert(r.getAs[Double]("kl_nats") >= -5e-7,
+        s"${r.getAs[String]("source")}: negative KL ${r.getAs[Double]("kl_nats")}")
+      val oov = r.getAs[Double]("oov_rate")
+      assert(oov >= 0.0 && oov <= 1.0)
+    }
+    val totalToks = rows.map(_.getAs[Long]("n_tokens")).sum
+    val corpusToks = graft.engine.Sources.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t")).where(col("t") =!= "").count()
+    assert(totalToks === corpusToks)
+    val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs === graft.engine.Sources.documents(spark, sf).count())
+  }
+
   test("embedding cosine pairs are symmetric-free and within [-1, 1]") {
     val rows = Dedup.embeddingCosinePairs(spark, sf).collect()
     rows.foreach { r =>
