@@ -1728,9 +1728,42 @@ object OraclesExt {
        |ORDER BY a.source""".stripMargin
   }
 
+  /** Twin of Corpus.rejectLedger — the preprocess gates as a first-match-wins
+    * CASE, every doc accounted for. */
+  lazy val corpusRejectLedger: String = {
+    import graft.ext.Corpus.QualityThreshold
+    s"""WITH stats AS ($textStats),
+       |lm AS ($textLmScore),
+       |pairs AS ($dedupMinhashLsh),
+       |dups AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+       |split AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${mixSql("doc_id")} % 100 < ${graft.ext.Sampling.TrainPct} THEN 'train'
+       |         WHEN ${mixSql("doc_id")} % 100 < ${graft.ext.Sampling.TrainPct + graft.ext.Sampling.ValPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |verdicts AS (
+       |  SELECT s.doc_id, s.lang, s.quality_score, sp.split,
+       |    CASE WHEN s.lang <> 'en' THEN 'lang'
+       |         WHEN s.quality_score < $QualityThreshold THEN 'quality'
+       |         WHEN l.is_lm_outlier THEN 'lm_outlier'
+       |         WHEN d.doc_id IS NOT NULL THEN 'near_dup'
+       |         ELSE 'kept' END AS verdict
+       |  FROM stats s
+       |  JOIN lm l ON l.doc_id = s.doc_id
+       |  LEFT JOIN dups d ON d.doc_id = s.doc_id
+       |  JOIN split sp ON sp.doc_id = s.doc_id)
+       |SELECT doc_id, lang, quality_score, verdict,
+       |  verdict = 'kept' AS kept,
+       |  CASE WHEN verdict = 'kept' THEN split END AS split
+       |FROM verdicts
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "text_lm_score" -> textLmScore,
     "text_source_divergence" -> textSourceDivergence,
+    "corpus_reject_ledger" -> corpusRejectLedger,
     "scd2_user_event_type" -> scd2UserEventType,
     "cdf_customer_orders" -> cdfCustomerOrders,
     "incr_monthly_revenue" -> incrMonthlyRevenue,

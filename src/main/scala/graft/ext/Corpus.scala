@@ -129,6 +129,35 @@ object Corpus {
 
   val QualityThreshold = 0.4
 
+  /** Per-document rejection ledger — the auditable twin of [[preprocess]]:
+    * EVERY document appears once with the first gate that rejected it
+    * (fixed pipeline precedence: lang → quality → lm_outlier → near_dup) or
+    * `kept` + its split. A 100-TB pipeline that silently drops 40% of its
+    * corpus is undebuggable; this is the per-row "why" — same fused plan
+    * economics as preprocess (each gate is a column predicate or an
+    * existence join on the doc key; no extra corpus passes beyond the
+    * gates' own), materialized per run next to the filtered corpus. */
+  def rejectLedger(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Text.stats(spark, dir).select("doc_id", "lang", "quality_score")
+    val lm = Text.lmScore(spark, dir).select("doc_id", "is_lm_outlier")
+    val nearDup = Dedup.minhashLshPairs(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct().withColumn("_dup", lit(true))
+    val split = Sampling.trainValTestSplit(spark, dir).select("doc_id", "split")
+    val verdict = when(col("lang") =!= "en", "lang")
+      .when(col("quality_score") < QualityThreshold, "quality")
+      .when(col("is_lm_outlier"), "lm_outlier")
+      .when(coalesce(col("_dup"), lit(false)), "near_dup")
+      .otherwise("kept")
+    stats
+      .join(lm, "doc_id")
+      .join(nearDup, Seq("doc_id"), "left")
+      .join(split, "doc_id")
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        verdict.as("verdict"),
+        (verdict === "kept").as("kept"),
+        when(verdict === "kept", col("split")).as("split"))
+  }
+
   /** The end-to-end preprocessing pipeline a training run executes: keep
     * English docs above the quality bar, drop near-duplicates (MinHash-LSH,
     * keep-lowest rule), assign reproducible splits. One fused plan. */

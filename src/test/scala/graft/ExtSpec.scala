@@ -210,6 +210,25 @@ class DedupSpec extends SparkSpec {
     assert(totalDocs === graft.engine.Sources.documents(spark, sf).count())
   }
 
+  test("reject ledger: every doc accounted for; kept set == preprocess output") {
+    val ledger = graft.ext.Corpus.rejectLedger(spark, sf).collect()
+    assert(ledger.length === graft.engine.Sources.documents(spark, sf).count())
+    val keptIds = ledger.filter(_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val preIds = graft.ext.Corpus.preprocess(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the ledger adds the LM gate preprocess predates: kept = preprocess − outliers
+    val lmOut = graft.ext.Text.lmScore(spark, sf)
+      .where(col("is_lm_outlier")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds === (preIds -- lmOut),
+      s"ledger kept ≠ preprocess−lmOutliers: only-ledger=${keptIds -- preIds} " +
+        s"only-preprocess=${(preIds -- lmOut) -- keptIds}")
+    ledger.foreach { r =>
+      assert(r.getAs[Boolean]("kept") === (r.getAs[String]("verdict") == "kept"))
+      assert(r.isNullAt(r.fieldIndex("split")) === !r.getAs[Boolean]("kept"))
+    }
+  }
+
   test("embedding cosine pairs are symmetric-free and within [-1, 1]") {
     val rows = Dedup.embeddingCosinePairs(spark, sf).collect()
     rows.foreach { r =>
