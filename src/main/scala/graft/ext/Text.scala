@@ -288,17 +288,29 @@ object Text {
     (vocab, stats)
   }
 
-  def lmScore(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Sources.documents(spark, dir)
-    val toksNz = tokensBy(docs, "doc_id")
-    val counts = toksNz.groupBy("token").agg(count(lit(1)).as("c"))
+  /** Train the LM on a corpus and freeze it as two broadcastable frames:
+    * (token → micro-nat surprise) of ≤ [[LmVocabCap]] rows, and the one-row
+    * `<unk>` surprise. This is the offline half of the deployment split —
+    * [[graft.streaming.Streams]] scores arriving documents against these
+    * frozen frames without ever retraining on the hot path. */
+  def lmModelFrames(docs: DataFrame): (DataFrame, DataFrame) = {
+    val counts = tokensBy(docs, "doc_id")
+      .groupBy("token").agg(count(lit(1)).as("c"))
     val (vocab, stats) = lmModel(counts)
     val denom = (col("t") + col("veff")).cast("double")
     val model = vocab.crossJoin(broadcast(stats))
       .select(col("token"), microNats((col("c") + 1).cast("double") / denom).as("mn"))
     val unk = stats.select(
       microNats((col("coov") + 1).cast("double") / denom).as("unk_mn"))
-    val perDoc = toksNz
+    (model, unk)
+  }
+
+  /** Score any documents frame (batch or a streaming micro-batch) against a
+    * frozen LM: broadcast model hash-join + per-doc partial agg — no state,
+    * no retraining, scoring cost O(tokens in `docs`) regardless of the
+    * corpus the model was trained on. */
+  def lmScoreWith(docs: DataFrame, model: DataFrame, unk: DataFrame): DataFrame = {
+    val perDoc = tokensBy(docs, "doc_id")
       .join(broadcast(model), Seq("token"), "left")
       .crossJoin(broadcast(unk))
       .select(col("doc_id"), coalesce(col("mn"), col("unk_mn")).as("mn"))
@@ -313,6 +325,12 @@ object Text {
         r4(ceRaw).as("cross_entropy"),
         r2(exp(ceRaw)).as("perplexity"),
         coalesce(r4(ceRaw) > LmCeOutlier, lit(false)).as("is_lm_outlier"))
+  }
+
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val (model, unk) = lmModelFrames(docs)
+    lmScoreWith(docs, model, unk)
   }
 
   /** Per-source KL divergence KL(p_source ‖ p_corpus) over the shared

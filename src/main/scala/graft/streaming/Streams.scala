@@ -177,6 +177,30 @@ object Streams {
       }
       .start()
 
+  /** STREAMING LM QUALITY SCORING — the online half of the perplexity
+    * filter's train-offline/score-online deployment split: every arriving
+    * document is scored against a FROZEN corpus LM
+    * ([[graft.ext.Text.lmModelFrames]], built by the scheduled offline
+    * pass) and appended with its cross-entropy/perplexity/outlier verdict.
+    * foreachBatch keeps the batch scorer's exact plan per micro-batch
+    * (broadcast model hash-join + per-doc agg over the batch's own rows
+    * only), so stream and batch scores are bit-identical for any batching
+    * (StreamingSpec proves row equality against
+    * [[graft.ext.Text.lmScore]] on the real corpus). No state store: the
+    * model is static, scoring is per-doc independent, and a crash-replayed
+    * batch rewrites the same deterministic rows. */
+  def lmScoredIngest(docs: DataFrame, model: DataFrame, unk: DataFrame,
+                     outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.Text.lmScoreWith(batch, model, unk)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** STREAMING NEAR-DUP INGESTION — the corpus-building write path: each
     * micro-batch of documents is LSH-checked against everything ever seen
     * (and against itself), verified duplicates are rejected, and survivors

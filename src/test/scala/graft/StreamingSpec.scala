@@ -303,6 +303,34 @@ class StreamingSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("LM-scored ingest: streamed scores equal the batch scorer for any batching") {
+    val dir = Files.createTempDirectory("graft_lmi").toString
+    val docs = graft.engine.Sources.documents(spark, sf).cache()
+    // offline half: freeze the corpus model once
+    val (model, unk) = graft.ext.Text.lmModelFrames(docs)
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val q = Streams.lmScoredIngest(
+      graft.engine.Sources.parquetStream(spark, s"$dir/in", "documents"),
+      model, unk, s"$dir/scored", s"$dir/ckpt")
+    try {
+      Seq(col("doc_id") < 150, col("doc_id") >= 150 && col("doc_id") < 400,
+          col("doc_id") >= 400).foreach { slice =>
+        docs.where(slice).write.mode("append").parquet(s"$dir/in")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("doc_id"), r.getAs[Long]("n_scored_tokens"),
+      r.getAs[Double]("cross_entropy"), r.getAs[Double]("perplexity"),
+      r.getAs[Boolean]("is_lm_outlier"))
+    val streamed = spark.read.parquet(s"$dir/scored").collect().map(key).toSet
+    val batch = graft.ext.Text.lmScore(spark, sf).collect().map(key).toSet
+    assert(streamed === batch,
+      s"stream/batch score mismatch: only-stream=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+    docs.unpersist()
+  }
+
   test("LSH band store is bucketed: probe join has no exchange on the store side") {
     val dir = Files.createTempDirectory("graft_bstore").toString
     val d = graft.engine.Sources.documents(spark, sf)
