@@ -1760,10 +1760,30 @@ object OraclesExt {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Twin of Sampling.clusterSafeSplit — the CC recursion keyed to splits. */
+  lazy val samplingClusterSplit: String = {
+    import graft.ext.Sampling.{TrainPct, ValPct}
+    s"""WITH RECURSIVE pairs AS ($dedupMinhashLsh),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node),
+       |cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN ${mixSql("cluster_id")} % 100 < $TrainPct THEN 'train'
+       |       WHEN ${mixSql("cluster_id")} % 100 < ${TrainPct + ValPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM cc
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "text_lm_score" -> textLmScore,
     "text_source_divergence" -> textSourceDivergence,
     "corpus_reject_ledger" -> corpusRejectLedger,
+    "sampling_cluster_split" -> samplingClusterSplit,
     "scd2_user_event_type" -> scd2UserEventType,
     "cdf_customer_orders" -> cdfCustomerOrders,
     "incr_monthly_revenue" -> incrMonthlyRevenue,

@@ -63,6 +63,8 @@ object SparkEntry {
       ((s, d) => ext.Text.sourceDivergence(s, d).orderBy("source")),
     "corpus_reject_ledger" ->
       ((s, d) => ext.Corpus.rejectLedger(s, d).orderBy("doc_id")),
+    "sampling_cluster_split" ->
+      ((s, d) => ext.Sampling.clusterSafeSplit(s, d).orderBy("doc_id")),
     "text_repetition" -> ((s, d) => ext.Text.repetition(s, d).orderBy("doc_id")),
     // ext: dedup suite (exact / n-gram Jaccard / MinHash-LSH / SimHash / cosine)
     "dedup_exact" -> ((s, d) => ext.Dedup.exact(s, d).orderBy("md5_hex")),

@@ -42,6 +42,28 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Leakage-proof split: near-duplicates of one document must never
+    * straddle train/test (a test doc with a train near-twin is silent
+    * contamination — the group-aware split every careful eval pipeline
+    * uses). The split key is the doc's near-dup CLUSTER id
+    * ([[Dedup.clusters]] connected components; singletons are their own
+    * cluster), so whole clusters move together: bucket =
+    * mix(cluster_id) mod 100 with the same 80/10/10 arms as
+    * [[trainValTestSplit]]. Append-stable for new members of existing
+    * clusters; a pair MERGING two old clusters re-keys the smaller id —
+    * the unavoidable cost of the guarantee (re-keys are churn-proportional).
+    * Cost shape: the cluster map is the already-scale-shaped CC loop;
+    * the split itself is one map-side expression over it. */
+  def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = mixHash(col("cluster_id")) % 100
+    Dedup.clusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("split",
+        when(bucket < TrainPct, "train")
+          .when(bucket < TrainPct + ValPct, "val")
+          .otherwise("test"))
+  }
+
   /** Train→test contamination probe: for every test-split document, how many
     * of its word-shingles also occur in ANY train-split document (the
     * decontamination check run before any evaluation set is trusted). One

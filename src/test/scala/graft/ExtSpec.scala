@@ -229,6 +229,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster-safe split: no near-dup pair straddles splits; clusters move whole") {
+    val split = graft.ext.Sampling.clusterSafeSplit(spark, sf)
+    val rows = split.collect()
+    assert(rows.length === graft.engine.Sources.documents(spark, sf).count())
+    // one split per cluster
+    val perCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+      .view.mapValues(_.map(_.getAs[String]("split")).distinct)
+    perCluster.foreach { case (cl, ss) =>
+      assert(ss.length === 1, s"cluster $cl spans splits $ss")
+    }
+    // the leakage property itself: no verified near-dup pair crosses splits
+    val bySplit = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    graft.ext.Dedup.minhashLshPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().foreach { p =>
+        assert(bySplit(p.getLong(0)) === bySplit(p.getLong(1)),
+          s"pair (${p.getLong(0)}, ${p.getLong(1)}) straddles splits")
+      }
+    // all three arms occur
+    assert(rows.map(_.getAs[String]("split")).distinct.sorted.toSeq ===
+      Seq("test", "train", "val"))
+  }
+
   test("embedding cosine pairs are symmetric-free and within [-1, 1]") {
     val rows = Dedup.embeddingCosinePairs(spark, sf).collect()
     rows.foreach { r =>
