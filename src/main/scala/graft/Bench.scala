@@ -70,6 +70,14 @@ object Bench {
       "org.apache.spark.storage", org.apache.logging.log4j.Level.ERROR)
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.catalyst.util", org.apache.logging.log4j.Level.ERROR)
+    // the "Truncated the string representation of a plan since it was too
+    // large" WARN moved OUT of sql.catalyst.util in Spark 4 — truncatedString
+    // now lives in org.apache.spark.util.SparkStringUtils (common-utils), so
+    // the line above no longer covers it (r8's tail carried the fragment).
+    // Silence the new home too; Session.build additionally raises
+    // maxToStringFields so the truncation never fires in the first place.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.util.SparkStringUtils", org.apache.logging.log4j.Level.ERROR)
     // warmup: exercise scans/joins/windows/aggs once at tiny SF so the first
     // timed query doesn't absorb JVM + whole-stage-codegen compilation
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

@@ -18,6 +18,11 @@ object Session {
       // and let Sources.events truncate to a µs timestamp
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // wide profile rows (64-dim embedding literals, 60-col gold frames)
+      // trip the default 25-field plan-string truncation, whose WARN lands
+      // in the driver's parsed stdout tail; plan strings here are debug
+      // output only, so raise the cap past anything the engine builds
+      .config("spark.sql.debug.maxToStringFields", "10000")
       // this VM throttles CPU ~10x at random for minutes at a time; at the
       // default 10s heartbeat x 60 allowed misses, one long starved task
       // (a 10-min quadratic baseline at sf1) kills the in-process executor

@@ -73,33 +73,46 @@ object Pii {
   private def count(c: Column, re: String): Column =
     size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
 
-  /** Per-document PII inventory: match count per pattern family plus the
-    * has_pii gate a filter stage keys on. Map-only. */
-  def scan(spark: SparkSession, dir: String): DataFrame =
-    withSyntheticPii(Sources.documents(spark, dir))
-      .select(
-        col("doc_id"),
-        count(col("text"), EmailRe).as("n_emails"),
-        count(col("text"), SsnRe).as("n_ssns"),
-        count(col("text"), PhoneRe).as("n_phones"),
-        count(col("text"), Ipv4Re).as("n_ips"))
+  /** PRODUCTION ENTRY — per-document PII inventory over ANY (doc_id, text)
+    * frame: match count per pattern family plus the has_pii gate a filter
+    * stage keys on. Map-only; point it at raw ingested text. Extra input
+    * columns pass through untouched so the scan can sit inline in a wider
+    * pipeline. */
+  def scanOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_emails", count(col("text"), EmailRe))
+      .withColumn("n_ssns", count(col("text"), SsnRe))
+      .withColumn("n_phones", count(col("text"), PhoneRe))
+      .withColumn("n_ips", count(col("text"), Ipv4Re))
       .withColumn("has_pii",
         col("n_emails") + col("n_ssns") + col("n_phones") + col("n_ips") > 0)
 
-  /** Redacted corpus: each pattern family replaced by its typed
-    * placeholder, in [[Redactions]] order, plus the redaction count (the
-    * audit number a scrub job reports). Map-only; the output is the
-    * training corpus every downstream stage reads. */
-  def redacted(spark: SparkSession, dir: String): DataFrame = {
-    val m = withSyntheticPii(Sources.documents(spark, dir))
-    val clean = Redactions.foldLeft(col("text")) {
-      case (c, (re, tag)) => regexp_replace(c, re, tag)
-    }
-    m.select(
-      col("doc_id"),
-      (count(col("text"), EmailRe) + count(col("text"), SsnRe) +
-        count(col("text"), PhoneRe) + count(col("text"), Ipv4Re))
-        .as("n_redactions"),
-      clean.as("redacted_text"))
-  }
+  /** PRODUCTION ENTRY — redact ANY (doc_id, text) frame: each pattern
+    * family replaced by its typed placeholder, in [[Redactions]] order,
+    * plus the redaction count (the audit number a scrub job reports).
+    * Map-only; the `redacted_text` output is the training corpus every
+    * downstream stage reads. */
+  def redactedOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_redactions",
+        count(col("text"), EmailRe) + count(col("text"), SsnRe) +
+          count(col("text"), PhoneRe) + count(col("text"), Ipv4Re))
+      .withColumn("redacted_text",
+        Redactions.foldLeft(col("text")) {
+          case (c, (re, tag)) => regexp_replace(c, re, tag)
+        })
+
+  /** Registered oracle harness: [[scanOf]] over the deterministic
+    * PII-bearing twin of the clean fixture corpus (see [[withSyntheticPii]])
+    * — exercises nonzero matches of every pattern family. A production
+    * caller uses [[scanOf]] on raw text directly. */
+  def scan(spark: SparkSession, dir: String): DataFrame =
+    scanOf(withSyntheticPii(Sources.documents(spark, dir)))
+      .select("doc_id", "n_emails", "n_ssns", "n_phones", "n_ips", "has_pii")
+
+  /** Registered oracle harness for [[redactedOf]], same framing as
+    * [[scan]]. */
+  def redacted(spark: SparkSession, dir: String): DataFrame =
+    redactedOf(withSyntheticPii(Sources.documents(spark, dir)))
+      .select("doc_id", "n_redactions", "redacted_text")
 }

@@ -172,15 +172,31 @@ object Pq {
     * sub-dots, then 8 lookups+adds per candidate) is an executor-side
     * refinement of the same plan. The win this operator banks is
     * plan-level: list bytes through the probe join and the store. */
-  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    // session-lifetime pins by design (the result IS the big frame; per-query
-    // isolation or session teardown reclaims them) — the audits instead build
-    // one shared model and release through Similarity.Pins
-    val vecs = Similarity.withNorm(Sources.embeddings(spark, dir)).persist()
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame =
+    // registered entrypoint: session-lifetime pins (the result IS the big
+    // frame, so the pins must outlive the call; per-query isolation or
+    // session teardown reclaims them — the Pins contract). The tracker is
+    // still what holds them: a long-lived caller uses annIvfPqReleasable
+    // and releases once the result is materialized, instead of accumulating
+    // dead cache per query as the bare persists here used to.
+    annIvfPqReleasable(spark, dir)._1
+
+  /** [[annIvfPq]] with a caller-controlled pin lifecycle: every frame this
+    * query persists (normalized corpus, hier sub-centroids, scored
+    * assignment) is routed through the returned [[Similarity.Pins]] —
+    * materialize the result, then `release()`, and nothing stays pinned
+    * (ExtSpec asserts the cache ends empty). This is the same reclamation
+    * discipline as [[Similarity.recallAudit]] and `VectorIndex.build`,
+    * extended to the standalone PQ entrypoint. */
+  private[graft] def annIvfPqReleasable(spark: SparkSession,
+                                        dir: String): (DataFrame, Similarity.Pins) = {
+    val pins = new Similarity.Pins
+    val vecs = pins.pin(Similarity.withNorm(Sources.embeddings(spark, dir)))
     val m = Similarity.hierModel(vecs)
+    pins.track(m.subs)
     // multi-consumer pin: inverted lists + probes read the same assignment
-    val scored = Similarity.hierScored(vecs, m.l1, m.subs, m.nProbe).persist()
-    annIvfPqFrom(vecs, scored, pqCodebooksLocal(vecs))
+    val scored = pins.pin(Similarity.hierScored(vecs, m.l1, m.subs, m.nProbe))
+    (annIvfPqFrom(vecs, scored, pqCodebooksLocal(vecs)), pins)
   }
 
   /** The PQ retrieval arm over a caller-built (and caller-pinned) corpus and

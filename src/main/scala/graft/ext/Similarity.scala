@@ -52,7 +52,7 @@ object Similarity {
     * teardown elsewhere) reclaims them. The AUDITS, which build several arms
     * per call and reduce to a handful of rows, release through this tracker
     * instead of accumulating session-lifetime pins per arm. */
-  private[ext] final class Pins {
+  private[graft] final class Pins {
     private val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     /** Persist `df` and remember it. (Synchronized: the audits build their
       * arms on parallel threads.) */

@@ -249,25 +249,6 @@ object Text {
     * raw doubles whose partial-sum order differs between Spark and DuckDB. */
   private def microNats(p: Column): Column = floor(-log(p) * 1e6 + 0.5)
 
-  /** CCNet-style LM quality scoring (Wenzek et al., arXiv:1911.00359): score
-    * every document by its cross-entropy under a unigram LM trained on the
-    * corpus itself, and flag the high-perplexity tail. The classical recipe
-    * uses a KenLM 5-gram; the unigram form keeps the exact same pipeline
-    * shape (train on corpus → broadcast model → map-side score) with a
-    * deterministic, oracle-replayable model.
-    *
-    * Model: Laplace-smoothed capped-vocab unigram —
-    * p(w) = (c(w)+1)/(T+V_eff), vocabulary = top-[[LmVocabCap]] tokens by
-    * (count desc, token asc), all other occurrences pooled into `<unk>`,
-    * V_eff = min(distinct, cap)+1. Score: cross-entropy = mean −ln p over the
-    * doc's non-empty tokens; perplexity = e^CE.
-    *
-    * Scale shape: training is ONE token shuffle (explode → partial-agg count,
-    * identical to [[tokenFrequency]]) + a bounded top-K (TakeOrdered, no
-    * global sort); the model is ≤ [[LmVocabCap]]+1 rows → broadcast; scoring
-    * is a broadcast hash join + per-doc partial-agg. The repeated `counts`
-    * subtree collapses via exchange reuse. No driver-side loops; the one
-    * collect-free bounded structure is the broadcast model itself. */
   /** Non-empty whitespace tokens with a carried key column. */
   private def tokensBy(docs: DataFrame, key: String): DataFrame =
     docs.select(col(key), explode(tokens(col("text"))).as("token"))
@@ -327,6 +308,25 @@ object Text {
         coalesce(r4(ceRaw) > LmCeOutlier, lit(false)).as("is_lm_outlier"))
   }
 
+  /** CCNet-style LM quality scoring (Wenzek et al., arXiv:1911.00359): score
+    * every document by its cross-entropy under a unigram LM trained on the
+    * corpus itself, and flag the high-perplexity tail. The classical recipe
+    * uses a KenLM 5-gram; the unigram form keeps the exact same pipeline
+    * shape (train on corpus → broadcast model → map-side score) with a
+    * deterministic, oracle-replayable model.
+    *
+    * Model: Laplace-smoothed capped-vocab unigram —
+    * p(w) = (c(w)+1)/(T+V_eff), vocabulary = top-[[LmVocabCap]] tokens by
+    * (count desc, token asc), all other occurrences pooled into `<unk>`,
+    * V_eff = min(distinct, cap)+1. Score: cross-entropy = mean −ln p over the
+    * doc's non-empty tokens; perplexity = e^CE.
+    *
+    * Scale shape: training is ONE token shuffle (explode → partial-agg count,
+    * identical to [[tokenFrequency]]) + a bounded top-K (TakeOrdered, no
+    * global sort); the model is ≤ [[LmVocabCap]]+1 rows → broadcast; scoring
+    * is a broadcast hash join + per-doc partial-agg. The repeated `counts`
+    * subtree collapses via exchange reuse. No driver-side loops; the one
+    * collect-free bounded structure is the broadcast model itself. */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     val docs = Sources.documents(spark, dir)
     val (model, unk) = lmModelFrames(docs)

@@ -187,19 +187,41 @@ object Streams {
     * only), so stream and batch scores are bit-identical for any batching
     * (StreamingSpec proves row equality against
     * [[graft.ext.Text.lmScore]] on the real corpus). No state store: the
-    * model is static, scoring is per-doc independent, and a crash-replayed
-    * batch rewrites the same deterministic rows. */
+    * model is static and scoring is per-doc independent.
+    *
+    * Replay safety (same convention as every incremental sink here —
+    * [[ingestDedupBatch]], [[graft.ext.VectorIndex.ingest]]): each
+    * micro-batch lands in its OWN `batch=<id>` directory with overwrite
+    * semantics, so a crash between the write and the checkpoint advance
+    * replays the batch INTO THE SAME DIRECTORY instead of appending a
+    * duplicate copy — foreachBatch is at-least-once, and a plain append
+    * sink would double the replayed rows.
+    *
+    * Model freezing: the frames from [[graft.ext.Text.lmModelFrames]] are
+    * lazy plans; executed per batch they would re-run the whole training
+    * pass on every micro-batch AND drift if the underlying corpus mutates
+    * mid-stream. They are bounded (≤ [[graft.ext.Text.LmVocabCap]]+1 rows
+    * by construction — the broadcastability invariant), so this entrypoint
+    * MATERIALIZES them to local relations once, before the stream starts:
+    * train-offline is made literal, no pins to manage, nothing re-executes
+    * on the hot path. */
   def lmScoredIngest(docs: DataFrame, model: DataFrame, unk: DataFrame,
                      outPath: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    def frozen(df: DataFrame): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    val (fModel, fUnk) = (frozen(model), frozen(unk))
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ext.Text.lmScoreWith(batch, model, unk)
-          .write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Text.lmScoreWith(batch, fModel, fUnk)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
       .start()
+  }
 
   /** STREAMING NEAR-DUP INGESTION — the corpus-building write path: each
     * micro-batch of documents is LSH-checked against everything ever seen

