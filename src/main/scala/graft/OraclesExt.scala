@@ -1816,6 +1816,10 @@ object OraclesExt {
     // rows-only waiver
     "sim_ann_index" -> simAnnIvfHier,
     "sim_ann_ivf_pq" -> simAnnIvfPq,
+    // same device for the PQ-encoded persisted index: bit-identical to the
+    // recompute-everything PQ operator (frozen model + codebooks round-trip
+    // parquet exactly), so it shares that full-strength oracle
+    "sim_ann_index_pq" -> simAnnIvfPq,
     "sim_pq_error" -> simPqError,
     "sim_recall_audit" -> simRecallAudit,
     "sim_recall_audit_sampled" -> simRecallAuditSampled,

@@ -99,6 +99,8 @@ object SparkEntry {
       ext.VectorIndex.annIndexed(s, d).orderBy("query_id", "rank")),
     "sim_ann_ivf_pq" -> ((s, d) =>
       ext.Pq.annIvfPq(s, d).orderBy("query_id", "rank")),
+    "sim_ann_index_pq" -> ((s, d) =>
+      ext.VectorIndexPq.annIndexedPq(s, d).orderBy("query_id", "rank")),
     "sim_pq_error" -> ((s, d) => ext.Pq.pqError(s, d).orderBy("vec_id")),
     "sim_recall_audit" -> ((s, d) =>
       ext.Similarity.recallAudit(s, d).orderBy("method")),

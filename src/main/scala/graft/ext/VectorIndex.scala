@@ -49,7 +49,7 @@ object VectorIndex {
     * cores. Test value keeps bucket files small at fixture SF. */
   val IndexBuckets = 8
 
-  private def sha12(s: String): String =
+  private[ext] def sha12(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(12).map("%02x".format(_)).mkString
@@ -61,7 +61,7 @@ object VectorIndex {
   private[graft] def listsTable(storePath: String): String =
     "graft_vec_lists_" + sha12(storePath)
 
-  private def fsOf(spark: SparkSession, path: String) =
+  private[ext] def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -112,7 +112,7 @@ object VectorIndex {
   }
 
   /** The live partition-pruning predicate for the current compact state. */
-  private def livePred(state: (Long, Long)) =
+  private[ext] def livePred(state: (Long, Long)) =
     col("batch") === lit(-state._2) || col("batch") > lit(state._1)
 
   /** The index's live inverted-list rows (batch column retained). All reads
@@ -160,17 +160,25 @@ object VectorIndex {
     val m = hierModel(vecs)
     spark.sql(s"DROP TABLE IF EXISTS ${listsTable(storePath)}")
     fsOf(spark, storePath).delete(new org.apache.hadoop.fs.Path(storePath), true)
+    writeModelArtifacts(spark, storePath, m)
+    ensureListsTable(spark, storePath)
+    ingest(spark, storePath, vecs, 0L)
+    m.subs.unpersist()
+    if (!pinned) vecs.unpersist()
+    ()
+  }
+
+  /** Persist the quantizer artifacts (l1/subs/meta) under `storePath` —
+    * shared by this index and the PQ-list variant ([[VectorIndexPq]]),
+    * whose coarse structure is the identical hier model. */
+  private[ext] def writeModelArtifacts(spark: SparkSession, storePath: String,
+                                       m: HierModel): Unit = {
     import spark.implicits._
     m.l1.toSeq.map(c => (c.cl, c.cv.toSeq, c.cnorm)).toDF("cl", "cv", "cnorm")
       .coalesce(1).write.parquet(s"$storePath/l1")
     m.subs.write.parquet(s"$storePath/subs")
     Seq((m.nProbe, m.k2, m.l1.length)).toDF("n_probe", "k2", "k1")
       .coalesce(1).write.parquet(s"$storePath/meta")
-    ensureListsTable(spark, storePath)
-    ingest(spark, storePath, vecs, 0L)
-    m.subs.unpersist()
-    if (!pinned) vecs.unpersist()
-    ()
   }
 
   /** Fold a delta batch of vectors into the index WITHOUT touching the
@@ -214,27 +222,40 @@ object VectorIndex {
     * read, swept later. Caller contract (same as any lakehouse compaction
     * vs late writers): `upTo` must be ≤ the stream's committed watermark,
     * i.e. a batch id that can still replay must be > upTo. */
-  def compact(spark: SparkSession, storePath: String, upTo: Long): Unit = {
+  def compact(spark: SparkSession, storePath: String, upTo: Long): Unit =
+    compactCore(spark, storePath, upTo,
+      Seq((ensureListsTable(spark, storePath), "lists",
+        Seq("cl", "neighbor_id", "vb", "nb"))))
+
+  /** The compaction protocol over one store pointer and ANY number of
+    * per-batch-partitioned tables under it (the PQ variant compacts its
+    * lists AND its exact-vector table behind the SAME atomic floor — a
+    * half-compacted store must never be readable). Steps 1 (consolidate)
+    * run per table; step 2 (pointer swap) happens ONCE — the single commit
+    * point for the whole store; step 3 (sweep) runs per table and is
+    * crash-lazy as before. */
+  private[ext] def compactCore(spark: SparkSession, storePath: String, upTo: Long,
+      tables: Seq[(String, String, Seq[String])]): Unit = {
     require(upTo >= 0, s"compact upTo=$upTo must be a real batch id")
-    val tbl = ensureListsTable(spark, storePath)
     val (ceil, gen) = compactState(spark, storePath)
     val fs = fsOf(spark, storePath)
-    val listsDir = new org.apache.hadoop.fs.Path(s"$storePath/lists")
-    def batchDirs: Seq[(Long, org.apache.hadoop.fs.Path)] =
-      fs.listStatus(listsDir).toSeq.map(_.getPath)
+    def batchDirs(subdir: String): Seq[(Long, org.apache.hadoop.fs.Path)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$storePath/$subdir"))
+        .toSeq.map(_.getPath)
         .filter(_.getName.startsWith("batch="))
         .map(p => (p.getName.stripPrefix("batch=").toLong, p))
-    val live = batchDirs.filter { case (b, _) => b == -gen || b > ceil }
-    val doomed = live.filter { case (b, _) => b <= upTo || b == -gen }
-    if (doomed.nonEmpty) {
-      val consolidated = spark.read.parquet(doomed.map(_._2.toString): _*)
-        .select(col("cl"), col("neighbor_id"), col("vb"), col("nb"),
-          lit(-(gen + 1)).as("batch"))
-      val pomKey = "spark.sql.sources.partitionOverwriteMode"
-      val pomPrev = spark.conf.get(pomKey)
-      spark.conf.set(pomKey, "dynamic")
-      try consolidated.write.mode("overwrite").insertInto(tbl)
-      finally spark.conf.set(pomKey, pomPrev)
+    for ((tbl, subdir, cols) <- tables) {
+      val live = batchDirs(subdir).filter { case (b, _) => b == -gen || b > ceil }
+      val doomed = live.filter { case (b, _) => b <= upTo || b == -gen }
+      if (doomed.nonEmpty) {
+        val consolidated = spark.read.parquet(doomed.map(_._2.toString): _*)
+          .select(cols.map(col) :+ lit(-(gen + 1)).as("batch"): _*)
+        val pomKey = "spark.sql.sources.partitionOverwriteMode"
+        val pomPrev = spark.conf.get(pomKey)
+        spark.conf.set(pomKey, "dynamic")
+        try consolidated.write.mode("overwrite").insertInto(tbl)
+        finally spark.conf.set(pomKey, pomPrev)
+      }
     }
     val tmp = new org.apache.hadoop.fs.Path(storePath, s"$FloorPointer.tmp")
     val out = fs.create(tmp, true)
@@ -245,7 +266,8 @@ object VectorIndex {
     // sweep EVERYTHING dead under the new state — not just what this pass
     // consolidated: replays of compacted-away batch ids leave dead dirs
     // between compactions, and they must not accrete forever
-    for ((b, dir) <- batchDirs if !(b == -(gen + 1) || b > upTo)) {
+    for ((tbl, subdir, _) <- tables;
+         (b, dir) <- batchDirs(subdir) if !(b == -(gen + 1) || b > upTo)) {
       spark.sql(s"ALTER TABLE $tbl DROP IF EXISTS PARTITION (batch=$b)")
       fs.delete(dir, true)
     }

@@ -134,6 +134,108 @@ class VectorIndexSpec extends SparkSpec {
     all.unpersist()
   }
 
+  test("PQ-indexed self-search reproduces annIvfPq bit-for-bit") {
+    val got = graft.ext.VectorIndexPq.annIndexedPq(spark, sf)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val want = graft.ext.Pq.annIvfPq(spark, sf)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
+  test("PQ store: lists carry codes+rnorm (no vectors); the durable payload cut is real") {
+    import graft.ext.VectorIndexPq
+    val s = store()
+    VectorIndexPq.build(spark, s, vecsOf(sf))
+    val listCols = spark.table(VectorIndexPq.listsTable(s)).schema.fieldNames.toSet
+    assert(listCols === Set("cl", "neighbor_id", "codes", "rnorm", "batch"),
+      s"PQ lists must carry codes, not vectors: $listCols")
+    // the codes column really is PqSub small ints, not a disguised vector
+    val row = spark.table(VectorIndexPq.listsTable(s)).select("codes").head()
+    val codes = row.getSeq[Int](0)
+    assert(codes.length === graft.ext.Pq.PqSub)
+    assert(codes.forall(c => c >= 1 && c <= graft.ext.Pq.PqCodes))
+    // full vectors live ONLY in the rerank table
+    val vecCols = spark.table(VectorIndexPq.vecsTable(s)).schema.fieldNames.toSet
+    assert(vecCols === Set("vec_id", "v", "norm", "batch"))
+  }
+
+  test("PQ ingest equals bulk load under frozen model+books; replay rewrites, never duplicates") {
+    import graft.ext.VectorIndexPq
+    val s = store()
+    val all = vecsOf(sf).persist()
+    val a = all.where(col("vec_id") % 2 === 0)
+    val b = all.where(col("vec_id") % 2 === 1)
+    VectorIndexPq.build(spark, s, a)
+    VectorIndexPq.ingest(spark, s, b, batchId = 1L)
+    val n = all.count()
+    assert(spark.table(VectorIndexPq.listsTable(s)).count() === n)
+    assert(spark.table(VectorIndexPq.vecsTable(s)).count() === n)
+    // crash-replay of batch 1: both tables rewrite their partition
+    VectorIndexPq.ingest(spark, s, b, batchId = 1L)
+    assert(spark.table(VectorIndexPq.listsTable(s)).count() === n)
+    assert(spark.table(VectorIndexPq.vecsTable(s)).count() === n)
+    // and the folded-in half is searchable: every query gets neighbors
+    val hits = VectorIndexPq.search(spark, s, all)
+      .select(countDistinct("query_id")).first().getLong(0)
+    assert(hits === n)
+    all.unpersist()
+  }
+
+  test("PQ compaction folds BOTH tables behind one atomic floor; search bit-unchanged") {
+    import graft.ext.VectorIndexPq
+    val s = store()
+    val all = vecsOf(sf).persist()
+    VectorIndexPq.build(spark, s, all.where(col("vec_id") < 250))
+    VectorIndexPq.ingest(spark, s,
+      all.where(col("vec_id") >= 250), batchId = 1L)
+    val before = VectorIndexPq.search(spark, s, all).orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    VectorIndexPq.compact(spark, s, upTo = 1L)
+    for (live <- Seq(VectorIndexPq.liveLists(spark, s), VectorIndexPq.liveVecs(spark, s))) {
+      assert(live.select("batch").distinct().collect()
+        .map(_.getLong(0)).toSet === Set(-1L))
+      assert(live.count() === all.count())
+    }
+    assert(VectorIndexPq.search(spark, s, all).orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq === before)
+    all.unpersist()
+  }
+
+  test("PQ search plan: neither store side exchanges — lists bucketed on cl, " +
+    "vectors bucketed on vec_id") {
+    import graft.ext.VectorIndexPq
+    val s = store()
+    VectorIndexPq.build(spark, s, vecsOf(sf))
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // probe join: unbucketed probe frame vs the bucketed lists table
+      val probes = spark.read.parquet(s"$s/lists").drop("batch")
+        .select(col("cl"), col("neighbor_id").as("query_id"))
+      val probeJoin = probes.join(
+        spark.table(VectorIndexPq.listsTable(s)).drop("batch"), "cl")
+      val p1 = probeJoin.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(p1.contains("SelectedBucketsCount"),
+        "PQ lists scan must be bucketed:\n" + p1.take(1200))
+      assert("Exchange hashpartitioning".r.findAllIn(p1).length === 1,
+        s"only the probe side may shuffle:\n${p1.take(1500)}")
+      // rerank fetch: unbucketed candidate frame vs the bucketed vector table
+      val cands = spark.read.parquet(s"$s/lists").drop("batch")
+        .select(col("neighbor_id"), col("cl").as("query_id"))
+      val fetchJoin = cands.join(
+        spark.table(VectorIndexPq.vecsTable(s)).drop("batch")
+          .withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      val p2 = fetchJoin.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(p2.contains("SelectedBucketsCount"),
+        "PQ vector scan must be bucketed:\n" + p2.take(1200))
+      assert("Exchange hashpartitioning".r.findAllIn(p2).length === 1,
+        s"only the candidate side may shuffle:\n${p2.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("probe join reads the store bucketed: no exchange on the corpus side") {
     val s = store()
     VectorIndex.build(spark, s, vecsOf(sf))
