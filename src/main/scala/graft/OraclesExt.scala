@@ -446,6 +446,95 @@ object OraclesExt {
            |  FROM cand JOIN n a ON a.vec_id = query_id JOIN n b ON b.vec_id = neighbor_id)""".stripMargin)}""".stripMargin
   }
 
+  /** Twin of LshCal.calibrationGrid: [[graft.ext.LshCal.TablesMax]] full
+    * [[graft.ext.LshCal.BitsMax]]-bit SRP signatures per vector (planes
+    * laid out t·BitsMax+j, same hash family as [[simAnnLsh]]), the shared
+    * deterministic query sample + exact sampled top-K, then per grid config
+    * the masked-prefix collision recall and the (table × signature)
+    * histogram union-bound cost, with the identical feasibility/choice
+    * policy. */
+  val simLshCalibration: String = {
+    import graft.ext.LshCal.{BitsMax, TablesMax, GridBits, GridTables, CostCapPct}
+    import graft.ext.Similarity.{CalQueries, RecallTargetPct}
+    def proj(t: Int, j: Int): String = {
+      val p = t * BitsMax + j
+      // flat index: p·Dim + (i−1) + 1 = p·Dim + i with DuckDB's 1-based i
+      val h0 = s"(($p * $Dim + i) * $MixA % $M32)"
+      val m = s"(xor($h0, $h0 >> 16) % $M31)"
+      val h1 = s"($m * $MixB % $M32)"
+      val comp = s"(CASE WHEN (($h1 >> 15) % 2) = 0 THEN 1.0 ELSE -1.0 END)"
+      s"""list_reduce(list_prepend(0.0, list_transform(
+         |      generate_series(1, $Dim), i -> v[i] * $comp)), (x, y) -> x + y)""".stripMargin
+    }
+    def tableSig(t: Int): String = (0 until BitsMax).map { j =>
+      s"(CASE WHEN (${proj(t, j)}) >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }.mkString(" +\n  ")
+    val sigList = (0 until TablesMax).map(t => s"(${tableSig(t)})")
+      .mkString("[\n  ", ",\n  ", "]")
+    val gridVals = GridBits.flatMap(b => GridTables.map(l =>
+      s"($b, $l, ${(1L << b) - 1})")).mkString(", ")
+    s"""WITH $normCte,
+       |sigs AS (SELECT vec_id, $sigList AS sigs FROM n),
+       |grid AS (SELECT * FROM (VALUES $gridVals) g(bits, tables, mask)),
+       |calq AS (SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY ${mixSql("vec_id")}, vec_id) AS rk
+       |    FROM n) WHERE rk <= $CalQueries),
+       |cex AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${R(s"(${dotSql("q.v", "x.v")}) / (q.norm * x.norm)", 6)} DESC, x.vec_id) AS rk
+       |    FROM n q JOIN calq cq ON cq.vec_id = q.vec_id
+       |    JOIN n x ON x.vec_id <> q.vec_id) WHERE rk <= $TopK),
+       |qs AS (SELECT s.vec_id AS query_id, s.sigs AS qsigs
+       |  FROM sigs s JOIN calq c ON c.vec_id = s.vec_id),
+       |prs AS (SELECT ex.query_id, ex.neighbor_id, q.qsigs, s2.sigs AS nsigs
+       |  FROM cex ex JOIN qs q ON q.query_id = ex.query_id
+       |  JOIN sigs s2 ON s2.vec_id = ex.neighbor_id),
+       |rec AS (
+       |  SELECT bits, tables, mask,
+       |    CAST(SUM(CASE WHEN len(list_filter(generate_series(1, $TablesMax),
+       |      t -> t <= tables AND (qsigs[t] & mask) = (nsigs[t] & mask))) > 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS recalled,
+       |    count(*) AS exact_pairs
+       |  FROM prs CROSS JOIN grid GROUP BY 1, 2, 3),
+       |bands AS (SELECT vec_id, t, sigs[t] AS sig
+       |  FROM sigs, (SELECT unnest(generate_series(1, $TablesMax)) AS t) ts),
+       |hist AS (SELECT t, sig, count(*) AS cnt FROM bands GROUP BY t, sig),
+       |histg AS (SELECT g.bits, g.tables, h.t, h.sig & g.mask AS msig,
+       |    CAST(SUM(cnt) AS BIGINT) AS cnt
+       |  FROM hist h CROSS JOIN grid g WHERE h.t <= g.tables GROUP BY 1, 2, 3, 4),
+       |qb AS (SELECT g.bits, g.tables, b.t, b.sig & g.mask AS msig
+       |  FROM (SELECT query_id, t, qsigs[t] AS sig
+       |        FROM qs, (SELECT unnest(generate_series(1, $TablesMax)) AS t) ts) b
+       |  CROSS JOIN grid g WHERE b.t <= g.tables),
+       |cost AS (SELECT bits, tables, CAST(SUM(cnt) AS BIGINT) AS cand_incl_self
+       |  FROM qb JOIN histg USING (bits, tables, t, msig) GROUP BY 1, 2),
+       |nc AS (SELECT count(*) AS n_corpus FROM n),
+       |nq AS (SELECT count(*) AS n_queries FROM qs),
+       |scored AS (
+       |  SELECT r.bits, r.tables, r.recalled, r.exact_pairs,
+       |    ${R("100.0 * r.recalled / r.exact_pairs", 2)} AS recall_pct,
+       |    GREATEST(COALESCE(c.cand_incl_self, 0) - nq.n_queries * r.tables, 0)
+       |      AS est_candidates
+       |  FROM rec r LEFT JOIN cost c USING (bits, tables), nq),
+       |flagged AS (
+       |  SELECT s.*,
+       |    ${R("100.0 * s.est_candidates / (nq.n_queries * (nc.n_corpus - 1))", 2)}
+       |      AS cand_frac_pct
+       |  FROM scored s, nq, nc),
+       |pol AS (
+       |  SELECT *,
+       |    (recall_pct >= $RecallTargetPct AND cand_frac_pct <= $CostCapPct) AS feasible
+       |  FROM flagged),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    ORDER BY feasible DESC, est_candidates, bits, tables) AS rk
+       |  FROM pol)
+       |SELECT bits, tables, recalled, exact_pairs, recall_pct, est_candidates,
+       |  cand_frac_pct, feasible, (feasible AND rk = 1) AS chosen
+       |FROM ranked ORDER BY bits, tables""".stripMargin
+  }
+
   // ------------------------------------------------------------ event twins
   // `events.ts` is TIMESTAMP_NS in the parquet; DuckDB reads it natively at
   // ns precision while Spark (Sources.events) truncates to µs. epoch_us on
@@ -1849,6 +1938,7 @@ object OraclesExt {
     "dedup_chunk_spans" -> dedupChunkSpans,
     "sim_knn_bruteforce" -> simKnnBruteForce,
     "sim_ann_lsh" -> simAnnLsh,
+    "sim_lsh_calibration" -> simLshCalibration,
     "sim_quantized_knn" -> simQuantizedKnn,
     "sim_quantization_error" -> simQuantizationError,
     "events_tumbling_hourly" -> eventsTumblingHourly,

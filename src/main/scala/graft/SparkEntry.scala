@@ -84,6 +84,8 @@ object SparkEntry {
     "sim_knn_bruteforce" -> ((s, d) =>
       ext.Similarity.knnBruteForce(s, d).orderBy("query_id", "rank")),
     "sim_ann_lsh" -> ((s, d) => ext.Similarity.annLsh(s, d).orderBy("query_id", "rank")),
+    "sim_lsh_calibration" -> ((s, d) =>
+      ext.LshCal.calibrationGrid(s, d).orderBy("bits", "tables")),
     "sim_quantized_knn" -> ((s, d) =>
       ext.Similarity.quantizedKnn(s, d).orderBy("query_id", "rank")),
     "sim_quantization_error" -> ((s, d) =>
@@ -201,10 +203,14 @@ object SparkEntry {
     * `sim_recall_audit_sampled` for the recall audit. [[Bench]]'s multi-SF
     * scaling mode excludes them beyond its smallest SF for the same reason
     * (README "deployment paths" table). `sim_ann_lsh` is here on fixture
-    * grounds, not structural ones: SRP-LSH collision probability at this
-    * fixture's cosine≈0.3 neighbor regime makes nearly every pair a
-    * candidate, so at scale it degenerates to all-pairs unless bits/tables
-    * are retuned to the corpus (the knob its Scaladoc documents). */
+    * grounds, not structural ones — and since r9 that claim is MEASURED:
+    * the oracle-checked `sim_lsh_calibration` grid evaluates 15 (bits,
+    * tables) configs on the deterministic query sample and finds none
+    * meeting the 80% recall target under a 25%-of-corpus candidate cap at
+    * this fixture's cosine≈0.3 neighbor regime (per-bit collision ≈0.60 vs
+    * ≈0.50 random — SRP cannot separate them). On a corpus where LSH IS
+    * viable (near-dup retrieval), the same grid's `chosen` row is the
+    * retune recipe. */
   val smallNOnly: Set[String] = Set(
     "sim_knn_bruteforce",     // exact O(n²) ground truth
     "sim_quantized_knn",      // exact O(n²) over dequantized vectors

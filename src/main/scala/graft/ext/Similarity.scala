@@ -206,13 +206,13 @@ object Similarity {
 
   /** Deterministic query sample: the `m` lowest by (mixHash, vec_id), as
     * (query_id, va, na) — a TakeOrdered, never a single-partition sort. */
-  private def querySample(vecs: DataFrame, m: Int): DataFrame =
+  private[ext] def querySample(vecs: DataFrame, m: Int): DataFrame =
     vecs.orderBy(Sampling.mixHash(col("vec_id")), col("vec_id")).limit(m)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
 
   /** Exact top-[[TopK]] ground truth restricted to sampled queries: m·n
     * pairs through the bounded [[topK]] aggregate. */
-  private def exactSampled(vecs: DataFrame, sample: DataFrame): DataFrame = {
+  private[ext] def exactSampled(vecs: DataFrame, sample: DataFrame): DataFrame = {
     val nn = vecs.select(col("vec_id").as("neighbor_id"),
       col("v").as("vb"), col("norm").as("nb"))
     topK(cosinePairs(sample, nn), TopK).select("query_id", "neighbor_id")
@@ -774,7 +774,7 @@ object Similarity {
     * handful of rows, so holding their arm-building pins for the session
     * lifetime (as the standalone ANN entrypoints legitimately do for their
     * big results) would only accumulate dead cache. */
-  private def localized(spark: SparkSession, df: DataFrame,
+  private[ext] def localized(spark: SparkSession, df: DataFrame,
                         pins: Pins): DataFrame = {
     val rows = df.collect()
     pins.release()
@@ -843,6 +843,11 @@ object Similarity {
   /** LSH-bucketed approximate top-[[TopK]]: a pair is a candidate when any of
     * the [[LshTables]] tables assigns both vectors the same [[LshBits]]-bit
     * signature (OR-amplification); exact cosine + rank on candidates only.
+    * Deployment status: [[graft.ext.LshCal.calibrationGrid]] MEASURES
+    * whether any (bits, tables) config is feasible on a given corpus; on
+    * this fixture's cosine≈0.3 regime none is (see README), so the
+    * operator stays a `smallNOnly` fixture arm here while the calibration
+    * grid is the per-corpus retune recipe.
     * Shape at scale: explode ×L → one hash shuffle on the dense (table, sig)
     * key → distinct pairs → two vector-lookup joins → per-query top-k. Same
     * output schema as [[knnBruteForce]]; recall measured in SimilaritySpec. */
