@@ -60,6 +60,35 @@ object Incremental {
     state.select(col("customer_key"), col("order_count"),
       Num.r2(col("_spent").cast("double")).as("total_spent"))
 
+  /** Partial state of the supplier-parts bridge over a (deduped, insert-only)
+    * lineitem slice: (part_key, supplier_key, _min_unit_cost, _qty DECIMAL).
+    * MIN and decimal SUM are both mergeable, so the bridge — the only part
+    * of the supplier pipeline that scans lineitem history — folds
+    * incrementally. The unit cost stays UNROUNDED in state (min over raw
+    * ratios; associative and exact on doubles) and rounds once at finalize,
+    * same discipline as the revenue states. Contract: deltas are
+    * APPEND-ONLY slices of the deduped lineitem (MIN has no inverse — an
+    * update/delete stream needs the SCD2 path instead). */
+  def supplierBridgeState(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(
+        col("l_partkey").as("part_key"), col("l_suppkey").as("supplier_key"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("_min_unit_cost"),
+        sum(col("l_quantity").cast(Num.SumDec)).as("_qty"))
+
+  /** Merge mergeable supplier-bridge states. */
+  def mergeSupplierBridge(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy("part_key", "supplier_key")
+      .agg(min(col("_min_unit_cost")).as("_min_unit_cost"),
+        sum(col("_qty")).as("_qty"))
+
+  /** Finalize the bridge: one rounding, schema of [[Silver.supplierParts]]'
+    * bridge input. */
+  def finalizeSupplierBridge(state: DataFrame): DataFrame =
+    state.select(col("part_key"), col("supplier_key"),
+      Num.r2(col("_min_unit_cost")).as("supply_cost"),
+      col("_qty").cast("double").as("available_qty"))
+
   /** The verified query: the monthly-revenue aggregate maintained from three
     * date-sliced delta batches. The oracle aggregates the orders table
     * directly, so the hash match PROVES the incremental path reproduces the

@@ -232,6 +232,72 @@ object Pipeline {
     results.result()
   }
 
+  /** INCREMENTAL supplier mode — [[runSalesIncrement]]'s delta-fold
+    * mirrored onto the supplier pipeline. What is and isn't
+    * incrementalizable, explicitly:
+    *
+    *  - the BRIDGE (per-(part, supplier) min unit cost + Σ quantity) is the
+    *    only stage that scans lineitem history, and MIN + decimal SUM are
+    *    both mergeable — it folds as O(delta) + O(state)
+    *    ([[Incremental.supplierBridgeState]]).
+    *  - the regional cost-rank WINDOWS (dense_rank / region averages in
+    *    [[Silver.supplierPartsFromBridge]]) are NOT delta-foldable — one
+    *    cheaper part can reshuffle every rank in its (region, part_type)
+    *    group. They don't need to be: they run over the GROUP-GRAIN state
+    *    (catalog-sized, bounded by |parts × suppliers|), never over
+    *    lineitem history, so the per-batch cost of the non-foldable
+    *    remainder is O(state), not O(history).
+    *
+    * Same replay discipline as the sales mode: batch-tagged versioned
+    * commits no-op on replay; the `cdf_supplier_parts` feed partition
+    * (row-level diff of the FINALIZED silver before/after, key =
+    * (supplier_key, part_key)) is overwrite-written before the commit, so
+    * a crash between them replays into identical bytes. Only churn flows —
+    * including rank churn the window finalize induces, which is exactly
+    * what a downstream consumer needs to see. */
+  def runSupplierIncrement(spark: SparkSession, lineitemDelta: DataFrame,
+                           dir: String, outDir: String,
+                           batchId: Long): Seq[StageResult] = {
+    import graft.sources.Versioned
+    val results = Seq.newBuilder[StageResult]
+    def timed(name: String)(rows: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = rows
+      results += StageResult(name, "PASS", (System.nanoTime() - t0) / 1e9, r)
+    }
+    val tag = s"batch=$batchId"
+    val statePath = s"$outDir/state_supplier_bridge"
+    val feedPath = s"$outDir/cdf_supplier_parts"
+    if (Versioned.latestTag(spark, statePath).contains(tag)) {
+      timed("cdf_supplier_parts")(0L)
+      timed("incr_supplier_bridge")(0L)
+    } else {
+      val delta = Incremental.supplierBridgeState(lineitemDelta)
+      val before = Versioned.latestVersion(spark, statePath)
+        .map(_ => Versioned.read(spark, statePath))
+      val merged = (before match {
+        case Some(b) => Incremental.mergeSupplierBridge(Seq(b, delta))
+        case None => delta
+      }).persist()
+      timed("cdf_supplier_parts") {
+        def silverOf(state: DataFrame): DataFrame =
+          Silver.supplierPartsFromBridge(spark, dir,
+            Incremental.finalizeSupplierBridge(state))
+        Cdf.diff(silverOf(before.getOrElse(delta.limit(0))), silverOf(merged),
+            Seq("supplier_key", "part_key"))
+          .write.mode("overwrite").parquet(s"$feedPath/batch=$batchId")
+        spark.read.parquet(s"$feedPath/batch=$batchId").count()
+      }
+      timed("incr_supplier_bridge") {
+        val n = merged.count()
+        Versioned.write(merged, statePath, Some(tag))
+        merged.unpersist()
+        n
+      }
+    }
+    results.result()
+  }
+
   /** The supplier pipeline (reference: run_supplier_analytics.py:68-126):
     * nation/region reference data, supplier + part dims, the orders/lineitem
     * facts the scorecard's delivery metrics need, then silver → gold →

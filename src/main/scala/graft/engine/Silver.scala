@@ -170,13 +170,22 @@ object Silver {
     * SURVEY.md §7.3. One shuffle for the bridge aggregation; supplier / part /
     * nation / region are all broadcast dims.
     */
-  def supplierParts(spark: SparkSession, dir: String): DataFrame = {
-    val bridge = Bronze.lineitem(spark, dir)
-      .groupBy(col("l_partkey").as("part_key"), col("l_suppkey").as("supplier_key"))
-      .agg(
-        r2(min(col("l_extendedprice") / col("l_quantity"))).as("supply_cost"),
-        dsum(col("l_quantity")).as("available_qty"))
+  def supplierParts(spark: SparkSession, dir: String): DataFrame =
+    supplierPartsFromBridge(spark, dir,
+      Bronze.lineitem(spark, dir)
+        .groupBy(col("l_partkey").as("part_key"), col("l_suppkey").as("supplier_key"))
+        .agg(
+          r2(min(col("l_extendedprice") / col("l_quantity"))).as("supply_cost"),
+          dsum(col("l_quantity")).as("available_qty")))
 
+  /** [[supplierParts]] from an externally-supplied bridge (part_key,
+    * supplier_key, supply_cost, available_qty) — the seam the incremental
+    * supplier mode ([[Pipeline.runSupplierIncrement]]) feeds with its
+    * maintained fold state instead of a full-history lineitem scan. Both
+    * paths share THIS code for everything past the bridge, so their
+    * bit-identity is structural, not coincidental. */
+  def supplierPartsFromBridge(spark: SparkSession, dir: String,
+                              bridge: DataFrame): DataFrame = {
     val s = Bronze.supplier(spark, dir)
       .join(broadcast(Bronze.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"), "left")

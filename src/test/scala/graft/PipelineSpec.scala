@@ -127,6 +127,63 @@ class PipelineSpec extends SparkSpec {
     o.unpersist()
   }
 
+  test("supplier incremental mode: folded bridge reproduces the full silver " +
+    "bit-for-bit after every batch; replay no-ops; feeds reconstruct") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.{Bronze, Incremental, Silver}
+    import graft.sources.Versioned
+    val out = Files.createTempDirectory("graft_sincr").toString
+    val li = Bronze.lineitem(spark, sf).cache()
+    val slices = (0 until 3).map(i => col("l_orderkey") % 3 === i)
+    def silverOf(state: org.apache.spark.sql.DataFrame) =
+      Silver.supplierPartsFromBridge(spark, sf,
+        Incremental.finalizeSupplierBridge(state))
+    def assertSetEqual(a: org.apache.spark.sql.DataFrame,
+                       b: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      assert(a.count() === b.count(), s"$what: row counts differ")
+      assert(a.unionByName(b).distinct().count() === b.count(),
+        s"$what: values differ from the from-scratch run")
+    }
+    slices.zipWithIndex.foreach { case (pred, i) =>
+      val rs = Pipeline.runSupplierIncrement(spark, li.where(pred), sf, out, i.toLong)
+      assert(rs.forall(_.status == "PASS"), rs.mkString("; "))
+      val sofar = slices.take(i + 1).map(li.where).reduce(_ unionByName _)
+      // the maintained state, pushed through the SHARED finalize, equals the
+      // from-scratch silver over the same prefix — windows included
+      assertSetEqual(
+        silverOf(Versioned.read(spark, s"$out/state_supplier_bridge")),
+        silverOf(Incremental.supplierBridgeState(sofar)),
+        s"supplier parts after batch $i")
+    }
+    // all three slices = the whole deduped lineitem, so the folded result
+    // must equal the registered (oracle-checked) silver query exactly
+    assertSetEqual(
+      silverOf(Versioned.read(spark, s"$out/state_supplier_bridge")),
+      Silver.supplierParts(spark, sf),
+      "final state vs silver_supplier_parts")
+    // at-least-once replay: no new version committed
+    val v = Versioned.latestVersion(spark, s"$out/state_supplier_bridge")
+    Pipeline.runSupplierIncrement(spark, li.where(slices.last), sf, out, 2L)
+    assert(Versioned.latestVersion(spark, s"$out/state_supplier_bridge") === v)
+    // replaying ONLY the published feeds, in order, reconstructs the final
+    // silver (upsert new_*, drop deletes) — rank churn included
+    val fin = Silver.supplierParts(spark, sf)
+    val keys = Seq("supplier_key", "part_key")
+    val valueCols = fin.columns.filterNot(keys.contains).toSeq
+    val feeds = spark.read.parquet(s"$out/cdf_supplier_parts")
+    var replayed = fin.limit(0)
+    (0L to 2L).foreach { b =>
+      val f = feeds.where(col("batch") === b)
+      replayed = replayed
+        .join(f.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(f.where(col("change_type") =!= "delete")
+          .select(keys.map(col) ++
+            valueCols.map(c => col(s"new_$c").as(c)): _*))
+    }
+    assertSetEqual(replayed, fin, "supplier feed replay")
+    li.unpersist()
+  }
+
   test("quality gate trips on an injected orphan key and on a stale table") {
     import org.apache.spark.sql.functions._
     val Q = graft.engine.Quality
