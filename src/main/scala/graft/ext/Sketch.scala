@@ -99,6 +99,56 @@ object Sketch {
     "customer" -> "c_custkey",
     "events" -> "user_id")
 
+  // ------------------------------------------ profile-driven join strategy
+
+  /** Per-table estimated row counts from a materialized profile frame (the
+    * output of [[tableProfile]], possibly read back from the warehouse).
+    * Control-plane collect: the profile has one row per PROFILED COLUMN,
+    * never per data row. */
+  def rowCounts(profile: DataFrame): Map[String, Long] =
+    profile.groupBy("table_name").agg(max("n_rows").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Estimated in-memory size: profiled row count × schema width
+    * (Catalyst's per-type `defaultSize`, the same width Spark's own
+    * `SizeInBytesOnlyStatsPlanVisitor` multiplies by). */
+  private def estimatedBytes(df: DataFrame, rows: Long): Long =
+    rows * df.schema.fields.map(_.dataType.defaultSize.toLong).sum
+
+  /** Statistics-driven join: the stats catalog made LOAD-BEARING. Consults
+    * the profile for both sides' row counts and
+    *
+    *  - BROADCASTS the smaller side when its estimated bytes fit the
+    *    session's `autoBroadcastJoinThreshold`,
+    *  - otherwise pins SORT-MERGE via the `merge` hint — actively
+    *    overriding Spark's file-size heuristic, because at 100 TB the
+    *    profile knows things scan-size estimation does not (post-filter
+    *    cardinalities, tables behind views, freshly-written partitions
+    *    whose file stats lag).
+    *
+    * The decision comes from the PROFILE in both directions: a table
+    * absent from the profile counts as unbounded (never broadcast — the
+    * safe default for the side you know nothing about). PlanSpec pins the
+    * switch: the same join flips BroadcastHashJoin ↔ SortMergeJoin purely
+    * by what the profile claims, with Spark's own estimates held constant. */
+  def advisedJoin(profile: DataFrame,
+                  left: DataFrame, leftTable: String,
+                  right: DataFrame, rightTable: String,
+                  joinExpr: Column, joinType: String = "inner"): DataFrame = {
+    val counts = rowCounts(profile)
+    val threshold =
+      left.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    def est(df: DataFrame, t: String): Long =
+      counts.get(t).map(estimatedBytes(df, _)).getOrElse(Long.MaxValue)
+    val (el, er) = (est(left, leftTable), est(right, rightTable))
+    if (er <= el && er <= threshold)
+      left.join(broadcast(right), joinExpr, joinType)
+    else if (el < er && el <= threshold)
+      broadcast(left).join(right, joinExpr, joinType)
+    else
+      left.hint("merge").join(right, joinExpr, joinType)
+  }
+
   /** The statistics catalog: one row per profiled column, UNION-stitched
     * like the quality families. Each arm is one scan + one bounded
     * TakeOrdered; at 100 TB the exact-NDV audit arm is dropped and the

@@ -224,4 +224,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(!p.contains("Window"), "hier ANN must not rank via a window shuffle")
   }
+
+  test("stats catalog is load-bearing: the same join flips broadcast <-> " +
+    "sort-merge purely on what the profile claims") {
+    import graft.ext.Sketch
+    import spark.implicits._
+    val o = graft.engine.Sources.orders(spark, sf)
+    val c = graft.engine.Sources.customer(spark, sf)
+    def joined(profile: DataFrame) = Sketch.advisedJoin(profile,
+      o, "orders", c, "customer", o("o_custkey") === c("c_custkey"))
+    def profileClaiming(rows: (String, Long)*) =
+      rows.toSeq.toDF("table_name", "n_rows")
+    // the REAL profile: both fixture tables are tiny -> broadcast chosen
+    val p1 = plan(joined(Sketch.tableProfile(spark, sf)))
+    assert(p1.contains("BroadcastHashJoin"), p1.take(800))
+    // doctored profile claims both sides huge -> the advisor pins SMJ even
+    // though Spark's own file-size estimate would broadcast these tiny
+    // files: the DECISION demonstrably comes from the profile
+    val p2 = plan(joined(profileClaiming("orders" -> 2000000000L,
+      "customer" -> 2000000000L)))
+    assert(p2.contains("SortMergeJoin") && !p2.contains("BroadcastHashJoin"),
+      p2.take(800))
+    // asymmetric claim -> broadcast lands on the side the profile says fits
+    val p3 = plan(joined(profileClaiming("orders" -> 10L,
+      "customer" -> 2000000000L)))
+    assert(p3.contains("BroadcastHashJoin"), p3.take(800))
+    // a table ABSENT from the profile counts as unbounded: never broadcast
+    val p4 = plan(joined(profileClaiming("unrelated" -> 1L)))
+    assert(p4.contains("SortMergeJoin") && !p4.contains("BroadcastHashJoin"),
+      p4.take(800))
+  }
 }
