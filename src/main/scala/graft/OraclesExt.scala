@@ -1256,6 +1256,79 @@ object OraclesExt {
        |ORDER BY d.source""".stripMargin
   }
 
+  /** Twin of Corpus.rebalancedMix — uniform target weights, bottleneck
+    * source by exact integer ratio, keep decision via integer
+    * cross-multiplication. */
+  val corpusRebalancedMix: String = {
+    import graft.ext.Corpus.MixResolution
+    import graft.ext.Text.BpePattern
+    s"""WITH per_doc AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe_tokens
+       |  FROM documents),
+       |per_source AS (
+       |  SELECT source, CAST(sum(n_bpe_tokens) AS BIGINT) AS src_tokens,
+       |    CAST(1 AS BIGINT) AS w
+       |  FROM per_doc GROUP BY source),
+       |m AS (
+       |  SELECT src_tokens AS t_m, w AS w_m FROM per_source
+       |  ORDER BY CAST(FLOOR(src_tokens * $MixResolution / w) AS BIGINT), source
+       |  LIMIT 1),
+       |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS tot_tokens,
+       |    CAST(sum(w) AS BIGINT) AS tot_w FROM per_source),
+       |kept AS (
+       |  SELECT d.source, count(*) AS n_docs_kept,
+       |    CAST(sum(d.n_bpe_tokens) AS BIGINT) AS tokens_after
+       |  FROM per_doc d JOIN per_source s ON d.source = s.source CROSS JOIN m
+       |  WHERE (${mixSql("d.doc_id")} % $MixResolution) * (m.w_m * s.src_tokens)
+       |      < $MixResolution * (m.t_m * s.w)
+       |  GROUP BY d.source),
+       |aft AS (SELECT s.source, s.src_tokens, s.w,
+       |    CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+       |    CAST(COALESCE(k.tokens_after, 0) AS BIGINT) AS tokens_after
+       |  FROM per_source s LEFT JOIN kept k ON s.source = k.source),
+       |aft_tot AS (SELECT CAST(sum(tokens_after) AS BIGINT) AS tot_after FROM aft)
+       |SELECT a.source, a.src_tokens AS tokens_before,
+       |  ${R("100.0 * a.src_tokens / tot.tot_tokens", 2)} AS share_before_pct,
+       |  ${R("100.0 * a.w / tot.tot_w", 2)} AS target_share_pct,
+       |  a.n_docs_kept, a.tokens_after,
+       |  ${R("100.0 * a.tokens_after / aft_tot.tot_after", 2)} AS share_after_pct
+       |FROM aft a, tot, aft_tot
+       |ORDER BY a.source""".stripMargin
+  }
+
+  /** Twin of Dedup.chunkRewrite — identical chunking to
+    * [[dedupChunkSpans]], first-occurrence keep rule (row_number over
+    * (doc_id, i) per chunk), ordered reassembly + verbatim tail. */
+  val dedupChunkRewrite: String = {
+    val C = graft.ext.Dedup.ChunkTokens
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |c AS (SELECT doc_id, CAST(floor(len(toks) / $C) AS BIGINT) AS n_chunks,
+       |    toks FROM t),
+       |tl AS (SELECT doc_id, n_chunks, toks,
+       |    list_slice(toks, CAST(n_chunks * $C + 1 AS BIGINT), len(toks)) AS tail_toks
+       |  FROM c),
+       |ix AS (SELECT doc_id, toks, unnest(generate_series(1, CAST(n_chunks AS INT))) AS i
+       |  FROM c WHERE n_chunks > 0),
+       |occ AS (SELECT doc_id, i,
+       |    array_to_string(list_slice(toks, (i - 1) * $C + 1, i * $C), ' ') AS chunk
+       |  FROM ix),
+       |fo AS (SELECT doc_id, i, chunk,
+       |    (row_number() OVER (PARTITION BY chunk ORDER BY doc_id, i)) = 1 AS keep
+       |  FROM occ),
+       |kept AS (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS dropped_chunks,
+       |    list(chunk ORDER BY i) FILTER (WHERE keep) AS kept_chunks
+       |  FROM fo GROUP BY doc_id)
+       |SELECT tl.doc_id, tl.n_chunks,
+       |  COALESCE(k.dropped_chunks, 0) AS dropped_chunks,
+       |  COALESCE(array_to_string(
+       |    list_concat(COALESCE(k.kept_chunks, CAST([] AS VARCHAR[])), tl.tail_toks),
+       |    ' '), '') AS text_rewritten
+       |FROM tl LEFT JOIN kept k ON tl.doc_id = k.doc_id
+       |ORDER BY tl.doc_id""".stripMargin
+  }
+
   /** Twin of Events.userTypePivot (explicit conditional counts — the
     * engine-portable spelling of PIVOT). */
   val eventsUserTypePivot: String = {
@@ -1895,6 +1968,8 @@ object OraclesExt {
     "corpus_length_batches" -> corpusLengthBatches,
     "corpus_batch_padding" -> corpusBatchPadding,
     "corpus_token_budget_mix" -> corpusTokenBudgetMix,
+    "corpus_rebalanced_mix" -> corpusRebalancedMix,
+    "dedup_chunk_rewrite" -> dedupChunkRewrite,
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
     "sim_ann_ivf_hier" -> simAnnIvfHier,

@@ -80,6 +80,7 @@ object SparkEntry {
     "dedup_semantic_kmeans" -> ((s, d) =>
       ext.Dedup.semanticDedupKmeans(s, d).orderBy("vec_id")),
     "dedup_chunk_spans" -> ((s, d) => ext.Dedup.chunkSpans(s, d).orderBy("doc_id")),
+    "dedup_chunk_rewrite" -> ((s, d) => ext.Dedup.chunkRewrite(s, d).orderBy("doc_id")),
     // ext: similarity search (brute-force ground truth + SRP-LSH ANN)
     "sim_knn_bruteforce" -> ((s, d) =>
       ext.Similarity.knnBruteForce(s, d).orderBy("query_id", "rank")),
@@ -153,6 +154,7 @@ object SparkEntry {
     "corpus_length_batches" -> ((s, d) => ext.Corpus.lengthBatches(s, d).orderBy("doc_id")),
     "corpus_batch_padding" -> ((s, d) => ext.Corpus.batchPaddingStats(s, d).orderBy("batch_id")),
     "corpus_token_budget_mix" -> ((s, d) => ext.Corpus.tokenBudgetMix(s, d).orderBy("source")),
+    "corpus_rebalanced_mix" -> ((s, d) => ext.Corpus.rebalancedMix(s, d).orderBy("source")),
     // lakehouse-incremental surface: SCD2 history, change-data-feed diff,
     // delta-fold aggregate maintenance (oracle = from-scratch recompute)
     "scd2_user_event_type" -> ((s, d) =>

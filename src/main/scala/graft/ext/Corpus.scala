@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.engine.Sources
+import graft.engine.{Num, Sources}
 
 /** Corpus assembly — the composition layer where the training-data operators
   * meet: weighted source mixing, and the full preprocess chain (quality
@@ -125,6 +125,64 @@ object Corpus {
       .agg(
         count(lit(1)).as("n_docs_kept"),
         sum(col("n_bpe_tokens")).as("tokens_kept"))
+  }
+
+  /** Target-distribution source rebalancing — the OTHER standard mixing
+    * recipe next to [[tokenBudgetMix]]'s budget cap: choose per-source
+    * DOWN-sampling so the post-mix token shares match a target weight
+    * vector (here uniform — temperature-0 flattening, the limit case of
+    * the multilingual temperature-sampling recipe) as closely as
+    * document-grain sampling allows, without up-sampling any source.
+    *
+    * The math stays in exact integers end to end so the oracle replays it:
+    * with T_s the source token counts and integer weights w_s (uniform ⇒
+    * w_s = 1), the bottleneck source m minimizes T_s/w_s (compared via the
+    * exact integer floor(T_s·[[MixResolution]]/w_s), ties → source name),
+    * every source keeps ratio (T_m·w_s)/(w_m·T_s) ≤ 1, and a doc survives
+    * iff mixHash(doc_id) % R · (w_m·T_s) < R · (T_m·w_s) — integer
+    * cross-multiplication, no float thresholds. Output is the per-source
+    * audit: tokens before/after, share before/after vs target.
+    *
+    * Plan shape: one corpus scan → source-grain partial agg (the totals)
+    * → scalar bottleneck broadcast back → row-level hash filter → one
+    * source-grain re-agg. No row-level joins, append-stable membership. */
+  def rebalancedMix(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(Text.bpeTokens(col("text"))).cast("long")
+    val perDoc = Sources.documents(spark, dir)
+      .select(col("doc_id"), col("source"), nTokens.as("n_bpe_tokens"))
+    // uniform weights: w_s = 1 for every source present
+    val perSource = perDoc.groupBy("source")
+      .agg(sum(col("n_bpe_tokens")).as("src_tokens"))
+      .withColumn("w", lit(1L))
+    // bottleneck source m: min of the exact integer ratio floor(T·R/w);
+    // ties broken by source name so both engines pick the same row
+    val m = perSource
+      .withColumn("_ratio", floor(col("src_tokens") * MixResolution / col("w")).cast("long"))
+      .orderBy(col("_ratio"), col("source")).limit(1)
+      .select(col("src_tokens").as("t_m"), col("w").as("w_m"))
+    val tot = perSource.agg(
+      sum(col("src_tokens")).as("tot_tokens"), sum(col("w")).as("tot_w"))
+    val kept = perDoc
+      .join(broadcast(perSource), Seq("source"))
+      .crossJoin(broadcast(m))
+      .where((Sampling.mixHash(col("doc_id")) % MixResolution)
+        * (col("w_m") * col("src_tokens"))
+        < lit(MixResolution) * (col("t_m") * col("w")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_bpe_tokens")).as("tokens_after"))
+    val after = perSource.join(kept, Seq("source"), "left")
+    val afterTot = broadcast(after.agg(
+      sum(coalesce(col("tokens_after"), lit(0L))).as("tot_after")))
+    after.crossJoin(broadcast(tot)).crossJoin(afterTot)
+      .select(col("source"),
+        col("src_tokens").as("tokens_before"),
+        Num.r2(lit(100.0) * col("src_tokens") / col("tot_tokens")).as("share_before_pct"),
+        Num.r2(lit(100.0) * col("w") / col("tot_w")).as("target_share_pct"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("tokens_after"), lit(0L)).as("tokens_after"),
+        Num.r2(lit(100.0) * coalesce(col("tokens_after"), lit(0L))
+          / col("tot_after")).as("share_after_pct"))
   }
 
   val QualityThreshold = 0.4

@@ -440,6 +440,53 @@ object Dedup {
         (coalesce(col("dup_chunks"), lit(0L)) > 0).as("has_dup_span"))
   }
 
+  /** Exact span dedup made a REWRITE — [[chunkSpans]] flags boilerplate;
+    * this removes it, the way Lee et al. (arXiv:2107.06499) actually
+    * train: every duplicated [[ChunkTokens]]-token chunk keeps its FIRST
+    * corpus occurrence (ordered by (doc_id, chunk index) — deterministic at
+    * any parallelism) and later occurrences are cut out of the text; the
+    * sub-chunk tail always survives. Per doc: chunk counts, how many were
+    * dropped, and the rewritten text.
+    *
+    * Scale shape, same two exchanges as [[chunkSpans]]: explode to chunk
+    * grain → one shuffle on the chunk key (the first-occurrence
+    * row_number) → one shuffle back to doc grain for the ordered
+    * reassembly. The reassembly aggregates struct(i, chunk) through
+    * collect_list + sort_array — per-doc payload, bounded by the doc
+    * itself. */
+  def chunkRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val base = Sources.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("n_chunks", floor(size(col("toks")) / ChunkTokens).cast("long"))
+      // the sub-chunk remainder, kept verbatim
+      .withColumn("tail_toks",
+        slice(col("toks"), (col("n_chunks") * ChunkTokens + 1).cast("int"),
+          size(col("toks"))))
+    val occ = base.where(col("n_chunks") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("n_chunks").cast("int"))).as("i"),
+        col("toks"))
+      .select(col("doc_id"), col("i"),
+        array_join(slice(col("toks"), (col("i") - 1) * ChunkTokens + 1,
+          lit(ChunkTokens)), " ").as("chunk"))
+    val kept = occ
+      .withColumn("_first", row_number().over(
+        w.partitionBy("chunk").orderBy(col("doc_id"), col("i"))) === 1)
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("_first"), 0L).otherwise(1L)).as("dropped_chunks"),
+        sort_array(collect_list(when(col("_first"),
+          struct(col("i"), col("chunk"))))).as("_kept"))
+    base.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("dropped_chunks"), lit(0L)).as("dropped_chunks"),
+        array_join(concat(
+          transform(coalesce(col("_kept"),
+            array().cast("array<struct<i:int,chunk:string>>")), _("chunk")),
+          col("tail_toks")), " ").as("text_rewritten"))
+  }
+
   /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup that only
     * compares vectors INSIDE the same coarse cluster. [[embeddingCosinePairs]]
     * is the O(n²) ground truth; this is its scale path — assign every vector

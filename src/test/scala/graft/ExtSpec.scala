@@ -308,6 +308,44 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
       r.getAs[Boolean]("kept"))).sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
+
+  test("chunk rewrite: each distinct chunk survives exactly once, token " +
+    "counts balance, and untouched docs round-trip verbatim") {
+    import graft.engine.Sources
+    val rows = Dedup.chunkRewrite(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Sources.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.keySet === docs.keySet, "rewrite must cover every doc")
+    // global conservation: Σ kept chunks == # distinct chunk strings
+    val keptChunks = rows.values.map(r =>
+      r.getAs[Long]("n_chunks") - r.getAs[Long]("dropped_chunks")).sum
+    val distinctChunks = docs.values.flatMap { t =>
+      val toks = t.split(" ", -1)
+      (0 until toks.length / Dedup.ChunkTokens).map(i =>
+        toks.slice(i * Dedup.ChunkTokens, (i + 1) * Dedup.ChunkTokens)
+          .mkString(" "))
+    }.toSet.size
+    assert(keptChunks === distinctChunks.toLong,
+      "first-occurrence rule must keep each distinct chunk exactly once")
+    assert(rows.values.exists(_.getAs[Long]("dropped_chunks") > 0),
+      "no duplicated spans at this SF — vacuous test")
+    rows.values.foreach { r =>
+      val doc = r.getAs[Long]("doc_id")
+      val orig = docs(doc).split(" ", -1)
+      val rewritten = r.getAs[String]("text_rewritten")
+      // per-doc token balance: dropped chunks remove exactly C tokens each
+      val expected =
+        orig.length - r.getAs[Long]("dropped_chunks") * Dedup.ChunkTokens
+      if (expected == 0L) assert(rewritten.isEmpty, s"doc $doc not emptied")
+      else assert(rewritten.split(" ", -1).length.toLong === expected,
+        s"doc $doc token balance broken")
+      if (r.getAs[Long]("dropped_chunks") == 0)
+        assert(rewritten === orig.mkString(" "),
+          s"doc $doc modified despite zero dropped chunks")
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -578,5 +616,31 @@ class SketchSpec extends SparkSpec {
       .flatMap(i => kmv(keys.where(col("k") % 3 === i)))
       .distinct.sorted.take(Sketch.KmvK)
     assert(whole == merged)
+  }
+}
+
+class CorpusSpec extends SparkSpec {
+
+  test("rebalanced mix: bottleneck source kept whole, no source up-sampled, " +
+    "and post-mix shares sit closer to the uniform target") {
+    val rows = graft.ext.Corpus.rebalancedMix(spark, sf).collect()
+    val target = rows.head.getAs[Double]("target_share_pct")
+    assert(rows.forall(_.getAs[Double]("target_share_pct") == target),
+      "uniform weights must give every source the same target")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tokens_after") <= r.getAs[Long]("tokens_before"),
+        s"${r.getAs[String]("source")} was up-sampled")
+    }
+    val bottleneck = rows.minBy(r =>
+      (r.getAs[Long]("tokens_before"), r.getAs[String]("source")))
+    assert(bottleneck.getAs[Long]("tokens_after")
+      === bottleneck.getAs[Long]("tokens_before"),
+      "the bottleneck source must be kept whole")
+    // aggregate effect: mean |share − target| must not worsen
+    def dev(c: String) = rows.map(r =>
+      math.abs(r.getAs[Double](c) - target)).sum / rows.length
+    assert(dev("share_after_pct") <= dev("share_before_pct") + 1e-9,
+      f"rebalancing worsened the mix: ${dev("share_before_pct")}%.3f -> " +
+        f"${dev("share_after_pct")}%.3f")
   }
 }
