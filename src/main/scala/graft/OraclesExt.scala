@@ -1518,6 +1518,38 @@ object OraclesExt {
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
   }
 
+  /** Twin of Sketch.statsProfileFromDeltas — the PRODUCTION profile columns
+    * computed from the full tables. The Spark side folds three hash-sliced
+    * delta states per table; state mergeability means the fold must equal
+    * this from-scratch computation bit-for-bit (the same proof device as
+    * `incr_monthly_revenue`). */
+  val sketchStatsIncremental: String = {
+    import graft.ext.Sketch.{KmvK, ProfiledColumns}
+    import graft.ext.Similarity.M32
+    def arm(t: String, c: String, scaled: Boolean): String = {
+      val key = if (scaled) s"CAST(floor($c * 100 + 0.5) AS BIGINT)" else c
+      val est = s"CASE WHEN k.n_kept < $KmvK THEN CAST(k.n_kept AS DOUBLE) " +
+        s"ELSE ${R(s"CAST(${KmvK - 1} AS DOUBLE) * $M32 / k.h_k", 2)} END"
+      s"""SELECT '$t' AS table_name, '$c' AS column_name,
+         |  s.n_rows, s.n_nulls,
+         |  $est AS ndv_kmv,
+         |  s.min_value, s.max_value
+         |FROM (
+         |  SELECT count(*) AS n_rows, count(*) - count($c) AS n_nulls,
+         |    CAST(min($c) AS DOUBLE) AS min_value,
+         |    CAST(max($c) AS DOUBLE) AS max_value
+         |  FROM $t) s,
+         |(
+         |  SELECT count(*) AS n_kept, max(h) AS h_k FROM (
+         |    SELECT DISTINCT ${mixSql(key)} AS h FROM $t
+         |    WHERE $c IS NOT NULL ORDER BY h LIMIT $KmvK)) k""".stripMargin
+    }
+    val doubles = Set("o_totalprice", "l_quantity")
+    ProfiledColumns
+      .map { case (t, c) => arm(t, c, doubles(c)) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
+  }
+
   /** Twin of Corpus.mixBySourceWeight. */
   val corpusMix: String =
     s"""SELECT source, count(*) AS n_kept
@@ -1954,6 +1986,7 @@ object OraclesExt {
     "sampling_contamination" -> samplingContamination,
     "sampling_decon_train" -> samplingDeconTrain,
     "stats_table_profile" -> sketchTableProfile,
+    "stats_profile_incremental" -> sketchStatsIncremental,
     "pii_scan" -> piiScan,
     "pii_redacted" -> piiRedacted,
     "corpus_mix_by_source" -> corpusMix,

@@ -148,6 +148,8 @@ object SparkEntry {
     // ext: statistics catalog (exact stats + deterministic KMV NDV sketch)
     "stats_table_profile" -> ((s, d) =>
       ext.Sketch.tableProfile(s, d).orderBy("table_name", "column_name")),
+    "stats_profile_incremental" -> ((s, d) =>
+      ext.Sketch.statsProfileFromDeltas(s, d).orderBy("table_name", "column_name")),
     "corpus_mix_by_source" -> ((s, d) => ext.Corpus.mixBySourceWeight(s, d).orderBy("source")),
     "corpus_pack_sequences" -> ((s, d) => ext.Corpus.packSequences(s, d).orderBy("doc_id")),
     "corpus_preprocess" -> ((s, d) => ext.Corpus.preprocess(s, d).orderBy("doc_id")),

@@ -298,6 +298,47 @@ object Pipeline {
     results.result()
   }
 
+  /** INCREMENTAL statistics maintenance — the stats catalog
+    * ([[graft.ext.Sketch]]) kept fresh by the same delta-fold discipline as
+    * the revenue and supplier-bridge states: per batch, fold each profiled
+    * column's mergeable state (counts, min/max, the KMV hash set itself)
+    * into the versioned store. O(delta) + O(state) per batch; the state is
+    * profiled-columns-grain (tiny). A planner consulting
+    * [[graft.ext.Sketch.advisedJoin]] then reads a profile that tracks the
+    * data as it lands instead of a scheduled ANALYZE snapshot — at 100 TB
+    * the difference between stats that lag a day and stats that lag a
+    * batch. Replay discipline identical to the other increment modes. */
+  def runStatsIncrement(spark: SparkSession, deltas: String => DataFrame,
+                        outDir: String, batchId: Long): Seq[StageResult] = {
+    import graft.ext.Sketch
+    import graft.sources.Versioned
+    val results = Seq.newBuilder[StageResult]
+    val t0 = System.nanoTime()
+    val tag = s"batch=$batchId"
+    val path = s"$outDir/state_table_stats"
+    val n =
+      if (Versioned.latestTag(spark, path).contains(tag)) 0L
+      else {
+        val delta = Sketch.ProfiledColumns.groupBy(_._1).toSeq.sortBy(_._1)
+          .flatMap { case (t, cols) =>
+            val df = deltas(t)
+            cols.map { case (_, c) => Sketch.statsState(df, t, c) }
+          }.reduce(_ unionByName _)
+        val merged = (Versioned.latestVersion(spark, path) match {
+          case Some(_) =>
+            Sketch.mergeStatsStates(Seq(Versioned.read(spark, path), delta))
+          case None => Sketch.mergeStatsStates(Seq(delta))
+        }).persist()
+        val rows = merged.count()
+        Versioned.write(merged, path, Some(tag))
+        merged.unpersist()
+        rows
+      }
+    results += StageResult("incr_table_stats", "PASS",
+      (System.nanoTime() - t0) / 1e9, n)
+    results.result()
+  }
+
   /** The supplier pipeline (reference: run_supplier_analytics.py:68-126):
     * nation/region reference data, supplier + part dims, the orders/lineitem
     * facts the scorecard's delivery metrics need, then silver → gold →

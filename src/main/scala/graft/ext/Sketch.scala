@@ -99,6 +99,84 @@ object Sketch {
     "customer" -> "c_custkey",
     "events" -> "user_id")
 
+  // ------------------------------------------------ incremental maintenance
+
+  /** Mergeable per-column statistics STATE over a table slice: counts,
+    * min/max, and the KMV sketch itself — the ≤[[KmvK]] smallest distinct
+    * hashes as a sorted array, not just the estimate. Every field is a
+    * semilattice/monoid (sums, min, max, k-smallest-of-distinct-union), so
+    * `finalize(merge(state(A), state(B))) == finalize(state(A ∪ B))`
+    * EXACTLY — the KMV mergeability SketchSpec proves element-wise,
+    * promoted to the whole profile. This is what lets the statistics
+    * catalog ride the same delta-fold discipline as the revenue states
+    * ([[graft.engine.Pipeline.runStatsIncrement]]): stats stay fresh as
+    * batches land, for O(delta) + O(state) per batch, and
+    * [[advisedJoin]] then plans against a profile that never went stale.
+    * Contract: append-only deltas (min/max/KMV have no inverse). */
+  def statsState(df: DataFrame, table: String, c: String): DataFrame = {
+    val stats = df.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col(c))).as("n_nulls"),
+      min(col(c)).cast("double").as("min_value"),
+      max(col(c)).cast("double").as("max_value"))
+    val kmv = df.where(col(c).isNotNull)
+      .select(mixHash(hashKey(df, c)).as("h")).distinct()
+      .orderBy("h").limit(KmvK)
+      .agg(sort_array(collect_list(col("h"))).as("kmv"))
+    stats.crossJoin(kmv) // 1×1 — a broadcast scalar join
+      .select(lit(table).as("table_name"), lit(c).as("column_name"),
+        col("n_rows"), col("n_nulls"), col("min_value"), col("max_value"),
+        col("kmv"))
+  }
+
+  /** Merge mergeable stats states. The per-group KMV union is bounded:
+    * ≤ [[KmvK]] hashes per input state, states-per-group = batch count
+    * since the last compaction, groups = profiled columns. */
+  def mergeStatsStates(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy("table_name", "column_name")
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_nulls")).as("n_nulls"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
+          1, KmvK).as("kmv"))
+
+  /** Finalize: the production profile (no exact-NDV audit arm — that is
+    * [[tableProfile]]'s verify-SF job). NDV comes from the state's own
+    * sketch: n_kept = |kmv|, h_k = its maximum. */
+  def finalizeStats(state: DataFrame): DataFrame =
+    state.select(col("table_name"), col("column_name"),
+      col("n_rows"), col("n_nulls"),
+      when(size(col("kmv")) < KmvK, size(col("kmv")).cast("double"))
+        .otherwise(Num.r(lit((KmvK - 1).toDouble) * M32
+          / element_at(col("kmv"), -1), 2)).as("ndv_kmv"),
+      col("min_value"), col("max_value"))
+
+  /** The verified query: the production profile maintained from three
+    * hash-sliced delta batches per table. The oracle computes the same
+    * columns from the FULL tables, so the hash match PROVES the state fold
+    * reproduces the from-scratch profile bit-for-bit — same device as
+    * `incr_monthly_revenue`. */
+  def statsProfileFromDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val states = ProfiledColumns.map { case (t, c) =>
+      val (df, key) = sliceSource(spark, dir, t)
+      mergeStatsStates((0 until 3).map(i =>
+        statsState(df.where(pmod(mixHash(coalesce(col(key), lit(-1L))), lit(3)) === i), t, c)))
+    }
+    finalizeStats(states.reduce(_ unionByName _))
+  }
+
+  /** The profiled source plus the row-slicing key its delta fold shards on. */
+  private[graft] def sliceSource(spark: SparkSession, dir: String,
+                               t: String): (DataFrame, String) = t match {
+    case "orders" => (Sources.orders(spark, dir), "o_orderkey")
+    case "lineitem" => (Sources.lineitem(spark, dir), "l_orderkey")
+    case "customer" => (Sources.customer(spark, dir), "c_custkey")
+    case "events" => (Sources.events(spark, dir), "user_id")
+    case other => sys.error(s"unprofiled table $other")
+  }
+
   // ------------------------------------------ profile-driven join strategy
 
   /** Per-table estimated row counts from a materialized profile frame (the

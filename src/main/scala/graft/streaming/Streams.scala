@@ -433,6 +433,46 @@ object Streams {
       }
       .start()
 
+  /** Streaming STATISTICS maintenance: each micro-batch folds its mergeable
+    * per-column stats state ([[graft.ext.Sketch.statsState]] — counts,
+    * min/max, the KMV hash set) into the same versioned profile
+    * [[graft.engine.Pipeline.runStatsIncrement]] maintains in batch mode.
+    * The stats catalog then tracks a live stream:
+    * [[graft.ext.Sketch.advisedJoin]] plans against a profile as fresh as
+    * the last micro-batch, not the last scheduled ANALYZE. Exactly-once by
+    * the same batch-tagged version commit as the revenue fold (merge is
+    * additive in n_rows — a double fold would inflate counts). Per-batch
+    * cost O(batch) + O(state); state is profiled-columns-grain. */
+  def maintainStats(stream: DataFrame, table: String, cols: Seq[String],
+                    path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldStatsBatch(batch, table, cols, path, batchId)
+      }
+      .start()
+
+  /** One micro-batch of [[maintainStats]] — same replay discipline as
+    * [[foldMonthlyRevenueBatch]]. */
+  private[graft] def foldStatsBatch(batch: DataFrame, table: String,
+                                    cols: Seq[String], path: String,
+                                    batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import graft.sources.Versioned
+    import graft.ext.Sketch
+    if (Versioned.latestTag(spark, path).contains(s"batch=$batchId")) return
+    val delta = cols.map(c => Sketch.statsState(batch, table, c))
+      .reduce(_ unionByName _)
+    val merged = Versioned.latestVersion(spark, path) match {
+      case Some(_) =>
+        Sketch.mergeStatsStates(Seq(Versioned.read(spark, path), delta))
+      case None => Sketch.mergeStatsStates(Seq(delta))
+    }
+    Versioned.write(merged, path, Some(s"batch=$batchId"))
+    ()
+  }
+
   /** One micro-batch of [[maintainMonthlyRevenue]], EXACTLY-ONCE: folding
     * the same batch twice would double-count its revenue (merge is
     * additive), so each fold commits its batch id as the version's tag —

@@ -604,6 +604,45 @@ class SketchSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("incremental stats: versioned delta-fold equals the from-scratch " +
+    "profile, replays no-op, and feeds the join advisor") {
+    import java.nio.file.Files
+    import graft.engine.Pipeline
+    import graft.sources.Versioned
+    import graft.ext.Sampling
+    val out = Files.createTempDirectory("graft_stats").toString
+    def slices(t: String) = {
+      val (df, key) = Sketch.sliceSource(spark, sf, t)
+      (0 until 3).map(i => df.where(
+        pmod(Sampling.mixHash(coalesce(col(key), lit(-1L))), lit(3)) === i))
+    }
+    (0 until 3).foreach { b =>
+      val rs = Pipeline.runStatsIncrement(spark, t => slices(t)(b), out, b.toLong)
+      assert(rs.forall(_.status == "PASS"), rs.mkString("; "))
+    }
+    val maintained = Sketch.finalizeStats(
+      Versioned.read(spark, s"$out/state_table_stats"))
+    val scratch = Sketch.finalizeStats(
+      Sketch.ProfiledColumns.map { case (t, c) =>
+        Sketch.statsState(Sketch.sliceSource(spark, sf, t)._1, t, c)
+      }.reduce(_ unionByName _))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("table_name", "column_name").collect().map(_.toString).toSeq
+    assert(rowsOf(maintained) === rowsOf(scratch),
+      "maintained profile diverged from the from-scratch profile")
+    // replay: no new version
+    val v = Versioned.latestVersion(spark, s"$out/state_table_stats")
+    Pipeline.runStatsIncrement(spark, t => slices(t)(2), out, 2L)
+    assert(Versioned.latestVersion(spark, s"$out/state_table_stats") === v)
+    // the advisor consumes the MAINTAINED profile directly
+    val o = graft.engine.Sources.orders(spark, sf)
+    val c = graft.engine.Sources.customer(spark, sf)
+    val p = Sketch.advisedJoin(maintained, o, "orders", c, "customer",
+      o("o_custkey") === c("c_custkey"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
   test("KMV is mergeable: k-smallest of a union == k-smallest over each " +
     "part's k-smallest (what makes per-partition combine exact at scale)") {
     import graft.ext.Sampling

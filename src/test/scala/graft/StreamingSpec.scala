@@ -427,6 +427,45 @@ class StreamingSpec extends SparkSpec {
     assert(folded.unionByName(direct).distinct().count() === direct.count())
   }
 
+  test("streaming stats maintenance: folded micro-batch states equal the " +
+    "batch profile bit-for-bit; replay no-ops; live stream feeds the store") {
+    import graft.ext.Sketch
+    val dir = Files.createTempDirectory("graft_sstats").toString
+    val ev = graft.engine.Sources.events(spark, sf).cache()
+    val cols = Seq("user_id", "value") // integer + cent-scaled double paths
+    val a = ev.where(col("event_id") % 2 === 0)
+    val b = ev.where(col("event_id") % 2 =!= 0)
+    Streams.foldStatsBatch(a, "events", cols, s"$dir/state", 0L)
+    Streams.foldStatsBatch(b, "events", cols, s"$dir/state", 1L)
+    val v = Versioned.latestVersion(spark, s"$dir/state")
+    Streams.foldStatsBatch(b, "events", cols, s"$dir/state", 1L) // crash-replay
+    assert(Versioned.latestVersion(spark, s"$dir/state") === v,
+      "replay must not commit")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("table_name", "column_name").collect().map(_.toString).toSeq
+    val maintained = Sketch.finalizeStats(Versioned.read(spark, s"$dir/state"))
+    val direct = Sketch.finalizeStats(
+      cols.map(c => Sketch.statsState(ev, "events", c)).reduce(_ unionByName _))
+    assert(rowsOf(maintained) === rowsOf(direct),
+      "streamed fold diverged from the from-scratch profile")
+    ev.unpersist()
+    // end-to-end: a live MemoryStream through maintainStats
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.maintainStats(in.toDF(), "events_live", Seq("user_id"),
+      s"$dir/live", s"$dir/ckpt")
+    try {
+      in.addData(Ev(1, ts(0), 7, "view", 1.0), Ev(2, ts(1), 8, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(3, ts(2), 7, "click", 3.0))
+      q.processAllAvailable()
+      val live = Sketch.finalizeStats(Versioned.read(spark, s"$dir/live"))
+        .collect().head
+      assert(live.getAs[Long]("n_rows") === 3L)
+      assert(live.getAs[Double]("ndv_kmv") === 2.0) // users 7 and 8
+    } finally q.stop()
+  }
+
   test("interval join: streamed purchase-view pairs equal the batch range join") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[Ev]
