@@ -254,4 +254,36 @@ class PlanSpec extends SparkSpec {
     assert(p4.contains("SortMergeJoin") && !p4.contains("BroadcastHashJoin"),
       p4.take(800))
   }
+
+  test("StatsHintRule: an installed profile decides PLAIN joins session-wide; " +
+    "user hints and unprofiled tables stay untouched") {
+    import graft.plans.StatsHint
+    import spark.implicits._
+    val o = graft.engine.Sources.orders(spark, sf)
+    val c = graft.engine.Sources.customer(spark, sf)
+    def plain = o.join(c, o("o_custkey") === c("c_custkey")) // NO hints anywhere
+    try {
+      // profile claims both sides huge -> the rule pins SMJ on a join the
+      // file-size heuristic would broadcast (tiny fixture files)
+      StatsHint.install(spark, Seq(("orders", 2000000000L),
+        ("customer", 2000000000L)).toDF("table_name", "n_rows"))
+      val p1 = plan(plain)
+      assert(p1.contains("SortMergeJoin") && !p1.contains("BroadcastHashJoin"),
+        p1.take(800))
+      // refreshed profile says customer fits -> same code now broadcasts
+      StatsHint.install(spark, Seq(("orders", 2000000000L),
+        ("customer", 50L)).toDF("table_name", "n_rows"))
+      assert(plan(plain).contains("BroadcastHashJoin"))
+      // an explicit user hint is never overridden
+      val hinted = plan(o.hint("merge").join(c, o("o_custkey") === c("c_custkey")))
+      assert(hinted.contains("SortMergeJoin") && !hinted.contains("BroadcastHashJoin"),
+        hinted.take(800))
+      // a join over an unprofiled table keeps Spark's own decision
+      StatsHint.install(spark, Seq(("orders", 2000000000L))
+        .toDF("table_name", "n_rows"))
+      val s = graft.engine.Sources.supplier(spark, sf)
+      val p3 = plan(o.join(s, o("o_custkey") === s("s_suppkey")))
+      assert(p3.contains("BroadcastHashJoin"), p3.take(800)) // tiny files
+    } finally StatsHint.uninstall(spark) // rule stays registered but no-ops
+  }
 }
