@@ -456,23 +456,39 @@ object Dedup {
     * itself. */
   def chunkRewrite(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val base = Sources.documents(spark, dir)
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val base = chunkBase(Sources.documents(spark, dir))
+    val flagged = chunkOcc(base)
+      .withColumn("_first", row_number().over(
+        w.partitionBy("chunk").orderBy(col("doc_id"), col("i"))) === 1)
+    chunkReassemble(base, flagged)
+  }
+
+  /** Chunk-grain frames shared by the batch rewrite and the streaming
+    * span-store ingest ([[graft.streaming.Streams.ingestChunkBatch]]), so
+    * their outputs agree structurally, not coincidentally. */
+  private[graft] def chunkBase(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .withColumn("n_chunks", floor(size(col("toks")) / ChunkTokens).cast("long"))
       // the sub-chunk remainder, kept verbatim
       .withColumn("tail_toks",
         slice(col("toks"), (col("n_chunks") * ChunkTokens + 1).cast("int"),
           size(col("toks"))))
-    val occ = base.where(col("n_chunks") > 0)
+
+  /** One row per (doc, chunk index, chunk text). */
+  private[graft] def chunkOcc(base: DataFrame): DataFrame =
+    base.where(col("n_chunks") > 0)
       .select(col("doc_id"),
         explode(sequence(lit(1), col("n_chunks").cast("int"))).as("i"),
         col("toks"))
       .select(col("doc_id"), col("i"),
         array_join(slice(col("toks"), (col("i") - 1) * ChunkTokens + 1,
           lit(ChunkTokens)), " ").as("chunk"))
-    val kept = occ
-      .withColumn("_first", row_number().over(
-        w.partitionBy("chunk").orderBy(col("doc_id"), col("i"))) === 1)
+
+  /** Rebuild each doc from its `_first`-flagged chunk occurrences (doc_id,
+    * i, chunk, _first) + the verbatim tail. */
+  private[graft] def chunkReassemble(base: DataFrame,
+                                     flagged: DataFrame): DataFrame = {
+    val kept = flagged
       .groupBy("doc_id")
       .agg(
         sum(when(col("_first"), 0L).otherwise(1L)).as("dropped_chunks"),

@@ -191,12 +191,10 @@ object VectorIndex {
              batchId: Long): Unit = {
     val tbl = ensureListsTable(spark, storePath)
     val rows = assignment(spark, storePath, delta).withColumn("batch", lit(batchId))
-    val pomKey = "spark.sql.sources.partitionOverwriteMode"
-    val pomPrev = spark.conf.get(pomKey)
-    spark.conf.set(pomKey, "dynamic")
-    try rows.select("cl", "neighbor_id", "vb", "nb", "batch") // insertInto is positional
-      .write.mode("overwrite").insertInto(tbl)
-    finally spark.conf.set(pomKey, pomPrev)
+    graft.sources.DynamicOverwrite(spark) {
+      rows.select("cl", "neighbor_id", "vb", "nb", "batch") // insertInto is positional
+        .write.mode("overwrite").insertInto(tbl)
+    }
   }
 
   /** Compact every live batch partition with id ≤ `upTo` into one fresh
@@ -250,11 +248,9 @@ object VectorIndex {
       if (doomed.nonEmpty) {
         val consolidated = spark.read.parquet(doomed.map(_._2.toString): _*)
           .select(cols.map(col) :+ lit(-(gen + 1)).as("batch"): _*)
-        val pomKey = "spark.sql.sources.partitionOverwriteMode"
-        val pomPrev = spark.conf.get(pomKey)
-        spark.conf.set(pomKey, "dynamic")
-        try consolidated.write.mode("overwrite").insertInto(tbl)
-        finally spark.conf.set(pomKey, pomPrev)
+        graft.sources.DynamicOverwrite(spark) {
+          consolidated.write.mode("overwrite").insertInto(tbl)
+        }
       }
     }
     val tmp = new org.apache.hadoop.fs.Path(storePath, s"$FloorPointer.tmp")

@@ -161,15 +161,12 @@ object VectorIndexPq {
       .select(col("neighbor_id").as("vec_id"), col("vb").as("v"),
         col("nb").as("norm"))
       .withColumn("batch", lit(batchId))
-    val pomKey = "spark.sql.sources.partitionOverwriteMode"
-    val pomPrev = spark.conf.get(pomKey)
-    spark.conf.set(pomKey, "dynamic")
-    try {
+    graft.sources.DynamicOverwrite(spark) {
       listRows.select("cl", "neighbor_id", "codes", "rnorm", "batch")
         .write.mode("overwrite").insertInto(lt) // insertInto is positional
       vecRows.select("vec_id", "v", "norm", "batch")
         .write.mode("overwrite").insertInto(vt)
-    } finally spark.conf.set(pomKey, pomPrev)
+    }
   }
 
   /** Compact both tables' live batches ≤ `upTo` behind the store's ONE

@@ -93,3 +93,28 @@ object Sinks {
       .parquet(path)
   }
 }
+
+/** Serialized dynamic-partition-overwrite scope for `insertInto` writes.
+  *
+  * The v1 `insertInto` path honors only the SESSION conf
+  * `spark.sql.sources.partitionOverwriteMode` (the per-write option is
+  * ignored there — measured in r7: each insert truncated the table). That
+  * conf is shared session state, so two concurrent per-batch ingests doing
+  * set("dynamic") → insert → restore("static") can interleave such that one
+  * insert executes under "static" — which TRUNCATES its target table,
+  * silently dropping all history (observed once under parallel test load:
+  * a band-store insert lost earlier batches' rows and the near-dup filter
+  * missed a duplicate). JVM-wide serialization of the set/insert/restore
+  * window is the honest fix: per-batch commit writes are small, and on a
+  * real cluster separate pipelines run separate driver JVMs/sessions
+  * anyway, so the lock costs nothing where it doesn't protect. */
+object DynamicOverwrite {
+  private val lock = new Object
+  def apply[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A =
+    lock.synchronized {
+      val k = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(k)
+      spark.conf.set(k, "dynamic")
+      try body finally spark.conf.set(k, prev)
+    }
+}

@@ -340,13 +340,11 @@ object Streams {
            |LOCATION '$storePath/bands'""".stripMargin)
       spark.catalog.recoverPartitions(tbl)
       if (legacy) {
-        val pomKey = "spark.sql.sources.partitionOverwriteMode"
-        val pomPrev = spark.conf.get(pomKey)
-        spark.conf.set(pomKey, "dynamic")
-        try spark.read.parquet(legacyDir.toString)
-          .select("doc_id", "band", "bucket", "batch") // insertInto is positional
-          .write.mode("overwrite").insertInto(tbl)
-        finally spark.conf.set(pomKey, pomPrev)
+        graft.sources.DynamicOverwrite(spark) {
+          spark.read.parquet(legacyDir.toString)
+            .select("doc_id", "band", "bucket", "batch") // insertInto is positional
+            .write.mode("overwrite").insertInto(tbl)
+        }
         fs.delete(legacyDir, true)
         spark.catalog.recoverPartitions(tbl)
       }
@@ -391,18 +389,98 @@ object Streams {
     // are still caught; per-batch partitions — never a history rewrite
     batch.write.mode("overwrite").parquet(s"$storePath/docs/batch=$batchId")
     // dynamic overwrite: replace ONLY this batch's partition (replay-safe),
-    // never the history. Set via session conf — the per-write option is not
-    // honored on the insertInto path (observed: each insert truncated the
-    // table, silently dropping all history bands).
-    val pomKey = "spark.sql.sources.partitionOverwriteMode"
-    val pomPrev = spark.conf.get(pomKey)
-    spark.conf.set(pomKey, "dynamic")
-    try newBands.withColumn("batch", lit(batchId))
-      .select("doc_id", "band", "bucket", "batch") // insertInto is positional
-      .write.mode("overwrite")
-      .insertInto(bandsTbl)
-    finally spark.conf.set(pomKey, pomPrev)
+    // never the history. Via [[graft.sources.DynamicOverwrite]] — the
+    // per-write option is not honored on the insertInto path, and the
+    // session-conf window must be serialized against concurrent ingests.
+    graft.sources.DynamicOverwrite(spark) {
+      newBands.withColumn("batch", lit(batchId))
+        .select("doc_id", "band", "bucket", "batch") // insertInto is positional
+        .write.mode("overwrite")
+        .insertInto(bandsTbl)
+    }
     batch.unpersist(); newBands.unpersist(); cand.unpersist()
+    ()
+  }
+
+  /** Buckets of the span store. Same sizing rule as [[LshStoreBuckets]]. */
+  val ChunkStoreBuckets = 8
+
+  /** Catalog name of the span-store table for a store path — same
+    * 96-bit-SHA naming rationale as [[bandsTable]]. */
+  private[graft] def chunksTable(storePath: String): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(storePath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "graft_chunk_store_" + sha.take(12).map("%02x".format(_)).mkString
+  }
+
+  /** Ensure the span-store table: external parquet at `storePath/chunks`,
+    * PARTITIONED BY batch (replay-overwrite unit), CLUSTERED BY (chunk) —
+    * the probe key — so history-side probe joins read pre-distributed
+    * buckets with no exchange at any store size. (No legacy migration arm:
+    * span stores never shipped unbucketed.) */
+  private def ensureChunksTable(spark: org.apache.spark.sql.SparkSession,
+                                storePath: String): String = {
+    val tbl = chunksTable(storePath)
+    if (!spark.catalog.tableExists(tbl)) {
+      val loc = new org.apache.hadoop.fs.Path(s"$storePath/chunks")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(loc)
+      spark.sql(
+        s"""CREATE TABLE $tbl (chunk STRING, doc_id BIGINT, i INT, batch BIGINT)
+           |USING PARQUET
+           |PARTITIONED BY (batch)
+           |CLUSTERED BY (chunk) INTO $ChunkStoreBuckets BUCKETS
+           |LOCATION '$storePath/chunks'""".stripMargin)
+      spark.catalog.recoverPartitions(tbl)
+    }
+    tbl
+  }
+
+  /** Streaming SPAN dedup — [[graft.ext.Dedup.chunkRewrite]] as an ingest:
+    * each arriving doc is rewritten against every chunk EVER SEEN, not just
+    * its own batch, and only first-ever chunk occurrences enter the store —
+    * the store is the corpus' distinct-span set, growing with unique
+    * content only. Per batch: one chunk-key join against the bucketed
+    * store (no history exchange), one within-batch window, one doc-grain
+    * reassembly. When batches arrive in doc-id order the concatenated
+    * rewrites equal the batch operator's output exactly (StreamingSpec). */
+  def chunkDedupIngest(docs: DataFrame, storePath: String,
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestChunkBatch(batch, storePath, batchId)
+      }
+      .start()
+
+  /** One micro-batch of [[chunkDedupIngest]] — replay-idempotent by the
+    * same per-batch-overwrite-partition layout as [[ingestDedupBatch]]. */
+  private[graft] def ingestChunkBatch(batch0: DataFrame, storePath: String,
+                                      batchId: Long): Unit = {
+    import graft.ext.Dedup
+    val w = org.apache.spark.sql.expressions.Window
+    val spark = batch0.sparkSession
+    val base = Dedup.chunkBase(batch0).persist()
+    val tbl = ensureChunksTable(spark, storePath)
+    // literal-only projection preserves the table's bucket distribution;
+    // the store holds each distinct chunk exactly once (only first-ever
+    // occurrences are inserted), so this join cannot fan out
+    val hist = spark.table(tbl).where(col("batch") =!= batchId)
+      .select(col("chunk"), lit(true).as("_seen"))
+    val flagged = Dedup.chunkOcc(base)
+      .withColumn("_rn", row_number().over(
+        w.partitionBy("chunk").orderBy(col("doc_id"), col("i"))))
+      .join(hist, Seq("chunk"), "left")
+      .withColumn("_first", col("_seen").isNull && col("_rn") === 1)
+      .persist()
+    Dedup.chunkReassemble(base, flagged)
+      .write.mode("overwrite").parquet(s"$storePath/rewritten/batch=$batchId")
+    graft.sources.DynamicOverwrite(spark) {
+      flagged.where(col("_first"))
+        .select(col("chunk"), col("doc_id"), col("i"), lit(batchId).as("batch"))
+        .write.mode("overwrite").insertInto(tbl)
+    }
+    base.unpersist(); flagged.unpersist()
     ()
   }
 

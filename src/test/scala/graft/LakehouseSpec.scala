@@ -206,4 +206,27 @@ class LakehouseSpec extends SparkSpec {
     assert(none.isEmpty && empty.isEmpty)
     stats.unpersist()
   }
+
+  test("DynamicOverwrite serializes the session-conf window across threads " +
+    "and restores the previous mode") {
+    import graft.sources.DynamicOverwrite
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val before = spark.conf.get(key)
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val t1 = new Thread(() => DynamicOverwrite(spark) {
+      events.add("a-in:" + spark.conf.get(key))
+      Thread.sleep(300)
+      events.add("a-out")
+    })
+    t1.start(); Thread.sleep(60) // t1 holds the scope
+    val t2 = new Thread(() => DynamicOverwrite(spark) {
+      events.add("b-in:" + spark.conf.get(key))
+    })
+    t2.start(); t1.join(); t2.join()
+    // b must not enter while a holds the window (the interleaving that
+    // flips the shared conf back to static mid-insert and truncates tables)
+    assert(events.toArray.toSeq ===
+      Seq("a-in:dynamic", "a-out", "b-in:dynamic"))
+    assert(spark.conf.get(key) === before, "previous mode not restored")
+  }
 }

@@ -400,6 +400,36 @@ class StreamingSpec extends SparkSpec {
       .where(col("batch") === 0L).count() > 0, "legacy band rows lost in migration")
   }
 
+  test("span-store ingest: doc-ordered micro-batches reproduce the batch " +
+    "chunk rewrite exactly; replay no-ops; store holds each chunk once") {
+    val dir = Files.createTempDirectory("graft_chunks").toString
+    val docs = graft.engine.Sources.documents(spark, sf).cache()
+    val bounds = Seq(0L, 150L, 350L, Long.MaxValue)
+    (0 until 3).foreach { b =>
+      val slice = docs.where(col("doc_id") >= bounds(b)
+        && col("doc_id") < bounds(b + 1))
+      Streams.ingestChunkBatch(slice, s"$dir/store", b.toLong)
+    }
+    // doc-id-ordered arrival makes streaming first-occurrence == global
+    // first-occurrence, so the concatenated rewrites must equal the batch
+    // operator bit-for-bit
+    val streamed = spark.read.parquet(s"$dir/store/rewritten")
+      .select("doc_id", "n_chunks", "dropped_chunks", "text_rewritten")
+    val batch = graft.ext.Dedup.chunkRewrite(spark, sf)
+    assert(streamed.count() === batch.count())
+    assert(streamed.unionByName(batch).distinct().count() === batch.count(),
+      "streamed rewrites diverged from the batch operator")
+    // crash-replay of the last batch: the store must not grow
+    val tbl = Streams.chunksTable(s"$dir/store")
+    val n = spark.table(tbl).count()
+    Streams.ingestChunkBatch(docs.where(col("doc_id") >= 350L),
+      s"$dir/store", 2L)
+    assert(spark.table(tbl).count() === n, "replay grew the span store")
+    // the store is the corpus' distinct-span set — each chunk exactly once
+    assert(n === spark.table(tbl).select("chunk").distinct().count())
+    docs.unpersist()
+  }
+
   test("replayed micro-batches are no-ops: idempotent ingest, exactly-once fold") {
     val dir = Files.createTempDirectory("graft_replay").toString
     // near-dup ingest: a replay of the same (batch, id) must not grow the store
