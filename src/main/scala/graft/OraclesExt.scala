@@ -1550,6 +1550,60 @@ object OraclesExt {
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
   }
 
+  /** Twin of Sketch.statsDriftFromSlices — both profiles (slice-0 baseline,
+    * full corpus) rebuilt from the tables, then the identical drift
+    * arithmetic and gates. */
+  val sketchStatsDrift: String = {
+    import graft.ext.Sketch.{KmvK, ProfiledColumns, DriftNullRatePp, DriftNdvFactor}
+    import graft.ext.Similarity.M32
+    val keys = Map("orders" -> "o_orderkey", "lineitem" -> "l_orderkey",
+      "customer" -> "c_custkey", "events" -> "user_id")
+    val doubles = Set("o_totalprice", "l_quantity")
+    def arm(slice: Int, t: String, c: String): String = {
+      val key = if (doubles(c)) s"CAST(floor($c * 100 + 0.5) AS BIGINT)" else c
+      val sliceCond =
+        if (slice == 0) Seq(s"${mixSql(s"COALESCE(${keys(t)}, -1)")} % 3 = 0")
+        else Seq.empty
+      def where(conds: Seq[String]) =
+        if (conds.isEmpty) "" else conds.mkString("WHERE ", " AND ", "")
+      val est = s"CASE WHEN k.n_kept < $KmvK THEN CAST(k.n_kept AS DOUBLE) " +
+        s"ELSE ${R(s"CAST(${KmvK - 1} AS DOUBLE) * $M32 / k.h_k", 2)} END"
+      s"""SELECT $slice AS slice, '$t' AS table_name, '$c' AS column_name,
+         |  s.n_rows, s.n_nulls, $est AS ndv_kmv, s.min_value, s.max_value
+         |FROM (
+         |  SELECT count(*) AS n_rows, count(*) - count($c) AS n_nulls,
+         |    CAST(min($c) AS DOUBLE) AS min_value,
+         |    CAST(max($c) AS DOUBLE) AS max_value
+         |  FROM $t ${where(sliceCond)}) s,
+         |(
+         |  SELECT count(*) AS n_kept, max(h) AS h_k FROM (
+         |    SELECT DISTINCT ${mixSql(key)} AS h FROM $t
+         |    ${where(sliceCond :+ s"$c IS NOT NULL")} ORDER BY h LIMIT $KmvK)) k""".stripMargin
+    }
+    val arms = (for (slice <- Seq(0, 1); (t, c) <- ProfiledColumns)
+      yield arm(slice, t, c)).mkString("\nUNION ALL\n")
+    val rowGrowth = "(CAST(a.n_rows AS DOUBLE) / GREATEST(b.n_rows, 1))"
+    val ndvGrowth = "(a.ndv_kmv / GREATEST(b.ndv_kmv, 1.0))"
+    def nullRate(p: String) = s"(100.0 * $p.n_nulls / GREATEST($p.n_rows, 1))"
+    s"""WITH prof AS (
+       |$arms),
+       |b AS (SELECT * FROM prof WHERE slice = 0),
+       |a AS (SELECT * FROM prof WHERE slice = 1)
+       |SELECT b.table_name, b.column_name,
+       |  b.n_rows AS rows_before, a.n_rows AS rows_after,
+       |  ${R(rowGrowth, 4)} AS row_growth,
+       |  ${R(nullRate("b"), 2)} AS null_pct_before,
+       |  ${R(nullRate("a"), 2)} AS null_pct_after,
+       |  (abs(${nullRate("a")} - ${nullRate("b")}) >= $DriftNullRatePp)
+       |    AS null_rate_drift,
+       |  (a.min_value < b.min_value OR a.max_value > b.max_value)
+       |    AS range_expanded,
+       |  ${R(ndvGrowth, 4)} AS ndv_growth,
+       |  ($ndvGrowth >= $DriftNdvFactor * $rowGrowth) AS ndv_outpaced_rows
+       |FROM b JOIN a USING (table_name, column_name)
+       |ORDER BY table_name, column_name""".stripMargin
+  }
+
   /** Twin of Corpus.mixBySourceWeight. */
   val corpusMix: String =
     s"""SELECT source, count(*) AS n_kept
@@ -1987,6 +2041,7 @@ object OraclesExt {
     "sampling_decon_train" -> samplingDeconTrain,
     "stats_table_profile" -> sketchTableProfile,
     "stats_profile_incremental" -> sketchStatsIncremental,
+    "stats_drift" -> sketchStatsDrift,
     "pii_scan" -> piiScan,
     "pii_redacted" -> piiRedacted,
     "corpus_mix_by_source" -> corpusMix,

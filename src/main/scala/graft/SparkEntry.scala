@@ -150,6 +150,8 @@ object SparkEntry {
       ext.Sketch.tableProfile(s, d).orderBy("table_name", "column_name")),
     "stats_profile_incremental" -> ((s, d) =>
       ext.Sketch.statsProfileFromDeltas(s, d).orderBy("table_name", "column_name")),
+    "stats_drift" -> ((s, d) =>
+      ext.Sketch.statsDriftFromSlices(s, d).orderBy("table_name", "column_name")),
     "corpus_mix_by_source" -> ((s, d) => ext.Corpus.mixBySourceWeight(s, d).orderBy("source")),
     "corpus_pack_sequences" -> ((s, d) => ext.Corpus.packSequences(s, d).orderBy("doc_id")),
     "corpus_preprocess" -> ((s, d) => ext.Corpus.preprocess(s, d).orderBy("doc_id")),

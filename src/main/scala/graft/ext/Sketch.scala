@@ -177,6 +177,80 @@ object Sketch {
     case other => sys.error(s"unprofiled table $other")
   }
 
+  // ----------------------------------------------------- drift detection
+
+  /** Null-rate drift gate, percentage points. */
+  val DriftNullRatePp = 5.0
+  /** NDV growth gate: flag when NDV grows more than this factor faster
+    * than the row count (key-space explosion / fanout bug signal). */
+  val DriftNdvFactor = 2.0
+
+  /** Statistics DRIFT between two profile versions — the DQ consumer the
+    * versioned stats store makes possible: `before` and `after` are any
+    * two [[finalizeStats]] outputs (e.g. [[graft.sources.Versioned]]
+    * versions of the maintained state — time travel supplies the baseline
+    * for free). Per column, the report gives row growth, null-rate
+    * movement, range expansion, and NDV-vs-rows growth, plus boolean
+    * gates:
+    *
+    *  - `null_rate_drift`: null share moved ≥ [[DriftNullRatePp]] pp — an
+    *    upstream extractor started (or stopped) dropping a field;
+    *  - `range_expanded`: min/max moved outside the baseline — new
+    *    enum/id space, unit change, or corruption;
+    *  - `ndv_outpaced_rows`: NDV grew ≥ [[DriftNdvFactor]]× the row growth
+    *    — a key column stopped being a key, or a join fanned out.
+    *
+    * Pure column arithmetic over profiled-columns-grain frames: the check
+    * costs nothing at any corpus size, because the PROFILE already paid
+    * the scan. Append-only contract inherited from the state fold (rows
+    * and ranges only grow). */
+  def statsDrift(before: DataFrame, after: DataFrame): DataFrame = {
+    val b = before.select(col("table_name"), col("column_name"),
+      col("n_rows").as("rows_before"), col("n_nulls").as("nulls_before"),
+      col("ndv_kmv").as("ndv_before"),
+      col("min_value").as("min_before"), col("max_value").as("max_before"))
+    val a = after.select(col("table_name"), col("column_name"),
+      col("n_rows").as("rows_after"), col("n_nulls").as("nulls_after"),
+      col("ndv_kmv").as("ndv_after"),
+      col("min_value").as("min_after"), col("max_value").as("max_after"))
+    val nullRate = (n: Column, rows: Column) =>
+      lit(100.0) * n / greatest(rows, lit(1L))
+    val rowGrowth = col("rows_after").cast("double") /
+      greatest(col("rows_before"), lit(1L))
+    val ndvGrowth = col("ndv_after") / greatest(col("ndv_before"), lit(1.0))
+    b.join(a, Seq("table_name", "column_name"))
+      .select(col("table_name"), col("column_name"),
+        col("rows_before"), col("rows_after"),
+        Num.r4(rowGrowth).as("row_growth"),
+        Num.r2(nullRate(col("nulls_before"), col("rows_before")))
+          .as("null_pct_before"),
+        Num.r2(nullRate(col("nulls_after"), col("rows_after")))
+          .as("null_pct_after"),
+        (abs(nullRate(col("nulls_after"), col("rows_after"))
+          - nullRate(col("nulls_before"), col("rows_before")))
+          >= DriftNullRatePp).as("null_rate_drift"),
+        (col("min_after") < col("min_before")
+          || col("max_after") > col("max_before")).as("range_expanded"),
+        Num.r4(ndvGrowth).as("ndv_growth"),
+        (ndvGrowth >= lit(DriftNdvFactor) * rowGrowth)
+          .as("ndv_outpaced_rows"))
+  }
+
+  /** The verified query: drift of the full profile against the
+    * deterministic first-third slice of each table (slice 0 of the
+    * [[statsProfileFromDeltas]] sharding) — a synthetic but fully
+    * deterministic "yesterday vs today" pair both engines can rebuild. */
+  def statsDriftFromSlices(spark: SparkSession, dir: String): DataFrame = {
+    def profile(sliceFilter: Option[Int]): DataFrame =
+      finalizeStats(ProfiledColumns.map { case (t, c) =>
+        val (df, key) = sliceSource(spark, dir, t)
+        val sliced = sliceFilter.fold(df)(i => df.where(
+          pmod(mixHash(coalesce(col(key), lit(-1L))), lit(3)) === i))
+        statsState(sliced, t, c)
+      }.reduce(_ unionByName _))
+    statsDrift(profile(Some(0)), profile(None))
+  }
+
   // ------------------------------------------ profile-driven join strategy
 
   /** Per-table estimated row counts from a materialized profile frame (the

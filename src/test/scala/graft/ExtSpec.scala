@@ -643,6 +643,36 @@ class SketchSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(600))
   }
 
+  test("stats drift: clean growth trips no gates; injected anomalies trip " +
+    "exactly theirs") {
+    import spark.implicits._
+    val rows = Sketch.statsDriftFromSlices(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rows_after") >= r.getAs[Long]("rows_before"),
+        "append-only: rows can only grow")
+      assert(!r.getAs[Boolean]("null_rate_drift"),
+        s"clean fixture flagged null drift: $r")
+      assert(!r.getAs[Boolean]("ndv_outpaced_rows"),
+        s"clean fixture flagged NDV explosion: $r")
+    }
+    // doctored before/after profiles: each anomaly trips its own gate
+    def prof(rows: (String, String, Long, Long, Double, Double, Double)*) =
+      rows.toSeq.toDF("table_name", "column_name", "n_rows", "n_nulls",
+        "ndv_kmv", "min_value", "max_value")
+    val before = prof(("t", "c", 100L, 0L, 50.0, 0.0, 10.0))
+    val d = Sketch.statsDrift(before,
+      prof(("t", "c", 200L, 30L, 400.0, -5.0, 10.0))).collect().head
+    assert(d.getAs[Boolean]("null_rate_drift"))   // 0% -> 15%
+    assert(d.getAs[Boolean]("range_expanded"))    // min moved below baseline
+    assert(d.getAs[Boolean]("ndv_outpaced_rows")) // ndv 8x vs rows 2x
+    val clean = Sketch.statsDrift(before,
+      prof(("t", "c", 200L, 2L, 90.0, 0.0, 10.0))).collect().head
+    assert(!clean.getAs[Boolean]("null_rate_drift")
+      && !clean.getAs[Boolean]("range_expanded")
+      && !clean.getAs[Boolean]("ndv_outpaced_rows"))
+  }
+
   test("KMV is mergeable: k-smallest of a union == k-smallest over each " +
     "part's k-smallest (what makes per-partition combine exact at scale)") {
     import graft.ext.Sampling
