@@ -635,6 +635,28 @@ object OraclesExt {
        |             RANGE BETWEEN ${RollingDays - 1} PRECEDING AND CURRENT ROW)
        |ORDER BY user_id, day""".stripMargin
 
+  /** Twin of Events.userSeriesCorrelation — the same implicit-zero Pearson
+    * algebra: user/day and day decimal aggregates, three grid moments,
+    * clamped variances. */
+  val eventsUserSeriesCorr: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, ${DS("value")} AS x
+       |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+       |ref AS (
+       |  SELECT CAST(ts AS DATE) AS day, ${DS("value")} AS y
+       |  FROM events GROUP BY CAST(ts AS DATE)),
+       |g AS (
+       |  SELECT count(*) AS n, ${DS("y")} AS sy, ${DS("y * y")} AS syy FROM ref),
+       |per AS (
+       |  SELECT d.user_id, count(*) AS n_active_days,
+       |    ${DS("d.x")} AS sx, ${DS("d.x * d.x")} AS sxx, ${DS("d.x * r.y")} AS sxy
+       |  FROM daily d JOIN ref r USING (day) GROUP BY d.user_id)
+       |SELECT user_id, n_active_days,
+       |  ${R("""(n * sxy - sx * sy) / NULLIF(
+       |      sqrt(GREATEST(n * sxx - sx * sx, 0.0))
+       |      * sqrt(GREATEST(n * syy - sy * sy, 0.0)), 0)""", 4)} AS pearson_r
+       |FROM per, g ORDER BY user_id""".stripMargin
+
   val eventsTypeKpis: String =
     s"""SELECT event_type,
        |  count(*) AS n_events,
@@ -2109,6 +2131,7 @@ object OraclesExt {
     "events_sessions" -> eventsSessions,
     "events_session_windows" -> eventsSessionWindows,
     "events_user_rolling_daily" -> eventsUserRollingDaily,
+    "events_user_series_corr" -> eventsUserSeriesCorr,
     "events_type_kpis" -> eventsTypeKpis,
     "events_funnel" -> eventsFunnel,
     "events_weekly_retention" -> eventsWeeklyRetention,

@@ -118,6 +118,8 @@ object SparkEntry {
       ext.Events.sessionWindowsNative(s, d).orderBy("user_id", "session_start")),
     "events_user_rolling_daily" -> ((s, d) =>
       ext.Events.userRollingDaily(s, d).orderBy("user_id", "day")),
+    "events_user_series_corr" -> ((s, d) =>
+      ext.Events.userSeriesCorrelation(s, d).orderBy("user_id")),
     "events_type_kpis" -> ((s, d) => ext.Events.typeKpis(s, d).orderBy("event_type")),
     "events_funnel" -> ((s, d) => ext.Events.funnel(s, d).orderBy("stage")),
     "events_weekly_retention" -> ((s, d) =>

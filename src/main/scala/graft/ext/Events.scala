@@ -108,6 +108,50 @@ object Events {
       r2(dsumOver(col("day_value"), w)).as("rolling_7d_value"))
   }
 
+  /** Per-user activity-SHAPE similarity: Pearson correlation of each
+    * user's daily value series against the corpus' aggregate daily series
+    * (the "typical" shape) — time-series similarity search in the
+    * cohort-analytics form it takes at warehouse scale: who tracks the
+    * aggregate curve, who moves against it.
+    *
+    * The distributed trick is the IMPLICIT-ZERO algebra: a user's series
+    * is dense over the corpus' active-day grid with zeros on inactive
+    * days, but zeros contribute nothing to Σx, Σx², Σxy — so the per-user
+    * sufficient statistics aggregate over the user's ACTIVE days only
+    * (one groupBy), while the grid-wide moments (n, Σy, Σy²) are three
+    * broadcast scalars. No user×day dense matrix ever materializes:
+    * Pearson over the full grid at the cost of a sparse scan. Exactness:
+    * every Σ is an order-free decimal sum, products are identical double
+    * ops in both engines, variances are clamped at 0 before sqrt so FP
+    * cancellation cannot diverge into NaN on one engine only.
+    *
+    * Scale shape: two source aggs (user-day, day) + one broadcast join on
+    * day + one user-grain agg. The reference series is |days| rows —
+    * broadcast-sized at any corpus size. */
+  def userSeriesCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.events(spark, dir)
+    val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(dsum(col("value")).as("x"))
+    val ref = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(dsum(col("value")).as("y"))
+    val g = broadcast(ref.agg(
+      count(lit(1)).as("n"),
+      sum(col("y").cast(Num.SumDec)).cast("double").as("sy"),
+      sum((col("y") * col("y")).cast(Num.SumDec)).cast("double").as("syy")))
+    val per = daily.join(broadcast(ref), Seq("day"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_active_days"),
+        sum(col("x").cast(Num.SumDec)).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast(Num.SumDec)).cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast(Num.SumDec)).cast("double").as("sxy"))
+    per.crossJoin(g)
+      .select(col("user_id"), col("n_active_days"),
+        r4(div0(col("n") * col("sxy") - col("sx") * col("sy"),
+          sqrt(greatest(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0)))
+            * sqrt(greatest(col("n") * col("syy") - col("sy") * col("sy"), lit(0.0)))))
+          .as("pearson_r"))
+  }
+
   /** JSON prop extraction + per-type KPI: exercises the JSON path surface
     * (get_json_object ≡ DuckDB json_extract) without a parse UDF. */
   def typeKpis(spark: SparkSession, dir: String): DataFrame =

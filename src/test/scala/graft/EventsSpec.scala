@@ -81,4 +81,33 @@ class EventsSpec extends SparkSpec {
     assert(t === total)
     assert(s === total * 4)
   }
+
+  test("user series correlation: every user scored, |r| bounded by " +
+    "Cauchy-Schwarz, and the single-user degenerate grid gives r = 1") {
+    val rows = Events.userSeriesCorrelation(spark, sf).collect()
+    val users = graft.engine.Sources.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.length.toLong === users, "every active user must be scored")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active_days") >= 1L)
+      val p = r.getAs[Double]("pearson_r")
+      assert(p.isNaN || math.abs(p) <= 1.0001,
+        s"|r| broke the Cauchy-Schwarz bound: $r")
+    }
+    // sanity on the formula: if only ONE user existed, their series IS the
+    // reference, so r must be exactly 1 on every active-day grid with
+    // variance. Emulate by filtering to the most active user's events.
+    val top = graft.engine.Sources.events(spark, sf)
+      .groupBy("user_id")
+      .agg(countDistinct(to_date(col("ts"))).as("days"))
+      .orderBy(col("days").desc, col("user_id"))
+      .limit(1).collect().head.getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_corr").toString
+    graft.engine.Sources.events(spark, sf)
+      .where(col("user_id") === top).write.parquet(s"$dir/events.parquet")
+    val solo = Events.userSeriesCorrelation(spark, dir).collect()
+    assert(solo.length === 1)
+    assert(solo.head.getAs[Double]("pearson_r") === 1.0,
+      s"self-correlation must be exactly 1: ${solo.head}")
+  }
 }
