@@ -1572,6 +1572,46 @@ object OraclesExt {
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
   }
 
+  /** Twin of Sketch.quantileProfile — bottom-k-by-(hash, row-key) sample +
+    * exact audit arm, quantile_cont over the same canonical integers
+    * Spark's `percentile` interpolates. */
+  val sketchQuantileProfile: String = {
+    import graft.ext.Sketch.{QSampleK, QuantilePcts, ProfiledColumns}
+    val keys = Map("orders" -> "o_orderkey",
+      "lineitem" -> "(l_orderkey * 8 + l_linenumber)",
+      "customer" -> "c_custkey", "events" -> "event_id")
+    val doubles = Set("o_totalprice", "l_quantity")
+    def arm(t: String, c: String): String = {
+      val cv = if (doubles(c)) s"CAST(floor($c * 100 + 0.5) AS BIGINT)" else c
+      val scale = if (doubles(c)) "100.0" else "1.0"
+      val rk = keys(t)
+      val sampleQ = QuantilePcts.map(p =>
+        s"${R(s"quantile_cont(cv, ${p / 100.0}) / $scale", 2)} AS p${p}_sample")
+        .mkString(",\n    ")
+      val exactQ = QuantilePcts.map(p =>
+        s"${R(s"quantile_cont($cv, ${p / 100.0}) / $scale", 2)} AS p${p}_exact")
+        .mkString(",\n    ")
+      val errTerms = QuantilePcts.map(p =>
+        s"abs(s.p${p}_sample - e.p${p}_exact) / GREATEST(abs(e.p${p}_exact), 1.0)")
+      val pairCols = QuantilePcts
+        .map(p => s"s.p${p}_sample, e.p${p}_exact").mkString(", ")
+      s"""SELECT '$t' AS table_name, '$c' AS column_name,
+         |  e.n_rows, s.m_sample, $pairCols,
+         |  ${R(s"GREATEST(${errTerms.mkString(", ")})", 4)} AS max_rel_err
+         |FROM (
+         |  SELECT count(*) AS m_sample,
+         |    $sampleQ
+         |  FROM (SELECT $cv AS cv FROM $t WHERE $c IS NOT NULL
+         |        ORDER BY ${mixSql(rk)}, $rk LIMIT $QSampleK)) s,
+         |(
+         |  SELECT count(*) AS n_rows,
+         |    $exactQ
+         |  FROM $t WHERE $c IS NOT NULL) e""".stripMargin
+    }
+    ProfiledColumns.map { case (t, c) => arm(t, c) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
+  }
+
   /** Twin of Sketch.statsDriftFromSlices — both profiles (slice-0 baseline,
     * full corpus) rebuilt from the tables, then the identical drift
     * arithmetic and gates. */
@@ -2064,6 +2104,7 @@ object OraclesExt {
     "stats_table_profile" -> sketchTableProfile,
     "stats_profile_incremental" -> sketchStatsIncremental,
     "stats_drift" -> sketchStatsDrift,
+    "stats_quantile_profile" -> sketchQuantileProfile,
     "pii_scan" -> piiScan,
     "pii_redacted" -> piiRedacted,
     "corpus_mix_by_source" -> corpusMix,

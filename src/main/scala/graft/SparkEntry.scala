@@ -154,6 +154,8 @@ object SparkEntry {
       ext.Sketch.statsProfileFromDeltas(s, d).orderBy("table_name", "column_name")),
     "stats_drift" -> ((s, d) =>
       ext.Sketch.statsDriftFromSlices(s, d).orderBy("table_name", "column_name")),
+    "stats_quantile_profile" -> ((s, d) =>
+      ext.Sketch.quantileProfile(s, d).orderBy("table_name", "column_name")),
     "corpus_mix_by_source" -> ((s, d) => ext.Corpus.mixBySourceWeight(s, d).orderBy("source")),
     "corpus_pack_sequences" -> ((s, d) => ext.Corpus.packSequences(s, d).orderBy("doc_id")),
     "corpus_preprocess" -> ((s, d) => ext.Corpus.preprocess(s, d).orderBy("doc_id")),

@@ -177,6 +177,72 @@ object Sketch {
     case other => sys.error(s"unprofiled table $other")
   }
 
+  // ------------------------------------------------------ quantile profile
+
+  /** Bottom-k sample size for quantile estimation: the [[QSampleK]] rows
+    * with the smallest (mixHash(row key), row key) — a uniform fixed-size
+    * random sample that is DETERMINISTIC (hash order), BOUNDED (a
+    * TakeOrdered, never a sort), and MERGEABLE (k-smallest-of-union — the
+    * same order-statistic lemma as the KMV sketch, so the sample can ride
+    * the incremental state fold). Sample-quantile error ~ 1/√k. */
+  val QSampleK = 512
+
+  /** The estimated percentiles. */
+  val QuantilePcts = Seq(25, 50, 75, 95)
+
+  /** Unique integer row key per profiled table — what makes the row sample
+    * (as opposed to [[kmvFrame]]'s distinct-VALUE sample) well-defined:
+    * quantiles are over the row distribution, so the sampling key must be
+    * row-unique, not value-unique. */
+  private def rowKey(t: String): Column = t match {
+    case "orders" => col("o_orderkey")
+    case "lineitem" => col("l_orderkey") * 8 + col("l_linenumber")
+    case "customer" => col("c_custkey")
+    case "events" => col("event_id")
+    case other => sys.error(s"unprofiled table $other")
+  }
+
+  /** Quantiles of one column: the sample estimate next to the exact
+    * sort-based arm, both over the column's CANONICAL integers (doubles
+    * cent-scaled exactly as [[hashKey]] hashes them) so the
+    * percentile/quantile_cont interpolation stays integer-exact in both
+    * engines, then rescaled to original units. The exact arm is the
+    * verify-SF audit (same status as `ndv_exact`): at 100 TB only the
+    * bounded sample runs. */
+  private def quantProfileCol(df: DataFrame, t: String, c: String): DataFrame = {
+    val scale = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DoubleType => 100.0
+      case _ => 1.0
+    }
+    val keyed = df.where(col(c).isNotNull)
+      .select(hashKey(df, c).as("cv"), mixHash(rowKey(t)).as("h"),
+        rowKey(t).as("rk"))
+    val sample = keyed.orderBy(col("h"), col("rk")).limit(QSampleK)
+    def qs(src: String) = QuantilePcts.map(p =>
+      Num.r2(percentile(col("cv"), lit(p / 100.0)) / scale)
+        .as(s"p${p}_$src"))
+    val s = sample.agg(count(lit(1)).as("m_sample"), qs("sample"): _*)
+    val e = keyed.agg(count(lit(1)).as("n_rows"), qs("exact"): _*)
+    s.crossJoin(e) // 1×1
+      .select(Seq(lit(t).as("table_name"), lit(c).as("column_name"),
+        col("n_rows"), col("m_sample")) ++
+        QuantilePcts.flatMap(p =>
+          Seq(col(s"p${p}_sample"), col(s"p${p}_exact"))) :+
+        Num.r4(QuantilePcts.map(p =>
+          abs(col(s"p${p}_sample") - col(s"p${p}_exact"))
+            / greatest(abs(col(s"p${p}_exact")), lit(1.0)))
+          .reduce(greatest(_, _))).as("max_rel_err"): _*)
+  }
+
+  /** The quantile statistics catalog: selectivity-grade percentiles for
+    * every profiled column — the range-predicate complement to the KMV NDV
+    * ([[tableProfile]]): NDV sizes equi-joins, quantiles size range scans.
+    * One bounded TakeOrdered + one audit agg per column. */
+  def quantileProfile(spark: SparkSession, dir: String): DataFrame =
+    ProfiledColumns.map { case (t, c) =>
+      quantProfileCol(sliceSource(spark, dir, t)._1, t, c)
+    }.reduce(_ unionByName _)
+
   // ----------------------------------------------------- drift detection
 
   /** Null-rate drift gate, percentage points. */

@@ -643,6 +643,24 @@ class SketchSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(600))
   }
 
+  test("quantile profile: sample estimates track the exact arm within " +
+    "sampling noise; quantiles monotone; sample bounded") {
+    val rows = Sketch.quantileProfile(spark, sf).collect()
+    assert(rows.length === Sketch.ProfiledColumns.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("m_sample")
+        === math.min(Sketch.QSampleK.toLong, r.getAs[Long]("n_rows")))
+      for (src <- Seq("sample", "exact");
+           Seq(a, b) <- Sketch.QuantilePcts.sliding(2))
+        assert(r.getAs[Double](s"p${a}_$src") <= r.getAs[Double](s"p${b}_$src"),
+          s"p$a > p$b ($src) in $r")
+      // 1/sqrt(512) ~ 4.4% standard error; 35% is a generous bound that
+      // still catches a broken sampler (uniformity bugs land near 100%)
+      assert(r.getAs[Double]("max_rel_err") <= 0.35,
+        s"sample quantiles too far from exact: $r")
+    }
+  }
+
   test("stats drift: clean growth trips no gates; injected anomalies trip " +
     "exactly theirs") {
     import spark.implicits._
