@@ -309,7 +309,8 @@ object Pipeline {
     * the difference between stats that lag a day and stats that lag a
     * batch. Replay discipline identical to the other increment modes. */
   def runStatsIncrement(spark: SparkSession, deltas: String => DataFrame,
-                        outDir: String, batchId: Long): Seq[StageResult] = {
+                        outDir: String, batchId: Long,
+                        installHints: Boolean = false): Seq[StageResult] = {
     import graft.ext.Sketch
     import graft.sources.Versioned
     val results = Seq.newBuilder[StageResult]
@@ -336,6 +337,13 @@ object Pipeline {
       }
     results += StageResult("incr_table_stats", "PASS",
       (System.nanoTime() - t0) / 1e9, n)
+    // close the loop: the batch that refreshed the stats also refreshes
+    // the planner — every PLAIN join in the session now sizes against the
+    // state this batch just committed (replay-safe: installing the same
+    // profile twice is idempotent)
+    if (installHints)
+      graft.plans.StatsHint.install(spark,
+        Sketch.finalizeStats(Versioned.read(spark, path)))
     results.result()
   }
 

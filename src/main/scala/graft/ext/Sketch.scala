@@ -317,6 +317,19 @@ object Sketch {
     statsDrift(profile(Some(0)), profile(None))
   }
 
+  /** Hard gate on [[statsDrift]]: throws listing every (table, column,
+    * gate) that tripped — the deploy-blocking form, same contract as
+    * [[graft.engine.Quality.assertAll]]. Collect is control-plane
+    * (profiled-columns-grain). */
+  def assertNoDrift(before: DataFrame, after: DataFrame): Unit = {
+    val gates = Seq("null_rate_drift", "range_expanded", "ndv_outpaced_rows")
+    val tripped = statsDrift(before, after).collect().flatMap { r =>
+      gates.filter(g => r.getAs[Boolean](g)).map(g =>
+        s"${r.getAs[String]("table_name")}.${r.getAs[String]("column_name")}: $g")
+    }
+    require(tripped.isEmpty, s"statistics drift gates tripped: ${tripped.mkString("; ")}")
+  }
+
   // ------------------------------------------ profile-driven join strategy
 
   /** Per-table estimated row counts from a materialized profile frame (the

@@ -689,6 +689,53 @@ class SketchSpec extends SparkSpec {
     assert(!clean.getAs[Boolean]("null_rate_drift")
       && !clean.getAs[Boolean]("range_expanded")
       && !clean.getAs[Boolean]("ndv_outpaced_rows"))
+    // the hard gate: throws naming the tripped gates, passes when clean
+    val e = intercept[IllegalArgumentException] {
+      Sketch.assertNoDrift(before,
+        prof(("t", "c", 200L, 30L, 400.0, -5.0, 10.0)))
+    }
+    assert(e.getMessage.contains("t.c: null_rate_drift")
+      && e.getMessage.contains("ndv_outpaced_rows"), e.getMessage)
+    Sketch.assertNoDrift(before, prof(("t", "c", 200L, 2L, 90.0, 0.0, 10.0)))
+  }
+
+  test("quantile sample is mergeable: bottom-k of a union == bottom-k over " +
+    "each part's bottom-k (what lets percentiles ride the state fold)") {
+    import graft.ext.Sampling
+    val o = graft.engine.Sources.orders(spark, sf)
+      .select(col("o_orderkey").as("rk"), col("o_totalprice").as("v"))
+    def bottomK(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      d.select(Sampling.mixHash(col("rk")).as("h"), col("rk"))
+        .orderBy("h", "rk").limit(Sketch.QSampleK)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val whole = bottomK(o)
+    val merged = (0 until 3)
+      .flatMap(i => bottomK(o.where(col("rk") % 3 === i)))
+      .distinct.sortBy(identity).take(Sketch.QSampleK)
+    assert(whole === merged)
+  }
+
+  test("runStatsIncrement(installHints) refreshes the planner from the " +
+    "committed state: a plain join obeys the folded profile") {
+    import graft.engine.Pipeline
+    import graft.plans.StatsHint
+    val out = java.nio.file.Files.createTempDirectory("graft_hint").toString
+    // inflate every profiled table 2000x so the folded profile claims row
+    // counts whose size estimates exceed the broadcast threshold — while
+    // the actual files stay tiny (Spark's own heuristic would broadcast)
+    def deltas(t: String) = Sketch.sliceSource(spark, sf, t)._1
+      .crossJoin(spark.range(2000)).drop("id")
+    try {
+      val rs = Pipeline.runStatsIncrement(spark, deltas, out, 0L,
+        installHints = true)
+      assert(rs.forall(_.status == "PASS"))
+      val o = graft.engine.Sources.orders(spark, sf)
+      val c = graft.engine.Sources.customer(spark, sf)
+      val p = o.join(c, o("o_custkey") === c("c_custkey"))
+        .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+      assert(p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        p.take(800))
+    } finally StatsHint.uninstall(spark)
   }
 
   test("KMV is mergeable: k-smallest of a union == k-smallest over each " +
