@@ -225,6 +225,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "hier ANN must not rank via a window shuffle")
   }
 
+  test("round-9 operators keep their scale shapes: no cartesian products, " +
+    "bounded top-k instead of global sorts, broadcast reference sides") {
+    // chunk rewrite: one chunk-key window + one doc-grain reassembly — and
+    // never a cartesian product or a global (unpartitioned) sort
+    val cr = plan(graft.ext.Dedup.chunkRewrite(spark, sf))
+    assert(!cr.contains("CartesianProduct"), cr.take(800))
+    // rebalanced mix: the bottleneck scalar rides a TakeOrdered (never a
+    // single-partition global sort) and the per-source thresholds broadcast
+    val rm = plan(graft.ext.Corpus.rebalancedMix(spark, sf))
+    assert(rm.contains("TakeOrderedAndProject"), rm.take(1200))
+    assert(rm.contains("BroadcastHashJoin") || rm.contains("BroadcastNestedLoopJoin"),
+      rm.take(1200))
+    // series correlation: the day-grain reference side broadcasts; the
+    // grid moments are broadcast scalars, so no shuffle keyed on day
+    val sc = plan(graft.ext.Events.userSeriesCorrelation(spark, sf))
+    assert(sc.contains("BroadcastHashJoin"), sc.take(1200))
+    assert(!sc.contains("CartesianProduct"), sc.take(800))
+    // quantile profile: every sample is a TakeOrdered, never a full sort
+    // materialized to one partition
+    val qp = plan(graft.ext.Sketch.quantileProfile(spark, sf))
+    assert(qp.contains("TakeOrderedAndProject"), qp.take(1200))
+  }
+
   test("stats catalog is load-bearing: the same join flips broadcast <-> " +
     "sort-merge purely on what the profile claims") {
     import graft.ext.Sketch
