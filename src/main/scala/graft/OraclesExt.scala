@@ -1476,6 +1476,20 @@ object OraclesExt {
     s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT)"
 
   /** Twin of Pii.scan. */
+  /** Twin of Pii.kAnonymity — one grouped aggregate, identical thresholds. */
+  val piiKAnonymity: String = {
+    import graft.ext.Pii.{AnonK, DiversityL}
+    val sign = "CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END"
+    s"""SELECT c_nationkey, c_mktsegment,
+       |  count(*) AS group_size,
+       |  count(DISTINCT $sign) AS sensitive_ndv,
+       |  count(*) >= $AnonK AS k_anonymous,
+       |  count(DISTINCT $sign) >= $DiversityL AS l_diverse
+       |FROM customer
+       |GROUP BY c_nationkey, c_mktsegment
+       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+  }
+
   val piiScan: String = {
     import graft.ext.Pii._
     s"""WITH $piiMessyCte
@@ -2106,6 +2120,7 @@ object OraclesExt {
     "stats_drift" -> sketchStatsDrift,
     "stats_quantile_profile" -> sketchQuantileProfile,
     "pii_scan" -> piiScan,
+    "pii_k_anonymity" -> piiKAnonymity,
     "pii_redacted" -> piiRedacted,
     "corpus_mix_by_source" -> corpusMix,
     "media_kind_summary" -> mediaKindSummary,

@@ -146,6 +146,8 @@ object SparkEntry {
       ext.Sampling.decontaminatedTrain(s, d).orderBy("doc_id")),
     // ext: PII scrub (map-only regex scan + redaction over the synthetic twin)
     "pii_scan" -> ((s, d) => ext.Pii.scan(s, d).orderBy("doc_id")),
+    "pii_k_anonymity" -> ((s, d) =>
+      ext.Pii.kAnonymity(s, d).orderBy("c_nationkey", "c_mktsegment")),
     "pii_redacted" -> ((s, d) => ext.Pii.redacted(s, d).orderBy("doc_id")),
     // ext: statistics catalog (exact stats + deterministic KMV NDV sketch)
     "stats_table_profile" -> ((s, d) =>

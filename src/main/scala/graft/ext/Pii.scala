@@ -115,4 +115,46 @@ object Pii {
   def redacted(spark: SparkSession, dir: String): DataFrame =
     redactedOf(withSyntheticPii(Sources.documents(spark, dir)))
       .select("doc_id", "n_redactions", "redacted_text")
+
+  // ---------------------------------------------------- group privacy
+
+  /** k-anonymity group floor: a quasi-identifier combination shared by
+    * fewer than this many rows is re-identifiable. */
+  val AnonK = 5
+  /** l-diversity floor: an anonymous group whose sensitive attribute
+    * takes fewer than this many distinct values still leaks it. */
+  val DiversityL = 2
+
+  /** Group-privacy audit — the structured-data side of the scrub stage:
+    * regex redaction protects free text, but a released TABLE re-identifies
+    * through quasi-identifier combinations (Sweeney's k-anonymity) and
+    * leaks through uniform sensitive attributes within a group
+    * (l-diversity). One groupBy over the quasi columns yields both: group
+    * size vs [[AnonK]] and sensitive-value NDV vs [[DiversityL]]. Rows in
+    * failing groups are what a release either suppresses or generalizes.
+    *
+    * Shape at 100 TB: one hash shuffle on the quasi key with map-side
+    * partial aggregation; output is group-grain (bounded by the quasi
+    * domain, not the table). */
+  def kAnonymityOf(df: DataFrame, quasi: Seq[String],
+                   sensitive: String): DataFrame =
+    df.groupBy(quasi.map(col): _*)
+      .agg(
+        // qualified: this object's private regex `count` helper shadows
+        // the aggregate function
+        org.apache.spark.sql.functions.count(lit(1)).as("group_size"),
+        countDistinct(col(sensitive)).as("sensitive_ndv"))
+      .withColumn("k_anonymous", col("group_size") >= AnonK)
+      .withColumn("l_diverse", col("sensitive_ndv") >= DiversityL)
+
+  /** Registered oracle harness: the customer dimension released by
+    * (nation, market segment) — the classic demographic quasi-identifier
+    * pair — with the account-balance SIGN as the sensitive attribute
+    * (credit standing: the thing a re-identified row leaks). */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityOf(
+      Sources.customer(spark, dir)
+        .withColumn("acctbal_sign",
+          when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("nonneg"))),
+      Seq("c_nationkey", "c_mktsegment"), "acctbal_sign")
 }

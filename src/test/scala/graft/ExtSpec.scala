@@ -643,6 +643,37 @@ class SketchSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(600))
   }
 
+  test("k-anonymity audit: groups partition the table, flags match the " +
+    "thresholds, small groups and uniform groups are caught") {
+    import graft.ext.Pii
+    import spark.implicits._
+    val rows = Pii.kAnonymity(spark, sf).collect()
+    val total = graft.engine.Sources.customer(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("group_size")).sum === total)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("k_anonymous")
+        === (r.getAs[Long]("group_size") >= Pii.AnonK))
+      assert(r.getAs[Boolean]("l_diverse")
+        === (r.getAs[Long]("sensitive_ndv") >= Pii.DiversityL))
+    }
+    // synthetic: a singleton group (re-identifiable) and a uniform-sensitive
+    // group (leaks) must both be flagged
+    val df = Seq(
+      ("us", "a", "x"), ("us", "a", "y"), ("us", "a", "x"),
+      ("us", "a", "y"), ("us", "a", "x"),            // big + diverse
+      ("fr", "b", "x"), ("fr", "b", "x"), ("fr", "b", "x"),
+      ("fr", "b", "x"), ("fr", "b", "x"),            // big + UNIFORM
+      ("de", "c", "x"))                              // singleton
+      .toDF("nation", "segment", "s")
+    val got = Pii.kAnonymityOf(df, Seq("nation", "segment"), "s").collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Boolean]("k_anonymous"), r.getAs[Boolean]("l_diverse"))))
+      .toMap
+    assert(got("us") === (true, true))
+    assert(got("fr") === (true, false))
+    assert(got("de") === (false, false))
+  }
+
   test("quantile profile: sample estimates track the exact arm within " +
     "sampling noise; quantiles monotone; sample bounded") {
     val rows = Sketch.quantileProfile(spark, sf).collect()
