@@ -125,8 +125,8 @@ object OraclesExt {
 
   // ------------------------------------------------------------ dedup twins
 
-  import graft.ext.Dedup.{P, ShingleK, Perms, Bands, RowsPerBand, JaccardThreshold,
-    SimhashBits, SimhashMaxHamming, SimhashChunks, CosineThreshold}
+  import graft.ext.Dedup.{P, ShingleK, Perms, MinhashK, Bands, RowsPerBand,
+    JaccardThreshold, SimhashBits, SimhashMaxHamming, SimhashChunks, CosineThreshold}
   import graft.ext.Similarity.{Dim, TopK, LshBits, LshTables, MixA, MixB, M31, M32}
 
   val dedupCanonicalCorpus: String =
@@ -145,6 +145,25 @@ object OraclesExt {
     s"""SELECT md5(text) AS md5_hex, min(doc_id) AS canonical_doc_id,
        |  count(*) AS n_copies
        |FROM documents GROUP BY md5(text) ORDER BY md5_hex""".stripMargin
+
+  /** Twin of Dedup.incrementalNew — the bloom prefilter is a plan detail
+    * (no false negatives + exact confirm join ⇒ bit-equal to the plain
+    * anti-join this SQL states), so the twin needs no bloom at all. */
+  lazy val dedupIncrementalNew: String = {
+    import graft.ext.Dedup.StorePct
+    s"""WITH keyed AS (
+       |  SELECT doc_id, md5(text) AS md5_hex,
+       |    ${mixSql("doc_id")} % 100 AS b
+       |  FROM documents),
+       |store AS (SELECT DISTINCT md5_hex FROM keyed WHERE b < $StorePct),
+       |incoming AS (SELECT doc_id, md5_hex FROM keyed WHERE b >= $StorePct)
+       |SELECT i.md5_hex, min(i.doc_id) AS doc_id,
+       |  count(*) AS n_copies_in_batch
+       |FROM incoming i
+       |WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.md5_hex = i.md5_hex)
+       |GROUP BY i.md5_hex
+       |ORDER BY md5_hex""".stripMargin
+  }
 
   /** Twin of Dedup.shingles: distinct word-ShingleK-shingles per doc.
     * DuckDB list slice t[a:b] is 1-based inclusive = Spark slice(t, a, K). */
@@ -225,6 +244,39 @@ object OraclesExt {
           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
           |  FROM bands x JOIN bands y USING (band, bucket)
           |  WHERE x.doc_id < y.doc_id)""".stripMargin)}""".stripMargin
+  }
+
+  /** Twin of Dedup.sourceOverlap — per-source distinct shingle-hash sets,
+    * exact pairwise Jaccard, and the same 32-perm min-signature match
+    * estimate (all-integer mins ⇒ bit-equal across engines). */
+  lazy val dedupSourceOverlap: String = {
+    val mins = Perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $P) AS mh$i"
+    }
+    val matches = (0 until MinhashK)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shinglesCte,
+       |srcsh AS (
+       |  SELECT DISTINCT d.source, ${rollhash("shingle")} AS h
+       |  FROM sh JOIN documents d USING (doc_id)),
+       |sizes AS (SELECT source, count(*) AS n FROM srcsh GROUP BY source),
+       |sigs AS (SELECT source, ${mins.mkString(",\n  ")} FROM srcsh GROUP BY source),
+       |shr AS (
+       |  SELECT x.source AS source_a, y.source AS source_b, count(*) AS shared
+       |  FROM srcsh x JOIN srcsh y ON x.h = y.h AND x.source < y.source
+       |  GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    sa.n AS n_a, sb.n AS n_b, ($matches) AS mm
+       |  FROM sigs a JOIN sigs b ON a.source < b.source
+       |  JOIN sizes sa ON sa.source = a.source
+       |  JOIN sizes sb ON sb.source = b.source)
+       |SELECT g.source_a, g.source_b, g.n_a, g.n_b,
+       |  COALESCE(s.shared, 0) AS shared,
+       |  ${R("CAST(COALESCE(s.shared, 0) AS DOUBLE) / (g.n_a + g.n_b - COALESCE(s.shared, 0))", 6)} AS jaccard,
+       |  CAST(g.mm AS DOUBLE) / $MinhashK AS minhash_est
+       |FROM grid g LEFT JOIN shr s USING (source_a, source_b)
+       |ORDER BY source_a, source_b""".stripMargin
   }
 
   /** Twin of Dedup.simhashSignatures/simhashPairs: 32-bit weighted-vote
@@ -2168,6 +2220,8 @@ object OraclesExt {
     "text_bigram_frequency" -> textBigramFrequency,
     "text_top_tfidf" -> textTopTfidf,
     "dedup_exact" -> dedupExact,
+    "dedup_incremental_bloom" -> dedupIncrementalNew,
+    "dedup_source_overlap" -> dedupSourceOverlap,
     "dedup_canonical_corpus" -> dedupCanonicalCorpus,
     "dedup_near_filtered" -> dedupNearDupFiltered,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,

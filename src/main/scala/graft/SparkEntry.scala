@@ -68,6 +68,10 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => ext.Text.repetition(s, d).orderBy("doc_id")),
     // ext: dedup suite (exact / n-gram Jaccard / MinHash-LSH / SimHash / cosine)
     "dedup_exact" -> ((s, d) => ext.Dedup.exact(s, d).orderBy("md5_hex")),
+    "dedup_incremental_bloom" -> ((s, d) =>
+      ext.Dedup.incrementalNew(s, d).orderBy("md5_hex")),
+    "dedup_source_overlap" -> ((s, d) =>
+      ext.Dedup.sourceOverlap(s, d).orderBy("source_a", "source_b")),
     "dedup_canonical_corpus" -> ((s, d) => ext.Dedup.canonicalCorpus(s, d).orderBy("doc_id")),
     "dedup_near_filtered" -> ((s, d) => ext.Dedup.nearDupFiltered(s, d).orderBy("doc_id")),
     "dedup_ngram_jaccard" -> ((s, d) => ext.Dedup.ngramJaccardPairs(s, d).orderBy("doc_a", "doc_b")),

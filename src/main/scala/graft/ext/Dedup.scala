@@ -577,4 +577,173 @@ object Dedup {
     assigned.join(dups, col("vec_id") === col("dup_id"), "left")
       .select(col("vec_id"), col("cluster"), col("dup_id").isNull.as("kept"))
   }
+
+  // ------------------------------------------------- corpus source overlap
+
+  /** Corpus-overlap matrix between SOURCES — "how much of this dump is
+    * already in the corpus", answered at corpus grain instead of doc grain
+    * (the decision that gates re-ingesting a monthly crawl). Per unordered
+    * source pair: exact shingle-set Jaccard (audit arm) and the
+    * [[MinhashK]]-permutation MinHash ESTIMATE from per-source signatures.
+    *
+    * The estimate arm is the deployment path. A per-source signature is
+    * min-per-permutation over the source's shingle hashes — a partial-merge
+    * aggregate emitting [[MinhashK]] longs per source, and MERGEABLE (min
+    * is associative): sketch each new dump independently, fold into the
+    * stored signature by elementwise min — no re-scan of old data, the
+    * same incrementality contract as [[Sketch]]'s KMV profile (DedupSpec
+    * pins sketch(A ∪ B) == min(sketch(A), sketch(B))). The exact arm
+    * self-joins the distinct (source, h) sets; its per-key fanout is
+    * bounded by |sources| (h is distinct within a source), but the join is
+    * corpus-sized — at 100 TB a deployment drops it and trusts the
+    * estimate's published ~1/√K stderr; here it oracle-pins the estimate.
+    * Plan shape: ONE distinct-shuffle on (source, h); sizes and signatures
+    * partial-merge off it; the pair grid is a broadcast cross of the
+    * ≤|sources| summary rows. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val t = Text.tokens(col("text"))
+    val idx = sequence(lit(0), size(t) - ShingleK)
+    // (source, shingle-hash) sets, carried through the explode — joining
+    // shingles back to doc attributes would be a second corpus shuffle
+    val srcSh = Sources.documents(spark, dir)
+      .where(size(t) >= ShingleK)
+      .select(col("source"),
+        explode(array_distinct(transform(idx,
+          i => concat_ws(" ", slice(t, i + 1, lit(ShingleK)))))).as("shingle"))
+      .select(col("source"), Text.rollingHash(col("shingle")).as("h"))
+      .distinct()
+      .persist() // consumed 3 ways: sizes, signatures, both exact-join sides
+    val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
+    val sigs = srcSh.groupBy("source").agg(minhashSigCols.head, minhashSigCols.tail: _*)
+    val summary = sizes.join(sigs, "source")
+    val grid = summary.select(summary.columns.map(c => col(c).as(c + "_a")): _*)
+      .crossJoin(broadcast(summary.select(summary.columns.map(c => col(c).as(c + "_b")): _*)))
+      .where(col("source_a") < col("source_b"))
+    val shared = srcSh.as("x").join(srcSh.as("y"), "h")
+      .where(col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    val matches = (0 until MinhashK)
+      .map(i => when(col(s"mh${i}_a") === col(s"mh${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val sh0 = coalesce(col("shared"), lit(0L))
+    grid.join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        sh0.as("shared"),
+        r(sh0.cast("double") / (col("n_a") + col("n_b") - sh0), 6).as("jaccard"),
+        (matches.cast("double") / MinhashK).as("minhash_est"))
+  }
+
+  /** min-per-permutation signature columns (`mh0..mh31`) over a 31-bit hash
+    * column `h` — shared by [[sourceOverlap]] and its mergeability spec. */
+  private[graft] def minhashSigCols: Seq[Column] =
+    Perms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"mh$i")
+    }
+
+  // --------------------------------------- incremental ingest (bloom-gated)
+
+  /** Store/incoming split for [[incrementalNew]]: the fixture's stand-in
+    * for "durable deduplicated corpus" (store) vs "today's ingest batch" —
+    * the same key-derived mixer as [[Sampling.trainValTestSplit]], so the
+    * DuckDB twin replays the assignment exactly. */
+  val StorePct = 80
+
+  /** Bloom sizing for the store-key prefilter. The bits budget is a FIXED
+    * constant: the blob the driver holds and embeds is O(bits), never
+    * O(store) — the bounded-literal rule the hier quantizer established for
+    * centroids applies here too. In production, size bits from the store's
+    * NDV in the statistics catalog ([[Sketch.tableProfile]]'s KMV NDV,
+    * ~10 bits/key ⇒ fpp≈1%); a store too large for one filter shards by
+    * key range with one blob per shard applied per matching partition.
+    * Sizing never affects CORRECTNESS — an undersized filter only admits
+    * more rows into the exact confirm join. */
+  val BloomExpectedItems = 60000L
+  val BloomNumBits = 1L << 20 // 128 KiB blob
+
+  /** Incremental exact dedup: which of today's batch is genuinely NEW
+    * against a durable corpus — the ingest-time shape of [[exact]], and at
+    * 100 TB the shape that matters: a full-corpus re-dedup per day is a
+    * 100-TB shuffle; this is O(batch) + a blob of the store's keys.
+    *
+    * Fixture framing: store = the [[StorePct]]% "already ingested" arm of
+    * the mixer split, incoming = the rest; production callers use
+    * [[incrementalNewOver]] on a real batch + key store. */
+  def incrementalNew(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Sampling.mixHash(col("doc_id")) % 100
+    val keyed = Sources.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("md5_hex"), bucket.as("_b"))
+    val store = keyed.where(col("_b") < StorePct).select("md5_hex").distinct()
+    val incoming = keyed.where(col("_b") >= StorePct).drop("_b")
+    incrementalNewOver(incoming, store)
+  }
+
+  /** Production entry: first-seen keys of `incoming` (doc_id, md5_hex)
+    * against a durable `store` of md5 keys, EXACTLY — the bloom is a
+    * prefilter, not an approximation.
+    *
+    * Three-arm plan, built from Spark's own runtime-filter expressions
+    * (`BloomFilterAggregate` / `BloomFilterMightContain` — what
+    * `InjectRuntimeFilter` plants under equi-joins; planted here by hand
+    * because an optimizer-injected filter may be dropped on cost grounds,
+    * and this operator's contract REQUIRES the cheap path):
+    *  1. build: one partial-merge aggregate over the store keys → a single
+    *     ≤ [[BloomNumBits]]/8-byte blob, collected to the driver (bounded
+    *     control-plane, like the calibration thresholds) and embedded as a
+    *     literal so `might_contain` stays inside whole-stage codegen;
+    *  2. definite-new arm: `NOT might_contain` rows ship straight to the
+    *     output — a Bloom filter has NO false negatives, so these rows
+    *     never pay the join. On a mostly-novel batch (the common ingest
+    *     case) this is nearly everything: the batch never shuffles;
+    *  3. confirm arm: `might_contain` rows (true dups + ~fpp of the batch)
+    *     — only these reach the exact left-anti join against the store.
+    * The union then collapses to first-seen per key (min doc_id), the same
+    * canonical rule as [[exact]]. Result is bit-equal to a plain anti-join
+    * at ANY filter sizing; DedupSpec pins that equality. */
+  def incrementalNewOver(incoming: DataFrame, store: DataFrame): DataFrame =
+    firstSeenOver(incoming, store, bloomOf(store))
+
+  /** Build the store-key bloom blob: one partial-merge aggregate over
+    * `store.md5_hex`, collected as a single ≤ [[BloomNumBits]]/8-byte row
+    * (bounded control-plane). None ⇔ empty store. The blob's serialized
+    * form is `org.apache.spark.util.sketch.BloomFilter`'s, so blobs are
+    * durable AND mergeable (bitwise-OR via `mergeInPlace` at equal sizing)
+    * — the streaming ingest folds each batch's keys into the stored blob
+    * instead of rescanning history. */
+  private[graft] def bloomOf(store: DataFrame): Option[Array[Byte]] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.{ColumnBridge => EU}
+    val blobRow = store.select(EU.column(new BloomFilterAggregate(
+        EU.expression(xxhash64(col("md5_hex"))),
+        Literal(BloomExpectedItems), Literal(BloomNumBits))
+      .toAggregateExpression()).as("bf")).head()
+    if (blobRow.isNullAt(0)) None else Some(blobRow.getAs[Array[Byte]]("bf"))
+  }
+
+  /** The probe half of [[incrementalNewOver]], with the blob supplied by
+    * the caller (the batch path builds it fresh; the streaming ingest
+    * reads the durable one). CONTRACT: the blob must have been built over
+    * a SUPERSET of `store`'s keys (None ⇔ store is empty) — bloom
+    * no-false-negatives then guarantees every store key reaches the exact
+    * confirm join. Extra keys in the blob (undersizing, a wider history)
+    * only cost selectivity, never correctness. */
+  private[graft] def firstSeenOver(incoming: DataFrame, store: DataFrame,
+                                   blob: Option[Array[Byte]]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.{ColumnBridge => EU}
+    import org.apache.spark.sql.types.BinaryType
+    val survivors = blob match {
+      case None => incoming // empty store: the whole batch is new
+      case Some(bytes) =>
+        val might = EU.column(BloomFilterMightContain(
+          Literal(bytes, BinaryType),
+          EU.expression(xxhash64(col("md5_hex")))))
+        incoming.where(!might).unionByName(
+          incoming.where(might).join(store, Seq("md5_hex"), "left_anti"))
+    }
+    survivors.groupBy("md5_hex")
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_copies_in_batch"))
+  }
 }

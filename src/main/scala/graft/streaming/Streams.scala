@@ -484,6 +484,141 @@ object Streams {
     ()
   }
 
+  // ------------------------------------------------- exact-dedup key store
+
+  /** Buckets of the md5 key-store table — same sizing rule as
+    * [[LshStoreBuckets]]. */
+  val KeyStoreBuckets = 8
+
+  /** Catalog name of the key-store table for a store path — same 96-bit
+    * SHA naming rationale as [[bandsTable]]. */
+  private[graft] def keysTable(storePath: String): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(storePath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "graft_md5_keys_" + sha.take(12).map("%02x".format(_)).mkString
+  }
+
+  /** Ensure the key-store table: external parquet at `storePath/keys`,
+    * PARTITIONED BY batch (replay-overwrite unit), CLUSTERED BY (md5_hex) —
+    * the confirm join's key — so the history side of every probe reads
+    * pre-distributed buckets with no exchange at any store size. */
+  private def ensureKeysTable(spark: org.apache.spark.sql.SparkSession,
+                              storePath: String): String = {
+    val tbl = keysTable(storePath)
+    if (!spark.catalog.tableExists(tbl)) {
+      val loc = new org.apache.hadoop.fs.Path(s"$storePath/keys")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(loc)
+      spark.sql(
+        s"""CREATE TABLE $tbl (md5_hex STRING, doc_id BIGINT, batch BIGINT)
+           |USING PARQUET
+           |PARTITIONED BY (batch)
+           |CLUSTERED BY (md5_hex) INTO $KeyStoreBuckets BUCKETS
+           |LOCATION '$storePath/keys'""".stripMargin)
+      spark.catalog.recoverPartitions(tbl)
+    }
+    tbl
+  }
+
+  /** STREAMING EXACT-DEDUP INGESTION — [[graft.ext.Dedup.incrementalNewOver]]
+    * as a continuous write path: each micro-batch keeps only documents whose
+    * content hash was never seen before, at O(batch) cost per batch.
+    *
+    * The bloom prefilter's build side is DURABLE: the blob covering all
+    * keys through batch b is stored at `bloom/bloom-<b>.bin`, and batch b+1
+    * folds its own new keys in by `BloomFilter.mergeInPlace` (bitwise OR —
+    * the sketch is mergeable at equal sizing) instead of re-aggregating the
+    * history. So per batch: read one ≤ [[graft.ext.Dedup.BloomNumBits]]/8-byte
+    * blob, map-scan the batch, exact-confirm only `might_contain` rows
+    * against the CLUSTERED BY (md5_hex) key store (no history-side
+    * exchange), write O(new keys). The blob write is LAST — its presence
+    * implies the batch's key partition is complete, which is exactly the
+    * superset contract [[graft.ext.Dedup.firstSeenOver]] requires on
+    * replay. Store layout: `keys/batch=<id>` (first-seen md5 → doc_id),
+    * `kept/batch=<id>` (surviving rows), `bloom/bloom-<id>.bin`; all three
+    * are per-batch overwrite units, so a crash-replayed batch rewrites
+    * rather than appends (the repo-wide at-least-once convention). */
+  def exactDedupIngest(docs: DataFrame, storePath: String,
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestExactBatch(batch, storePath, batchId)
+      }
+      .start()
+
+  private def bloomPath(storePath: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(s"$storePath/bloom/bloom-$batchId.bin")
+
+  /** Latest durable blob with id < batchId — a blob a crashed attempt of
+    * THIS batch may have left is ignored, because the current attempt's
+    * history reads exclude its own partition. */
+  private def priorBloom(fs: org.apache.hadoop.fs.FileSystem,
+                         storePath: String, batchId: Long): Option[Array[Byte]] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$storePath/bloom")
+    if (!fs.exists(dir)) None
+    else {
+      val ids = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("bloom-") && n.endsWith(".bin") =>
+          n.stripPrefix("bloom-").stripSuffix(".bin").toLong }
+        .filter(_ < batchId)
+      if (ids.isEmpty) None
+      else {
+        val in = fs.open(bloomPath(storePath, ids.max))
+        try Some(in.readAllBytes()) finally in.close()
+      }
+    }
+  }
+
+  /** Bitwise-OR union of two serialized blooms (both sides are built at
+    * [[graft.ext.Dedup.BloomExpectedItems]]/[[graft.ext.Dedup.BloomNumBits]]
+    * sizing, the compatibility `mergeInPlace` requires). */
+  private def mergeBlobs(a: Option[Array[Byte]],
+                         b: Option[Array[Byte]]): Option[Array[Byte]] = (a, b) match {
+    case (Some(x), Some(y)) =>
+      import org.apache.spark.util.sketch.BloomFilter
+      val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(x))
+      fa.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(y)))
+      val bos = new java.io.ByteArrayOutputStream()
+      fa.writeTo(bos)
+      Some(bos.toByteArray)
+    case (x, y) => x.orElse(y)
+  }
+
+  /** One micro-batch of [[exactDedupIngest]]. The `orElse(bloomOf(hist))`
+    * arm makes a MISSING blob safe, not just a stale one: pointing a fresh
+    * checkpoint at a pre-existing store (no blob for batch 0's probe)
+    * rebuilds the filter from the history scan once, then the durable fold
+    * takes over. */
+  private[graft] def ingestExactBatch(batch0: DataFrame, storePath: String,
+                                      batchId: Long): Unit = {
+    import graft.ext.Dedup
+    val spark = batch0.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batch = batch0.persist()
+    val keyed = batch.select(col("doc_id"), md5(col("text")).as("md5_hex"))
+    val tbl = ensureKeysTable(spark, storePath)
+    val hist = spark.table(tbl).where(col("batch") =!= batchId).select("md5_hex")
+    val blob = priorBloom(fs, storePath, batchId).orElse(Dedup.bloomOf(hist))
+    val firstSeen = Dedup.firstSeenOver(keyed, hist, blob).persist()
+    // kept corpus rows: the first-seen representative of every new key
+    batch.join(firstSeen.select("doc_id"), Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$storePath/kept/batch=$batchId")
+    graft.sources.DynamicOverwrite(spark) {
+      firstSeen
+        .select(col("md5_hex"), col("doc_id"), lit(batchId).as("batch"))
+        .write.mode("overwrite").insertInto(tbl)
+    }
+    // fold this batch's new keys into the durable blob LAST (see scaladoc)
+    mergeBlobs(blob, Dedup.bloomOf(firstSeen.select("md5_hex"))).foreach { bytes =>
+      val out = fs.create(bloomPath(storePath, batchId), true)
+      try out.write(bytes) finally out.close()
+    }
+    batch.unpersist(); firstSeen.unpersist()
+    ()
+  }
+
   /** The probe join of one ingest batch: (earlier doc, new doc) pairs
     * colliding in any LSH band bucket. Left side is the (possibly huge)
     * already-indexed history; right side is the micro-batch's bands. */

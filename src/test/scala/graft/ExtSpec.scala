@@ -89,6 +89,62 @@ class DedupSpec extends SparkSpec {
     assert(canonIds.subsetOf(docs.select("doc_id").collect().map(_.getLong(0)).toSet))
   }
 
+  test("incremental bloom dedup: bit-equal to the plain anti-join, filter in plan, " +
+    "empty store admits everything") {
+    val bucket = graft.ext.Sampling.mixHash(col("doc_id")) % 100
+    val keyed = graft.engine.Sources.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("md5_hex"), bucket.as("_b"))
+    val store = keyed.where(col("_b") < Dedup.StorePct).select("md5_hex").distinct()
+    val incoming = keyed.where(col("_b") >= Dedup.StorePct).drop("_b")
+    // plain anti-join reference — what the operator must equal at ANY sizing
+    val plain = incoming.join(store, Seq("md5_hex"), "left_anti")
+      .groupBy("md5_hex")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies_in_batch"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = Dedup.incrementalNew(spark, sf)
+    val got = bloom.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === plain,
+      s"bloom path diverged: missing=${(plain -- got).take(3)} extra=${(got -- plain).take(3)}")
+    assert(got.nonEmpty)
+    // the prefilter actually reached the physical plan (codegen'd predicate)
+    assert(bloom.queryExecution.executedPlan.toString.contains("might_contain"),
+      "bloom prefilter missing from the executed plan")
+    // empty store: no blob to build — the whole batch is first-seen
+    val emptyStore = store.where(lit(false))
+    val allNew = Dedup.incrementalNewOver(incoming, emptyStore)
+      .agg(sum("n_copies_in_batch")).first().getLong(0)
+    assert(allNew === incoming.count())
+  }
+
+  test("source overlap: full pair grid, bounded metrics, estimate tracks exact") {
+    val docs = graft.engine.Sources.documents(spark, sf)
+    val nSources = docs.select("source").distinct().count()
+    val rows = Dedup.sourceOverlap(spark, sf).collect()
+    assert(rows.length === (nSources * (nSources - 1) / 2))
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      val j = r.getAs[Double]("jaccard")
+      val e = r.getAs[Double]("minhash_est")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(e >= 0.0 && e <= 1.0)
+      // K=32 perms ⇒ stderr ≈ √(j(1-j)/32) ≤ 0.09; allow 4σ
+      assert(math.abs(e - j) <= 0.36, f"estimate $e%.3f vs exact $j%.3f")
+    }
+  }
+
+  test("source overlap: minhash signature is MERGEABLE — sketch(A∪B) = min(sketch A, sketch B)") {
+    val cols = Dedup.minhashSigCols
+    val h = Dedup.shingleHashes(graft.engine.Sources.documents(spark, sf))
+      .select("h").distinct()
+    val sa = h.where(col("h") % 2 === 0).agg(cols.head, cols.tail: _*).first()
+    val sb = h.where(col("h") % 2 === 1).agg(cols.head, cols.tail: _*).first()
+    val su = h.agg(cols.head, cols.tail: _*).first()
+    (0 until Dedup.MinhashK).foreach { i =>
+      assert(su.getLong(i) === math.min(sa.getLong(i), sb.getLong(i)),
+        s"perm $i: union sketch diverged from elementwise min")
+    }
+  }
+
   test("near-dup filter drops exactly the higher-id members of LSH pairs") {
     val dropped = Dedup.minhashLshPairs(spark, sf)
       .select("doc_b").collect().map(_.getLong(0)).toSet

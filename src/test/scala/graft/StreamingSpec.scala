@@ -303,6 +303,34 @@ class StreamingSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("exact-dedup ingest: kept == batch canonical ids, durable bloom folds, " +
+    "replay is a no-op") {
+    val dir = Files.createTempDirectory("graft_xdi").toString
+    val d = graft.engine.Sources.documents(spark, sf)
+    // in-order slices: stream keep-first-arrival == batch keep-lowest-id
+    Streams.ingestExactBatch(d.where(col("doc_id") < 200), s"$dir/store", 0L)
+    Streams.ingestExactBatch(
+      d.where(col("doc_id") >= 200 && col("doc_id") < 350), s"$dir/store", 1L)
+    Streams.ingestExactBatch(d.where(col("doc_id") >= 350), s"$dir/store", 2L)
+    val keptIds = spark.read.parquet(s"$dir/store/kept").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val canonical = graft.ext.Dedup.exact(spark, sf).select("canonical_doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptIds === canonical,
+      s"stream-kept ids must equal batch canonical ids " +
+        s"(sizes ${keptIds.size} vs ${canonical.size})")
+    // the key store holds each content hash exactly once across partitions
+    val keys = spark.table(Streams.keysTable(s"$dir/store"))
+    assert(keys.count() === keys.select("md5_hex").distinct().count())
+    // the durable blob chain covered the whole store when batch 2 probed it:
+    // replaying batch 2 (at-least-once crash replay) must change nothing
+    val before = (keys.count(), spark.read.parquet(s"$dir/store/kept").count())
+    Streams.ingestExactBatch(d.where(col("doc_id") >= 350), s"$dir/store", 2L)
+    val after = (spark.table(Streams.keysTable(s"$dir/store")).count(),
+      spark.read.parquet(s"$dir/store/kept").count())
+    assert(before === after, "replayed batch must rewrite, not append")
+  }
+
   test("LM-scored ingest: streamed scores equal the batch scorer for any batching") {
     val dir = Files.createTempDirectory("graft_lmi").toString
     val docs = graft.engine.Sources.documents(spark, sf).cache()
