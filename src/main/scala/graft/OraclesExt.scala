@@ -279,6 +279,25 @@ object OraclesExt {
        |ORDER BY source_a, source_b""".stripMargin
   }
 
+  /** Twin of Dedup.sourceOverlapEstimate — the signature CTEs of the full
+    * twin, minus the exact arm. */
+  lazy val dedupSourceOverlapEst: String = {
+    val mins = Perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $P) AS mh$i"
+    }
+    val matches = (0 until MinhashK)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shinglesCte,
+       |srcsh AS (
+       |  SELECT DISTINCT d.source, ${rollhash("shingle")} AS h
+       |  FROM sh JOIN documents d USING (doc_id)),
+       |sigs AS (SELECT source, ${mins.mkString(",\n  ")} FROM srcsh GROUP BY source)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST(($matches) AS DOUBLE) / $MinhashK AS minhash_est
+       |FROM sigs a JOIN sigs b ON a.source < b.source
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   /** Twin of Dedup.simhashSignatures/simhashPairs: 32-bit weighted-vote
     * signature, 8-bit-chunk pigeonhole candidates, hamming verify. */
   val dedupSimhash: String = {
@@ -2222,6 +2241,7 @@ object OraclesExt {
     "dedup_exact" -> dedupExact,
     "dedup_incremental_bloom" -> dedupIncrementalNew,
     "dedup_source_overlap" -> dedupSourceOverlap,
+    "dedup_source_overlap_est" -> dedupSourceOverlapEst,
     "dedup_canonical_corpus" -> dedupCanonicalCorpus,
     "dedup_near_filtered" -> dedupNearDupFiltered,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,

@@ -72,6 +72,8 @@ object SparkEntry {
       ext.Dedup.incrementalNew(s, d).orderBy("md5_hex")),
     "dedup_source_overlap" -> ((s, d) =>
       ext.Dedup.sourceOverlap(s, d).orderBy("source_a", "source_b")),
+    "dedup_source_overlap_est" -> ((s, d) =>
+      ext.Dedup.sourceOverlapEstimate(s, d).orderBy("source_a", "source_b")),
     "dedup_canonical_corpus" -> ((s, d) => ext.Dedup.canonicalCorpus(s, d).orderBy("doc_id")),
     "dedup_near_filtered" -> ((s, d) => ext.Dedup.nearDupFiltered(s, d).orderBy("doc_id")),
     "dedup_ngram_jaccard" -> ((s, d) => ext.Dedup.ngramJaccardPairs(s, d).orderBy("doc_a", "doc_b")),

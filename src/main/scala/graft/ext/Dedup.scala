@@ -634,6 +634,44 @@ object Dedup {
         (matches.cast("double") / MinhashK).as("minhash_est"))
   }
 
+  /** The DEPLOYMENT twin of [[sourceOverlap]] — signatures only, no exact
+    * audit arm. The full operator's sf0.1→sf1 cost exponent is 0.74,
+    * dominated by the corpus-sized (source, h) self-join the audit needs;
+    * this arm stops at the per-source signatures (one distinct shuffle +
+    * a partial-merge agg to ≤|sources| rows, exponent ≈ the scan's), which
+    * is what a 100-TB corpus runs per dump — the same audit-vs-deployment
+    * split as `sim_recall_audit` / `sim_recall_audit_sampled`. The
+    * estimate column is bit-identical to the full operator's (same
+    * signatures), which the shared oracle formula pins. */
+  def sourceOverlapEstimate(spark: SparkSession, dir: String): DataFrame = {
+    // fused per-doc signature kernel (map-only, no shingle strings, no
+    // explode), then elementwise min per source: min over per-doc minima ==
+    // min over the source's shingle set (min is idempotent — duplicates
+    // across docs change nothing), so these signatures are bit-identical
+    // to the distinct-set formulation the oracle states. Measured: the
+    // string-explode + distinct formulation ran at sf0.1→sf1 exponent
+    // 0.68 (shuffle-bound on shingle grain); this one's only exchange is
+    // the ≤|sources|-row partial agg.
+    val perDoc = Sources.documents(spark, dir)
+      .select(col("source"),
+        graft.functions.Minhash.shingleMinhash(
+          Text.tokens(col("text")), ShingleK, Perms).as("mh"))
+      .where(col("mh").isNotNull)
+    val sigCols = (0 until MinhashK)
+      .map(i => min(element_at(col("mh"), i + 1)).as(s"mh$i"))
+    val sigs = perDoc.groupBy("source").agg(sigCols.head, sigCols.tail: _*)
+    val matches = (0 until MinhashK)
+      .map(i => when(col(s"mh${i}_a") === col(s"mh${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    sigs.select(col("source").as("source_a") +:
+        (0 until MinhashK).map(i => col(s"mh$i").as(s"mh${i}_a")): _*)
+      .crossJoin(broadcast(sigs.select(col("source").as("source_b") +:
+        (0 until MinhashK).map(i => col(s"mh$i").as(s"mh${i}_b")): _*)))
+      .where(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        (matches.cast("double") / MinhashK).as("minhash_est"))
+  }
+
   /** min-per-permutation signature columns (`mh0..mh31`) over a 31-bit hash
     * column `h` — shared by [[sourceOverlap]] and its mergeability spec. */
   private[graft] def minhashSigCols: Seq[Column] =

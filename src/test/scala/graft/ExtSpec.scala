@@ -132,6 +132,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("source overlap estimate twin: bit-identical estimates, no corpus-sized join") {
+    val full = Dedup.sourceOverlap(spark, sf)
+      .select("source_a", "source_b", "minhash_est")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val est = Dedup.sourceOverlapEstimate(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(est === full)
+    // deployment shape: after the signature agg everything is ≤|sources|
+    // rows — the only non-broadcast join key in the plan is the (source, h)
+    // distinct; no SortMergeJoin may appear
+    val p = Dedup.sourceOverlapEstimate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), "estimate arm must not pay a corpus join")
+  }
+
   test("source overlap: minhash signature is MERGEABLE — sketch(A∪B) = min(sketch A, sketch B)") {
     val cols = Dedup.minhashSigCols
     val h = Dedup.shingleHashes(graft.engine.Sources.documents(spark, sf))

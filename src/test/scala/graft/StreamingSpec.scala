@@ -331,6 +331,33 @@ class StreamingSpec extends SparkSpec {
     assert(before === after, "replayed batch must rewrite, not append")
   }
 
+  test("md5 key store is bucketed: confirm anti-join has no exchange on the store side") {
+    val dir = Files.createTempDirectory("graft_kstore").toString
+    val d = graft.engine.Sources.documents(spark, sf)
+    Streams.ingestExactBatch(d.where(col("doc_id") < 200), s"$dir/store", 0L)
+    Streams.ingestExactBatch(
+      d.where(col("doc_id") >= 200 && col("doc_id") < 350), s"$dir/store", 1L)
+    val hist = spark.table(Streams.keysTable(s"$dir/store"))
+      .where(col("batch") =!= 2L).select("md5_hex")
+    val incoming = d.where(col("doc_id") >= 350)
+      .select(col("doc_id"), md5(col("text")).as("md5_hex"))
+    // force the sort-merge path — same rationale as the band-store pin: the
+    // broadcast AQE picks at test SF also avoids the store exchange, but
+    // SMJ is the shape that matters at 100 TB history
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = incoming.join(hist, Seq("md5_hex"), "left_anti")
+      val p = probe.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(p.contains("SelectedBucketsCount"),
+        "store scan must be bucketed:\n" + p.take(1200))
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(shuffles === 1,
+        s"only the micro-batch side may shuffle, got $shuffles:\n${p.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("LM-scored ingest: streamed scores equal the batch scorer for any batching") {
     val dir = Files.createTempDirectory("graft_lmi").toString
     val docs = graft.engine.Sources.documents(spark, sf).cache()
