@@ -2174,7 +2174,34 @@ object OraclesExt {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Twin of Sampling.clusterBalancedSample — the [[kmeansCtes]] label-free
+    * quantizer's nearest-cell assignment, then per-cluster mixed-hash
+    * row_number against the quota. */
+  lazy val samplingClusterBalanced: String = {
+    import graft.ext.Sampling.ClusterQuota
+    import graft.ext.Similarity.KmeansIters
+    s"""WITH $normCte,
+       |$kmeansCtes,
+       |scored AS (
+       |  SELECT x.vec_id, c.cl,
+       |    row_number() OVER (PARTITION BY x.vec_id
+       |      ORDER BY (${dotSql("x.v", "c.cv")}) / (x.norm * c.cnorm) DESC, c.cl) AS crank
+       |  FROM n x CROSS JOIN c$KmeansIters c),
+       |asg AS (SELECT vec_id, cl AS cluster FROM scored WHERE crank = 1),
+       |ranked AS (
+       |  SELECT vec_id, cluster,
+       |    count(*) OVER (PARTITION BY cluster) AS cluster_size,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY ${mixSql("vec_id")}, vec_id) AS sample_rank
+       |  FROM asg)
+       |SELECT vec_id, cluster, cluster_size, sample_rank,
+       |  sample_rank <= $ClusterQuota AS kept
+       |FROM ranked
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "sampling_cluster_balanced" -> samplingClusterBalanced,
     "text_lm_score" -> textLmScore,
     "text_source_divergence" -> textSourceDivergence,
     "corpus_reject_ledger" -> corpusRejectLedger,

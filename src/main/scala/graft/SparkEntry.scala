@@ -150,6 +150,8 @@ object SparkEntry {
       ext.Sampling.testSetContamination(s, d).orderBy("doc_id")),
     "sampling_decon_train" -> ((s, d) =>
       ext.Sampling.decontaminatedTrain(s, d).orderBy("doc_id")),
+    "sampling_cluster_balanced" -> ((s, d) =>
+      ext.Sampling.clusterBalancedSample(s, d).orderBy("vec_id")),
     // ext: PII scrub (map-only regex scan + redaction over the synthetic twin)
     "pii_scan" -> ((s, d) => ext.Pii.scan(s, d).orderBy("doc_id")),
     "pii_k_anonymity" -> ((s, d) =>

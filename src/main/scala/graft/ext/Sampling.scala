@@ -136,6 +136,44 @@ object Sampling {
           .otherwise(col("n_leaked").cast("double") / col("n_shingles"))))
   }
 
+  /** Per-cluster keep quota for [[clusterBalancedSample]]. */
+  val ClusterQuota = 8
+
+  /** Cluster-balanced diversity sample over the embedding corpus — the
+    * topic-flattening subset selection step (the D4/SemDeDup-descendant
+    * recipe: dedup, then sample ACROSS semantic clusters rather than
+    * uniformly, so mega-topics stop dominating the training mix). Every
+    * vector is assigned to its nearest ⌈√n⌉ k-means cell (the shared
+    * label-free quantizer [[Similarity.kmeansCentroids]]), then each
+    * cluster keeps its first [[ClusterQuota]] members in mixed-hash order —
+    * uniform-without-replacement WITHIN the cluster, quota-capped ACROSS
+    * clusters: heavy topics are cut hardest, light ones survive whole.
+    * Output is verdict-grain (every vector, its cluster, cluster size,
+    * in-cluster rank, kept flag) so the caller can either filter on `kept`
+    * or re-weight on `cluster_size`.
+    *
+    * Scale shape: centroid assignment is MAP-ONLY ([[Similarity.nearestCells]]
+    * — the Cent array ships as one typed literal); the only exchange is the
+    * cluster-keyed shuffle for the quota window, whose per-cluster sort is
+    * bounded by cluster size (avg √n; the skewed clusters a real corpus has
+    * are exactly the ones the quota then discards most of). The DuckDB twin
+    * replays seeds + Lloyd rounds + the mixer bit-for-bit. */
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Similarity.withNorm(Sources.embeddings(spark, dir))
+    val cents = Similarity.kmeansCentroidsLocal(vecs) // driver-resident, ≤ √n
+    val asg = vecs
+      .withColumn("cluster",
+        element_at(Similarity.nearestCells(cents, 1), 1).getField("cl"))
+      .select(col("vec_id"), col("cluster"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(mixHash(col("vec_id")), col("vec_id"))
+    asg
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .withColumn("kept", col("sample_rank") <= ClusterQuota)
+  }
+
   val StratumK = 20
 
   /** Exactly-k-per-stratum sample: rank rows inside each stratum by their

@@ -166,37 +166,53 @@ object Text {
   val MaxSymbolRatio = 0.1
   val MinAlphaRatio = 0.8
 
+  /** The Gopher gate expressions over a `text` column — one definition
+    * shared by [[gopherRules]] (which reports every flag) and the
+    * weak-supervision labeler in [[nbQuality]] (which keys on the
+    * conjunction), so the two surfaces cannot drift. */
+  private[ext] case class GopherGate(nTok: Column, meanLen: Column,
+                                     stopHits: Column, symbolRatio: Column,
+                                     alphaRatio: Column) {
+    val passWords: Column = nTok >= MinWords && nTok <= MaxWords
+    val passLen: Column = meanLen >= MinMeanWordLen && meanLen <= MaxMeanWordLen
+    val passStop: Column = stopHits >= MinStopwordHits
+    val passSymbol: Column = symbolRatio <= MaxSymbolRatio
+    val passAlpha: Column = alphaRatio >= MinAlphaRatio
+    val passesAll: Column =
+      passWords && passLen && passStop && passSymbol && passAlpha
+  }
+
+  private[ext] def gopherGate: GopherGate = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val nChars = length(col("text")).cast("long")
+    GopherGate(
+      nTok,
+      length(regexp_replace(col("text"), " ", "")).cast("double") / nTok,
+      markerHits(col("text"), Stopwords),
+      (nChars - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast("double") / nChars,
+      size(filter(t, w => w.rlike("^[a-z]+$"))).cast("double") / nTok)
+  }
+
   /** Per-document Gopher-style filter verdicts — the boolean gate family a
     * training pipeline applies before tokenization (word-count bounds, mean
     * word length, stopword evidence, symbol noise, alphabetic fraction).
     * Map-only columnar work: stays inside whole-stage codegen, no shuffle. */
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
-    val nTok = size(t).cast("long")
-    val nChars = length(col("text")).cast("long")
-    val meanLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
-    val stopHits = markerHits(col("text"), Stopwords)
-    val symbolRatio =
-      (nChars - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast("double") / nChars
-    val alphaRatio = size(filter(t, w => w.rlike("^[a-z]+$"))).cast("double") / nTok
-    val passWords = nTok >= MinWords && nTok <= MaxWords
-    val passLen = meanLen >= MinMeanWordLen && meanLen <= MaxMeanWordLen
-    val passStop = stopHits >= MinStopwordHits
-    val passSymbol = symbolRatio <= MaxSymbolRatio
-    val passAlpha = alphaRatio >= MinAlphaRatio
+    val g = gopherGate
     Sources.documents(spark, dir).select(
       col("doc_id"), col("lang"),
-      nTok.as("n_tokens"),
-      r4(meanLen).as("mean_word_len"),
-      stopHits.as("stopword_hits"),
-      r4(symbolRatio).as("symbol_ratio"),
-      r4(alphaRatio).as("alpha_ratio"),
-      passWords.as("pass_word_count"),
-      passLen.as("pass_word_length"),
-      passStop.as("pass_stopwords"),
-      passSymbol.as("pass_symbol_ratio"),
-      passAlpha.as("pass_alpha_ratio"),
-      (passWords && passLen && passStop && passSymbol && passAlpha).as("passes_all"))
+      g.nTok.as("n_tokens"),
+      r4(g.meanLen).as("mean_word_len"),
+      g.stopHits.as("stopword_hits"),
+      r4(g.symbolRatio).as("symbol_ratio"),
+      r4(g.alphaRatio).as("alpha_ratio"),
+      g.passWords.as("pass_word_count"),
+      g.passLen.as("pass_word_length"),
+      g.passStop.as("pass_stopwords"),
+      g.passSymbol.as("pass_symbol_ratio"),
+      g.passAlpha.as("pass_alpha_ratio"),
+      g.passesAll.as("passes_all"))
   }
 
   /** Repetition-ratio thresholds (the C4/Gopher repetitive-content family),
@@ -403,5 +419,98 @@ object Text {
       .where(col("rank") <= 5)
       .select(col("doc_id"), col("token"), col("tf"),
         graft.engine.Num.r4(col("tfidf")).as("tfidf"), col("rank"))
+  }
+
+  /** Naive-Bayes quality CLASSIFIER — the fastText-style learned filter
+    * every large pretraining pipeline layers on top of its heuristic gates
+    * (CCNet, GPT-3's curated-vs-crawl classifier, LLaMA's Wikipedia-ref
+    * classifier): train a token model on weak labels, then score every
+    * document by its class log-odds. Here the weak supervision is the
+    * repo's own [[gopherRules]] conjunction (the [[GopherGate]] expression
+    * is SHARED, so labeler and gate cannot drift), and the model is
+    * multinomial NB with Laplace smoothing over the capped vocabulary —
+    * the linear-classifier form whose training is exact integer counting,
+    * hence deterministic and oracle-replayable (a production deployment
+    * swaps in curated positive sets; the pipeline shape is identical).
+    *
+    * The load-bearing output is `agrees`: documents where the learned
+    * token distribution CONTRADICTS the heuristic gate — gate-passing docs
+    * that read like rejects (candidates for stricter review) and
+    * gate-failing docs the model vouches for (recall the gates lost).
+    *
+    * Model: shared vocabulary = top-[[LmVocabCap]] tokens by total count
+    * (ties → lexicographic); per class c ∈ {good, bad}:
+    * p(w|c) = (count_c(w)+1)/(T_c+V_eff), out-of-vocab occurrences pooled
+    * into one `<unk>` bucket per class; priors Laplace-smoothed
+    * (n_c+1)/(n+2) so an empty class never divides by zero. Scoring uses
+    * the [[microNats]] integer device: per-token −ln p pre-rounded to
+    * micro-nat BIGINTs, per-doc sums exact and order-free, and the
+    * predicted class is an INTEGER comparison — bit-identical across
+    * engines even at log-odds ≈ 0.
+    *
+    * Scale shape: labeling is map-only (the gate rides the explode);
+    * training is ONE token shuffle carrying both classes as conditional
+    * counts (no per-class pass) + a bounded TakeOrdered vocab; the model is
+    * ≤ cap+1 rows → broadcast; scoring is a broadcast hash join + per-doc
+    * partial agg. Same plan family as [[lmScore]] — at 100 TB the token
+    * shuffle is the cost, everything else is bounded. */
+  def nbQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val labeled = docs.withColumn("weak_good", gopherGate.passesAll)
+    val nzl = labeled
+      .select(col("doc_id"), col("weak_good"),
+        explode(tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+    val counts = nzl.groupBy("token").agg(
+      sum(when(col("weak_good"), 1L).otherwise(0L)).as("cg"),
+      sum(when(col("weak_good"), 0L).otherwise(1L)).as("cb"))
+    val vocab = counts
+      .orderBy((col("cg") + col("cb")).desc, col("token")).limit(LmVocabCap)
+    val stats = counts
+      .agg(sum(col("cg")).as("tg"), sum(col("cb")).as("tb"),
+        count(lit(1)).as("d"))
+      .crossJoin(vocab.agg(
+        coalesce(sum(col("cg")), lit(0L)).as("vg"),
+        coalesce(sum(col("cb")), lit(0L)).as("vb")))
+      .crossJoin(labeled.agg(
+        sum(when(col("weak_good"), 1L).otherwise(0L)).as("ng"),
+        count(lit(1)).as("nd")))
+      .select(col("tg"), col("tb"),
+        (least(col("d"), lit(LmVocabCap.toLong)) + lit(1L)).as("veff"),
+        (col("tg") - col("vg")).as("coovg"),
+        (col("tb") - col("vb")).as("coovb"),
+        col("ng"), col("nd"))
+    val dg = (col("tg") + col("veff")).cast("double")
+    val db = (col("tb") + col("veff")).cast("double")
+    val model = vocab.crossJoin(broadcast(stats))
+      .select(col("token"),
+        microNats((col("cg") + 1).cast("double") / dg).as("mg"),
+        microNats((col("cb") + 1).cast("double") / db).as("mb"))
+    val unk = stats.select(
+      microNats((col("coovg") + 1).cast("double") / dg).as("umg"),
+      microNats((col("coovb") + 1).cast("double") / db).as("umb"),
+      microNats((col("ng") + 1).cast("double") /
+        (col("nd") + 2).cast("double")).as("pmg"),
+      microNats((col("nd") - col("ng") + 1).cast("double") /
+        (col("nd") + 2).cast("double")).as("pmb"))
+    val perDoc = nzl
+      .join(broadcast(model), Seq("token"), "left")
+      .crossJoin(broadcast(unk))
+      .select(col("doc_id"),
+        coalesce(col("mg"), col("umg")).as("mg"),
+        coalesce(col("mb"), col("umb")).as("mb"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored_tokens"),
+        sum(col("mg")).as("sg"), sum(col("mb")).as("sb"))
+    val goodSide = coalesce(col("sg"), lit(0L)) + col("pmg")
+    val badSide = coalesce(col("sb"), lit(0L)) + col("pmb")
+    labeled.select(col("doc_id"), col("lang"), col("source"), col("weak_good"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(unk))
+      .select(col("doc_id"), col("lang"), col("source"), col("weak_good"),
+        coalesce(col("n_scored_tokens"), lit(0L)).as("n_scored_tokens"),
+        r4((badSide - goodSide).cast("double") / 1e6).as("log_odds"),
+        (badSide > goodSide).as("predicted_good"))
+      .withColumn("agrees", col("predicted_good") === col("weak_good"))
   }
 }

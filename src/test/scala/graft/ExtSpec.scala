@@ -322,6 +322,34 @@ class DedupSpec extends SparkSpec {
       Seq("test", "train", "val"))
   }
 
+  test("cluster-balanced sample: full coverage, quota respected, light clusters whole") {
+    import graft.ext.Sampling
+    val rows = Sampling.clusterBalancedSample(spark, sf).collect()
+    val n = graft.engine.Sources.embeddings(spark, sf).count()
+    // verdict-grain: every vector appears exactly once
+    assert(rows.length.toLong === n)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length.toLong === n)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    byCluster.foreach { case (cl, members) =>
+      val size = members.head.getAs[Long]("cluster_size")
+      assert(members.length.toLong === size, s"cluster $cl size mismatch")
+      // ranks are a dense 1..size permutation inside the cluster
+      assert(members.map(_.getAs[Long]("sample_rank")).sorted.toSeq ===
+        (1L to size).toSeq)
+      // kept = exactly min(size, quota) members, the lowest-ranked ones
+      val kept = members.filter(_.getAs[Boolean]("kept"))
+      assert(kept.length.toLong === math.min(size, Sampling.ClusterQuota.toLong))
+      kept.foreach(r => assert(r.getAs[Long]("sample_rank") <= Sampling.ClusterQuota))
+    }
+    // the flattening property: at least one cluster is actually capped at
+    // this SF (otherwise the test exercises nothing)
+    assert(byCluster.values.exists(_.length > Sampling.ClusterQuota))
+    // deterministic: a second run is row-identical
+    val again = Sampling.clusterBalancedSample(spark, sf).collect()
+    assert(rows.map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq ===
+      again.map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq)
+  }
+
   test("embedding cosine pairs are symmetric-free and within [-1, 1]") {
     val rows = Dedup.embeddingCosinePairs(spark, sf).collect()
     rows.foreach { r =>
