@@ -1889,13 +1889,12 @@ object OraclesExt {
 
   // ---------------------------------------- Gopher gates / repetition twins
 
-  /** Twin of Text.gopherRules: gates evaluate on RAW metrics (inner CTE),
-    * output columns are r4-rounded (outer select) — same order as Spark. */
-  val textGopherRules: String = {
-    import graft.ext.Text.{MinWords, MaxWords, MinMeanWordLen, MaxMeanWordLen,
-      MinStopwordHits, MaxSymbolRatio, MinAlphaRatio}
+  /** The Gopher metric CTE `m` + the conjunction predicate — twins of
+    * `Text.gopherGate`, shared by [[textGopherRules]] and [[textNbQuality]]
+    * so the gate and the weak labeler replay one formula. */
+  private val gopherMetricsCte: String = {
     val nTok = s"CAST(len($toks) AS BIGINT)"
-    s"""WITH m AS (
+    s"""m AS (
        |  SELECT doc_id, lang,
        |    $nTok AS n_tokens,
        |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / $nTok AS mean_len,
@@ -1904,7 +1903,25 @@ object OraclesExt {
        |      / length(text) AS symbol_ratio,
        |    CAST(len(list_filter($toks, w -> regexp_matches(w, '^[a-z]+$$'))) AS DOUBLE)
        |      / $nTok AS alpha_ratio
-       |  FROM documents)
+       |  FROM documents)""".stripMargin
+  }
+
+  private val gopherPassesAll: String = {
+    import graft.ext.Text.{MinWords, MaxWords, MinMeanWordLen, MaxMeanWordLen,
+      MinStopwordHits, MaxSymbolRatio, MinAlphaRatio}
+    s"""((n_tokens >= $MinWords AND n_tokens <= $MaxWords)
+       |    AND (mean_len >= $MinMeanWordLen AND mean_len <= $MaxMeanWordLen)
+       |    AND stopword_hits >= $MinStopwordHits
+       |    AND symbol_ratio <= $MaxSymbolRatio
+       |    AND alpha_ratio >= $MinAlphaRatio)""".stripMargin
+  }
+
+  /** Twin of Text.gopherRules: gates evaluate on RAW metrics (inner CTE),
+    * output columns are r4-rounded (outer select) — same order as Spark. */
+  val textGopherRules: String = {
+    import graft.ext.Text.{MinWords, MaxWords, MinMeanWordLen, MaxMeanWordLen,
+      MinStopwordHits, MaxSymbolRatio, MinAlphaRatio}
+    s"""WITH $gopherMetricsCte
        |SELECT doc_id, lang, n_tokens,
        |  ${R("mean_len", 4)} AS mean_word_len,
        |  stopword_hits,
@@ -1915,13 +1932,65 @@ object OraclesExt {
        |  stopword_hits >= $MinStopwordHits AS pass_stopwords,
        |  symbol_ratio <= $MaxSymbolRatio AS pass_symbol_ratio,
        |  alpha_ratio >= $MinAlphaRatio AS pass_alpha_ratio,
-       |  ((n_tokens >= $MinWords AND n_tokens <= $MaxWords)
-       |    AND (mean_len >= $MinMeanWordLen AND mean_len <= $MaxMeanWordLen)
-       |    AND stopword_hits >= $MinStopwordHits
-       |    AND symbol_ratio <= $MaxSymbolRatio
-       |    AND alpha_ratio >= $MinAlphaRatio) AS passes_all
+       |  $gopherPassesAll AS passes_all
        |FROM m
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Twin of Text.nbQuality — Gopher weak labels ([[gopherMetricsCte]]),
+    * per-class Laplace token model over the shared capped vocabulary,
+    * micro-nat integer scoring, integer log-odds comparison. */
+  val textNbQuality: String = {
+    import graft.ext.Text.LmVocabCap
+    def mn(num: String, den: String): String =
+      s"CAST(FLOOR(-ln(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+    val good = "(coalesce(p.sg, 0) + u.pmg)"
+    val bad = "(coalesce(p.sb, 0) + u.pmb)"
+    s"""WITH $gopherMetricsCte,
+       |lab AS (SELECT doc_id, $gopherPassesAll AS weak_good FROM m),
+       |nz AS (SELECT doc_id, weak_good, token FROM (
+       |    SELECT d.doc_id, l.weak_good, unnest($toks) AS token
+       |    FROM documents d JOIN lab l ON l.doc_id = d.doc_id)
+       |  WHERE token <> ''),
+       |counts AS (SELECT token,
+       |    sum(CASE WHEN weak_good THEN 1 ELSE 0 END) AS cg,
+       |    sum(CASE WHEN weak_good THEN 0 ELSE 1 END) AS cb
+       |  FROM nz GROUP BY token),
+       |vocab AS (SELECT token, cg, cb FROM counts
+       |  ORDER BY cg + cb DESC, token LIMIT $LmVocabCap),
+       |stats AS (SELECT
+       |    (SELECT sum(cg) FROM counts) AS tg,
+       |    (SELECT sum(cb) FROM counts) AS tb,
+       |    LEAST((SELECT count(*) FROM counts), $LmVocabCap) + 1 AS veff,
+       |    (SELECT sum(cg) FROM counts) - (SELECT coalesce(sum(cg), 0) FROM vocab) AS coovg,
+       |    (SELECT sum(cb) FROM counts) - (SELECT coalesce(sum(cb), 0) FROM vocab) AS coovb,
+       |    (SELECT sum(CASE WHEN weak_good THEN 1 ELSE 0 END) FROM lab) AS ng,
+       |    (SELECT count(*) FROM lab) AS nd),
+       |model AS (SELECT token,
+       |    ${mn("cg + 1", "tg + veff")} AS mg,
+       |    ${mn("cb + 1", "tb + veff")} AS mb
+       |  FROM vocab, stats),
+       |unk AS (SELECT
+       |    ${mn("coovg + 1", "tg + veff")} AS umg,
+       |    ${mn("coovb + 1", "tb + veff")} AS umb,
+       |    ${mn("ng + 1", "nd + 2")} AS pmg,
+       |    ${mn("nd - ng + 1", "nd + 2")} AS pmb
+       |  FROM stats),
+       |perdoc AS (
+       |  SELECT nz.doc_id, count(*) AS n_scored_tokens,
+       |    sum(coalesce(model.mg, unk.umg)) AS sg,
+       |    sum(coalesce(model.mb, unk.umb)) AS sb
+       |  FROM nz LEFT JOIN model ON nz.token = model.token, unk
+       |  GROUP BY nz.doc_id)
+       |SELECT d.doc_id, d.lang, d.source, l.weak_good,
+       |  coalesce(p.n_scored_tokens, 0) AS n_scored_tokens,
+       |  ${R(s"CAST($bad - $good AS DOUBLE) / 1e6", 4)} AS log_odds,
+       |  $bad > $good AS predicted_good,
+       |  ($bad > $good) = l.weak_good AS agrees
+       |FROM documents d
+       |JOIN lab l ON l.doc_id = d.doc_id
+       |LEFT JOIN perdoc p ON p.doc_id = d.doc_id, unk u
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Twin of Text.repetition: per-doc n-gram repetition ratios; the
@@ -2224,6 +2293,7 @@ object OraclesExt {
     "media_kind_summary" -> mediaKindSummary,
     "media_resize_summary" -> mediaResizeSummary,
     "text_gopher_rules" -> textGopherRules,
+    "text_nb_quality" -> textNbQuality,
     "text_repetition" -> textRepetition,
     "dedup_clusters" -> dedupClusters,
     "events_purchase_attribution" -> eventsPurchaseAttribution,

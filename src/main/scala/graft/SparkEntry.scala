@@ -59,6 +59,7 @@ object SparkEntry {
     "text_top_tfidf" -> ((s, d) => ext.Text.topTfidfTerms(s, d).orderBy("doc_id", "rank")),
     "text_gopher_rules" -> ((s, d) => ext.Text.gopherRules(s, d).orderBy("doc_id")),
     "text_lm_score" -> ((s, d) => ext.Text.lmScore(s, d).orderBy("doc_id")),
+    "text_nb_quality" -> ((s, d) => ext.Text.nbQuality(s, d).orderBy("doc_id")),
     "text_source_divergence" ->
       ((s, d) => ext.Text.sourceDivergence(s, d).orderBy("source")),
     "corpus_reject_ledger" ->

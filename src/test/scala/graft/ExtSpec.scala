@@ -262,6 +262,38 @@ class DedupSpec extends SparkSpec {
     assert(meanCe(out) > meanCe(in))
   }
 
+  test("nb quality: labels match gopher gate, classifier separates classes, log-odds sign = prediction") {
+    import graft.ext.Text
+    val rows = Text.nbQuality(spark, sf).collect()
+    val docs = graft.engine.Sources.documents(spark, sf).count()
+    assert(rows.length === docs)
+    // the weak label IS the gopher conjunction (shared expression)
+    val gate = Text.gopherRules(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("passes_all")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("weak_good") === gate(r.getAs[Long]("doc_id")))
+      // prediction is the integer comparison the log-odds rounds from:
+      // positive rounded log-odds ⇒ predicted good; strictly negative ⇒ bad
+      val lo = r.getAs[Double]("log_odds")
+      if (lo > 0) assert(r.getAs[Boolean]("predicted_good"), s"lo=$lo")
+      if (lo < 0) assert(!r.getAs[Boolean]("predicted_good"), s"lo=$lo")
+      assert(r.getAs[Boolean]("agrees") ===
+        (r.getAs[Boolean]("predicted_good") === r.getAs[Boolean]("weak_good")))
+    }
+    // the learned model actually separates the weak classes: mean log-odds
+    // of gate-passing docs strictly above gate-failing docs, and training
+    // accuracy beats both constant predictors (NB on its own training set)
+    val (g, b) = rows.partition(_.getAs[Boolean]("weak_good"))
+    assert(g.nonEmpty && b.nonEmpty, "one-class corpus — vacuous classifier")
+    def meanLo(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("log_odds")).sum / rs.length
+    assert(meanLo(g) > meanLo(b),
+      s"no separation: good ${meanLo(g)} <= bad ${meanLo(b)}")
+    val acc = rows.count(_.getAs[Boolean]("agrees")).toDouble / rows.length
+    val majority = math.max(g.length, b.length).toDouble / rows.length
+    assert(acc > majority, s"train accuracy $acc <= majority baseline $majority")
+  }
+
   test("source divergence: KL ≥ 0 (Gibbs), oov in [0,1], token totals add up") {
     import graft.ext.Text
     val rows = Text.sourceDivergence(spark, sf).collect()
