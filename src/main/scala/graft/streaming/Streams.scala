@@ -223,6 +223,33 @@ object Streams {
       .start()
   }
 
+  /** STREAMING PII SCRUB — the redaction gate run at the ingest boundary,
+    * so raw identifiers never land in the durable corpus: every arriving
+    * document passes through [[graft.ext.Pii.redactedOf]] (map-only codegen
+    * regex — no state, no shuffle, per-doc independent) and is written with
+    * its redaction count for the scrub audit. Stream/batch parity is
+    * structural: foreachBatch applies the exact batch operator to each
+    * micro-batch's own rows, so any batching yields the same rows
+    * (StreamingSpec proves sorted-sequence equality against the batch
+    * scrubber on the synthetic-PII corpus).
+    *
+    * Replay safety: the standard convention here — each micro-batch owns a
+    * `batch=<id>` overwrite partition, so at-least-once foreachBatch
+    * replays REWRITE rather than append. The raw `text` column is dropped
+    * from the sink on purpose: a scrubbed store that also carries the
+    * unscrubbed text has scrubbed nothing. */
+  def piiScrubIngest(docs: DataFrame, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Pii.redactedOf(batch)
+          .drop("text")
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .start()
+
   /** STREAMING NEAR-DUP INGESTION — the corpus-building write path: each
     * micro-batch of documents is LSH-checked against everything ever seen
     * (and against itself), verified duplicates are rejected, and survivors

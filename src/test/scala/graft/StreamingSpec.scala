@@ -391,6 +391,49 @@ class StreamingSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("PII scrub ingest: streamed redactions equal the batch scrubber; replay rewrites") {
+    val dir = Files.createTempDirectory("graft_pii").toString
+    // the synthetic-PII corpus: nonzero matches of every pattern family
+    val docs = graft.ext.Pii.withSyntheticPii(
+      graft.engine.Sources.documents(spark, sf)).cache()
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val q = Streams.piiScrubIngest(
+      graft.ext.Pii.withSyntheticPii(
+        graft.engine.Sources.parquetStream(spark, s"$dir/in", "documents")),
+      s"$dir/scrubbed", s"$dir/ckpt")
+    try {
+      Seq(col("doc_id") < 150, col("doc_id") >= 150 && col("doc_id") < 400,
+          col("doc_id") >= 400).foreach { slice =>
+        graft.engine.Sources.documents(spark, sf).where(slice)
+          .write.mode("append").parquet(s"$dir/in")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("doc_id"), r.getAs[Long]("n_redactions"),
+      r.getAs[String]("redacted_text"))
+    val streamed = spark.read.parquet(s"$dir/scrubbed")
+    // the raw text never reaches the durable store
+    assert(!streamed.columns.contains("text"), "unscrubbed text column in the sink")
+    val sRows = streamed.collect().map(key).toSeq.sorted
+    val batch = graft.ext.Pii.redactedOf(docs).collect().map(key).toSeq.sorted
+    assert(sRows.size === batch.size,
+      s"streamed row count ${sRows.size} != batch ${batch.size} (duplicated replay rows?)")
+    assert(sRows === batch)
+    // nothing slips through: every redacted text is free of all four shapes
+    val leftover = graft.ext.Pii.scanOf(
+      streamed.withColumnRenamed("redacted_text", "text"))
+      .where(col("has_pii")).count()
+    assert(leftover === 0L, s"$leftover docs still carry PII after redaction")
+    // at-least-once replay: re-running a batch id rewrites its partition
+    val before = sRows
+    graft.ext.Pii.redactedOf(docs.where(col("doc_id") < 150)).drop("text")
+      .write.mode("overwrite").parquet(s"$dir/scrubbed/batch=0")
+    val after = spark.read.parquet(s"$dir/scrubbed").collect().map(key).toSeq.sorted
+    assert(after === before, "batch replay changed the store")
+    docs.unpersist()
+  }
+
   test("LSH band store is bucketed: probe join has no exchange on the store side") {
     val dir = Files.createTempDirectory("graft_bstore").toString
     val d = graft.engine.Sources.documents(spark, sf)
