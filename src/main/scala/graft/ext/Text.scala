@@ -456,6 +456,17 @@ object Text {
     * shuffle is the cost, everything else is bounded. */
   def nbQuality(spark: SparkSession, dir: String): DataFrame = {
     val docs = Sources.documents(spark, dir)
+    val (model, unk) = nbModelFrames(docs)
+    nbScoreWith(docs, model, unk)
+  }
+
+  /** Train the NB quality model on a corpus and freeze it as two
+    * broadcastable frames — the offline half of the deployment split
+    * (same contract as [[lmModelFrames]]): (token → per-class micro-nat
+    * surprises mg/mb) of ≤ [[LmVocabCap]] rows, and one row carrying the
+    * `<unk>` surprises + the class-prior surprises. Weak labels are the
+    * [[gopherGate]] conjunction, computed map-side on the training pass. */
+  def nbModelFrames(docs: DataFrame): (DataFrame, DataFrame) = {
     val labeled = docs.withColumn("weak_good", gopherGate.passesAll)
     val nzl = labeled
       .select(col("doc_id"), col("weak_good"),
@@ -493,6 +504,21 @@ object Text {
         (col("nd") + 2).cast("double")).as("pmg"),
       microNats((col("nd") - col("ng") + 1).cast("double") /
         (col("nd") + 2).cast("double")).as("pmb"))
+    (model, unk)
+  }
+
+  /** Score any documents frame (batch or a streaming micro-batch) against
+    * a frozen NB model: broadcast hash join + per-doc partial agg, no state
+    * — the online half of the deployment split ([[graft.streaming.Streams]]
+    * runs it per micro-batch). The weak label is re-derived map-side (it is
+    * a pure expression over `text`), so `agrees` — the
+    * classifier-vs-heuristic disagreement audit — is available on arriving
+    * data too. */
+  def nbScoreWith(docs: DataFrame, model: DataFrame, unk: DataFrame): DataFrame = {
+    val labeled = docs.withColumn("weak_good", gopherGate.passesAll)
+    val nzl = labeled
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
     val perDoc = nzl
       .join(broadcast(model), Seq("token"), "left")
       .crossJoin(broadcast(unk))

@@ -207,6 +207,32 @@ object Streams {
     * on the hot path. */
   def lmScoredIngest(docs: DataFrame, model: DataFrame, unk: DataFrame,
                      outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    frozenScoredIngest(docs, model, unk, outPath, checkpoint)(
+      graft.ext.Text.lmScoreWith)
+
+  /** STREAMING NB QUALITY SCORING — the online half of the learned quality
+    * classifier's deployment split ([[graft.ext.Text.nbModelFrames]] trains
+    * offline; this scores every arriving document against the frozen
+    * model). Same harness and guarantees as [[lmScoredIngest]]: bounded
+    * model frames materialized once before the stream starts, stateless
+    * per-batch scoring bit-identical to the batch scorer, and replay-safe
+    * `batch=<id>` overwrite partitions. */
+  def nbScoredIngest(docs: DataFrame, model: DataFrame, unk: DataFrame,
+                     outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    frozenScoredIngest(docs, model, unk, outPath, checkpoint)(
+      graft.ext.Text.nbScoreWith)
+
+  /** The shared frozen-model scored-ingest harness behind
+    * [[lmScoredIngest]] and [[nbScoredIngest]]: materialize the two bounded
+    * model frames to local relations once (train-offline made literal —
+    * nothing re-executes or drifts on the hot path), then per micro-batch
+    * apply the batch scorer to the batch's own rows and land them in their
+    * `batch=<id>` overwrite partition (at-least-once replays rewrite). */
+  private def frozenScoredIngest(docs: DataFrame, model: DataFrame,
+                                 unk: DataFrame, outPath: String, checkpoint: String)
+                                (score: (DataFrame, DataFrame, DataFrame) => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
     def frozen(df: DataFrame): DataFrame =
@@ -217,7 +243,7 @@ object Streams {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ext.Text.lmScoreWith(batch, fModel, fUnk)
+        score(batch, fModel, fUnk)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
       .start()

@@ -391,6 +391,33 @@ class StreamingSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("NB-scored ingest: streamed scores equal the batch classifier for any batching") {
+    val dir = Files.createTempDirectory("graft_nbi").toString
+    val docs = graft.engine.Sources.documents(spark, sf).cache()
+    val (model, unk) = graft.ext.Text.nbModelFrames(docs)
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val q = Streams.nbScoredIngest(
+      graft.engine.Sources.parquetStream(spark, s"$dir/in", "documents"),
+      model, unk, s"$dir/scored", s"$dir/ckpt")
+    try {
+      Seq(col("doc_id") < 150, col("doc_id") >= 150 && col("doc_id") < 400,
+          col("doc_id") >= 400).foreach { slice =>
+        docs.where(slice).write.mode("append").parquet(s"$dir/in")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("doc_id"), r.getAs[Boolean]("weak_good"),
+      r.getAs[Long]("n_scored_tokens"), r.getAs[Double]("log_odds"),
+      r.getAs[Boolean]("predicted_good"), r.getAs[Boolean]("agrees"))
+    val streamed = spark.read.parquet(s"$dir/scored").collect().map(key).toSeq.sorted
+    val batch = graft.ext.Text.nbQuality(spark, sf).collect().map(key).toSeq.sorted
+    assert(streamed.size === batch.size,
+      s"streamed row count ${streamed.size} != batch ${batch.size} (duplicated replay rows?)")
+    assert(streamed === batch)
+    docs.unpersist()
+  }
+
   test("PII scrub ingest: streamed redactions equal the batch scrubber; replay rewrites") {
     val dir = Files.createTempDirectory("graft_pii").toString
     // the synthetic-PII corpus: nonzero matches of every pattern family
