@@ -1937,16 +1937,18 @@ object OraclesExt {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Twin of Text.nbQuality — Gopher weak labels ([[gopherMetricsCte]]),
+  /** The NB-classifier CTE chain shared by [[textNbQuality]] and
+    * [[corpusQualitySample]] — twins of `Text.nbModelFrames` +
+    * `Text.nbMicroWith`: Gopher weak labels ([[gopherMetricsCte]]),
     * per-class Laplace token model over the shared capped vocabulary,
-    * micro-nat integer scoring, integer log-odds comparison. */
-  val textNbQuality: String = {
+    * micro-nat integer scoring. Final CTE is `perdoc`; the per-doc
+    * micro-nat log-odds is [[nbLoMicro]] (over aliases p = perdoc,
+    * u = unk). */
+  private def nbCtes: String = {
     import graft.ext.Text.LmVocabCap
     def mn(num: String, den: String): String =
       s"CAST(FLOOR(-ln(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
-    val good = "(coalesce(p.sg, 0) + u.pmg)"
-    val bad = "(coalesce(p.sb, 0) + u.pmb)"
-    s"""WITH $gopherMetricsCte,
+    s"""$gopherMetricsCte,
        |lab AS (SELECT doc_id, $gopherPassesAll AS weak_good FROM m),
        |nz AS (SELECT doc_id, weak_good, token FROM (
        |    SELECT d.doc_id, l.weak_good, unnest($toks) AS token
@@ -1981,14 +1983,39 @@ object OraclesExt {
        |    sum(coalesce(model.mg, unk.umg)) AS sg,
        |    sum(coalesce(model.mb, unk.umb)) AS sb
        |  FROM nz LEFT JOIN model ON nz.token = model.token, unk
-       |  GROUP BY nz.doc_id)
+       |  GROUP BY nz.doc_id)""".stripMargin
+  }
+
+  /** Exact micro-nat log-odds over [[nbCtes]]' p/u aliases. */
+  private val nbLoMicro: String =
+    "((coalesce(p.sb, 0) + u.pmb) - (coalesce(p.sg, 0) + u.pmg))"
+
+  /** Twin of Text.nbQuality. */
+  val textNbQuality: String =
+    s"""WITH $nbCtes
        |SELECT d.doc_id, d.lang, d.source, l.weak_good,
        |  coalesce(p.n_scored_tokens, 0) AS n_scored_tokens,
-       |  ${R(s"CAST($bad - $good AS DOUBLE) / 1e6", 4)} AS log_odds,
-       |  $bad > $good AS predicted_good,
-       |  ($bad > $good) = l.weak_good AS agrees
+       |  ${R(s"CAST($nbLoMicro AS DOUBLE) / 1e6", 4)} AS log_odds,
+       |  $nbLoMicro > 0 AS predicted_good,
+       |  ($nbLoMicro > 0) = l.weak_good AS agrees
        |FROM documents d
        |JOIN lab l ON l.doc_id = d.doc_id
+       |LEFT JOIN perdoc p ON p.doc_id = d.doc_id, unk u
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Twin of Corpus.qualitySample — the [[nbCtes]] scores feeding the
+    * clamped linear keep-probability ramp and the integer mixer verdict. */
+  val corpusQualitySample: String = {
+    import graft.ext.Corpus.QsRampMicroNats
+    val pm = s"""LEAST(1000, GREATEST(0,
+      |    500 + CAST(FLOOR(CAST($nbLoMicro AS DOUBLE)
+      |      / ${(QsRampMicroNats / 500L).toDouble}) AS BIGINT)))""".stripMargin
+    s"""WITH $nbCtes
+       |SELECT d.doc_id, d.lang, d.source,
+       |  ${R(s"CAST($nbLoMicro AS DOUBLE) / 1e6", 4)} AS log_odds,
+       |  $pm AS keep_millis,
+       |  ${mixSql("d.doc_id")} % 1000 < $pm AS kept
+       |FROM documents d
        |LEFT JOIN perdoc p ON p.doc_id = d.doc_id, unk u
        |ORDER BY d.doc_id""".stripMargin
   }
@@ -2294,6 +2321,7 @@ object OraclesExt {
     "media_resize_summary" -> mediaResizeSummary,
     "text_gopher_rules" -> textGopherRules,
     "text_nb_quality" -> textNbQuality,
+    "corpus_quality_sample" -> corpusQualitySample,
     "text_repetition" -> textRepetition,
     "dedup_clusters" -> dedupClusters,
     "events_purchase_attribution" -> eventsPurchaseAttribution,

@@ -216,6 +216,43 @@ object Corpus {
         when(verdict === "kept", col("split")).as("split"))
   }
 
+  /** Half-width of the quality-sampling ramp in micro-nats: log-odds at
+    * −[[QsRampMicroNats]] keep with probability 0, at +[[QsRampMicroNats]]
+    * with probability 1, linear in between (±1 nat spans ~80% of the
+    * fixture's score distribution, so the probabilistic band is real). */
+  val QsRampMicroNats = 1000000L
+
+  /** Classifier-scored quality SAMPLING — the GPT-3-style soft filter
+    * (Brown et al. 2020, App. A: documents are kept stochastically with
+    * probability increasing in the quality-classifier score, rather than
+    * hard-thresholded, so the kept corpus stays diverse while shifting
+    * toward quality). Deterministic form: the NB log-odds
+    * ([[Text.nbQuality]]) sets a keep probability via a clamped linear
+    * ramp, and the keep DECISION compares the shared integer mixer against
+    * it — keep iff mix(doc_id) mod 1000 < p‰. Everything is integer
+    * arithmetic on the exact micro-nat log-odds (the one floor-division
+    * rides IEEE doubles identically in both engines), so there is no float
+    * boundary anywhere in the verdict: reruns, engines, and partitionings
+    * all agree row-for-row.
+    *
+    * Scale shape: [[Text.nbModelFrames]]'s one token shuffle + bounded
+    * vocab, then map-only scoring and gating — the sample decision itself
+    * is join-free, exactly like [[Sampling.trainValTestSplit]]. */
+  def qualitySample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val (model, unk) = Text.nbModelFrames(docs)
+    val pMillis = greatest(lit(0L), least(lit(1000L),
+      lit(500L) + floor(col("lo_micro").cast("double") /
+        (QsRampMicroNats / 500L).toDouble).cast("long")))
+    Text.nbMicroWith(docs, model, unk)
+      .withColumn("keep_millis", pMillis)
+      .withColumn("kept",
+        Sampling.mixHash(col("doc_id")) % 1000 < col("keep_millis"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        Num.r4(col("lo_micro").cast("double") / 1e6).as("log_odds"),
+        col("keep_millis"), col("kept"))
+  }
+
   /** The end-to-end preprocessing pipeline a training run executes: keep
     * English docs above the quality bar, drop near-duplicates (MinHash-LSH,
     * keep-lowest rule), assign reproducible splits. One fused plan. */

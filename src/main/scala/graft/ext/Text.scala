@@ -514,7 +514,20 @@ object Text {
     * a pure expression over `text`), so `agrees` — the
     * classifier-vs-heuristic disagreement audit — is available on arriving
     * data too. */
-  def nbScoreWith(docs: DataFrame, model: DataFrame, unk: DataFrame): DataFrame = {
+  def nbScoreWith(docs: DataFrame, model: DataFrame, unk: DataFrame): DataFrame =
+    nbMicroWith(docs, model, unk)
+      .select(col("doc_id"), col("lang"), col("source"), col("weak_good"),
+        col("n_scored_tokens"),
+        r4(col("lo_micro").cast("double") / 1e6).as("log_odds"),
+        (col("lo_micro") > 0).as("predicted_good"))
+      .withColumn("agrees", col("predicted_good") === col("weak_good"))
+
+  /** [[nbScoreWith]] with the class log-odds kept as the exact micro-nat
+    * BIGINT `lo_micro` (positive = good) — the integer form downstream
+    * gates compare and sample on without any float boundary
+    * ([[Corpus.qualitySample]]). */
+  private[ext] def nbMicroWith(docs: DataFrame, model: DataFrame,
+                               unk: DataFrame): DataFrame = {
     val labeled = docs.withColumn("weak_good", gopherGate.passesAll)
     val nzl = labeled
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -535,8 +548,6 @@ object Text {
       .crossJoin(broadcast(unk))
       .select(col("doc_id"), col("lang"), col("source"), col("weak_good"),
         coalesce(col("n_scored_tokens"), lit(0L)).as("n_scored_tokens"),
-        r4((badSide - goodSide).cast("double") / 1e6).as("log_odds"),
-        (badSide > goodSide).as("predicted_good"))
-      .withColumn("agrees", col("predicted_good") === col("weak_good"))
+        (badSide - goodSide).as("lo_micro"))
   }
 }

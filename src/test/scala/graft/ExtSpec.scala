@@ -939,4 +939,34 @@ class CorpusSpec extends SparkSpec {
       f"rebalancing worsened the mix: ${dev("share_before_pct")}%.3f -> " +
         f"${dev("share_after_pct")}%.3f")
   }
+
+  test("quality sample: ramp clamps, verdict = mixer vs ramp, kept mix shifts toward quality") {
+    import graft.ext.Corpus
+    val rows = Corpus.qualitySample(spark, sf).collect()
+    val docs = graft.engine.Sources.documents(spark, sf).count()
+    assert(rows.length.toLong === docs)
+    rows.foreach { r =>
+      val km = r.getAs[Long]("keep_millis")
+      assert(km >= 0L && km <= 1000L, s"keep_millis $km out of range")
+      val lo = r.getAs[Double]("log_odds")
+      // saturation ends of the ramp (±1 nat)
+      if (lo >= 1.001) assert(km === 1000L, s"lo=$lo km=$km")
+      if (lo <= -1.001) assert(km === 0L, s"lo=$lo km=$km")
+    }
+    // the probabilistic band is real: kept and dropped BOTH occur strictly
+    // inside it (otherwise the sampler degenerated to a hard threshold)
+    val band = rows.filter(r => r.getAs[Long]("keep_millis") > 0
+      && r.getAs[Long]("keep_millis") < 1000)
+    assert(band.nonEmpty, "no doc in the probabilistic band — ramp miscalibrated")
+    assert(band.exists(_.getAs[Boolean]("kept")) &&
+      band.exists(!_.getAs[Boolean]("kept")),
+      "band verdicts one-sided — mixer gate not exercised")
+    // soft filter shifts the mix toward quality without purging the tail
+    val kept = rows.filter(_.getAs[Boolean]("kept"))
+    def meanLo(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("log_odds")).sum / rs.length
+    assert(meanLo(kept) > meanLo(rows), "kept corpus no better than input")
+    assert(kept.exists(_.getAs[Double]("log_odds") < 0),
+      "soft filter purged every below-even doc — that is a hard threshold")
+  }
 }
