@@ -2296,7 +2296,68 @@ object OraclesExt {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Twin of Corpus.dataCard — the [[nbCtes]] classifier chain plus a
+    * renamed LM chain (lm* prefixes: the two models share token shapes but
+    * not counts), per-source exact-integer aggregates, IEEE-single-division
+    * ratios. */
+  val corpusDataCard: String = {
+    import graft.ext.Text.{LmVocabCap, LmCeOutlier}
+    def pct(n: String) =
+      R(s"100.0 * CAST($n AS DOUBLE) / CAST(b.n_docs AS DOUBLE)", 4)
+    s"""WITH $nbCtes,
+       |lmnz AS (SELECT doc_id, token FROM (
+       |    SELECT doc_id, unnest($toks) AS token FROM documents)
+       |  WHERE token <> ''),
+       |lmcounts AS (SELECT token, count(*) AS c FROM lmnz GROUP BY token),
+       |lmvocab AS (SELECT token, c FROM lmcounts ORDER BY c DESC, token LIMIT $LmVocabCap),
+       |lmstats AS (SELECT
+       |    (SELECT sum(c) FROM lmcounts) AS t,
+       |    LEAST((SELECT count(*) FROM lmcounts), $LmVocabCap) + 1 AS veff,
+       |    (SELECT sum(c) FROM lmcounts) - (SELECT coalesce(sum(c), 0) FROM lmvocab) AS coov),
+       |lmmodel AS (SELECT token,
+       |    CAST(FLOOR(-ln(CAST(c + 1 AS DOUBLE) / CAST(t + veff AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS mn
+       |  FROM lmvocab, lmstats),
+       |lmunk AS (SELECT
+       |    CAST(FLOOR(-ln(CAST(coov + 1 AS DOUBLE) / CAST(t + veff AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS unk_mn
+       |  FROM lmstats),
+       |lmperdoc AS (
+       |  SELECT lmnz.doc_id, count(*) AS n, sum(coalesce(lmmodel.mn, lmunk.unk_mn)) AS s
+       |  FROM lmnz LEFT JOIN lmmodel ON lmnz.token = lmmodel.token, lmunk
+       |  GROUP BY lmnz.doc_id),
+       |basis AS (SELECT doc_id, source, lang, md5(text) AS h,
+       |    CAST(len(list_filter($toks, w -> w <> '')) AS BIGINT) AS ntok
+       |  FROM documents),
+       |b AS (SELECT source, count(*) AS n_docs,
+       |    count(DISTINCT h) AS n_unique_texts,
+       |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+       |  FROM basis GROUP BY source),
+       |gatec AS (SELECT d.source,
+       |    sum(CASE WHEN l.weak_good THEN 1 ELSE 0 END) AS n_gate
+       |  FROM documents d JOIN lab l ON l.doc_id = d.doc_id GROUP BY d.source),
+       |nbs AS (SELECT d.source,
+       |    sum(CASE WHEN $nbLoMicro > 0 THEN 1 ELSE 0 END) AS n_nb_good
+       |  FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id, unk u
+       |  GROUP BY d.source),
+       |lms AS (SELECT d.source, sum(p.s) AS s_sum, sum(p.n) AS nt_sum,
+       |    sum(CASE WHEN ${R("CAST(p.s AS DOUBLE) / (CAST(p.n AS DOUBLE) * 1e6)", 4)} > $LmCeOutlier
+       |        THEN 1 ELSE 0 END) AS n_lm_outliers
+       |  FROM lmperdoc p JOIN documents d ON d.doc_id = p.doc_id GROUP BY d.source)
+       |SELECT b.source, b.n_docs, b.n_unique_texts, b.n_tokens,
+       |  ${pct("b.n_en")} AS pct_en,
+       |  ${pct("g.n_gate")} AS pct_gate_pass,
+       |  ${pct("coalesce(nb.n_nb_good, 0)")} AS pct_nb_good,
+       |  ${R("CAST(l.s_sum AS DOUBLE) / (CAST(l.nt_sum AS DOUBLE) * 1e6)", 4)} AS mean_cross_entropy,
+       |  CAST(coalesce(l.n_lm_outliers, 0) AS BIGINT) AS n_lm_outliers
+       |FROM b
+       |JOIN gatec g ON g.source = b.source
+       |LEFT JOIN nbs nb ON nb.source = b.source
+       |LEFT JOIN lms l ON l.source = b.source
+       |ORDER BY b.source""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "corpus_data_card" -> corpusDataCard,
     "sampling_cluster_balanced" -> samplingClusterBalanced,
     "text_lm_score" -> textLmScore,
     "text_source_divergence" -> textSourceDivergence,

@@ -253,6 +253,65 @@ object Corpus {
         col("keep_millis"), col("kept"))
   }
 
+  /** Per-source corpus DATA CARD — the release report a dataset ships with
+    * (Gebru et al., "Datasheets for Datasets"): volume (docs / unique texts
+    * / tokens), language mix, heuristic-gate pass rate, learned-classifier
+    * quality rate, and LM statistics (exact mean cross-entropy +
+    * outlier count), one row per source. This is the audit table a data
+    * vendor hands over and a training team diff-checks between corpus
+    * versions ([[graft.ext.Sketch.statsDrift]] is the generic-schema side
+    * of the same idea).
+    *
+    * Exactness: the mean CE aggregates the per-doc micro-nat BIGINT totals
+    * ([[Text.lmPerDoc]]) — rounded per-doc CEs cannot be re-aggregated, the
+    * integer sums can, order-free. All ratios are single IEEE divisions of
+    * exact integer counts.
+    *
+    * Scale shape: two token shuffles (the LM and NB models — each one
+    * explode → partial-agg, bounded vocab broadcast back) + map-only gate
+    * and hash columns; every aggregate is source-grain with map-side
+    * partials. Output is |sources| rows. */
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val nonEmptyTok =
+      size(filter(Text.tokens(col("text")), w => w =!= "")).cast("long")
+    val base = docs
+      .select(col("source"), col("lang"), md5(col("text")).as("h"),
+        nonEmptyTok.as("ntok"), Text.gopherGate.passesAll.as("gate"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_unique_texts"),
+        sum(col("ntok")).as("n_tokens"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("gate"), 1L).otherwise(0L)).as("n_gate"))
+    val (lmModel, lmUnk) = Text.lmModelFrames(docs)
+    val ceR4 = Num.r4(col("s").cast("double") /
+      (col("n_scored_tokens").cast("double") * 1e6))
+    val lm = Text.lmPerDoc(docs, lmModel, lmUnk)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source").agg(
+        sum(col("s")).as("s_sum"),
+        sum(col("n_scored_tokens")).as("nt_sum"),
+        sum(when(ceR4 > Text.LmCeOutlier, 1L).otherwise(0L)).as("n_lm_outliers"))
+    val (nbModel, nbUnk) = Text.nbModelFrames(docs)
+    val nb = Text.nbMicroWith(docs, nbModel, nbUnk)
+      .groupBy("source").agg(
+        sum(when(col("lo_micro") > 0, 1L).otherwise(0L)).as("n_nb_good"))
+    def pct(n: org.apache.spark.sql.Column) =
+      Num.r4(lit(100.0) * n.cast("double") / col("n_docs").cast("double"))
+    base
+      .join(lm, Seq("source"), "left")
+      .join(nb, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_unique_texts"),
+        col("n_tokens"),
+        pct(col("n_en")).as("pct_en"),
+        pct(col("n_gate")).as("pct_gate_pass"),
+        pct(coalesce(col("n_nb_good"), lit(0L))).as("pct_nb_good"),
+        Num.r4(col("s_sum").cast("double") /
+          (col("nt_sum").cast("double") * 1e6)).as("mean_cross_entropy"),
+        coalesce(col("n_lm_outliers"), lit(0L)).as("n_lm_outliers"))
+  }
+
   /** The end-to-end preprocessing pipeline a training run executes: keep
     * English docs above the quality bar, drop near-duplicates (MinHash-LSH,
     * keep-lowest rule), assign reproducible splits. One fused plan. */

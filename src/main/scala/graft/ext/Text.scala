@@ -306,13 +306,21 @@ object Text {
     * frozen LM: broadcast model hash-join + per-doc partial agg — no state,
     * no retraining, scoring cost O(tokens in `docs`) regardless of the
     * corpus the model was trained on. */
-  def lmScoreWith(docs: DataFrame, model: DataFrame, unk: DataFrame): DataFrame = {
-    val perDoc = tokensBy(docs, "doc_id")
+  /** Per-doc micro-nat totals under a frozen LM: (doc_id, n_scored_tokens,
+    * s) with s the exact BIGINT surprise sum — the integer frame both
+    * [[lmScoreWith]] and the per-source aggregates in [[Corpus.dataCard]]
+    * finalize from (rounded CE cannot be re-aggregated exactly). */
+  private[ext] def lmPerDoc(docs: DataFrame, model: DataFrame,
+                            unk: DataFrame): DataFrame =
+    tokensBy(docs, "doc_id")
       .join(broadcast(model), Seq("token"), "left")
       .crossJoin(broadcast(unk))
       .select(col("doc_id"), coalesce(col("mn"), col("unk_mn")).as("mn"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_scored_tokens"), sum(col("mn")).as("s"))
+
+  def lmScoreWith(docs: DataFrame, model: DataFrame, unk: DataFrame): DataFrame = {
+    val perDoc = lmPerDoc(docs, model, unk)
     val ceRaw =
       col("s").cast("double") / (col("n_scored_tokens").cast("double") * 1e6)
     docs.select(col("doc_id"), col("lang"), col("source"))

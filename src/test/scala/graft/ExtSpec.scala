@@ -969,4 +969,37 @@ class CorpusSpec extends SparkSpec {
     assert(kept.exists(_.getAs[Double]("log_odds") < 0),
       "soft filter purged every below-even doc — that is a hard threshold")
   }
+
+  test("data card: per-source totals reconcile with the corpus and the component operators") {
+    import graft.ext.{Corpus, Text}
+    val rows = Corpus.dataCard(spark, sf).collect()
+    val docs = graft.engine.Sources.documents(spark, sf)
+    assert(rows.map(_.getAs[String]("source")).distinct.length === rows.length)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_unique_texts") <= r.getAs[Long]("n_docs"))
+      Seq("pct_en", "pct_gate_pass", "pct_nb_good").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 100.0, s"$c=$v")
+      }
+      assert(r.getAs[Double]("mean_cross_entropy") > 0.0)
+    }
+    // cross-checks against the standalone operators
+    val gate = Text.gopherRules(spark, sf).where(col("passes_all"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val outliers = Text.lmScore(spark, sf).where(col("is_lm_outlier"))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      val n = r.getAs[Long]("n_docs")
+      val pctGate = r.getAs[Double]("pct_gate_pass")
+      assert(math.abs(pctGate - 100.0 * gate.getOrElse(s, 0L) / n) < 1e-3,
+        s"$s gate pass rate off: $pctGate")
+      assert(r.getAs[Long]("n_lm_outliers") === outliers.getOrElse(s, 0L),
+        s"$s outlier count mismatch")
+    }
+  }
 }
