@@ -2270,6 +2270,52 @@ object OraclesExt {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Twin of Similarity.embeddingDrift — the fixture mixer split, the
+    * [[kmeansCtes]] quantizer trained on the OLD half (the chain reads CTE
+    * `n`, which here IS the old half), one shared assignment pass over the
+    * full corpus, micro-cosine BIGINT cohesion sums, full-outer cell
+    * compare. */
+  lazy val simEmbeddingDrift: String = {
+    import graft.ext.Similarity.{KmeansIters, DriftSharePct, DriftCosDrop}
+    val listNorm =
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b))"
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |nfull AS (SELECT vec_id, v, $listNorm AS norm FROM e),
+       |n AS (SELECT * FROM nfull WHERE ${mixSql("vec_id")} % 100 < 50),
+       |$kmeansCtes,
+       |scored AS (
+       |  SELECT x.vec_id, c.cl,
+       |    (${dotSql("x.v", "c.cv")}) / (x.norm * c.cnorm) AS cos,
+       |    row_number() OVER (PARTITION BY x.vec_id
+       |      ORDER BY (${dotSql("x.v", "c.cv")}) / (x.norm * c.cnorm) DESC, c.cl) AS crank
+       |  FROM nfull x CROSS JOIN c$KmeansIters c),
+       |asg AS (SELECT vec_id, cl,
+       |    CAST(FLOOR(cos * 1e6 + 0.5) AS BIGINT) AS cmu
+       |  FROM scored WHERE crank = 1),
+       |ao AS (SELECT cl, count(*) AS n_old, sum(cmu) AS s_old FROM asg
+       |  WHERE ${mixSql("vec_id")} % 100 < 50 GROUP BY cl),
+       |an AS (SELECT cl, count(*) AS n_new, sum(cmu) AS s_new FROM asg
+       |  WHERE ${mixSql("vec_id")} % 100 >= 50 GROUP BY cl),
+       |t AS (SELECT (SELECT count(*) FROM n) AS ta,
+       |  (SELECT count(*) FROM nfull WHERE ${mixSql("vec_id")} % 100 >= 50) AS tb),
+       |mid AS (
+       |  SELECT coalesce(ao.cl, an.cl) AS cl,
+       |    coalesce(ao.n_old, 0) AS n_old,
+       |    coalesce(an.n_new, 0) AS n_new,
+       |    ${R("100.0 * CAST(coalesce(ao.n_old, 0) AS DOUBLE) / CAST(t.ta AS DOUBLE)", 4)} AS share_old_pct,
+       |    ${R("100.0 * CAST(coalesce(an.n_new, 0) AS DOUBLE) / CAST(t.tb AS DOUBLE)", 4)} AS share_new_pct,
+       |    ${R("CAST(ao.s_old AS DOUBLE) / (CAST(ao.n_old AS DOUBLE) * 1e6)", 4)} AS mean_cos_old,
+       |    ${R("CAST(an.s_new AS DOUBLE) / (CAST(an.n_new AS DOUBLE) * 1e6)", 4)} AS mean_cos_new
+       |  FROM ao FULL JOIN an ON an.cl = ao.cl, t)
+       |SELECT cl, n_old, n_new, share_old_pct, share_new_pct,
+       |  mean_cos_old, mean_cos_new,
+       |  (ABS(share_new_pct - share_old_pct) > $DriftSharePct
+       |    OR coalesce(mean_cos_old - mean_cos_new > $DriftCosDrop, false)) AS drifted
+       |FROM mid
+       |ORDER BY cl""".stripMargin
+  }
+
   /** Twin of Sampling.clusterBalancedSample — the [[kmeansCtes]] label-free
     * quantizer's nearest-cell assignment, then per-cluster mixed-hash
     * row_number against the quota. */
@@ -2358,6 +2404,7 @@ object OraclesExt {
 
   val all: Map[String, String] = Map(
     "corpus_data_card" -> corpusDataCard,
+    "sim_embedding_drift" -> simEmbeddingDrift,
     "sampling_cluster_balanced" -> samplingClusterBalanced,
     "text_lm_score" -> textLmScore,
     "text_source_divergence" -> textSourceDivergence,

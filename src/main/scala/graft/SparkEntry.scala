@@ -112,6 +112,8 @@ object SparkEntry {
     "sim_ann_index_pq" -> ((s, d) =>
       ext.VectorIndexPq.annIndexedPq(s, d).orderBy("query_id", "rank")),
     "sim_pq_error" -> ((s, d) => ext.Pq.pqError(s, d).orderBy("vec_id")),
+    "sim_embedding_drift" -> ((s, d) =>
+      ext.Similarity.embeddingDrift(s, d).orderBy("cl")),
     "sim_recall_audit" -> ((s, d) =>
       ext.Similarity.recallAudit(s, d).orderBy("method")),
     "sim_recall_audit_sampled" -> ((s, d) =>

@@ -710,6 +710,71 @@ object Similarity {
         r(dot(col("v"), col("dv")) / (col("norm") * col("dnorm")), 6)
           .as("cosine_orig_deq"))
 
+  // ------------------------------------------------------ embedding drift
+
+  /** Per-cell occupancy-share shift (percentage points) above which a cell
+    * is flagged drifted. */
+  val DriftSharePct = 2.0
+  /** Mean-cohesion (cosine to the frozen centroid) drop above which a cell
+    * is flagged drifted even when its share held. */
+  val DriftCosDrop = 0.05
+
+  /** Embedding DRIFT between two corpus versions — the vector-side sibling
+    * of [[Sketch.statsDrift]]: freeze the √n k-means quantizer on the OLD
+    * corpus, assign BOTH versions to it map-only, and compare per cell
+    * (a) occupancy share — did the topic mix move — and (b) mean cosine to
+    * the frozen centroid — does the new batch still cohere to the old
+    * geometry, or does it sit between stale cells (the signal that the
+    * quantizer, and any ANN index built on it, needs a re-train). Cohesion
+    * means ride per-row micro-cosine BIGINTs (floor(cos·10⁶+0.5)), so the
+    * per-cell sums are exact and order-free in both engines.
+    *
+    * Scale shape: one bounded quantizer build on the old version + two
+    * map-only assignment passes + cell-grain aggregates (≤ √n rows out).
+    * Nothing joins at vector grain. */
+  def embeddingDriftOf(oldVecs: DataFrame, newVecs: DataFrame): DataFrame = {
+    val cents = kmeansCentroidsLocal(oldVecs)
+    def cellAgg(df: DataFrame, n: String, s: String): DataFrame =
+      df.withColumn("_nc", element_at(nearestCells(cents, 1), 1))
+        .select(col("_nc").getField("cl").as("cl"),
+          floor(-col("_nc").getField("negcos") * 1e6 + 0.5).as("_cmu"))
+        .groupBy("cl")
+        .agg(count(lit(1)).as(n), sum(col("_cmu")).as(s))
+    val a = cellAgg(oldVecs, "n_old", "s_old")
+    val b = cellAgg(newVecs, "n_new", "s_new")
+    val tots = oldVecs.agg(count(lit(1)).as("ta"))
+      .crossJoin(newVecs.agg(count(lit(1)).as("tb")))
+    val shareOld = r4(lit(100.0) * coalesce(col("n_old"), lit(0L)).cast("double")
+      / col("ta").cast("double"))
+    val shareNew = r4(lit(100.0) * coalesce(col("n_new"), lit(0L)).cast("double")
+      / col("tb").cast("double"))
+    val meanOld = r4(col("s_old").cast("double") /
+      (col("n_old").cast("double") * 1e6))
+    val meanNew = r4(col("s_new").cast("double") /
+      (col("n_new").cast("double") * 1e6))
+    a.join(b, Seq("cl"), "full")
+      .crossJoin(broadcast(tots))
+      .select(col("cl"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        shareOld.as("share_old_pct"), shareNew.as("share_new_pct"),
+        meanOld.as("mean_cos_old"), meanNew.as("mean_cos_new"))
+      .withColumn("drifted",
+        abs(col("share_new_pct") - col("share_old_pct")) > DriftSharePct ||
+          coalesce(col("mean_cos_old") - col("mean_cos_new") > DriftCosDrop,
+            lit(false)))
+  }
+
+  /** Registered harness for [[embeddingDriftOf]]: the fixture corpus split
+    * into a deterministic "old version / new batch" pair by the shared
+    * mixer (production callers pass two [[graft.sources.Versioned]] reads
+    * instead). */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = withNorm(Sources.embeddings(spark, dir))
+    val bucket = graft.ext.Sampling.mixHash(col("vec_id")) % 100
+    embeddingDriftOf(vecs.where(bucket < 50), vecs.where(bucket >= 50))
+  }
+
   /** Recall@[[TopK]] of every approximate method against [[knnBruteForce]],
     * as a queryable table — evaluation-as-data: ANN quality regressions
     * fail the oracle gate, not just a spec threshold. Per query, recall =

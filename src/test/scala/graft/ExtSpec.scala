@@ -620,6 +620,42 @@ class SimilaritySpec extends SparkSpec {
     assert(meanS > meanB, "spill should strictly improve mean recall on this fixture")
   }
 
+  test("embedding drift: identical versions show zero drift; geometric break trips it") {
+    import graft.ext.Similarity
+    val vecs = Similarity.withNorm(graft.engine.Sources.embeddings(spark, sf))
+    // self-compare: same corpus on both sides — shares equal exactly,
+    // cohesion identical, nothing drifts
+    val self = Similarity.embeddingDriftOf(vecs, vecs).collect()
+    assert(self.nonEmpty)
+    self.foreach { r =>
+      assert(r.getAs[Long]("n_old") === r.getAs[Long]("n_new"))
+      assert(r.getAs[Double]("share_old_pct") === r.getAs[Double]("share_new_pct"))
+      assert(r.getAs[Double]("mean_cos_old") === r.getAs[Double]("mean_cos_new"))
+      assert(!r.getAs[Boolean]("drifted"), s"self-drift on cell ${r.getAs[Long]("cl")}")
+    }
+    // injected geometric break: the "new version" is the corpus negated —
+    // every vector now anti-coheres with the frozen quantizer
+    val negated = Similarity.withNorm(
+      graft.engine.Sources.embeddings(spark, sf)
+        .withColumn("embedding",
+          org.apache.spark.sql.functions.transform(col("embedding"), x => -x)))
+    val broken = Similarity.embeddingDriftOf(vecs, negated).collect()
+    assert(broken.exists(_.getAs[Boolean]("drifted")),
+      "negated corpus tripped no drift gate")
+    // cohesion direction: every populated new cell coheres worse than the
+    // old corpus did on average
+    val oldMean = broken.filter(_.getAs[Long]("n_old") > 0)
+      .map(_.getAs[Double]("mean_cos_old")).max
+    broken.filter(_.getAs[Long]("n_new") > 0).foreach { r =>
+      assert(r.getAs[Double]("mean_cos_new") < oldMean)
+    }
+    // the registered harness partitions the corpus: totals reconcile
+    val harness = Similarity.embeddingDrift(spark, sf).collect()
+    val total = graft.engine.Sources.embeddings(spark, sf).count()
+    assert(harness.map(_.getAs[Long]("n_old")).sum
+      + harness.map(_.getAs[Long]("n_new")).sum === total)
+  }
+
   test("ANN candidates never beat brute force (cosine at each rank ≤ exact)") {
     val exact = Similarity.knnBruteForce(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> r.getAs[Double]("cosine")).toMap
