@@ -238,8 +238,14 @@ object Corpus {
     * Scale shape: [[Text.nbModelFrames]]'s one token shuffle + bounded
     * vocab, then map-only scoring and gating — the sample decision itself
     * is join-free, exactly like [[Sampling.trainValTestSplit]]. */
-  def qualitySample(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Sources.documents(spark, dir)
+  def qualitySample(spark: SparkSession, dir: String): DataFrame =
+    qualitySampleOf(Sources.documents(spark, dir))
+
+  /** PRODUCTION ENTRY — [[qualitySample]] over ANY (doc_id, lang, source,
+    * text) frame: trains the NB model on the frame itself (a production
+    * caller with a pre-trained model gates on
+    * [[Text.nbMicroWith]] directly). */
+  def qualitySampleOf(docs: DataFrame): DataFrame = {
     val (model, unk) = Text.nbModelFrames(docs)
     val pMillis = greatest(lit(0L), least(lit(1000L),
       lit(500L) + floor(col("lo_micro").cast("double") /
@@ -271,8 +277,12 @@ object Corpus {
     * explode → partial-agg, bounded vocab broadcast back) + map-only gate
     * and hash columns; every aggregate is source-grain with map-side
     * partials. Output is |sources| rows. */
-  def dataCard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Sources.documents(spark, dir)
+  def dataCard(spark: SparkSession, dir: String): DataFrame =
+    dataCardOf(Sources.documents(spark, dir))
+
+  /** PRODUCTION ENTRY — [[dataCard]] over ANY (doc_id, lang, source, text)
+    * frame. */
+  def dataCardOf(docs: DataFrame): DataFrame = {
     val nonEmptyTok =
       size(filter(Text.tokens(col("text")), w => w =!= "")).cast("long")
     val base = docs

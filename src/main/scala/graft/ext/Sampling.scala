@@ -158,8 +158,14 @@ object Sampling {
     * bounded by cluster size (avg √n; the skewed clusters a real corpus has
     * are exactly the ones the quota then discards most of). The DuckDB twin
     * replays seeds + Lloyd rounds + the mixer bit-for-bit. */
-  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = Similarity.withNorm(Sources.embeddings(spark, dir))
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame =
+    clusterBalancedSampleOf(
+      Similarity.withNorm(Sources.embeddings(spark, dir)))
+
+  /** PRODUCTION ENTRY — [[clusterBalancedSample]] over ANY normalized
+    * (vec_id, v, norm) frame ([[Similarity.withNorm]] produces one from raw
+    * embeddings). */
+  def clusterBalancedSampleOf(vecs: DataFrame): DataFrame = {
     val cents = Similarity.kmeansCentroidsLocal(vecs) // driver-resident, ≤ √n
     val asg = vecs
       .withColumn("cluster",

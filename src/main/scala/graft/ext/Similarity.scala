@@ -734,16 +734,40 @@ object Similarity {
     * Nothing joins at vector grain. */
   def embeddingDriftOf(oldVecs: DataFrame, newVecs: DataFrame): DataFrame = {
     val cents = kmeansCentroidsLocal(oldVecs)
-    def cellAgg(df: DataFrame, n: String, s: String): DataFrame =
-      df.withColumn("_nc", element_at(nearestCells(cents, 1), 1))
-        .select(col("_nc").getField("cl").as("cl"),
-          floor(-col("_nc").getField("negcos") * 1e6 + 0.5).as("_cmu"))
-        .groupBy("cl")
-        .agg(count(lit(1)).as(n), sum(col("_cmu")).as(s))
-    val a = cellAgg(oldVecs, "n_old", "s_old")
-    val b = cellAgg(newVecs, "n_new", "s_new")
-    val tots = oldVecs.agg(count(lit(1)).as("ta"))
-      .crossJoin(newVecs.agg(count(lit(1)).as("tb")))
+    embeddingDriftFromStates(
+      cellState(oldVecs, cents), cellState(newVecs, cents))
+  }
+
+  /** Cell-occupancy STATE of a corpus under a frozen quantizer: one row per
+    * populated cell, (cl, n, s) with s the exact micro-cosine BIGINT
+    * cohesion sum. Both fields are ADDITIVE, so states fold exactly:
+    * state(A ∪ B) = per-cell (n_A+n_B, s_A+s_B) — the property
+    * [[graft.streaming.Streams.maintainCellOccupancy]] uses to track a live
+    * ingest stream's occupancy at O(batch) per micro-batch. Map-only
+    * assignment + one cell-grain partial agg. */
+  def cellState(vecs: DataFrame, cents: Array[Cent]): DataFrame =
+    vecs.withColumn("_nc", element_at(nearestCells(cents, 1), 1))
+      .select(col("_nc").getField("cl").as("cl"),
+        floor(-col("_nc").getField("negcos") * 1e6 + 0.5).as("_cmu"))
+      .groupBy("cl")
+      .agg(count(lit(1)).as("n"), sum(col("_cmu")).as("s"))
+
+  /** Exact fold of [[cellState]] frames (same frozen quantizer). */
+  def mergeCellStates(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy("cl")
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+
+  /** [[embeddingDriftOf]]'s finalize over two PRE-AGGREGATED cell states —
+    * the form a monitoring job uses: the old side is the versioned state
+    * the stream maintains, the new side is the latest; neither corpus is
+    * re-scanned. */
+  def embeddingDriftFromStates(oldState: DataFrame,
+                               newState: DataFrame): DataFrame = {
+    val a = oldState.select(col("cl"), col("n").as("n_old"), col("s").as("s_old"))
+    val b = newState.select(col("cl"), col("n").as("n_new"), col("s").as("s_new"))
+    val tots = a.agg(coalesce(sum(col("n_old")), lit(0L)).as("ta"))
+      .crossJoin(b.agg(coalesce(sum(col("n_new")), lit(0L)).as("tb")))
     val shareOld = r4(lit(100.0) * coalesce(col("n_old"), lit(0L)).cast("double")
       / col("ta").cast("double"))
     val shareNew = r4(lit(100.0) * coalesce(col("n_new"), lit(0L)).cast("double")

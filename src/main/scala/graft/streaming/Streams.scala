@@ -719,6 +719,48 @@ object Streams {
       }
       .start()
 
+  /** Streaming EMBEDDING-OCCUPANCY maintenance — the live half of the
+    * [[graft.ext.Similarity.embeddingDriftOf]] monitor: each micro-batch of
+    * normalized vectors is assigned map-only to the FROZEN quantizer
+    * (trained offline on the reference corpus) and its additive cell state
+    * (n, micro-cosine sum) folds into a versioned occupancy table.
+    * A monitoring query then runs
+    * [[graft.ext.Similarity.embeddingDriftFromStates]] over (reference
+    * state, live state) — or any two versions of the live state — without
+    * rescanning either corpus: drift detection at O(batch) per micro-batch
+    * + O(√n) state. Exactly-once by the batch-tagged version commit (the
+    * fold is additive — a double fold would inflate occupancy). */
+  def maintainCellOccupancy(stream: DataFrame,
+                            cents: Array[graft.ext.Similarity.Cent],
+                            path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldCellOccupancyBatch(batch, cents, path, batchId)
+      }
+      .start()
+
+  /** One micro-batch of [[maintainCellOccupancy]] — same replay discipline
+    * as [[foldMonthlyRevenueBatch]]. */
+  private[graft] def foldCellOccupancyBatch(batch: DataFrame,
+                                            cents: Array[graft.ext.Similarity.Cent],
+                                            path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import graft.sources.Versioned
+    import graft.ext.Similarity
+    if (Versioned.latestTag(spark, path).contains(s"batch=$batchId")) return
+    val delta = Similarity.cellState(batch, cents)
+    val merged = Versioned.latestVersion(spark, path) match {
+      case Some(_) =>
+        Similarity.mergeCellStates(Seq(Versioned.read(spark, path), delta))
+      case None => delta
+    }
+    Versioned.write(merged, path, Some(s"batch=$batchId"))
+    ()
+  }
+
   /** One micro-batch of [[maintainStats]] — same replay discipline as
     * [[foldMonthlyRevenueBatch]]. */
   private[graft] def foldStatsBatch(batch: DataFrame, table: String,

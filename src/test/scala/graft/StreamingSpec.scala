@@ -391,6 +391,38 @@ class StreamingSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("cell-occupancy fold: streamed state == from-scratch state; replay no-ops") {
+    import graft.ext.Similarity
+    val dir = Files.createTempDirectory("graft_occ").toString
+    val vecs = Similarity.withNorm(
+      graft.engine.Sources.embeddings(spark, sf)).cache()
+    vecs.count()
+    val cents = Similarity.kmeansCentroidsLocal(vecs) // frozen reference quantizer
+    // three micro-batches by key range
+    Seq(col("vec_id") < 150, col("vec_id") >= 150 && col("vec_id") < 400,
+        col("vec_id") >= 400).zipWithIndex.foreach { case (slice, i) =>
+      Streams.foldCellOccupancyBatch(vecs.where(slice), cents, s"$dir/occ", i.toLong)
+    }
+    def stateRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val folded = stateRows(graft.sources.Versioned.read(spark, s"$dir/occ")
+      .select("cl", "n", "s"))
+    val scratch = stateRows(Similarity.cellState(vecs, cents).select("cl", "n", "s"))
+    assert(folded === scratch, "fold != from-scratch cell state")
+    // replay of an already-committed batch must not double-fold
+    Streams.foldCellOccupancyBatch(vecs.where(col("vec_id") < 150), cents, s"$dir/occ", 2L)
+    assert(stateRows(graft.sources.Versioned.read(spark, s"$dir/occ")
+      .select("cl", "n", "s")) === folded, "replayed batch double-folded")
+    // the maintained state plugs into the drift finalize: self-compare of
+    // the state against the from-scratch state shows zero drift
+    val drift = Similarity.embeddingDriftFromStates(
+      graft.sources.Versioned.read(spark, s"$dir/occ").select("cl", "n", "s"),
+      Similarity.cellState(vecs, cents)).collect()
+    assert(drift.nonEmpty && drift.forall(!_.getAs[Boolean]("drifted")))
+    vecs.unpersist()
+  }
+
   test("NB-scored ingest: streamed scores equal the batch classifier for any batching") {
     val dir = Files.createTempDirectory("graft_nbi").toString
     val docs = graft.engine.Sources.documents(spark, sf).cache()
