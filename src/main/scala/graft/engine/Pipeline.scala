@@ -383,4 +383,76 @@ object Pipeline {
     require(!out.exists(_.status == "FAIL"), s"supplier pipeline failed: $out")
     out
   }
+
+  /** The CORPUS-BUILD pipeline — the LLM-data counterpart of
+    * [[runSalesAnalytics]], with the same stage discipline (retry, timeout,
+    * gating, write metrics): PII scrub at the boundary → heuristic gate
+    * verdicts → learned NB classifier → classifier-scored soft sample →
+    * fused preprocess (quality/lang/near-dup/split) → per-doc reject
+    * ledger → sequence packing → per-source data card → a corpus DQ gate
+    * over the tables THIS run wrote. Every stage's operator is
+    * independently DuckDB-oracle-checked; this is the orchestration that
+    * turns them into one runnable product, reading each document scan once
+    * per stage family and materializing under `outDir`.
+    *
+    * The scrub stage is the ingest boundary: its output drops the raw
+    * `text` column, and the downstream frame-based stages (classifier
+    * sample, data card) run on the SCRUBBED text — identifiers never reach
+    * the training products. */
+  def runCorpusPipeline(spark: SparkSession, dir: String, outDir: String,
+                        cfg: EngineConfig = EngineConfig.defaults("dev")): Seq[StageResult] = {
+    import org.apache.spark.sql.functions._
+    import graft.ext.{Corpus, Pii, Text}
+    def st(name: String, critical: Boolean)(df: => DataFrame): StageResult =
+      stage(spark, cfg, name, critical, outDir)(df)
+    val results = Seq.newBuilder[StageResult]
+    val docs = Sources.documents(spark, dir)
+    // the scrubbed corpus every downstream product is built from
+    val scrubbed = Pii.redactedOf(docs)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_redactions"), col("redacted_text"))
+    results += st("corpus_scrubbed", critical = true)(scrubbed)
+    def scrubbedDocs: DataFrame =
+      spark.read.parquet(s"$outDir/corpus_scrubbed")
+        .withColumnRenamed("redacted_text", "text")
+    results += st("corpus_gates", critical = true)(Text.gopherRules(spark, dir))
+    results += st("corpus_nb_quality", critical = false)(
+      Text.nbQuality(spark, dir))
+    results += st("corpus_quality_sample", critical = true)(
+      Corpus.qualitySampleOf(scrubbedDocs))
+    results += st("corpus_preprocess", critical = true)(
+      Corpus.preprocess(spark, dir))
+    results += st("corpus_reject_ledger", critical = false)(
+      Corpus.rejectLedger(spark, dir))
+    results += st("corpus_packed", critical = false)(
+      Corpus.packSequences(spark, dir))
+    results += st("corpus_data_card", critical = false)(
+      Corpus.dataCardOf(scrubbedDocs))
+    // corpus DQ gate — verdicts over the tables this run just WROTE
+    results += st("quality_checks", critical = false) {
+      val nDocs = docs.count()
+      val nScrubbed = spark.read.parquet(s"$outDir/corpus_scrubbed").count()
+      val residualPii = Pii.scanOf(
+        spark.read.parquet(s"$outDir/corpus_scrubbed")
+          .withColumnRenamed("redacted_text", "text"))
+        .where(col("has_pii")).count()
+      val keptOrphans = spark.read.parquet(s"$outDir/corpus_quality_sample")
+        .where(col("kept")).select("doc_id")
+        .join(spark.read.parquet(s"$outDir/corpus_scrubbed").select("doc_id"),
+          Seq("doc_id"), "left_anti").count()
+      val cardDocs = spark.read.parquet(s"$outDir/corpus_data_card")
+        .agg(coalesce(sum(col("n_docs")), lit(0L))).first().getLong(0)
+      val checks = Seq(
+        ("scrub_coverage", nScrubbed, nScrubbed == nDocs),
+        ("residual_pii", residualPii, residualPii == 0L),
+        ("sample_referential_integrity", keptOrphans, keptOrphans == 0L),
+        ("data_card_reconciliation", cardDocs, cardDocs == nDocs))
+      import spark.implicits._
+      checks.map { case (n, m, ok) => (n, m, if (ok) "PASS" else "FAIL") }
+        .toDF("check_name", "metric", "status")
+    }
+    val out = results.result()
+    require(!out.exists(_.status == "FAIL"), s"corpus pipeline failed: $out")
+    out
+  }
 }

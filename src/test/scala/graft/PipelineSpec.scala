@@ -48,6 +48,32 @@ class PipelineSpec extends SparkSpec {
       s"warehouse DQ disagrees with derived DQ: ${audited.diff(derived)} vs ${derived.diff(audited)}")
   }
 
+  test("corpus pipeline: all stages pass, scrub boundary holds, DQ gate all-PASS") {
+    val out = Files.createTempDirectory("graft_corpus_pipe").toString
+    val results = Pipeline.runCorpusPipeline(spark, sf, out)
+    assert(results.forall(_.status == "PASS"), results.mkString("; "))
+    assert(results.map(_.stage) === Seq("corpus_scrubbed", "corpus_gates",
+      "corpus_nb_quality", "corpus_quality_sample", "corpus_preprocess",
+      "corpus_reject_ledger", "corpus_packed", "corpus_data_card",
+      "quality_checks"))
+    assert(results.forall(_.rows > 0), results.mkString("; "))
+    // the ingest boundary: no raw text column anywhere in the scrub store
+    val scrubbed = spark.read.parquet(s"$out/corpus_scrubbed")
+    assert(!scrubbed.columns.contains("text"))
+    assert(scrubbed.count() ===
+      graft.engine.Sources.documents(spark, sf).count())
+    // the DQ gate wrote per-check verdicts and every one passed
+    val dq = spark.read.parquet(s"$out/quality_checks").collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[String]("status")).toMap
+    assert(dq.keySet === Set("scrub_coverage", "residual_pii",
+      "sample_referential_integrity", "data_card_reconciliation"))
+    assert(dq.values.forall(_ == "PASS"), dq.toString)
+    // frame-based stages ran on the scrubbed text: the sample's doc set is
+    // exactly the corpus (clean fixture: scrub is a no-op on content)
+    val sample = spark.read.parquet(s"$out/corpus_quality_sample")
+    assert(sample.count() === scrubbed.count())
+  }
+
   test("supplier pipeline runs the reference's full stage list incl. nation/region") {
     val out = Files.createTempDirectory("graft_pipe_sup").toString
     val results = Pipeline.runSupplierAnalytics(spark, sf, out)
