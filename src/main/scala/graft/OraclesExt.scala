@@ -2342,6 +2342,44 @@ object OraclesExt {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Twin of Text.vocabDrift — mixer split, frozen old-corpus top-K vocab,
+    * exact counts + pooled `<unk>` mass, one IEEE multiply-divide ppm. */
+  val textVocabDrift: String = {
+    import graft.ext.Text.{LmVocabCap, VocabDriftPpm}
+    def ppm(c: String, t: String) =
+      s"CAST(FLOOR(CAST($c AS DOUBLE) * 1e6 / CAST($t AS DOUBLE)) AS BIGINT)"
+    s"""WITH onz AS (SELECT token FROM (
+       |    SELECT unnest($toks) AS token FROM documents
+       |    WHERE ${mixSql("doc_id")} % 100 < 50) WHERE token <> ''),
+       |nnz AS (SELECT token FROM (
+       |    SELECT unnest($toks) AS token FROM documents
+       |    WHERE ${mixSql("doc_id")} % 100 >= 50) WHERE token <> ''),
+       |oc AS (SELECT token, count(*) AS c_old FROM onz GROUP BY token),
+       |nc AS (SELECT token, count(*) AS c_new FROM nnz GROUP BY token),
+       |vocab AS (SELECT token, c_old FROM oc ORDER BY c_old DESC, token LIMIT $LmVocabCap),
+       |t AS (SELECT
+       |    (SELECT count(*) FROM onz) AS t_old,
+       |    (SELECT count(*) FROM nnz) AS t_new,
+       |    (SELECT count(*) FROM onz) - (SELECT coalesce(sum(c_old), 0) FROM vocab) AS unk_old,
+       |    (SELECT count(*) FROM nnz) - (SELECT coalesce(sum(nc.c_new), 0)
+       |      FROM vocab JOIN nc ON nc.token = vocab.token) AS unk_new),
+       |rows_ AS (
+       |  SELECT v.token, v.c_old, coalesce(nc.c_new, 0) AS c_new
+       |  FROM vocab v LEFT JOIN nc ON nc.token = v.token
+       |  UNION ALL SELECT '<unk>', unk_old, unk_new FROM t),
+       |scored AS (
+       |  SELECT r.token, r.c_old, r.c_new,
+       |    ${ppm("r.c_old", "t.t_old")} AS ppm_old,
+       |    ${ppm("r.c_new", "t.t_new")} AS ppm_new
+       |  FROM rows_ r, t)
+       |SELECT token, c_old, c_new, ppm_old, ppm_new,
+       |  ppm_new - ppm_old AS ppm_shift,
+       |  ppm_new - ppm_old > $VocabDriftPpm AS surged,
+       |  ppm_new - ppm_old < -$VocabDriftPpm AS collapsed
+       |FROM scored
+       |ORDER BY token""".stripMargin
+  }
+
   /** Twin of Corpus.dataCard — the [[nbCtes]] classifier chain plus a
     * renamed LM chain (lm* prefixes: the two models share token shapes but
     * not counts), per-source exact-integer aggregates, IEEE-single-division
@@ -2405,6 +2443,7 @@ object OraclesExt {
   val all: Map[String, String] = Map(
     "corpus_data_card" -> corpusDataCard,
     "sim_embedding_drift" -> simEmbeddingDrift,
+    "text_vocab_drift" -> textVocabDrift,
     "sampling_cluster_balanced" -> samplingClusterBalanced,
     "text_lm_score" -> textLmScore,
     "text_source_divergence" -> textSourceDivergence,

@@ -60,6 +60,7 @@ object SparkEntry {
     "text_gopher_rules" -> ((s, d) => ext.Text.gopherRules(s, d).orderBy("doc_id")),
     "text_lm_score" -> ((s, d) => ext.Text.lmScore(s, d).orderBy("doc_id")),
     "text_nb_quality" -> ((s, d) => ext.Text.nbQuality(s, d).orderBy("doc_id")),
+    "text_vocab_drift" -> ((s, d) => ext.Text.vocabDrift(s, d).orderBy("token")),
     "text_source_divergence" ->
       ((s, d) => ext.Text.sourceDivergence(s, d).orderBy("source")),
     "corpus_reject_ledger" ->

@@ -530,6 +530,61 @@ object Text {
         (col("lo_micro") > 0).as("predicted_good"))
       .withColumn("agrees", col("predicted_good") === col("weak_good"))
 
+  /** Absolute per-million frequency shift past which a vocabulary token is
+    * flagged surged/collapsed by [[vocabDrift]]. */
+  val VocabDriftPpm = 500L
+
+  /** Vocabulary DRIFT between two corpus versions — the token-side sibling
+    * of [[graft.ext.Similarity.embeddingDriftOf]]: freeze the top-
+    * [[LmVocabCap]] vocabulary on the OLD corpus, then compare each
+    * token's per-million frequency across versions, plus one `<unk>` row
+    * pooling all out-of-vocabulary mass (a surging `<unk>` is the headline
+    * signal: the new data speaks words the old model never saw — retrain
+    * the tokenizer/LM before trusting downstream scores). Counts are exact
+    * BIGINTs; ppm = floor(c·10⁶/t) rides one identical IEEE
+    * multiply-divide in both engines.
+    *
+    * Scale shape: one token shuffle per version (explode → partial-agg) +
+    * a bounded TakeOrdered vocab; both count maps are additive, so at
+    * 100 TB the per-version counts come from the maintained statistics
+    * fold rather than a rescan. */
+  def vocabDriftOf(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val onz = tokensBy(oldDocs, "doc_id")
+    val nnz = tokensBy(newDocs, "doc_id")
+    val oc = onz.groupBy("token").agg(count(lit(1)).as("c_old"))
+    val nc = nnz.groupBy("token").agg(count(lit(1)).as("c_new"))
+    val vocab = oc.orderBy(col("c_old").desc, col("token")).limit(LmVocabCap)
+    val tots = onz.agg(count(lit(1)).as("t_old"))
+      .crossJoin(nnz.agg(count(lit(1)).as("t_new")))
+      .crossJoin(vocab.agg(coalesce(sum(col("c_old")), lit(0L)).as("vo")))
+      .crossJoin(vocab.join(nc, Seq("token"), "left")
+        .agg(coalesce(sum(col("c_new")), lit(0L)).as("vn")))
+    val rows = vocab.join(nc, Seq("token"), "left")
+      .select(col("token"), col("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+      .unionByName(tots.select(lit("<unk>").as("token"),
+        (col("t_old") - col("vo")).as("c_old"),
+        (col("t_new") - col("vn")).as("c_new")))
+    def ppm(c: Column, t: Column): Column =
+      floor(c.cast("double") * 1e6 / t.cast("double")).cast("long")
+    rows.crossJoin(broadcast(tots.select(col("t_old"), col("t_new"))))
+      .select(col("token"), col("c_old"), col("c_new"),
+        ppm(col("c_old"), col("t_old")).as("ppm_old"),
+        ppm(col("c_new"), col("t_new")).as("ppm_new"))
+      .withColumn("ppm_shift", col("ppm_new") - col("ppm_old"))
+      .withColumn("surged", col("ppm_shift") > VocabDriftPpm)
+      .withColumn("collapsed", col("ppm_shift") < -VocabDriftPpm)
+  }
+
+  /** Registered harness for [[vocabDriftOf]]: the fixture corpus split into
+    * a deterministic old/new pair by the shared mixer (production callers
+    * pass two [[graft.sources.Versioned]] reads). */
+  def vocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val bucket = graft.ext.Sampling.mixHash(col("doc_id")) % 100
+    vocabDriftOf(docs.where(bucket < 50), docs.where(bucket >= 50))
+  }
+
   /** [[nbScoreWith]] with the class log-odds kept as the exact micro-nat
     * BIGINT `lo_micro` (positive = good) — the integer form downstream
     * gates compare and sample on without any float boundary

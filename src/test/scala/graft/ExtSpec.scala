@@ -262,6 +262,32 @@ class DedupSpec extends SparkSpec {
     assert(meanCe(out) > meanCe(in))
   }
 
+  test("vocab drift: self-compare is flat, counts reconcile, novel words surge <unk>") {
+    import graft.ext.Text
+    val docs = graft.engine.Sources.documents(spark, sf)
+    // identical versions: every shift is exactly zero
+    val self = Text.vocabDriftOf(docs, docs).collect()
+    assert(self.nonEmpty)
+    self.foreach { r =>
+      assert(r.getAs[Long]("ppm_shift") === 0L, r.toString)
+      assert(!r.getAs[Boolean]("surged") && !r.getAs[Boolean]("collapsed"))
+    }
+    // count reconciliation: vocab rows + <unk> pool == total token mass
+    val totalToks = docs
+      .select(explode(Text.tokens(col("text"))).as("t"))
+      .where(col("t") =!= "").count()
+    assert(self.map(_.getAs[Long]("c_old")).sum === totalToks)
+    assert(self.map(_.getAs[Long]("c_new")).sum === totalToks)
+    assert(self.count(_.getAs[String]("token") == "<unk>") === 1)
+    // a new version speaking unseen words: the <unk> row must surge
+    val novel = docs.withColumn("text",
+      concat(col("text"), lit(" zzznovel zzznovel zzznovel")))
+    val drift = Text.vocabDriftOf(docs, novel).collect()
+    val unk = drift.find(_.getAs[String]("token") == "<unk>").get
+    assert(unk.getAs[Long]("c_new") >= docs.count() * 3)
+    assert(unk.getAs[Boolean]("surged"), s"unk did not surge: $unk")
+  }
+
   test("nb quality: labels match gopher gate, classifier separates classes, log-odds sign = prediction") {
     import graft.ext.Text
     val rows = Text.nbQuality(spark, sf).collect()
