@@ -276,6 +276,67 @@ object Streams {
       }
       .start()
 
+  /** THE COMPOSED CORPUS WRITE PATH — one streaming ingest running the
+    * whole quality stack per micro-batch, in the order a production corpus
+    * builder runs it: PII scrub at the boundary (raw text never lands),
+    * LSH near-dup gate against everything ever seen (the
+    * [[ingestDedupBatch]] store + semantics — transitive chains included),
+    * then frozen-model LM + NB scoring of the SURVIVORS only (dedup first:
+    * scoring rejected copies is wasted compute at 100 TB). Store layout
+    * under `storePath`: `dedup/` (the band index + all arrivals + per-batch
+    * kept sets) and `scored/batch=<id>` (the scored training corpus).
+    *
+    * Replay safety: every write inside is either a batch-owned overwrite
+    * partition or the band table's replay-scoped dynamic overwrite, so
+    * at-least-once foreachBatch rewrites instead of appending. Stream ==
+    * batch: under in-order arrival the kept set reproduces
+    * [[graft.ext.Dedup.nearDupFiltered]] exactly, and scoring is the batch
+    * scorer per micro-batch (StreamingSpec proves sorted-row equality of
+    * the final scored store against the batch chain). */
+  def corpusIngest(docs: DataFrame, storePath: String,
+                   lmModel: DataFrame, lmUnk: DataFrame,
+                   nbModel: DataFrame, nbUnk: DataFrame,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    def frozen(df: DataFrame): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    val (fLm, fLmU, fNb, fNbU) =
+      (frozen(lmModel), frozen(lmUnk), frozen(nbModel), frozen(nbUnk))
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestCorpusBatch(batch, storePath, batchId, fLm, fLmU, fNb, fNbU)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[corpusIngest]]: scrub → dedup gate → score. */
+  private[graft] def ingestCorpusBatch(batch0: DataFrame, storePath: String,
+                                       batchId: Long,
+                                       lmModel: DataFrame, lmUnk: DataFrame,
+                                       nbModel: DataFrame, nbUnk: DataFrame): Unit = {
+    import graft.ext.{Pii, Text}
+    val spark = batch0.sparkSession
+    val scrubbed = Pii.redactedOf(batch0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_redactions"), col("redacted_text").as("text"))
+    ingestDedupBatch(scrubbed, s"$storePath/dedup", batchId)
+    // the dedup gate's own durable output is the batch's kept partition —
+    // reading it back (not re-deriving) keeps scrub/dedup/score agreeing
+    // byte-for-byte on replay
+    val kept = spark.read.parquet(s"$storePath/dedup/kept/batch=$batchId")
+    val lm = Text.lmScoreWith(kept, lmModel, lmUnk)
+      .select(col("doc_id"), col("n_scored_tokens"), col("cross_entropy"),
+        col("perplexity"), col("is_lm_outlier"))
+    val nb = Text.nbScoreWith(kept, nbModel, nbUnk)
+      .select(col("doc_id"), col("weak_good"), col("log_odds"),
+        col("predicted_good"), col("agrees"))
+    kept.join(lm, Seq("doc_id")).join(nb, Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$storePath/scored/batch=$batchId")
+  }
+
   /** STREAMING NEAR-DUP INGESTION — the corpus-building write path: each
     * micro-batch of documents is LSH-checked against everything ever seen
     * (and against itself), verified duplicates are rejected, and survivors

@@ -391,6 +391,58 @@ class StreamingSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("corpus ingest: scrub -> dedup -> score per batch equals the batch chain; replay rewrites") {
+    import graft.ext.{Dedup, Pii, Text}
+    val dir = Files.createTempDirectory("graft_ci").toString
+    val docs = graft.engine.Sources.documents(spark, sf).cache()
+    docs.count()
+    // clean fixture: the scrub is content-preserving, so the batch twin can
+    // run on raw text (assert that premise rather than assume it)
+    assert(Pii.redactedOf(docs)
+      .where(col("redacted_text") =!= col("text")).count() === 0L)
+    val (lmM, lmU) = Text.lmModelFrames(docs)
+    val (nbM, nbU) = Text.nbModelFrames(docs)
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val q = Streams.corpusIngest(
+      graft.engine.Sources.parquetStream(spark, s"$dir/in", "documents"),
+      s"$dir/store", lmM, lmU, nbM, nbU, s"$dir/ckpt")
+    try {
+      Seq(col("doc_id") < 150, col("doc_id") >= 150 && col("doc_id") < 400,
+          col("doc_id") >= 400).foreach { slice =>
+        docs.where(slice).write.mode("append").parquet(s"$dir/in")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val scored = spark.read.parquet(s"$dir/store/scored")
+    // kept set == the batch near-dup filter (in-order arrival, keep-lowest)
+    val streamedIds = scored.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    // nearDupFiltered drops text; the scorers need it — restore via semi-join
+    val batchKept = docs.join(
+      Dedup.nearDupFiltered(spark, sf).select("doc_id"), Seq("doc_id"), "leftsemi")
+    val batchIds = batchKept.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(streamedIds === batchIds,
+      s"kept sets differ: stream ${streamedIds.size} vs batch ${batchIds.size}")
+    // scores == the batch scorers over the kept corpus (sorted rows + counts)
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("doc_id"), r.getAs[Double]("cross_entropy"),
+      r.getAs[Boolean]("is_lm_outlier"), r.getAs[Double]("log_odds"),
+      r.getAs[Boolean]("predicted_good"))
+    val streamedScores = scored.collect().map(key).toSeq.sorted
+    val batchScores = Text.lmScoreWith(batchKept, lmM, lmU)
+      .select("doc_id", "cross_entropy", "is_lm_outlier")
+      .join(Text.nbScoreWith(batchKept, nbM, nbU)
+        .select("doc_id", "log_odds", "predicted_good"), "doc_id")
+      .collect().map(key).toSeq.sorted
+    assert(streamedScores.size === batchScores.size)
+    assert(streamedScores === batchScores)
+    // replay: re-running batch 0 rewrites identical bytes, never appends
+    Streams.ingestCorpusBatch(docs.where(col("doc_id") < 150),
+      s"$dir/store", 0L, lmM, lmU, nbM, nbU)
+    val after = spark.read.parquet(s"$dir/store/scored").collect().map(key).toSeq.sorted
+    assert(after === streamedScores, "batch replay changed the scored store")
+    docs.unpersist()
+  }
+
   test("cell-occupancy fold: streamed state == from-scratch state; replay no-ops") {
     import graft.ext.Similarity
     val dir = Files.createTempDirectory("graft_occ").toString
