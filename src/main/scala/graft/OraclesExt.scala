@@ -1290,6 +1290,38 @@ object OraclesExt {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Twin of Corpus.exportShards — the pack CTE re-aggregated to sequence
+    * grain, a plain global row_number standing in for the distributed rank
+    * operator, fixed [[graft.ext.Corpus.ShardSeqs]] cut, shard manifest. */
+  val corpusExportShards: String = {
+    import graft.ext.Corpus.{SeqLen, ShardSeqs}
+    import graft.ext.Text.BpePattern
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe_tokens
+       |  FROM documents),
+       |packed AS (
+       |  SELECT *,
+       |    COALESCE(CAST(SUM(n_bpe_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      AS start_offset
+       |  FROM toks),
+       |seqs AS (
+       |  SELECT lang, CAST(FLOOR(start_offset / $SeqLen.0) AS BIGINT) AS seq_id,
+       |    count(*) AS n_docs, sum(n_bpe_tokens) AS n_tokens
+       |  FROM packed GROUP BY lang, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY lang, seq_id) AS rn FROM seqs)
+       |SELECT CAST(FLOOR((rn - 1) / $ShardSeqs.0) AS BIGINT) AS shard,
+       |  count(*) AS n_seqs,
+       |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  count(DISTINCT lang) AS n_langs
+       |FROM ranked
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+  }
+
   /** Twin of Corpus.lengthBatches: global row_number over (token count,
     * doc_id) cut into fixed-size batches. The oracle spells the global order
     * as a plain window; the engine uses the distributed rank operator —
@@ -2473,6 +2505,7 @@ object OraclesExt {
     "dedup_clusters" -> dedupClusters,
     "events_purchase_attribution" -> eventsPurchaseAttribution,
     "corpus_pack_sequences" -> corpusPackSequences,
+    "corpus_export_shards" -> corpusExportShards,
     "corpus_preprocess" -> corpusPreprocess,
     "corpus_length_batches" -> corpusLengthBatches,
     "corpus_batch_padding" -> corpusBatchPadding,

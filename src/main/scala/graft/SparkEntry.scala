@@ -179,6 +179,7 @@ object SparkEntry {
     "corpus_rebalanced_mix" -> ((s, d) => ext.Corpus.rebalancedMix(s, d).orderBy("source")),
     "corpus_quality_sample" -> ((s, d) => ext.Corpus.qualitySample(s, d).orderBy("doc_id")),
     "corpus_data_card" -> ((s, d) => ext.Corpus.dataCard(s, d).orderBy("source")),
+    "corpus_export_shards" -> ((s, d) => ext.Corpus.exportShards(s, d).orderBy("shard")),
     // lakehouse-incremental surface: SCD2 history, change-data-feed diff,
     // delta-fold aggregate maintenance (oracle = from-scratch recompute)
     "scd2_user_event_type" -> ((s, d) =>

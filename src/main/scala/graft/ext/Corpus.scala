@@ -55,6 +55,39 @@ object Corpus {
         col("offset_in_seq") + col("n_bpe_tokens") > SeqLen)
   }
 
+  /** Packed sequences per exported shard. */
+  val ShardSeqs = 32L
+
+  /** SHARD EXPORT — the dataloader handoff: the packed sequence stream
+    * ([[packSequences]]) cut into fixed-size shards of [[ShardSeqs]]
+    * sequences each, in the canonical (lang, seq_id) order, with per-shard
+    * manifest stats (sequences, docs, attributed tokens, languages). A
+    * training job's readers then each own a contiguous shard range —
+    * deterministic, resumable, no two readers overlap. Token mass is
+    * attributed to the sequence containing each doc's START offset, so
+    * shard token counts PARTITION the corpus total (the reconciliation a
+    * manifest must satisfy).
+    *
+    * Scale shape: the global sequence index rides the distributed
+    * [[graft.plans.GlobalRank]] operator (range-partitioned two-pass rank —
+    * no single-partition sort at any corpus size); everything else is one
+    * hash agg to sequence grain and one to shard grain. */
+  def exportShards(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = packSequences(spark, dir)
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe_tokens")).as("n_tokens"))
+    val ranked = graft.plans.GlobalRank.withRankColumns(seqs,
+      Seq(col("lang").asc, col("seq_id").asc), "_rn", "_rk", "_tot")
+    ranked
+      .withColumn("shard", floor((col("_rn") - 1) / ShardSeqs).cast("long"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_seqs"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
   /** Docs per training batch for [[lengthBatches]]. */
   val BatchSize = 16
 

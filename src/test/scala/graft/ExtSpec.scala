@@ -1032,6 +1032,25 @@ class CorpusSpec extends SparkSpec {
       "soft filter purged every below-even doc — that is a hard threshold")
   }
 
+  test("export shards: fixed-size shards, token mass partitions the corpus, contiguous ids") {
+    import graft.ext.{Corpus, Text}
+    val rows = graft.ext.Corpus.exportShards(spark, sf).collect()
+      .sortBy(_.getAs[Long]("shard"))
+    assert(rows.nonEmpty)
+    // contiguous shard ids from 0
+    assert(rows.map(_.getAs[Long]("shard")).toSeq === (0L until rows.length).toSeq)
+    // every shard full except possibly the last
+    rows.init.foreach(r => assert(r.getAs[Long]("n_seqs") === Corpus.ShardSeqs))
+    assert(rows.last.getAs[Long]("n_seqs") <= Corpus.ShardSeqs)
+    // manifests reconcile: docs and attributed tokens partition the corpus
+    val docs = graft.engine.Sources.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val totalTokens = docs
+      .select(org.apache.spark.sql.functions.size(Text.bpeTokens(col("text")))
+        .cast("long").as("n")).agg(sum(col("n"))).first().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === totalTokens)
+  }
+
   test("data card: per-source totals reconcile with the corpus and the component operators") {
     import graft.ext.{Corpus, Text}
     val rows = Corpus.dataCard(spark, sf).collect()
