@@ -246,6 +246,28 @@ class PlanSpec extends SparkSpec {
     // materialized to one partition
     val qp = plan(graft.ext.Sketch.quantileProfile(spark, sf))
     assert(qp.contains("TakeOrderedAndProject"), qp.take(1200))
+    // learned-quality layer: the NB model/scoring sides broadcast (the
+    // bounded-model invariant), the token shuffle is the only wide exchange,
+    // and nothing goes cartesian
+    val nb = plan(graft.ext.Text.nbQuality(spark, sf))
+    assert(nb.contains("BroadcastHashJoin"), nb.take(1200))
+    assert(!nb.contains("CartesianProduct"), nb.take(800))
+    // cluster-balanced sample: the centroid assignment is MAP-ONLY (typed
+    // literal — no join/window against a centroid table); the only wide
+    // exchange is the cluster-keyed quota window
+    val cb = plan(graft.ext.Sampling.clusterBalancedSample(spark, sf))
+    assert(!cb.contains("CartesianProduct") && !cb.contains("BroadcastNestedLoopJoin"),
+      cb.take(800))
+    // embedding drift: map-only assignment on BOTH sides, cell-grain aggs,
+    // the totals row broadcast
+    val ed = plan(graft.ext.Similarity.embeddingDrift(spark, sf))
+    assert(!ed.contains("CartesianProduct"), ed.take(800))
+    assert(!ed.contains("Window"), "drift re-ranked at vector grain:\n" + ed.take(800))
+    // shard export: the global sequence index rides the distributed rank
+    // operator, never a single-partition sort
+    val es = plan(graft.ext.Corpus.exportShards(spark, sf))
+    assert(es.contains("GlobalOrderedRank"), es.take(1200))
+    assert(!es.contains("Exchange SinglePartition"), es.take(1200))
   }
 
   test("stats catalog is load-bearing: the same join flips broadcast <-> " +
