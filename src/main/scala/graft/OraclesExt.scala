@@ -1322,6 +1322,29 @@ object OraclesExt {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Twin of Corpus.slidingWindows — the same 1-based list_slice windows
+    * off a generate_series of window ids. */
+  val corpusSlidingWindows: String = {
+    import graft.ext.Corpus.{WindowTokens, WindowStride}
+    s"""WITH base AS (
+       |  SELECT doc_id, $toks AS toks, CAST(len($toks) AS BIGINT) AS n_toks
+       |  FROM documents WHERE len($toks) > 0),
+       |w AS (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(0, CAST(FLOOR((n_toks - 1) / $WindowStride.0) AS BIGINT))) AS window_id
+       |  FROM base)
+       |SELECT doc_id, window_id,
+       |  window_id * $WindowStride AS start_token,
+       |  CAST(len(list_slice(toks, CAST(window_id * $WindowStride + 1 AS BIGINT),
+       |    CAST(window_id * $WindowStride + $WindowTokens AS BIGINT))) AS BIGINT)
+       |    AS n_window_tokens,
+       |  array_to_string(list_slice(toks, CAST(window_id * $WindowStride + 1 AS BIGINT),
+       |    CAST(window_id * $WindowStride + $WindowTokens AS BIGINT)), ' ')
+       |    AS window_text
+       |FROM w
+       |ORDER BY doc_id, window_id""".stripMargin
+  }
+
   /** Twin of Corpus.lengthBatches: global row_number over (token count,
     * doc_id) cut into fixed-size batches. The oracle spells the global order
     * as a plain window; the engine uses the distributed rank operator —
@@ -2374,6 +2397,17 @@ object OraclesExt {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Twin of Text.blocklistFilter — same token-set membership count as the
+    * stopword twin, over the blocklist constant. */
+  val textBlocklistFilter: String = {
+    import graft.ext.Text.Blocklist
+    s"""SELECT doc_id,
+       |  CAST(${hits(Blocklist)} AS BIGINT) AS n_blocklist_hits,
+       |  ${hits(Blocklist)} > 0 AS blocked
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Twin of Text.vocabDrift — mixer split, frozen old-corpus top-K vocab,
     * exact counts + pooled `<unk>` mass, one IEEE multiply-divide ppm. */
   val textVocabDrift: String = {
@@ -2476,6 +2510,7 @@ object OraclesExt {
     "corpus_data_card" -> corpusDataCard,
     "sim_embedding_drift" -> simEmbeddingDrift,
     "text_vocab_drift" -> textVocabDrift,
+    "text_blocklist_filter" -> textBlocklistFilter,
     "sampling_cluster_balanced" -> samplingClusterBalanced,
     "text_lm_score" -> textLmScore,
     "text_source_divergence" -> textSourceDivergence,
@@ -2506,6 +2541,7 @@ object OraclesExt {
     "events_purchase_attribution" -> eventsPurchaseAttribution,
     "corpus_pack_sequences" -> corpusPackSequences,
     "corpus_export_shards" -> corpusExportShards,
+    "corpus_sliding_windows" -> corpusSlidingWindows,
     "corpus_preprocess" -> corpusPreprocess,
     "corpus_length_batches" -> corpusLengthBatches,
     "corpus_batch_padding" -> corpusBatchPadding,

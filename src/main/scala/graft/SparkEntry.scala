@@ -61,6 +61,8 @@ object SparkEntry {
     "text_lm_score" -> ((s, d) => ext.Text.lmScore(s, d).orderBy("doc_id")),
     "text_nb_quality" -> ((s, d) => ext.Text.nbQuality(s, d).orderBy("doc_id")),
     "text_vocab_drift" -> ((s, d) => ext.Text.vocabDrift(s, d).orderBy("token")),
+    "text_blocklist_filter" -> ((s, d) =>
+      ext.Text.blocklistFilter(s, d).orderBy("doc_id")),
     "text_source_divergence" ->
       ((s, d) => ext.Text.sourceDivergence(s, d).orderBy("source")),
     "corpus_reject_ledger" ->
@@ -180,6 +182,8 @@ object SparkEntry {
     "corpus_quality_sample" -> ((s, d) => ext.Corpus.qualitySample(s, d).orderBy("doc_id")),
     "corpus_data_card" -> ((s, d) => ext.Corpus.dataCard(s, d).orderBy("source")),
     "corpus_export_shards" -> ((s, d) => ext.Corpus.exportShards(s, d).orderBy("shard")),
+    "corpus_sliding_windows" -> ((s, d) =>
+      ext.Corpus.slidingWindows(s, d).orderBy("doc_id", "window_id")),
     // lakehouse-incremental surface: SCD2 history, change-data-feed diff,
     // delta-fold aggregate maintenance (oracle = from-scratch recompute)
     "scd2_user_event_type" -> ((s, d) =>

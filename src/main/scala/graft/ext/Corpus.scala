@@ -55,6 +55,43 @@ object Corpus {
         col("offset_in_seq") + col("n_bpe_tokens") > SeqLen)
   }
 
+  /** Sliding-window width (tokens) for [[slidingWindows]]. */
+  val WindowTokens = 48
+  /** Stride between window starts — 50% overlap at the default width. */
+  val WindowStride = 24
+
+  /** Sliding-window chunking — the long-context data prep that [[packSequences]]
+    * (concatenate-then-chunk) does NOT cover: each document is cut into
+    * overlapping [[WindowTokens]]-token windows every [[WindowStride]]
+    * tokens, so no token-span longer than the stride is ever lost at a
+    * window boundary (the overlap is what lets a context-window model see
+    * every contiguous passage whole). Emits one row per (doc, window) with
+    * its start offset, actual token count (the tail window may be short)
+    * and text. Map-side explode of a computed range — no shuffle at all;
+    * output size is corpus_tokens/stride rows. */
+  def slidingWindows(spark: SparkSession, dir: String): DataFrame =
+    slidingWindowsOf(Sources.documents(spark, dir))
+
+  /** PRODUCTION ENTRY — [[slidingWindows]] over ANY (doc_id, text) frame. */
+  def slidingWindowsOf(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .where(col("n_toks") > 0)
+      .withColumn("n_windows",
+        (floor((col("n_toks") - 1) / WindowStride) + 1).cast("long"))
+    base
+      .select(col("doc_id"), col("toks"), col("n_toks"),
+        explode(sequence(lit(0L), col("n_windows") - 1)).as("window_id"))
+      .withColumn("start_token", col("window_id") * WindowStride)
+      .withColumn("window_toks",
+        slice(col("toks"), (col("start_token") + 1).cast("int"),
+          lit(WindowTokens)))
+      .select(col("doc_id"), col("window_id"), col("start_token"),
+        size(col("window_toks")).cast("long").as("n_window_tokens"),
+        array_join(col("window_toks"), " ").as("window_text"))
+  }
+
   /** Packed sequences per exported shard. */
   val ShardSeqs = 32L
 

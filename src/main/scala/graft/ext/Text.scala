@@ -530,6 +530,29 @@ object Text {
         (col("lo_micro") > 0).as("predicted_good"))
       .withColumn("agrees", col("predicted_good") === col("weak_good"))
 
+  /** The banned-term list for [[blocklistFilter]] — the fixture stand-in
+    * for a real deployment's C4-style "List of Dirty, Naughty … Words"
+    * (swap the constant; the plan is list-size-independent for any list
+    * that fits a task binary). `dup` occurs in a small fraction of fixture
+    * docs at every SF, so both verdicts are always exercised;
+    * `zzzbanned` never occurs (the multi-term path stays live). */
+  val Blocklist: Seq[String] = Seq("dup", "zzzbanned")
+
+  /** C4-style blocklist gate (Raffel et al. 2020, §2.2: drop any document
+    * containing a banned word): per-doc hit count over [[Blocklist]] and
+    * the drop verdict. Map-only token-set membership — stays inside
+    * whole-stage codegen, no shuffle; at 100 TB this is scan-bandwidth
+    * bound like the PII scan it usually runs beside. */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame =
+    blocklistFilterOf(Sources.documents(spark, dir))
+
+  /** PRODUCTION ENTRY — [[blocklistFilter]] over ANY (doc_id, text)
+    * frame. */
+  def blocklistFilterOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      markerHits(col("text"), Blocklist).cast("long").as("n_blocklist_hits"))
+      .withColumn("blocked", col("n_blocklist_hits") > 0)
+
   /** Absolute per-million frequency shift past which a vocabulary token is
     * flagged surged/collapsed by [[vocabDrift]]. */
   val VocabDriftPpm = 500L

@@ -1032,6 +1032,57 @@ class CorpusSpec extends SparkSpec {
       "soft filter purged every below-even doc — that is a hard threshold")
   }
 
+  test("blocklist filter: verdict = hits > 0, both outcomes occur, clean docs untouched") {
+    import graft.ext.Text
+    val rows = Text.blocklistFilter(spark, sf).collect()
+    assert(rows.length.toLong === graft.engine.Sources.documents(spark, sf).count())
+    rows.foreach(r => assert(
+      r.getAs[Boolean]("blocked") === (r.getAs[Long]("n_blocklist_hits") > 0)))
+    assert(rows.exists(_.getAs[Boolean]("blocked")), "no doc blocked — vacuous list")
+    assert(rows.exists(!_.getAs[Boolean]("blocked")), "all docs blocked")
+    // hit counting is exact token membership, not substring matching
+    import spark.implicits._
+    val probe = Seq((1L, "dup dupx xdup dup"), (2L, "clean words only"))
+      .toDF("doc_id", "text")
+    val counted = Text.blocklistFilterOf(probe).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_blocklist_hits")).toMap
+    assert(counted(1L) === 2L, s"substring false positives: ${counted(1L)}")
+    assert(counted(2L) === 0L)
+  }
+
+  test("sliding windows: full coverage with overlap, tail windows short, no token lost") {
+    import graft.ext.{Corpus, Text}
+    val rows = graft.ext.Corpus.slidingWindows(spark, sf).collect()
+    val docs = graft.engine.Sources.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === docs.keySet.filter(d => docs(d).split(" ", -1).nonEmpty))
+    byDoc.foreach { case (d, ws) =>
+      val toks = docs(d).split(" ", -1)
+      val sorted = ws.sortBy(_.getAs[Long]("window_id"))
+      // window ids dense from 0; starts advance by the stride
+      assert(sorted.map(_.getAs[Long]("window_id")).toSeq ===
+        (0L until sorted.length).toSeq)
+      sorted.foreach { w =>
+        val start = w.getAs[Long]("start_token").toInt
+        val expect = toks.slice(start, start + Corpus.WindowTokens).mkString(" ")
+        assert(w.getAs[String]("window_text") === expect)
+        assert(w.getAs[Long]("n_window_tokens") ===
+          math.min(Corpus.WindowTokens, toks.length - start).toLong)
+      }
+      // coverage: the last window reaches the document's end
+      val last = sorted.last
+      assert(last.getAs[Long]("start_token") + last.getAs[Long]("n_window_tokens")
+        === toks.length.toLong)
+      // overlap: consecutive windows share WindowTokens - WindowStride tokens
+      if (sorted.length > 1)
+        assert(sorted(1).getAs[Long]("start_token") === Corpus.WindowStride.toLong)
+    }
+    assert(rows.exists(_.getAs[Long]("n_window_tokens") < Corpus.WindowTokens),
+      "no short tail window at this SF — vacuous bound")
+  }
+
   test("export shards: fixed-size shards, token mass partitions the corpus, contiguous ids") {
     import graft.ext.{Corpus, Text}
     val rows = graft.ext.Corpus.exportShards(spark, sf).collect()
