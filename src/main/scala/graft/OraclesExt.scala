@@ -63,6 +63,30 @@ object OraclesExt {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Twin of Text.langIdConfusion — the [[textLangid]] classifier
+    * re-aggregated to (declared, predicted) grain. */
+  val textLangidConfusion: String = {
+    val hitCols = Markers.map { case (l, ws) => s"${hits(ws)} AS ${l}_hits" }
+    val best = Markers.map(l => s"${l._1}_hits").mkString("GREATEST(", ", ", ")")
+    val arms = Markers.map { case (l, _) => s"WHEN ${l}_hits = best THEN '$l'" }
+    s"""WITH h AS (
+       |  SELECT doc_id, lang AS declared_lang, ${hitCols.mkString(",\n    ")}
+       |  FROM documents),
+       |b AS (SELECT *, $best AS best FROM h),
+       |p AS (SELECT declared_lang,
+       |    CASE WHEN best = 0 THEN 'und' ${arms.mkString(" ")} ELSE 'und' END AS predicted_lang
+       |  FROM b),
+       |g AS (SELECT declared_lang, predicted_lang, count(*) AS n_docs
+       |  FROM p GROUP BY 1, 2),
+       |t AS (SELECT *, sum(n_docs) OVER (PARTITION BY declared_lang) AS declared_total
+       |  FROM g)
+       |SELECT declared_lang, predicted_lang, CAST(n_docs AS BIGINT) AS n_docs,
+       |  ${R("100.0 * CAST(n_docs AS DOUBLE) / CAST(declared_total AS DOUBLE)", 4)} AS pct_of_declared,
+       |  declared_lang = predicted_lang AS is_correct
+       |FROM t
+       |ORDER BY declared_lang, predicted_lang""".stripMargin
+  }
+
   val textFingerprint: String =
     s"""SELECT doc_id,
        |  ${rollhash("text")} AS fingerprint,
@@ -2511,6 +2535,7 @@ object OraclesExt {
     "sim_embedding_drift" -> simEmbeddingDrift,
     "text_vocab_drift" -> textVocabDrift,
     "text_blocklist_filter" -> textBlocklistFilter,
+    "text_langid_confusion" -> textLangidConfusion,
     "sampling_cluster_balanced" -> samplingClusterBalanced,
     "text_lm_score" -> textLmScore,
     "text_source_divergence" -> textSourceDivergence,

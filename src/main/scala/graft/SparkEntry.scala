@@ -63,6 +63,8 @@ object SparkEntry {
     "text_vocab_drift" -> ((s, d) => ext.Text.vocabDrift(s, d).orderBy("token")),
     "text_blocklist_filter" -> ((s, d) =>
       ext.Text.blocklistFilter(s, d).orderBy("doc_id")),
+    "text_langid_confusion" -> ((s, d) =>
+      ext.Text.langIdConfusion(s, d).orderBy("declared_lang", "predicted_lang")),
     "text_source_divergence" ->
       ((s, d) => ext.Text.sourceDivergence(s, d).orderBy("source")),
     "corpus_reject_ledger" ->

@@ -95,6 +95,26 @@ object Text {
         predicted.otherwise("und").as("predicted_lang"): _*)
   }
 
+  /** Language-ID CONFUSION MATRIX — the audit of the [[langId]] heuristic
+    * against the declared labels: one row per (declared, predicted) pair
+    * with its count and share of the declared class. The off-diagonal mass
+    * is where the n-gram heuristic needs better markers (or where the
+    * declared labels are wrong — at web scale both happen); a production
+    * pipeline gates lang routing on exactly this table. Grain is
+    * |langs|² — one hash agg over the map-only classifier. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val perClass = org.apache.spark.sql.expressions.Window
+      .partitionBy("declared_lang")
+    langId(spark, dir)
+      .groupBy("declared_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("declared_total", sum(col("n_docs")).over(perClass))
+      .select(col("declared_lang"), col("predicted_lang"), col("n_docs"),
+        r4(lit(100.0) * col("n_docs").cast("double") /
+          col("declared_total").cast("double")).as("pct_of_declared"),
+        (col("declared_lang") === col("predicted_lang")).as("is_correct"))
+  }
+
   /** Rolling-hash fingerprints: raw text and whitespace-normalized text
     * (document identity for exact/near-exact dedup joins). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {

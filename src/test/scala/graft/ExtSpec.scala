@@ -1050,6 +1050,27 @@ class CorpusSpec extends SparkSpec {
     assert(counted(2L) === 0L)
   }
 
+  test("langid confusion: counts partition the corpus, shares sum to 100 per class") {
+    import graft.ext.Text
+    val rows = Text.langIdConfusion(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      graft.engine.Sources.documents(spark, sf).count())
+    rows.foreach(r => assert(r.getAs[Boolean]("is_correct") ===
+      (r.getAs[String]("declared_lang") == r.getAs[String]("predicted_lang"))))
+    rows.groupBy(_.getAs[String]("declared_lang")).foreach { case (l, g) =>
+      val s = g.map(_.getAs[Double]("pct_of_declared")).sum
+      assert(math.abs(s - 100.0) < 0.05, s"$l shares sum to $s")
+    }
+    // reconciles with the per-doc classifier
+    val perDoc = Text.langId(spark, sf).collect()
+      .groupBy(r => (r.getAs[String]("declared_lang"), r.getAs[String]("predicted_lang")))
+      .view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[String]("declared_lang"), r.getAs[String]("predicted_lang"))
+      assert(r.getAs[Long]("n_docs") === perDoc(k), s"mismatch at $k")
+    }
+  }
+
   test("sliding windows: full coverage with overlap, tail windows short, no token lost") {
     import graft.ext.{Corpus, Text}
     val rows = graft.ext.Corpus.slidingWindows(spark, sf).collect()
