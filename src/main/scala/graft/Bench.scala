@@ -148,7 +148,7 @@ object Bench {
       val s = "%.3f".format(v)
       s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
     }
-    def lineFor(dir: String): String = {
+    def lineFor(dir: String, keepAll: Boolean = false): String = {
       val dirNames = namesFor(dir)
       // a query whose every run failed has no samples — reported as -1 with
       // its failure count in `errors`, and excluded from the total
@@ -191,10 +191,19 @@ object Bench {
       // multi-SF mode every line must fit together or the earlier line(s)
       // get pushed out of the capture window — divide the budget
       val lineBudget = math.max(600, 1900 / sfDirs.size)
-      (results.size to 0 by -1).map(encode).find(_.length <= lineBudget)
+      if (keepAll) encode(results.size)
+      else (results.size to 0 by -1).map(encode).find(_.length <= lineBudget)
         .getOrElse(encode(0))
     }
-    val lines = sfDirs.map(lineFor)
+    val lines = sfDirs.map(lineFor(_))
+    // full-precision artifact path: per-query medians AND mins for every
+    // query with no `_rest` collapse — the stdout lines stay inside the
+    // driver's tail-capture budget, the file carries the whole map (the
+    // scaling artifacts need every exponent, not just the expensive tail)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        sfDirs.map(lineFor(_, keepAll = true)).mkString("", "\n", "\n"))
+    }
     spark.stop() // stop first: the JSON must be the last line(s) of stdout
     lines.foreach(println)
     System.out.flush()
