@@ -276,6 +276,34 @@ object Streams {
       }
       .start()
 
+  /** STREAMING MEDIA FEATURE EXTRACTION — the multimodal ingest plumbing:
+    * each micro-batch of media blobs is byte-balanced (blob-size skew, not
+    * row count, is the media failure mode) and decoded through the REAL
+    * codec leaf ([[graft.ext.Multimodal.extractFeatures]] — batched
+    * mapPartitions, one codec init per [[graft.ext.Multimodal.DecodeBatch]]
+    * rows), features landing in the standard replay-safe `batch=<id>`
+    * overwrite partition. Stateless: stream == batch for any batching. */
+  def mediaFeatureIngest(media: DataFrame, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestMediaBatch(batch, outPath, batchId)
+      }
+      .start()
+
+  /** One micro-batch of [[mediaFeatureIngest]]. */
+  private[graft] def ingestMediaBatch(batch: DataFrame, outPath: String,
+                                      batchId: Long): Unit = {
+    import batch.sparkSession.implicits._
+    import graft.ext.Multimodal
+    Multimodal.extractFeatures(
+      Multimodal.balancedByBytes(batch.as[Multimodal.MediaFile],
+        batch.sparkSession.sparkContext.defaultParallelism))
+      .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+  }
+
   /** THE COMPOSED CORPUS WRITE PATH — one streaming ingest running the
     * whole quality stack per micro-batch, in the order a production corpus
     * builder runs it: PII scrub at the boundary (raw text never lands),

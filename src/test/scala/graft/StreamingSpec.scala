@@ -391,6 +391,36 @@ class StreamingSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("media feature ingest: streamed decodes equal batch extraction; replay rewrites") {
+    import graft.ext.Multimodal
+    val dir = Files.createTempDirectory("graft_mfi").toString
+    val corpus = Multimodal.mediaCorpus(spark, sf)
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val q = Streams.mediaFeatureIngest(
+      spark.readStream.schema(corpus.toDF().schema).parquet(s"$dir/in"),
+      s"$dir/features", s"$dir/ckpt")
+    try {
+      Seq(col("media_id") < 250, col("media_id") >= 250).foreach { slice =>
+        corpus.toDF().where(slice).write.mode("append").parquet(s"$dir/in")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.toString
+    // drop the batch partition column the per-batch layout adds
+    val streamed = spark.read.parquet(s"$dir/features").drop("batch")
+      .orderBy("media_id").collect().map(key).toSeq
+    val batch = Multimodal.extractFeatures(corpus).toDF()
+      .orderBy("media_id").collect().map(key).toSeq
+    assert(streamed.size === batch.size)
+    assert(streamed === batch)
+    // replay rewrites the batch partition byte-identically
+    Streams.ingestMediaBatch(corpus.toDF().where(col("media_id") < 250),
+      s"$dir/features", 0L)
+    val after = spark.read.parquet(s"$dir/features").drop("batch")
+      .orderBy("media_id").collect().map(key).toSeq
+    assert(after === streamed, "media batch replay changed the store")
+  }
+
   test("corpus ingest: scrub -> dedup -> score per batch equals the batch chain; replay rewrites") {
     import graft.ext.{Dedup, Pii, Text}
     val dir = Files.createTempDirectory("graft_ci").toString
