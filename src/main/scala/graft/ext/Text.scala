@@ -329,9 +329,10 @@ object Text {
   /** Per-doc micro-nat totals under a frozen LM: (doc_id, n_scored_tokens,
     * s) with s the exact BIGINT surprise sum — the integer frame both
     * [[lmScoreWith]] and the per-source aggregates in [[Corpus.dataCard]]
-    * finalize from (rounded CE cannot be re-aggregated exactly). */
-  private[ext] def lmPerDoc(docs: DataFrame, model: DataFrame,
-                            unk: DataFrame): DataFrame =
+    * finalize from (rounded CE cannot be re-aggregated exactly); PUBLIC
+    * for callers building their own exact CE aggregates. */
+  def lmPerDoc(docs: DataFrame, model: DataFrame,
+               unk: DataFrame): DataFrame =
     tokensBy(docs, "doc_id")
       .join(broadcast(model), Seq("token"), "left")
       .crossJoin(broadcast(unk))
@@ -631,9 +632,10 @@ object Text {
   /** [[nbScoreWith]] with the class log-odds kept as the exact micro-nat
     * BIGINT `lo_micro` (positive = good) — the integer form downstream
     * gates compare and sample on without any float boundary
-    * ([[Corpus.qualitySample]]). */
-  private[ext] def nbMicroWith(docs: DataFrame, model: DataFrame,
-                               unk: DataFrame): DataFrame = {
+    * ([[Corpus.qualitySample]]); PUBLIC so a production caller with a
+    * pre-trained model can gate on it directly. */
+  def nbMicroWith(docs: DataFrame, model: DataFrame,
+                  unk: DataFrame): DataFrame = {
     val labeled = docs.withColumn("weak_good", gopherGate.passesAll)
     val nzl = labeled
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))

@@ -57,6 +57,19 @@ object Catalog {
       .createOrReplaceTempView("quality_referential_integrity")
     Quality.businessRules(spark, dir).createOrReplaceTempView("quality_business_rules")
     Quality.freshness(spark, dir).createOrReplaceTempView("quality_freshness")
+    // the corpus product surface — an analyst addresses the training-data
+    // reports the same way as the warehouse layers (`SELECT * FROM
+    // corpus_data_card`, `... WHERE NOT agrees`); each view is the SAME
+    // lazy plan the registered query runs
+    graft.ext.Text.gopherRules(spark, dir)
+      .createOrReplaceTempView("text_gopher_rules")
+    graft.ext.Text.nbQuality(spark, dir)
+      .createOrReplaceTempView("text_nb_quality")
+    graft.ext.Text.lmScore(spark, dir).createOrReplaceTempView("text_lm_score")
+    graft.ext.Corpus.qualitySample(spark, dir)
+      .createOrReplaceTempView("corpus_quality_sample")
+    graft.ext.Corpus.dataCard(spark, dir)
+      .createOrReplaceTempView("corpus_data_card")
     graft.functions.Native.register(spark)
   }
 }

@@ -154,9 +154,19 @@ class PlanSpec extends SparkSpec {
     Seq("bronze_supplier", "bronze_part", "bronze_nation", "bronze_region",
       "gold_customer_lifetime_value", "gold_supplier_performance",
       "quality_null_checks", "quality_referential_integrity",
-      "quality_business_rules", "quality_freshness").foreach { v =>
+      "quality_business_rules", "quality_freshness",
+      "text_gopher_rules", "text_nb_quality", "text_lm_score",
+      "corpus_quality_sample", "corpus_data_card").foreach { v =>
       assert(spark.catalog.tableExists(v), s"missing temp view: $v")
     }
+    // the corpus product surface answers real analyst SQL: the
+    // classifier-vs-gate disagreement audit straight off the view
+    val disagreements = spark.sql(
+      "SELECT count(*) FROM text_nb_quality WHERE NOT agrees").first().getLong(0)
+    assert(disagreements > 0L, "no classifier/gate disagreements — vacuous audit")
+    val card = spark.sql(
+      "SELECT sum(n_docs) FROM corpus_data_card").first().getLong(0)
+    assert(card === spark.sql("SELECT count(*) FROM documents").first().getLong(0))
   }
 
   test("k-means quantizer: centroids are a driver-local leaf; assignments broadcast, " +
