@@ -219,6 +219,75 @@ object OraclesExt {
        |WHERE jaccard >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Twin of Dedup.boilerplate — the chunk CTE chain re-keyed on
+    * distinct-doc chunk frequency. */
+  val dedupBoilerplate: String = {
+    val C = graft.ext.Dedup.ChunkTokens
+    val K = graft.ext.Dedup.BoilerplateDf
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (SELECT doc_id, CAST(floor(len(toks) / $C) AS BIGINT) AS n_chunks, toks FROM t),
+       |ix AS (SELECT doc_id, toks, unnest(generate_series(1, CAST(n_chunks AS INT))) AS i
+       |  FROM c WHERE n_chunks > 0),
+       |occ AS (SELECT doc_id,
+       |    array_to_string(list_slice(toks, (i - 1) * $C + 1, i * $C), ' ') AS chunk
+       |  FROM ix),
+       |cdf AS (SELECT chunk, count(DISTINCT doc_id) AS cdf FROM occ GROUP BY chunk),
+       |agg AS (
+       |  SELECT o.doc_id, count(*) AS n_chunks,
+       |    CAST(SUM(CASE WHEN f.cdf > $K THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_boilerplate_chunks
+       |  FROM occ o JOIN cdf f USING (chunk) GROUP BY o.doc_id)
+       |SELECT doc_id, n_chunks, n_boilerplate_chunks,
+       |  ${R("CAST(n_boilerplate_chunks AS DOUBLE) / n_chunks", 4)} AS boilerplate_fraction,
+       |  n_boilerplate_chunks > 0 AS has_boilerplate
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Twin of Dedup.containmentPairs — the same capped candidate machinery
+    * with the containment prune; values via full-set verify (the engine's
+    * exact arm equals the full-set value by construction, so the twin needs
+    * no arm split). */
+  val dedupContainment: String = {
+    import graft.ext.Dedup.{ContainmentThreshold, MaxShingleDf}
+    s"""WITH $shinglesCte,
+       |wdf AS (
+       |  SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh),
+       |szs AS (
+       |  SELECT doc_id, count(*) AS n,
+       |    count(CASE WHEN df > $MaxShingleDf THEN 1 END) AS n_hot
+       |  FROM wdf GROUP BY doc_id),
+       |rare AS (SELECT doc_id, shingle FROM wdf WHERE df <= $MaxShingleDf),
+       |sharedr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_rare
+       |  FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |cand AS (
+       |  SELECT doc_a, doc_b
+       |  FROM sharedr
+       |  JOIN szs sa ON doc_a = sa.doc_id
+       |  JOIN szs sb ON doc_b = sb.doc_id
+       |  WHERE CAST(shared_rare + LEAST(sa.n_hot, sb.n_hot) AS DOUBLE)
+       |    / LEAST(sa.n, sb.n) >= $ContainmentThreshold),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY c.doc_a, c.doc_b),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    ${R("CAST(shared AS DOUBLE) / LEAST(sa.n, sb.n)", 6)} AS containment,
+       |    ${R("CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)", 6)} AS jaccard
+       |  FROM shared
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, containment, jaccard FROM scored
+       |WHERE containment >= $ContainmentThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Twin of Dedup.ngramJaccardPairs — replays the identical capped
     * algorithm: rare-shingle candidate join, hot-count upper-bound prune,
     * exact full-set verify. */
@@ -2611,6 +2680,8 @@ object OraclesExt {
     "dedup_canonical_corpus" -> dedupCanonicalCorpus,
     "dedup_near_filtered" -> dedupNearDupFiltered,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_containment" -> dedupContainment,
+    "dedup_boilerplate" -> dedupBoilerplate,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,

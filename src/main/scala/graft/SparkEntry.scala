@@ -83,6 +83,8 @@ object SparkEntry {
     "dedup_canonical_corpus" -> ((s, d) => ext.Dedup.canonicalCorpus(s, d).orderBy("doc_id")),
     "dedup_near_filtered" -> ((s, d) => ext.Dedup.nearDupFiltered(s, d).orderBy("doc_id")),
     "dedup_ngram_jaccard" -> ((s, d) => ext.Dedup.ngramJaccardPairs(s, d).orderBy("doc_a", "doc_b")),
+    "dedup_containment" -> ((s, d) => ext.Dedup.containmentPairs(s, d).orderBy("doc_a", "doc_b")),
+    "dedup_boilerplate" -> ((s, d) => ext.Dedup.boilerplate(s, d).orderBy("doc_id")),
     "dedup_minhash_lsh" -> ((s, d) => ext.Dedup.minhashLshPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, d) => ext.Dedup.simhashPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_embedding_cosine" -> ((s, d) =>

@@ -155,6 +155,111 @@ object Dedup {
     exactArm.unionByName(verifyArm)
   }
 
+  /** A chunk present in MORE than this many distinct documents is
+    * boilerplate (headers, footers, license blocks). */
+  val BoilerplateDf = 2L
+
+  /** Cross-document BOILERPLATE detection — C4's "repeated lines across
+    * documents" filter at chunk grain: a [[ChunkTokens]]-token span present
+    * in more than [[BoilerplateDf]] DISTINCT documents is template text,
+    * not content (distinct-doc frequency, deliberately different from
+    * [[chunkSpans]]' occurrence count: within-doc repetition is the
+    * repetition filter's business, cross-doc repetition is boilerplate).
+    * Per document: chunk count, boilerplate-chunk count, fraction, flag —
+    * the columns a cleaning stage keys a strip/drop decision on.
+    *
+    * Scale shape: one chunk-keyed shuffle for the df table + one join back
+    * on the same key (exchange reuse) + a doc-grain agg. The df table is
+    * chunk-grain; truly hot boilerplate chunks fan back out only to their
+    * own occurrences. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerplateOf(Sources.documents(spark, dir))
+
+  /** PRODUCTION ENTRY — [[boilerplate]] over ANY (doc_id, text) frame.
+    * Docs shorter than one chunk have no spans to template-match and drop
+    * out (same domain as [[chunkSpans]]). */
+  def boilerplateOf(docs: DataFrame): DataFrame = {
+    val occ = chunkOcc(chunkBase(docs))
+    val cdf = occ.groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("cdf"))
+    occ.join(cdf, "chunk")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cdf") > BoilerplateDf, 1L).otherwise(0L))
+          .as("n_boilerplate_chunks"))
+      .withColumn("boilerplate_fraction",
+        r(col("n_boilerplate_chunks").cast("double") / col("n_chunks"), 4))
+      .withColumn("has_boilerplate", col("n_boilerplate_chunks") > 0)
+  }
+
+  /** Containment near-dup threshold: |A ∩ B| / min(|A|, |B|). */
+  val ContainmentThreshold = 0.7
+
+  /** Shingle-CONTAINMENT pairs at τ = [[ContainmentThreshold]] — the
+    * asymmetric dedup measure Jaccard structurally misses: a short document
+    * quoted whole inside a much longer one has tiny Jaccard (the union is
+    * dominated by the long doc) but containment ≈ 1 for the short side.
+    * Emitted per pair: containment = shared / min(|A|, |B|) (the smaller
+    * side's coverage) plus the Jaccard for context — a scrub stage drops or
+    * rewrites the contained side.
+    *
+    * Same capped candidate machinery as [[ngramJaccardPairs]] (rare-shingle
+    * join, upper-bound prune, exact arm where no hot shingle is involved,
+    * full-set verify for the rest), so the Σ df² bound and the declared
+    * hot-only-escape contract carry over unchanged. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsOf(Sources.documents(spark, dir))
+
+  /** PRODUCTION ENTRY — [[containmentPairs]] over ANY (doc_id, text)
+    * frame. */
+  def containmentPairsOf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val withDf = shingles(docs).withColumn("df", count(lit(1)).over(w))
+    val sizes = withDf.groupBy("doc_id").agg(
+      count(lit(1)).as("n"),
+      count(when(col("df") > MaxShingleDf, 1)).as("n_hot"))
+    val rare = withDf.where(col("df") <= MaxShingleDf).select("doc_id", "shingle")
+    val sharedRare = rare.as("a").join(rare.as("b"), Seq("shingle"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_rare"))
+    val ubShared = col("shared_rare") + least(col("hot_a"), col("hot_b"))
+    val cand = sharedRare
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"), col("n_hot").as("hot_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("n_hot").as("hot_b")), "doc_b")
+      .where(ubShared.cast("double") / least(col("na"), col("nb")) >= ContainmentThreshold)
+    def emit(shared: Column): Seq[Column] = Seq(
+      r(shared.cast("double") / least(col("na"), col("nb")), 6).as("containment"),
+      r(shared.cast("double") / (col("na") + col("nb") - shared), 6).as("jaccard"))
+    val exactArm = cand.where(col("hot_a") === 0 && col("hot_b") === 0)
+      .select(Seq(col("doc_a"), col("doc_b")) ++ emit(col("shared_rare")): _*)
+      .where(col("containment") >= ContainmentThreshold)
+    val verifyArm = containmentVerify(docs,
+      cand.where(col("hot_a") > 0 || col("hot_b") > 0).select("doc_a", "doc_b"))
+    exactArm.unionByName(verifyArm)
+  }
+
+  /** Full-set containment verify of candidate pairs (same explode-only-
+    * candidates shape as [[jaccardVerify]]). */
+  private def containmentVerify(docsDf: DataFrame, candidates: DataFrame): DataFrame = {
+    val docIds = candidates.select(col("doc_a").as("doc_id"))
+      .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val shc = shingles(docsDf.join(broadcast(docIds), Seq("doc_id"), "left_semi"))
+    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    candidates
+      .join(shc.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(shc.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("containment",
+        r(col("shared").cast("double") / least(col("na"), col("nb")), 6))
+      .withColumn("jaccard",
+        r(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
+      .where(col("containment") >= ContainmentThreshold)
+      .select("doc_a", "doc_b", "containment", "jaccard")
+  }
+
   /** Per-doc minhash signature as an array column `mh` — ONE map-side
     * codegen pass ([[graft.functions.ShingleMinhash]]): no shingle explode,
     * no shuffle. Docs with < K tokens (no shingles) drop out, matching the

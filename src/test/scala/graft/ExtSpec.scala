@@ -408,6 +408,69 @@ class DedupSpec extends SparkSpec {
       again.map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq)
   }
 
+  test("boilerplate: flags only cross-doc template spans, not within-doc repetition") {
+    import graft.ext.Dedup
+    val rows = Dedup.boilerplate(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_boilerplate_chunks") <= r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Boolean]("has_boilerplate") ===
+        (r.getAs[Long]("n_boilerplate_chunks") > 0))
+    }
+    assert(rows.exists(_.getAs[Boolean]("has_boilerplate")),
+      "no boilerplate at this SF — vacuous detector")
+    assert(rows.exists(!_.getAs[Boolean]("has_boilerplate")))
+    // the defining distinction vs the repetition filter: a doc repeating
+    // ITS OWN span is not boilerplate; the same span in >BoilerplateDf
+    // distinct docs is
+    import spark.implicits._
+    val span = (1 to Dedup.ChunkTokens).map(i => s"w$i").mkString(" ")
+    def filler(seed: Int) =
+      (1 to Dedup.ChunkTokens).map(i => s"f$seed$i").mkString(" ")
+    val selfRepeat = (1L, s"$span $span $span")       // 3 copies, ONE doc
+    val shared = (2L to 4L).map(d => (d, s"$span ${filler(d.toInt)}"))
+    val verdicts = Dedup.boilerplateOf(
+      (selfRepeat +: shared).toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_boilerplate_chunks"), r.getAs[Long]("n_chunks"))).toMap
+    // the span now lives in 4 distinct docs -> boilerplate everywhere it occurs
+    assert(verdicts(1L) === ((3L, 3L)))
+    (2L to 4L).foreach(d => assert(verdicts(d) === ((1L, 2L)), s"doc $d"))
+    // but WITHOUT the sharing docs, self-repetition alone is NOT boilerplate
+    val alone = Dedup.boilerplateOf(Seq(selfRepeat).toDF("doc_id", "text"))
+      .collect().head
+    assert(alone.getAs[Long]("n_boilerplate_chunks") === 0L,
+      "within-doc repetition misflagged as boilerplate")
+  }
+
+  test("containment pairs: catches the contained-quote case Jaccard misses") {
+    import graft.ext.Dedup
+    // fixture arm: containment >= jaccard always, threshold respected,
+    // and the pair set COVERS the symmetric jaccard pairs (J >= tau implies
+    // containment >= tau)
+    val rows = Dedup.containmentPairs(spark, sf).collect()
+    rows.foreach { r =>
+      val c = r.getAs[Double]("containment"); val j = r.getAs[Double]("jaccard")
+      assert(c >= j - 1e-9, s"containment $c < jaccard $j")
+      assert(c >= Dedup.ContainmentThreshold)
+    }
+    val cSet = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    Dedup.ngramJaccardPairs(spark, sf).collect().foreach { p =>
+      assert(cSet.contains((p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b"))),
+        "jaccard pair missing from containment pairs")
+    }
+    // the asymmetric case: a short doc quoted whole inside a much longer
+    // one — low jaccard (union dominated by the long doc), containment 1.0
+    import spark.implicits._
+    val short = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val long = short + " " + (13 to 120).map(i => s"tok$i").mkString(" ")
+    val synthetic = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val asym = Dedup.containmentPairsOf(synthetic).collect()
+    assert(asym.length === 1, s"quote not caught: ${asym.toSeq}")
+    assert(asym.head.getAs[Double]("containment") === 1.0)
+    assert(asym.head.getAs[Double]("jaccard") < 0.15,
+      "synthetic case not asymmetric enough to be meaningful")
+  }
+
   test("embedding cosine pairs are symmetric-free and within [-1, 1]") {
     val rows = Dedup.embeddingCosinePairs(spark, sf).collect()
     rows.foreach { r =>
