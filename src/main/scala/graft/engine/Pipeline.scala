@@ -416,6 +416,8 @@ object Pipeline {
       spark.read.parquet(s"$outDir/corpus_scrubbed")
         .withColumnRenamed("redacted_text", "text")
     results += st("corpus_gates", critical = true)(Text.gopherRules(spark, dir))
+    results += st("corpus_blocklist", critical = false)(
+      Text.blocklistFilterOf(scrubbedDocs))
     results += st("corpus_nb_quality", critical = false)(
       Text.nbQuality(spark, dir))
     results += st("corpus_quality_sample", critical = true)(
