@@ -289,7 +289,7 @@ class StreamingSpec extends SparkSpec {
       Seq(col("doc_id") < 200,
           col("doc_id") >= 200 && col("doc_id") < 350,
           col("doc_id") >= 350).foreach { slice =>
-        docs.where(slice).write.mode("append").parquet(s"$dir/in")
+        docs.where(slice).coalesce(1).write.mode("append").parquet(s"$dir/in")
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -370,7 +370,7 @@ class StreamingSpec extends SparkSpec {
     try {
       Seq(col("doc_id") < 150, col("doc_id") >= 150 && col("doc_id") < 400,
           col("doc_id") >= 400).foreach { slice =>
-        docs.where(slice).write.mode("append").parquet(s"$dir/in")
+        docs.where(slice).coalesce(1).write.mode("append").parquet(s"$dir/in")
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -401,7 +401,7 @@ class StreamingSpec extends SparkSpec {
       s"$dir/features", s"$dir/ckpt")
     try {
       Seq(col("media_id") < 250, col("media_id") >= 250).foreach { slice =>
-        corpus.toDF().where(slice).write.mode("append").parquet(s"$dir/in")
+        corpus.toDF().where(slice).coalesce(1).write.mode("append").parquet(s"$dir/in")
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -439,7 +439,7 @@ class StreamingSpec extends SparkSpec {
     try {
       Seq(col("doc_id") < 150, col("doc_id") >= 150 && col("doc_id") < 400,
           col("doc_id") >= 400).foreach { slice =>
-        docs.where(slice).write.mode("append").parquet(s"$dir/in")
+        docs.where(slice).coalesce(1).write.mode("append").parquet(s"$dir/in")
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -516,7 +516,7 @@ class StreamingSpec extends SparkSpec {
     try {
       Seq(col("doc_id") < 150, col("doc_id") >= 150 && col("doc_id") < 400,
           col("doc_id") >= 400).foreach { slice =>
-        docs.where(slice).write.mode("append").parquet(s"$dir/in")
+        docs.where(slice).coalesce(1).write.mode("append").parquet(s"$dir/in")
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -546,7 +546,7 @@ class StreamingSpec extends SparkSpec {
       Seq(col("doc_id") < 150, col("doc_id") >= 150 && col("doc_id") < 400,
           col("doc_id") >= 400).foreach { slice =>
         graft.engine.Sources.documents(spark, sf).where(slice)
-          .write.mode("append").parquet(s"$dir/in")
+          .coalesce(1).write.mode("append").parquet(s"$dir/in")
         q.processAllAvailable()
       }
     } finally q.stop()
