@@ -2539,6 +2539,29 @@ object OraclesExt {
        |ORDER BY token""".stripMargin
   }
 
+  /** Twin of Corpus.curriculum — the [[nbCtes]] scores under a plain global
+    * row_number standing in for the distributed rank operator, integer
+    * phase arithmetic. */
+  val corpusCurriculum: String = {
+    import graft.ext.Corpus.CurriculumPhases
+    s"""WITH $nbCtes,
+       |scored AS (
+       |  SELECT d.doc_id, $nbLoMicro AS lo
+       |  FROM documents d
+       |  LEFT JOIN perdoc p ON p.doc_id = d.doc_id, unk u),
+       |ranked AS (
+       |  SELECT doc_id, lo,
+       |    row_number() OVER (ORDER BY lo DESC, doc_id) AS rn,
+       |    count(*) OVER () AS tot
+       |  FROM scored)
+       |SELECT doc_id,
+       |  ${R("CAST(lo AS DOUBLE) / 1e6", 4)} AS log_odds,
+       |  rn AS curriculum_rank,
+       |  CAST(((rn - 1) * $CurriculumPhases) // tot AS BIGINT) AS phase
+       |FROM ranked
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Twin of Corpus.dataCard — the [[nbCtes]] classifier chain plus a
     * renamed LM chain (lm* prefixes: the two models share token shapes but
     * not counts), per-source exact-integer aggregates, IEEE-single-division
@@ -2601,6 +2624,7 @@ object OraclesExt {
 
   val all: Map[String, String] = Map(
     "corpus_data_card" -> corpusDataCard,
+    "corpus_curriculum" -> corpusCurriculum,
     "sim_embedding_drift" -> simEmbeddingDrift,
     "text_vocab_drift" -> textVocabDrift,
     "text_blocklist_filter" -> textBlocklistFilter,

@@ -188,6 +188,7 @@ object SparkEntry {
     "corpus_export_shards" -> ((s, d) => ext.Corpus.exportShards(s, d).orderBy("shard")),
     "corpus_sliding_windows" -> ((s, d) =>
       ext.Corpus.slidingWindows(s, d).orderBy("doc_id", "window_id")),
+    "corpus_curriculum" -> ((s, d) => ext.Corpus.curriculum(s, d).orderBy("doc_id")),
     // lakehouse-incremental surface: SCD2 history, change-data-feed diff,
     // delta-fold aggregate maintenance (oracle = from-scratch recompute)
     "scd2_user_event_type" -> ((s, d) =>

@@ -92,6 +92,30 @@ object Corpus {
         array_join(col("window_toks"), " ").as("window_text"))
   }
 
+  /** Number of equal-size curriculum phases. */
+  val CurriculumPhases = 4L
+
+  /** CURRICULUM ordering — rank the corpus by the learned quality signal
+    * (NB log-odds, best first) and cut it into [[CurriculumPhases]]
+    * equal-size phases: the easy-to-hard (here: clean-to-noisy) schedule a
+    * curriculum training run feeds batches in. The global rank rides the
+    * distributed [[graft.plans.GlobalRank]] operator — no single-partition
+    * sort at any corpus size; the phase is pure integer arithmetic on
+    * (rank, total), so both engines agree exactly. Ties break on doc_id. */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val (model, unk) = Text.nbModelFrames(docs)
+    val scored = Text.nbMicroWith(docs, model, unk)
+      .select(col("doc_id"), col("lo_micro"))
+    val ranked = graft.plans.GlobalRank.withRankColumns(scored,
+      Seq(col("lo_micro").desc, col("doc_id").asc), "_rn", "_rk", "_tot")
+    ranked.select(col("doc_id"),
+      Num.r4(col("lo_micro").cast("double") / 1e6).as("log_odds"),
+      col("_rn").as("curriculum_rank"),
+      floor((col("_rn") - 1) * CurriculumPhases / col("_tot"))
+        .cast("long").as("phase"))
+  }
+
   /** Packed sequences per exported shard. */
   val ShardSeqs = 32L
 

@@ -1167,6 +1167,25 @@ class CorpusSpec extends SparkSpec {
       "no short tail window at this SF — vacuous bound")
   }
 
+  test("curriculum: rank is a quality-descending permutation, phases equal-size and monotone") {
+    import graft.ext.Corpus
+    val rows = graft.ext.Corpus.curriculum(spark, sf).collect()
+      .sortBy(_.getAs[Long]("curriculum_rank"))
+    val n = graft.engine.Sources.documents(spark, sf).count()
+    assert(rows.length.toLong === n)
+    assert(rows.map(_.getAs[Long]("curriculum_rank")).toSeq === (1L to n).toSeq)
+    // quality descends along the rank (ties allowed at 4dp rounding)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("log_odds") >= b.getAs[Double]("log_odds") - 1e-9)
+    }
+    // phases: monotone nondecreasing, 0-based, equal size within 1
+    val phases = rows.map(_.getAs[Long]("phase"))
+    assert(phases.head === 0L && phases.last === Corpus.CurriculumPhases - 1)
+    phases.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
+    val sizes = phases.groupBy(identity).view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"unbalanced phases: $sizes")
+  }
+
   test("export shards: fixed-size shards, token mass partitions the corpus, contiguous ids") {
     import graft.ext.{Corpus, Text}
     val rows = graft.ext.Corpus.exportShards(spark, sf).collect()
