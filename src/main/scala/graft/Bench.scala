@@ -78,6 +78,14 @@ object Bench {
     // maxToStringFields so the truncation never fires in the first place.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.util.SparkStringUtils", org.apache.logging.log4j.Level.ERROR)
+    // "No Partition Defined for Window operation!" (WindowExec WARN): the
+    // month-grain lag chains in Gold.monthlySalesTrends run over ~84 rows
+    // by design (SURVEY §4) — the warning is expected and harmless, but it
+    // kept landing as the first line of the driver's parsed bench tail
+    // (r6 #6, r8 #3, r9 #4). Silence the window-exec package so the tail
+    // is exactly the JSON line(s).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
     // warmup: exercise scans/joins/windows/aggs once at tiny SF so the first
     // timed query doesn't absorb JVM + whole-stage-codegen compilation
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -201,8 +209,16 @@ object Bench {
     // driver's tail-capture budget, the file carries the whole map (the
     // scaling artifacts need every exponent, not just the expensive tail)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-        sfDirs.map(lineFor(_, keepAll = true)).mkString("", "\n", "\n"))
+      // a bad path must not kill the stdout JSON lines after a full bench
+      // run: create parents, log-and-continue on failure (ADVICE r9)
+      try {
+        val path = java.nio.file.Paths.get(p)
+        Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(path,
+          sfDirs.map(lineFor(_, keepAll = true)).mkString("", "\n", "\n"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] SPARK_GRAFT_BENCH_OUT write failed: ${e.getMessage}")
+      }
     }
     spark.stop() // stop first: the JSON must be the last line(s) of stdout
     lines.foreach(println)

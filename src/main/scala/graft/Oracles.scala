@@ -469,7 +469,7 @@ object Oracles {
          |  CASE WHEN $hrs <= 25 THEN 'PASS' ELSE 'STALE' END AS status
          |FROM $cte""".stripMargin
     }
-    def lit(c: String) = (s"MAX($c)", s"FLOOR(EXTRACT(EPOCH FROM MAX($c)))")
+    def lit(c: String) = (s"MAX($c)", s"epoch_us(MAX($c)) // 1000000")
     val (bts, bes) = lit("_ingested_at")
     val (rts, res) = lit("_refined_at")
     val arms = Seq(
@@ -479,7 +479,7 @@ object Oracles {
       // events.ts is TIMESTAMP_NS in the fixture: route through epoch_us like
       // every other events oracle so the value matches Spark's µs truncation
       arm("events", "events", "make_timestamp(MAX(epoch_us(ts)))",
-        "FLOOR(MAX(epoch_us(ts)) / 1e6)")
+        "MAX(epoch_us(ts)) // 1000000")
     ).mkString("\nUNION ALL\n")
     s"WITH $silverCtes\n$arms\nORDER BY table_name"
   }

@@ -225,7 +225,7 @@ object OraclesExt {
     val C = graft.ext.Dedup.ChunkTokens
     val K = graft.ext.Dedup.BoilerplateDf
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |c AS (SELECT doc_id, CAST(floor(len(toks) / $C) AS BIGINT) AS n_chunks, toks FROM t),
+       |c AS (SELECT doc_id, CAST(len(toks) // $C AS BIGINT) AS n_chunks, toks FROM t),
        |ix AS (SELECT doc_id, toks, unnest(generate_series(1, CAST(n_chunks AS INT))) AS i
        |  FROM c WHERE n_chunks > 0),
        |occ AS (SELECT doc_id,
@@ -447,7 +447,7 @@ object OraclesExt {
   val dedupChunkSpans: String = {
     val C = graft.ext.Dedup.ChunkTokens
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |c AS (SELECT doc_id, CAST(floor(len(toks) / $C) AS BIGINT) AS n_chunks, toks FROM t),
+       |c AS (SELECT doc_id, CAST(len(toks) // $C AS BIGINT) AS n_chunks, toks FROM t),
        |ix AS (SELECT doc_id, toks, unnest(generate_series(1, CAST(n_chunks AS INT))) AS i
        |  FROM c WHERE n_chunks > 0),
        |occ AS (SELECT doc_id,
@@ -1376,7 +1376,7 @@ object OraclesExt {
        |      AS start_offset
        |  FROM toks)
        |SELECT doc_id, lang, n_bpe_tokens, start_offset,
-       |  CAST(FLOOR(start_offset / $SeqLen.0) AS BIGINT) AS seq_id,
+       |  CAST(start_offset // $SeqLen AS BIGINT) AS seq_id,
        |  start_offset % $SeqLen AS offset_in_seq,
        |  start_offset % $SeqLen + n_bpe_tokens > $SeqLen AS straddles_boundary
        |FROM packed
@@ -1400,12 +1400,12 @@ object OraclesExt {
        |      AS start_offset
        |  FROM toks),
        |seqs AS (
-       |  SELECT lang, CAST(FLOOR(start_offset / $SeqLen.0) AS BIGINT) AS seq_id,
+       |  SELECT lang, CAST(start_offset // $SeqLen AS BIGINT) AS seq_id,
        |    count(*) AS n_docs, sum(n_bpe_tokens) AS n_tokens
        |  FROM packed GROUP BY lang, 2),
        |ranked AS (
        |  SELECT *, row_number() OVER (ORDER BY lang, seq_id) AS rn FROM seqs)
-       |SELECT CAST(FLOOR((rn - 1) / $ShardSeqs.0) AS BIGINT) AS shard,
+       |SELECT CAST((rn - 1) // $ShardSeqs AS BIGINT) AS shard,
        |  count(*) AS n_seqs,
        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
@@ -1424,7 +1424,7 @@ object OraclesExt {
        |  FROM documents WHERE len($toks) > 0),
        |w AS (
        |  SELECT doc_id, toks,
-       |    unnest(generate_series(0, CAST(FLOOR((n_toks - 1) / $WindowStride.0) AS BIGINT))) AS window_id
+       |    unnest(generate_series(0, CAST((n_toks - 1) // $WindowStride AS BIGINT))) AS window_id
        |  FROM base)
        |SELECT doc_id, window_id,
        |  window_id * $WindowStride AS start_token,
@@ -1450,8 +1450,8 @@ object OraclesExt {
        |    CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe_tokens
        |  FROM documents)
        |SELECT doc_id, lang, n_bpe_tokens,
-       |  CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY n_bpe_tokens, doc_id) - 1)
-       |    / $BatchSize.0) AS BIGINT) AS batch_id
+       |  CAST((ROW_NUMBER() OVER (ORDER BY n_bpe_tokens, doc_id) - 1)
+       |    // $BatchSize AS BIGINT) AS batch_id
        |FROM toks
        |ORDER BY doc_id""".stripMargin
   }
@@ -1481,12 +1481,12 @@ object OraclesExt {
        |  SELECT source, CAST(sum(n_bpe_tokens) AS BIGINT) AS src_tokens
        |  FROM per_doc GROUP BY source),
        |budget AS (
-       |  SELECT CAST(FLOOR(max(src_tokens) * $BudgetNum / $BudgetDen) AS BIGINT) AS budget
+       |  SELECT CAST((max(src_tokens) * $BudgetNum) // $BudgetDen AS BIGINT) AS budget
        |  FROM per_source),
        |thresholds AS (
        |  SELECT source, src_tokens,
        |    least($MixResolution,
-       |      CAST(FLOOR(budget * $MixResolution / src_tokens) AS BIGINT)) AS keep_threshold
+       |      CAST((budget * $MixResolution) // src_tokens AS BIGINT)) AS keep_threshold
        |  FROM per_source CROSS JOIN budget)
        |SELECT d.source, t.src_tokens, t.keep_threshold,
        |  count(*) AS n_docs_kept,
@@ -1513,7 +1513,7 @@ object OraclesExt {
        |  FROM per_doc GROUP BY source),
        |m AS (
        |  SELECT src_tokens AS t_m, w AS w_m FROM per_source
-       |  ORDER BY CAST(FLOOR(src_tokens * $MixResolution / w) AS BIGINT), source
+       |  ORDER BY CAST((src_tokens * $MixResolution) // w AS BIGINT), source
        |  LIMIT 1),
        |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS tot_tokens,
        |    CAST(sum(w) AS BIGINT) AS tot_w FROM per_source),
@@ -1544,7 +1544,7 @@ object OraclesExt {
   val dedupChunkRewrite: String = {
     val C = graft.ext.Dedup.ChunkTokens
     s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-       |c AS (SELECT doc_id, CAST(floor(len(toks) / $C) AS BIGINT) AS n_chunks,
+       |c AS (SELECT doc_id, CAST(len(toks) // $C AS BIGINT) AS n_chunks,
        |    toks FROM t),
        |tl AS (SELECT doc_id, n_chunks, toks,
        |    list_slice(toks, CAST(n_chunks * $C + 1 AS BIGINT), len(toks)) AS tail_toks
@@ -1976,6 +1976,63 @@ object OraclesExt {
        |ORDER BY kind""".stripMargin
   }
 
+  /** Twin of Multimodal.phashPairs. The tiled phash corpus is a pure
+    * function of the CONTENT id (Multimodal.phashContentId: id, or id−4
+    * for the planted near-dup variants, which also lift tile 0 by +1
+    * capped at 255): tile t's decoded gray level is LCG step t+1 of cid,
+    * so the 64-bit average hash, the 4×16-bit bands, the banded candidate
+    * pairs, and the exact Hamming verify all replay in integer SQL. The
+    * signed 64-bit pack splits bit 63 into an explicit −2⁶³ term (SUM runs
+    * in HUGEINT, the final value is in-range); DuckDB's `>> & 65535` band
+    * extraction and `bit_count(xor(…))` match Java's arithmetic-shift +
+    * mask + popcount bit-for-bit (verified on the sign bit). */
+  val mediaPhashPairs: String = {
+    import graft.ext.Multimodal.PhashHammingMax
+    val A = "6364136223846793005"
+    val C = "1442695040888963407"
+    val M64 = "18446744073709551616" // 2^64
+    val TOP = "72057594037927936" // 2^56
+    s"""WITH RECURSIVE ids AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 7 THEN doc_id - 4 ELSE doc_id END AS cid
+       |  FROM documents),
+       |gen AS (
+       |  SELECT doc_id, 0 AS i,
+       |    ((CAST(cid AS HUGEINT) * $A + $C) % $M64) AS s
+       |  FROM ids
+       |  UNION ALL
+       |  SELECT doc_id, i + 1, ((s * $A + $C) % $M64) FROM gen WHERE i < 64),
+       |lv AS (
+       |  SELECT g.doc_id, g.i - 1 AS t,
+       |    CASE WHEN g.doc_id % 10 = 7 AND g.i = 1
+       |         THEN LEAST(255, s // $TOP + 1) ELSE s // $TOP END AS l
+       |  FROM gen g WHERE g.i >= 1),
+       |tot AS (SELECT doc_id, CAST(SUM(l) AS BIGINT) AS total FROM lv GROUP BY doc_id),
+       |bits AS (
+       |  SELECT lv.doc_id, CAST(t AS INT) AS t,
+       |    CASE WHEN 64 * l > total THEN 1 ELSE 0 END AS bit
+       |  FROM lv JOIN tot USING (doc_id)),
+       |hash AS (
+       |  SELECT doc_id, CAST(SUM(CASE
+       |      WHEN t = 63 THEN CAST(bit AS BIGINT) * (-9223372036854775807 - 1)
+       |      ELSE CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << t) END) AS BIGINT)
+       |    AS phash
+       |  FROM bits GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, phash, b, (phash >> (16 * b)) & 65535 AS v
+       |  FROM hash, (SELECT unnest(generate_series(0, 3)) AS b) bb),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS media_id_a, c.doc_id AS media_id_b,
+       |    a.phash AS pa, c.phash AS pb
+       |  FROM bands a JOIN bands c ON a.b = c.b AND a.v = c.v
+       |    AND a.doc_id < c.doc_id)
+       |SELECT media_id_a, media_id_b,
+       |  CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming_dist,
+       |  bit_count(xor(pa, pb)) <= $PhashHammingMax AS is_near
+       |FROM cand
+       |ORDER BY media_id_a, media_id_b""".stripMargin
+  }
+
   /** Image rows are REAL PNGs of solid gray `(doc_id·A + C) >>> 56` (the
     * LCG's step-0 top byte — `gen` at i = 0): the decoded per-pixel mean is
     * exactly that level. Audio rows are REAL WAV PCM16 whose decoded 8-bit
@@ -2152,12 +2209,17 @@ object OraclesExt {
        |ORDER BY d.doc_id""".stripMargin
 
   /** Twin of Corpus.qualitySample — the [[nbCtes]] scores feeding the
-    * clamped linear keep-probability ramp and the integer mixer verdict. */
+    * clamped linear keep-probability ramp and the integer mixer verdict.
+    * The ramp quotient is the pure-BIGINT pmod floor-division device
+    * ([[graft.engine.Num.fdiv]] twin): lo_micro can be negative, and
+    * DuckDB `//`/Spark `div` truncate toward zero, so floor = subtract the
+    * positive remainder first — zero float surface either side. */
   val corpusQualitySample: String = {
     import graft.ext.Corpus.QsRampMicroNats
+    val rmp = QsRampMicroNats / 500L
+    val lo = s"($nbLoMicro)"
     val pm = s"""LEAST(1000, GREATEST(0,
-      |    500 + CAST(FLOOR(CAST($nbLoMicro AS DOUBLE)
-      |      / ${(QsRampMicroNats / 500L).toDouble}) AS BIGINT)))""".stripMargin
+      |    500 + ($lo - (($lo % $rmp + $rmp) % $rmp)) // $rmp))""".stripMargin
     s"""WITH $nbCtes
        |SELECT d.doc_id, d.lang, d.source,
        |  ${R(s"CAST($nbLoMicro AS DOUBLE) / 1e6", 4)} AS log_odds,
@@ -2502,11 +2564,13 @@ object OraclesExt {
   }
 
   /** Twin of Text.vocabDrift — mixer split, frozen old-corpus top-K vocab,
-    * exact counts + pooled `<unk>` mass, one IEEE multiply-divide ppm. */
+    * exact counts + pooled `<unk>` mass, pure-BIGINT ppm division (`//` in
+    * DuckDB = `div` in Spark for non-negative operands; zero float
+    * surface, immune to cross-build 1-ulp floor() drift). */
   val textVocabDrift: String = {
     import graft.ext.Text.{LmVocabCap, VocabDriftPpm}
     def ppm(c: String, t: String) =
-      s"CAST(FLOOR(CAST($c AS DOUBLE) * 1e6 / CAST($t AS DOUBLE)) AS BIGINT)"
+      s"CAST(($c * 1000000) // $t AS BIGINT)"
     s"""WITH onz AS (SELECT token FROM (
        |    SELECT unnest($toks) AS token FROM documents
        |    WHERE ${mixSql("doc_id")} % 100 < 50) WHERE token <> ''),
@@ -2651,6 +2715,7 @@ object OraclesExt {
     "corpus_mix_by_source" -> corpusMix,
     "media_kind_summary" -> mediaKindSummary,
     "media_resize_summary" -> mediaResizeSummary,
+    "media_phash_pairs" -> mediaPhashPairs,
     "text_gopher_rules" -> textGopherRules,
     "text_nb_quality" -> textNbQuality,
     "corpus_quality_sample" -> corpusQualitySample,
@@ -2680,6 +2745,7 @@ object OraclesExt {
     // recompute-everything PQ operator (frozen model + codebooks round-trip
     // parquet exactly), so it shares that full-strength oracle
     "sim_ann_index_pq" -> simAnnIvfPq,
+    "sim_ann_index_pq_search" -> simAnnIvfPq,
     "sim_pq_error" -> simPqError,
     "sim_recall_audit" -> simRecallAudit,
     "sim_recall_audit_sampled" -> simRecallAuditSampled,

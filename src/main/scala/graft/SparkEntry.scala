@@ -118,6 +118,8 @@ object SparkEntry {
       ext.Pq.annIvfPq(s, d).orderBy("query_id", "rank")),
     "sim_ann_index_pq" -> ((s, d) =>
       ext.VectorIndexPq.annIndexedPq(s, d).orderBy("query_id", "rank")),
+    "sim_ann_index_pq_search" -> ((s, d) =>
+      ext.VectorIndexPq.annIndexedPqSearch(s, d).orderBy("query_id", "rank")),
     "sim_pq_error" -> ((s, d) => ext.Pq.pqError(s, d).orderBy("vec_id")),
     "sim_embedding_drift" -> ((s, d) =>
       ext.Similarity.embeddingDrift(s, d).orderBy("cl")),
@@ -202,6 +204,8 @@ object SparkEntry {
     "media_kind_summary" -> ((s, d) => ext.Multimodal.kindSummary(s, d).orderBy("kind")),
     "media_resize_summary" -> ((s, d) =>
       ext.Multimodal.resizeSummary(s, d).orderBy("kind")),
+    "media_phash_pairs" -> ((s, d) =>
+      ext.Multimodal.phashPairs(s, d).orderBy("media_id_a", "media_id_b")),
     // the reference README's documented BI consumer queries
     // (reference: README.md:216-236; O2 top-K → TakeOrderedAndProject)
     "consumer_top_clv" -> ((s, d) =>

@@ -50,4 +50,20 @@ object Num {
 
   /** NULL when divisor is zero — mirrors SQL NULLIF(d, 0) guards. */
   def div0(num: Column, den: Column): Column = num / nullif(den, lit(0))
+
+  /** Exact BIGINT quotient for NON-NEGATIVE a, positive b — Spark's `div`
+    * (IntegralDivide), DuckDB twin `a // b`. Both truncate toward zero, so
+    * for non-negative operands they agree with mathematical floor and have
+    * ZERO float surface. Replaces the old floor(a / b) double path, whose
+    * correctly-rounded division is deterministic only below 2^53 and whose
+    * floor() boundary cost `text_vocab_drift` its driver-green row in
+    * round 9 (CORRECTNESS_r09). */
+  def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+
+  /** Exact BIGINT FLOOR-division for a of EITHER sign, positive b: the
+    * pmod device keeps floor semantics (Spark `div` / DuckDB `//` both
+    * truncate toward zero, which differs from floor for negative a).
+    * DuckDB twin: `(a - ((a % b + b) % b)) // b`. */
+  def fdiv(a: Column, b: Column): Column =
+    call_function("div", a - pmod(a, b), b)
 }

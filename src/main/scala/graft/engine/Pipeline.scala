@@ -396,9 +396,11 @@ object Pipeline {
     * per stage family and materializing under `outDir`.
     *
     * The scrub stage is the ingest boundary: its output drops the raw
-    * `text` column, and the downstream frame-based stages (classifier
-    * sample, data card) run on the SCRUBBED text — identifiers never reach
-    * the training products. */
+    * `text` column, and EVERY downstream frame-based stage (gate verdicts,
+    * NB report, classifier sample, data card) runs on the SCRUBBED text —
+    * identifiers never reach the training products, and the per-doc gate /
+    * NB / sampler columns all describe the same text for the same doc_id
+    * (ADVICE r9 closed the gates/NB raw-read inconsistency). */
   def runCorpusPipeline(spark: SparkSession, dir: String, outDir: String,
                         cfg: EngineConfig = EngineConfig.defaults("dev")): Seq[StageResult] = {
     import org.apache.spark.sql.functions._
@@ -415,11 +417,15 @@ object Pipeline {
     def scrubbedDocs: DataFrame =
       spark.read.parquet(s"$outDir/corpus_scrubbed")
         .withColumnRenamed("redacted_text", "text")
-    results += st("corpus_gates", critical = true)(Text.gopherRules(spark, dir))
+    // gates + NB report run on the SCRUBBED corpus, like every other
+    // frame-based stage: the per-doc verdicts and the sampler's log_odds
+    // must describe the same text for the same doc_id (ADVICE r9)
+    results += st("corpus_gates", critical = true)(
+      Text.gopherRulesOf(scrubbedDocs))
     results += st("corpus_blocklist", critical = false)(
       Text.blocklistFilterOf(scrubbedDocs))
     results += st("corpus_nb_quality", critical = false)(
-      Text.nbQuality(spark, dir))
+      Text.nbQualityOf(scrubbedDocs))
     results += st("corpus_quality_sample", critical = true)(
       Corpus.qualitySampleOf(scrubbedDocs))
     results += st("corpus_preprocess", critical = true)(

@@ -34,10 +34,10 @@ import graft.plans.GlobalRank
   *  - NTILE(n): with a unique tiebreaker the ordering is total, so the
   *    bucket is a pure function of (row_number, N) using Spark's `NTile`
   *    bucket math: the first N%n buckets take ⌈N/n⌉ rows, the rest ⌊N/n⌋.
-  *  - `floor(a / b)` on longs goes through Spark's fractional division
-  *    (double) — exact below 2^53 rows, far beyond any frame, and it
-  *    sidesteps ANSI integral division-by-zero hazards (unreached branches
-  *    stay unevaluated).
+  *  - Bucket quotients are pure BIGINT division ([[Num.idiv]]) — exact at
+  *    ANY row count (the old floor(a / b) double path was exact only below
+  *    2^53 rows); the divisor of the otherwise-branch is greatest(small, 1)
+  *    so ANSI integral division-by-zero is structurally unreachable.
   */
 object Rank {
 
@@ -57,12 +57,12 @@ object Rank {
   def globalNtile(df: DataFrame, n: Int, out: String, sortCols: Column*): DataFrame = {
     val (r, rn, _, tot, fin) = positioned(df, sortCols)
     // Spark NTile bucket math, in-plan: first N%n buckets get ⌈N/n⌉ rows
-    val small = floor(tot / n) // fractional division → exact < 2^53
+    val small = Num.idiv(tot, lit(n.toLong))
     val pad = tot % n
     val big = small + 1
     val threshold = pad * big
-    val bucket = when(rn <= threshold, floor((rn - 1) / big) + 1)
-      .otherwise(floor((rn - threshold - 1) / greatest(small, lit(1L))) + 1 + pad)
+    val bucket = when(rn <= threshold, Num.idiv(rn - 1, big) + 1)
+      .otherwise(Num.idiv(rn - threshold - 1, greatest(small, lit(1L))) + 1 + pad)
     fin(out)(r.withColumn(out, bucket.cast("int")))
   }
 

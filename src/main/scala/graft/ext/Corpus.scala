@@ -49,7 +49,7 @@ object Corpus {
       .withColumn("start_offset",
         coalesce(sum(col("n_bpe_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .withColumn("seq_id", floor(col("start_offset") / SeqLen).cast("long"))
+      .withColumn("seq_id", Num.idiv(col("start_offset"), lit(SeqLen.toLong)))
       .withColumn("offset_in_seq", col("start_offset") % SeqLen)
       .withColumn("straddles_boundary",
         col("offset_in_seq") + col("n_bpe_tokens") > SeqLen)
@@ -79,7 +79,7 @@ object Corpus {
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .where(col("n_toks") > 0)
       .withColumn("n_windows",
-        (floor((col("n_toks") - 1) / WindowStride) + 1).cast("long"))
+        Num.idiv(col("n_toks") - 1, lit(WindowStride.toLong)) + 1)
     base
       .select(col("doc_id"), col("toks"), col("n_toks"),
         explode(sequence(lit(0L), col("n_windows") - 1)).as("window_id"))
@@ -112,8 +112,8 @@ object Corpus {
     ranked.select(col("doc_id"),
       Num.r4(col("lo_micro").cast("double") / 1e6).as("log_odds"),
       col("_rn").as("curriculum_rank"),
-      floor((col("_rn") - 1) * CurriculumPhases / col("_tot"))
-        .cast("long").as("phase"))
+      Num.idiv((col("_rn") - 1) * CurriculumPhases, col("_tot"))
+        .as("phase"))
   }
 
   /** Packed sequences per exported shard. */
@@ -140,7 +140,7 @@ object Corpus {
     val ranked = graft.plans.GlobalRank.withRankColumns(seqs,
       Seq(col("lang").asc, col("seq_id").asc), "_rn", "_rk", "_tot")
     ranked
-      .withColumn("shard", floor((col("_rn") - 1) / ShardSeqs).cast("long"))
+      .withColumn("shard", Num.idiv(col("_rn") - 1, lit(ShardSeqs)))
       .groupBy("shard")
       .agg(
         count(lit(1)).as("n_seqs"),
@@ -166,7 +166,7 @@ object Corpus {
     val ranked = graft.plans.GlobalRank.withRankColumns(base,
       Seq(col("n_bpe_tokens").asc, col("doc_id").asc), "_rn", "_rk", "_tot")
     ranked
-      .withColumn("batch_id", floor((col("_rn") - 1) / BatchSize).cast("long"))
+      .withColumn("batch_id", Num.idiv(col("_rn") - 1, lit(BatchSize.toLong)))
       .drop("_rn", "_rk", "_tot")
   }
 
@@ -207,11 +207,11 @@ object Corpus {
     val perSource = perDoc.groupBy("source")
       .agg(sum(col("n_bpe_tokens")).as("src_tokens"))
     val budget = perSource
-      .agg((floor(max(col("src_tokens")) * BudgetNum / BudgetDen)).cast("long").as("budget"))
+      .agg(Num.idiv(max(col("src_tokens")) * BudgetNum, lit(BudgetDen)).as("budget"))
     val thresholds = perSource.crossJoin(broadcast(budget))
       .withColumn("keep_threshold",
         least(lit(MixResolution),
-          floor(col("budget") * MixResolution / col("src_tokens")).cast("long")))
+          Num.idiv(col("budget") * MixResolution, col("src_tokens"))))
     perDoc
       .join(broadcast(thresholds), Seq("source"))
       .where(Sampling.mixHash(col("doc_id")) % MixResolution < col("keep_threshold"))
@@ -251,7 +251,7 @@ object Corpus {
     // bottleneck source m: min of the exact integer ratio floor(T·R/w);
     // ties broken by source name so both engines pick the same row
     val m = perSource
-      .withColumn("_ratio", floor(col("src_tokens") * MixResolution / col("w")).cast("long"))
+      .withColumn("_ratio", Num.idiv(col("src_tokens") * MixResolution, col("w")))
       .orderBy(col("_ratio"), col("source")).limit(1)
       .select(col("src_tokens").as("t_m"), col("w").as("w_m"))
     val tot = perSource.agg(
@@ -324,10 +324,10 @@ object Corpus {
     * ([[Text.nbQuality]]) sets a keep probability via a clamped linear
     * ramp, and the keep DECISION compares the shared integer mixer against
     * it — keep iff mix(doc_id) mod 1000 < p‰. Everything is integer
-    * arithmetic on the exact micro-nat log-odds (the one floor-division
-    * rides IEEE doubles identically in both engines), so there is no float
-    * boundary anywhere in the verdict: reruns, engines, and partitionings
-    * all agree row-for-row.
+    * arithmetic on the exact micro-nat log-odds (the ramp floor-division
+    * is [[graft.engine.Num.fdiv]] — pure BIGINT floor semantics, no float
+    * surface), so there is no float boundary anywhere in the verdict:
+    * reruns, engines, builds, and partitionings all agree row-for-row.
     *
     * Scale shape: [[Text.nbModelFrames]]'s one token shuffle + bounded
     * vocab, then map-only scoring and gating — the sample decision itself
@@ -342,8 +342,7 @@ object Corpus {
   def qualitySampleOf(docs: DataFrame): DataFrame = {
     val (model, unk) = Text.nbModelFrames(docs)
     val pMillis = greatest(lit(0L), least(lit(1000L),
-      lit(500L) + floor(col("lo_micro").cast("double") /
-        (QsRampMicroNats / 500L).toDouble).cast("long")))
+      lit(500L) + Num.fdiv(col("lo_micro"), lit(QsRampMicroNats / 500L))))
     Text.nbMicroWith(docs, model, unk)
       .withColumn("keep_millis", pMillis)
       .withColumn("kept",

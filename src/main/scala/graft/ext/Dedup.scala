@@ -524,7 +524,8 @@ object Dedup {
     val docs = Sources.documents(spark, dir)
     val base = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .withColumn("n_chunks", floor(size(col("toks")) / ChunkTokens).cast("long"))
+      .withColumn("n_chunks",
+        graft.engine.Num.idiv(size(col("toks")).cast("long"), lit(ChunkTokens.toLong)))
     val occ = base.where(col("n_chunks") > 0)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), col("n_chunks").cast("int"))).as("i"))
@@ -573,7 +574,8 @@ object Dedup {
     * their outputs agree structurally, not coincidentally. */
   private[graft] def chunkBase(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .withColumn("n_chunks", floor(size(col("toks")) / ChunkTokens).cast("long"))
+      .withColumn("n_chunks",
+        graft.engine.Num.idiv(size(col("toks")).cast("long"), lit(ChunkTokens.toLong)))
       // the sub-chunk remainder, kept verbatim
       .withColumn("tail_toks",
         slice(col("toks"), (col("n_chunks") * ChunkTokens + 1).cast("int"),

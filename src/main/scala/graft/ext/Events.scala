@@ -41,7 +41,8 @@ object Events {
   def slidingHourly(spark: SparkSession, dir: String): DataFrame = {
     val slideUs = SlideMinutes * 60L * 1000000L
     val nSlides = WindowMinutes / SlideMinutes
-    val bucket = floor(unix_micros(col("ts")) / slideUs) * slideUs
+    val bucket =
+      graft.engine.Num.idiv(unix_micros(col("ts")), lit(slideUs)) * slideUs
     Sources.events(spark, dir)
       .select(col("ts"), col("user_id"), col("value"),
         explode(sequence(lit(0), lit(nSlides - 1))).as("i"))

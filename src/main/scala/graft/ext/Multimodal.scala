@@ -545,4 +545,150 @@ object Multimodal {
         sum(col("n_pixels")).as("total_pixels"),
         r4(dsum(col("mean_luma")) / count(lit(1))).as("avg_luma"))
   }
+
+  // ------------------------- image perceptual near-dup (average hash) ----
+
+  /** Perceptual-hash grid: the decoded raster is downsampled to
+    * [[PhashTiles]]×[[PhashTiles]] tile means → one bit per tile → a 64-bit
+    * average hash (aHash — same family as pHash/dHash; the mean-threshold
+    * variant keeps every step exact-integer so the DuckDB twin replays the
+    * hash bit-for-bit). */
+  val PhashTiles = 8
+  /** Tile edge in pixels for the synthetic phash corpus (canvas 64×64). */
+  val PhashTilePx = 8
+  /** Bands for the Hamming-LSH candidate join: 4 bands × 16 bits over the
+    * 64-bit hash. Pigeonhole: any pair within Hamming distance
+    * [[PhashHammingMax]] = 3 differs in ≤3 bands, so at least one band
+    * matches exactly — candidate generation provably misses nothing the
+    * verify step would keep. */
+  val PhashBands = 4
+  val PhashHammingMax = 3
+
+  /** Content id for the synthetic phash corpus: every 10th-ish image
+    * (id % 10 == 7) re-renders the TILE STREAM of id−4 — a planted
+    * near-duplicate cluster (the variant perturbs one tile by +1 gray
+    * level, below), so the fixture contains true near-identical pairs at
+    * every SF, exactly replayable by the oracle. */
+  private[graft] def phashContentId(id: Long): Long =
+    if (id % 10 == 7) id - 4 else id
+
+  /** Render the tiled PNG for a content id: an 8×8 grid of solid tiles,
+    * tile t at gray level = LCG step t+1 of `cid` (the same generator the
+    * WAV/AVI payloads replay); the near-dup variant lifts tile 0 by +1
+    * (capped at 255) — pixels virtually identical to the template, hash
+    * within a couple of bits. Real PNG bytes; decode is a real pixel scan. */
+  private[graft] def encodePhashTiles(cid: Long, perturb: Boolean): Array[Byte] = {
+    val px = PhashTiles * PhashTilePx
+    val img = new BufferedImage(px, px, BufferedImage.TYPE_INT_RGB)
+    val lv = lcgLevels(cid, PhashTiles * PhashTiles)
+    if (perturb) lv(0) = math.min(255, lv(0) + 1)
+    val gfx = img.createGraphics()
+    var t = 0
+    while (t < PhashTiles * PhashTiles) {
+      val g = lv(t)
+      gfx.setColor(new java.awt.Color(g, g, g))
+      gfx.fillRect((t % PhashTiles) * PhashTilePx,
+        (t / PhashTiles) * PhashTilePx, PhashTilePx, PhashTilePx)
+      t += 1
+    }
+    gfx.dispose()
+    PngCodec.toPng(img)
+  }
+
+  /** Synthetic image corpus for the perceptual near-dup path: one tiled
+    * PNG per doc_id ([[encodePhashTiles]]), planted near-dup pairs via
+    * [[phashContentId]]. Same role as [[mediaCorpus]]: stands in for a
+    * binaryFile scan of an image lake. */
+  def phashCorpus(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    val px = PhashTiles * PhashTilePx
+    Sources.documents(spark, dir).select("doc_id").as[Long].map { id =>
+      MediaFile(id, "image", s"lake://phash/$id", px, px, 1,
+        encodePhashTiles(phashContentId(id), perturb = id % 10 == 7))
+    }
+  }
+
+  case class PhashRow(media_id: Long, phash: Long)
+
+  /** REAL decode → 64-bit average hash, batched like [[extractFeatures]]
+    * (map-only; no shuffle): full pixel scan accumulating per-tile luma
+    * sums (tile of (x,y) = (x·T/w, y·T/h) — any raster geometry), integer
+    * tile means (exact for uniform tiles; floor-mean otherwise), then
+    * bit t = [T²·level_t > Σlevels] packed little-endian into one long.
+    * The comparison is cross-multiplied so the mean threshold never
+    * touches a float. */
+  def phashOf(media: Dataset[MediaFile]): Dataset[PhashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(DecodeBatch).flatMap(_.map { m =>
+      val img = PngCodec.decode(m.content)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val tl = PhashTiles
+      val sums = new Array[Long](tl * tl)
+      val cnts = new Array[Long](tl * tl)
+      var y = 0
+      while (y < h) {
+        val ty = y * tl / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          // luma = (r+g+b)/3; for the gray fixtures r==g==b so the red
+          // channel IS the exact level — keep the general mean anyway
+          sums(ty * tl + x * tl / w) +=
+            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          cnts(ty * tl + x * tl / w) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val lvl = Array.tabulate(tl * tl)(i => sums(i) / cnts(i))
+      val total = lvl.sum
+      var hash = 0L
+      var i = 0
+      while (i < tl * tl) {
+        if (lvl(i) * tl * tl > total) hash |= (1L << i)
+        i += 1
+      }
+      PhashRow(m.media_id, hash)
+    }))
+  }
+
+  /** Hamming-banded near-dup PAIRS over a hashed corpus — the image-side
+    * sibling of [[Dedup]]'s banded text machinery: each hash explodes into
+    * [[PhashBands]] (band, 16-bit value) keys, candidates are pairs sharing
+    * ≥1 band (ONE shuffle on the band key — never all-pairs), and the
+    * exact verify is a single `bit_count(xor)` per candidate. Output keeps
+    * every candidate with its exact Hamming distance + the ≤
+    * [[PhashHammingMax]] verdict, so the band-collision noise floor is
+    * auditable.
+    *
+    * Scale shape: candidates within Hamming ≤3 are CAUGHT BY CONSTRUCTION
+    * (pigeonhole over the 4 bands); random collisions per band bucket grow
+    * with n²/2¹⁶ per band, so at 10⁹+ images widen the band count/width or
+    * cap bucket df exactly like [[Dedup]]'s shingle df-cap — the banding
+    * here is the calibration point, not a fixed constant. */
+  def phashPairsOf(hashes: Dataset[PhashRow]): DataFrame = {
+    val df = hashes.toDF()
+    val bands = df.select(col("media_id"), col("phash"),
+      explode(array((0 until PhashBands).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("phash"), 16 * b).bitwiseAND(lit(65535L)).as("v"))): _*))
+        .as("bv"))
+      .select(col("media_id"), col("phash"),
+        col("bv").getField("b").as("b"), col("bv").getField("v").as("v"))
+    val left = bands.select(col("b"), col("v"),
+      col("media_id").as("media_id_a"), col("phash").as("pa"))
+    val right = bands.select(col("b"), col("v"),
+      col("media_id").as("media_id_b"), col("phash").as("pb"))
+    left.join(right, Seq("b", "v"))
+      .where(col("media_id_a") < col("media_id_b"))
+      .select("media_id_a", "media_id_b", "pa", "pb").distinct()
+      .withColumn("hamming_dist",
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
+      .withColumn("is_near", col("hamming_dist") <= PhashHammingMax)
+      .select("media_id_a", "media_id_b", "hamming_dist", "is_near")
+  }
+
+  /** Registered harness: hash the synthetic tiled corpus, band, verify. */
+  def phashPairs(spark: SparkSession, dir: String): DataFrame =
+    phashPairsOf(phashOf(balancedByBytes(phashCorpus(spark, dir), 8)))
 }

@@ -781,12 +781,19 @@ object Similarity {
       .select(col("cl"),
         coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("ta"), col("tb"),
         shareOld.as("share_old_pct"), shareNew.as("share_new_pct"),
         meanOld.as("mean_cos_old"), meanNew.as("mean_cos_new"))
+      // an EMPTY side (bootstrap compare against a zero reference state, or
+      // a dead ingest) must fail LOUD, not dissolve into null/NaN shares
+      // that mask drift — an empty version is by definition maximally
+      // drifted from any populated one (ADVICE r9)
       .withColumn("drifted",
-        abs(col("share_new_pct") - col("share_old_pct")) > DriftSharePct ||
-          coalesce(col("mean_cos_old") - col("mean_cos_new") > DriftCosDrop,
-            lit(false)))
+        when(col("ta") === 0 || col("tb") === 0, lit(true)).otherwise(
+          abs(col("share_new_pct") - col("share_old_pct")) > DriftSharePct ||
+            coalesce(col("mean_cos_old") - col("mean_cos_new") > DriftCosDrop,
+              lit(false))))
+      .drop("ta", "tb")
   }
 
   /** Registered harness for [[embeddingDriftOf]]: the fixture corpus split

@@ -218,9 +218,16 @@ object Text {
     * training pipeline applies before tokenization (word-count bounds, mean
     * word length, stopword evidence, symbol noise, alphabetic fraction).
     * Map-only columnar work: stays inside whole-stage codegen, no shuffle. */
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(Sources.documents(spark, dir))
+
+  /** PRODUCTION ENTRY — [[gopherRules]] over ANY (doc_id, lang, text)
+    * frame; [[graft.engine.Pipeline.runCorpusPipeline]] runs it on the
+    * SCRUBBED corpus so its verdicts describe the text the training
+    * products are actually built from (ADVICE r9). */
+  def gopherRulesOf(docs: DataFrame): DataFrame = {
     val g = gopherGate
-    Sources.documents(spark, dir).select(
+    docs.select(
       col("doc_id"), col("lang"),
       g.nTok.as("n_tokens"),
       r4(g.meanLen).as("mean_word_len"),
@@ -483,8 +490,13 @@ object Text {
     * ≤ cap+1 rows → broadcast; scoring is a broadcast hash join + per-doc
     * partial agg. Same plan family as [[lmScore]] — at 100 TB the token
     * shuffle is the cost, everything else is bounded. */
-  def nbQuality(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Sources.documents(spark, dir)
+  def nbQuality(spark: SparkSession, dir: String): DataFrame =
+    nbQualityOf(Sources.documents(spark, dir))
+
+  /** PRODUCTION ENTRY — [[nbQuality]] over ANY (doc_id, lang, text) frame:
+    * trains on and scores the frame itself (the corpus pipeline passes the
+    * scrubbed corpus so report and sampler agree doc-for-doc, ADVICE r9). */
+  def nbQualityOf(docs: DataFrame): DataFrame = {
     val (model, unk) = nbModelFrames(docs)
     nbScoreWith(docs, model, unk)
   }
@@ -585,8 +597,10 @@ object Text {
     * pooling all out-of-vocabulary mass (a surging `<unk>` is the headline
     * signal: the new data speaks words the old model never saw — retrain
     * the tokenizer/LM before trusting downstream scores). Counts are exact
-    * BIGINTs; ppm = floor(c·10⁶/t) rides one identical IEEE
-    * multiply-divide in both engines.
+    * BIGINTs; ppm = (c·10⁶) div t is PURE BIGINT division in both engines
+    * (no float surface at all — a 1-ulp floor() divergence across DuckDB
+    * builds cost this query its driver-green row in round 9; overflow
+    * needs c > 9.2×10¹²).
     *
     * Scale shape: one token shuffle per version (explode → partial-agg) +
     * a bounded TakeOrdered vocab; both count maps are additive, so at
@@ -610,7 +624,7 @@ object Text {
         (col("t_old") - col("vo")).as("c_old"),
         (col("t_new") - col("vn")).as("c_new")))
     def ppm(c: Column, t: Column): Column =
-      floor(c.cast("double") * 1e6 / t.cast("double")).cast("long")
+      call_function("div", c * lit(1000000L), t)
     rows.crossJoin(broadcast(tots.select(col("t_old"), col("t_new"))))
       .select(col("token"), col("c_old"), col("c_new"),
         ppm(col("c_old"), col("t_old")).as("ppm_old"),

@@ -214,14 +214,39 @@ object VectorIndexPq {
     Similarity.topK(pairs, TopK)
   }
 
+  /** Stores this JVM has built (or rebuilt) — the session memo behind
+    * [[annIndexedPqSearch]]'s build-once contract. */
+  private val builtThisSession =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def storeFor(spark: SparkSession, dir: String): String =
+    s"${spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")}" +
+      s"/graft_vecindexpq_${sha12(dir)}"
+
   /** Registered end-to-end twin: build in a warehouse-scoped scratch store,
     * self-search — bit-identical to `sim_ann_ivf_pq`, sharing its DuckDB
     * oracle. Rebuild-each-run is the verification harness's idempotence,
-    * not the deployment shape. */
+    * not the deployment shape — [[annIndexedPqSearch]] is the
+    * deployment-shaped (build once, search many) twin. */
   def annIndexedPq(spark: SparkSession, dir: String): DataFrame = {
-    val store = s"${spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")}" +
-      s"/graft_vecindexpq_${sha12(dir)}"
+    val store = storeFor(spark, dir)
     build(spark, store, withNorm(Sources.embeddings(spark, dir)))
+    builtThisSession.add(store)
+    search(spark, store, withNorm(Sources.embeddings(spark, dir)))
+  }
+
+  /** Registered SEARCH-ONLY twin (VERDICT r9 #3): the store is built at
+    * most once per (session, corpus) — by this arm's first call or by a
+    * prior [[annIndexedPq]] run against the same corpus — and every call
+    * is a pure search against the durable tables. Same DuckDB oracle as
+    * `sim_ann_index_pq` (search output is independent of who built the
+    * store), so the bench median/min of THIS arm is the per-query search
+    * cost the deployment table quotes, with no one-time build conflated
+    * in. */
+  def annIndexedPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val store = storeFor(spark, dir)
+    if (builtThisSession.add(store))
+      build(spark, store, withNorm(Sources.embeddings(spark, dir)))
     search(spark, store, withNorm(Sources.embeddings(spark, dir)))
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.engine.Num._
@@ -831,6 +831,21 @@ object Streams {
       }
       .start()
 
+  /** True iff `batchId` is already part of the state at `path`. Streaming
+    * foreachBatch ids are MONOTONICALLY increasing, so the committed tag's
+    * id is the high-water mark: any batchId at or below it has been folded
+    * (the additive merges would silently double-count on a re-fold). This
+    * covers not just structured streaming's last-batch replay but a direct
+    * caller replaying an ARBITRARY older batch (ADVICE r9) — O(1), no tag
+    * history scan. */
+  private def alreadyFolded(spark: SparkSession, path: String,
+                            batchId: Long): Boolean =
+    graft.sources.Versioned.latestTag(spark, path).exists { t =>
+      t.startsWith("batch=") &&
+        scala.util.Try(t.stripPrefix("batch=").trim.toLong)
+          .toOption.exists(batchId <= _)
+    }
+
   /** One micro-batch of [[maintainCellOccupancy]] — same replay discipline
     * as [[foldMonthlyRevenueBatch]]. */
   private[graft] def foldCellOccupancyBatch(batch: DataFrame,
@@ -839,7 +854,7 @@ object Streams {
     val spark = batch.sparkSession
     import graft.sources.Versioned
     import graft.ext.Similarity
-    if (Versioned.latestTag(spark, path).contains(s"batch=$batchId")) return
+    if (alreadyFolded(spark, path, batchId)) return
     val delta = Similarity.cellState(batch, cents)
     val merged = Versioned.latestVersion(spark, path) match {
       case Some(_) =>
@@ -858,7 +873,7 @@ object Streams {
     val spark = batch.sparkSession
     import graft.sources.Versioned
     import graft.ext.Sketch
-    if (Versioned.latestTag(spark, path).contains(s"batch=$batchId")) return
+    if (alreadyFolded(spark, path, batchId)) return
     val delta = cols.map(c => Sketch.statsState(batch, table, c))
       .reduce(_ unionByName _)
     val merged = Versioned.latestVersion(spark, path) match {
@@ -881,7 +896,7 @@ object Streams {
                                              batchId: Long): Unit = {
     val spark = batch.sparkSession
     import graft.sources.Versioned
-    if (Versioned.latestTag(spark, path).contains(s"batch=$batchId")) return
+    if (alreadyFolded(spark, path, batchId)) return
     val delta = graft.engine.Incremental.monthlyRevenueState(batch)
     val merged = Versioned.latestVersion(spark, path) match {
       case Some(_) => graft.engine.Incremental.merge(

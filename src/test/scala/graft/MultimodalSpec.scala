@@ -199,4 +199,42 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("kind")).sorted.toSeq === Seq("audio", "image", "video"))
     assert(rows.map(_.getAs[Long]("n_media")).sum === 500)
   }
+
+  test("phash: a synthetic near-identical image pair lands within the Hamming gate; " +
+      "an unrelated pair does not") {
+    import spark.implicits._
+    // template + variant share the SAME tile stream except tile 0 lifted by
+    // +1 gray level — visually indistinguishable; the third image is an
+    // unrelated stream
+    val px = Multimodal.PhashTiles * Multimodal.PhashTilePx
+    val media = Seq(
+      MediaFile(1L, "image", "t", px, px, 1, Multimodal.encodePhashTiles(99L, perturb = false)),
+      MediaFile(2L, "image", "v", px, px, 1, Multimodal.encodePhashTiles(99L, perturb = true)),
+      MediaFile(3L, "image", "u", px, px, 1, Multimodal.encodePhashTiles(1234L, perturb = false))
+    ).toDS()
+    val pairs = Multimodal.phashPairsOf(Multimodal.phashOf(media)).collect()
+    val near = pairs.find(r => r.getAs[Long]("media_id_a") == 1L &&
+      r.getAs[Long]("media_id_b") == 2L)
+    assert(near.isDefined, s"planted near-dup pair not in candidates: ${pairs.toSeq}")
+    assert(near.get.getAs[Boolean]("is_near"),
+      s"hamming=${near.get.getAs[Long]("hamming_dist")} exceeds the gate")
+    assert(near.get.getAs[Long]("hamming_dist") <= Multimodal.PhashHammingMax)
+    // the unrelated image must not be NEAR either of them (band collisions
+    // may make it a candidate; the exact verify rejects it)
+    assert(pairs.filter(r => r.getAs[Long]("media_id_b") == 3L ||
+      r.getAs[Long]("media_id_a") == 3L).forall(!_.getAs[Boolean]("is_near")))
+  }
+
+  test("phash: hashing is map-only and the candidate join is banded — never all-pairs") {
+    val df = Multimodal.phashPairs(spark, sf)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // fixture sanity: the planted variants (doc_id % 10 == 7 vs doc_id-4)
+    // are all detected at every SF
+    val near = df.where(org.apache.spark.sql.functions.col("is_near")).collect()
+    val planted = near.filter(r => r.getAs[Long]("media_id_b") -
+      r.getAs[Long]("media_id_a") == 4 && r.getAs[Long]("media_id_b") % 10 == 7)
+    assert(planted.length === 50, s"expected the 50 planted pairs, got ${planted.length}")
+  }
 }

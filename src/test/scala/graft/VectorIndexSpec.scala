@@ -143,6 +143,27 @@ class VectorIndexSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("search-only arm: build happens at most once per session, results bit-equal") {
+    import graft.ext.VectorIndexPq
+    val first = VectorIndexPq.annIndexedPqSearch(spark, sf)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    // the store's books artifact is written only by build(); its mtime
+    // pins whether a second search triggered a rebuild
+    val booksDir = new java.io.File(new java.net.URI(
+      VectorIndexPq.storeFor(spark, sf)).getPath + "/books")
+    assert(booksDir.exists(), s"store books missing at $booksDir")
+    val mtime = booksDir.listFiles().map(_.lastModified()).max
+    val second = VectorIndexPq.annIndexedPqSearch(spark, sf)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(booksDir.listFiles().map(_.lastModified()).max === mtime,
+      "second search must NOT rebuild the store")
+    assert(first === second && first.nonEmpty)
+    // and the search output is the same frame annIndexedPq verifies
+    val full = VectorIndexPq.annIndexedPq(spark, sf)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(first === full)
+  }
+
   test("PQ store: lists carry codes+rnorm (no vectors); the durable payload cut is real") {
     import graft.ext.VectorIndexPq
     val s = store()
