@@ -1497,20 +1497,22 @@ object OraclesExt {
        |ORDER BY d.source""".stripMargin
   }
 
-  /** Twin of Corpus.rebalancedMix — uniform target weights, bottleneck
-    * source by exact integer ratio, keep decision via integer
-    * cross-multiplication. */
-  val corpusRebalancedMix: String = {
+  /** Twin of Corpus.rebalancedMix / Corpus.temperatureMix — target weights
+    * given by `wExpr` over src_tokens, bottleneck source by exact integer
+    * ratio, keep decision via integer cross-multiplication. */
+  private def corpusMixToWeights(wExpr: String): String = {
     import graft.ext.Corpus.MixResolution
     import graft.ext.Text.BpePattern
     s"""WITH per_doc AS (
        |  SELECT doc_id, source,
        |    CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe_tokens
        |  FROM documents),
-       |per_source AS (
-       |  SELECT source, CAST(sum(n_bpe_tokens) AS BIGINT) AS src_tokens,
-       |    CAST(1 AS BIGINT) AS w
+       |per_source0 AS (
+       |  SELECT source, CAST(sum(n_bpe_tokens) AS BIGINT) AS src_tokens
        |  FROM per_doc GROUP BY source),
+       |per_source AS (
+       |  SELECT source, src_tokens, CAST($wExpr AS BIGINT) AS w
+       |  FROM per_source0),
        |m AS (
        |  SELECT src_tokens AS t_m, w AS w_m FROM per_source
        |  ORDER BY CAST((src_tokens * $MixResolution) // w AS BIGINT), source
@@ -1537,6 +1539,20 @@ object OraclesExt {
        |FROM aft a, tot, aft_tot
        |ORDER BY a.source""".stripMargin
   }
+
+  val corpusRebalancedMix: String = corpusMixToWeights("1")
+
+  /** Exact integer sqrt in SQL — the [[graft.engine.Num.isqrt]] twin: IEEE
+    * sqrt seed + one integer correction step each way, compared via
+    * division so nothing overflows at any BIGINT magnitude. */
+  private def isqrtSql(t: String): String = {
+    val w0 = s"CAST(FLOOR(SQRT(CAST($t AS DOUBLE))) AS BIGINT)"
+    s"""($w0 + (CASE WHEN $t // ($w0 + 1) >= $w0 + 1 THEN 1 ELSE 0 END)
+       |      - (CASE WHEN $t // GREATEST($w0, 1) < $w0 THEN 1 ELSE 0 END))""".stripMargin
+  }
+
+  val corpusTemperatureMix: String =
+    corpusMixToWeights(s"GREATEST(1, ${isqrtSql("src_tokens")})")
 
   /** Twin of Dedup.chunkRewrite — identical chunking to
     * [[dedupChunkSpans]], first-occurrence keep rule (row_number over
@@ -2730,6 +2746,7 @@ object OraclesExt {
     "corpus_batch_padding" -> corpusBatchPadding,
     "corpus_token_budget_mix" -> corpusTokenBudgetMix,
     "corpus_rebalanced_mix" -> corpusRebalancedMix,
+    "corpus_temperature_mix" -> corpusTemperatureMix,
     "dedup_chunk_rewrite" -> dedupChunkRewrite,
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,

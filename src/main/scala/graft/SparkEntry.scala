@@ -185,6 +185,7 @@ object SparkEntry {
     "corpus_batch_padding" -> ((s, d) => ext.Corpus.batchPaddingStats(s, d).orderBy("batch_id")),
     "corpus_token_budget_mix" -> ((s, d) => ext.Corpus.tokenBudgetMix(s, d).orderBy("source")),
     "corpus_rebalanced_mix" -> ((s, d) => ext.Corpus.rebalancedMix(s, d).orderBy("source")),
+    "corpus_temperature_mix" -> ((s, d) => ext.Corpus.temperatureMix(s, d).orderBy("source")),
     "corpus_quality_sample" -> ((s, d) => ext.Corpus.qualitySample(s, d).orderBy("doc_id")),
     "corpus_data_card" -> ((s, d) => ext.Corpus.dataCard(s, d).orderBy("source")),
     "corpus_export_shards" -> ((s, d) => ext.Corpus.exportShards(s, d).orderBy("shard")),

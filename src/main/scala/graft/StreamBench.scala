@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Streaming-throughput surface: drives the COMPOSED corpus ingest
+  * ([[graft.streaming.Streams.corpusIngest]] — PII scrub → LSH near-dup
+  * gate against the growing store → LM + NB scoring, all per micro-batch)
+  * over the real documents fixture split into N arrival slices, and prints
+  * ONE JSON line with per-batch seconds and end-to-end docs/sec.
+  *
+  * This measures the real structured-streaming path (file source,
+  * checkpointed foreachBatch, store probe joins against ALL history so
+  * far), not a detached per-batch function call — the number is what a
+  * deployment's micro-batch budget must cover. Batch parity with the batch
+  * pipeline is StreamingSpec's job; this main only measures.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_STREAM_BATCHES
+  * (default 8), SPARK_GRAFT_CPUS (default 4).
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "8").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = Session.build(s"local[$cpus]", cpus, "graft-streambench")
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.engine.Sources
+    import graft.ext.Text
+    import graft.streaming.Streams
+
+    val work = java.nio.file.Files.createTempDirectory("graft_streambench").toString
+    val docs = Sources.documents(spark, sfDir).cache()
+    val nDocs = docs.count()
+    // frozen models, trained offline on the same corpus (deployment shape:
+    // the stream scores against a frozen model, it never retrains per batch)
+    val (lmM, lmU) = Text.lmModelFrames(docs)
+    val (nbM, nbU) = Text.nbModelFrames(docs)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
+    val q = Streams.corpusIngest(
+      Sources.parquetStream(spark, s"$work/in", "documents"),
+      s"$work/store", lmM, lmU, nbM, nbU, s"$work/ckpt")
+    // in-order doc_id slices (the near-dup gate's keep-lowest contract is
+    // defined for in-order arrival; StreamingSpec proves the semantics)
+    val ids = docs.select(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val step = math.max(1L, (hi - lo + nBatches) / nBatches)
+    val perBatch = Vector.newBuilder[(Long, Double)]
+    val t0 = System.nanoTime()
+    try {
+      (0 until nBatches).foreach { i =>
+        val slice = docs.where(col("doc_id") >= lo + i * step &&
+          col("doc_id") < lo + (i + 1) * step)
+        val n = slice.count()
+        slice.coalesce(1).write.mode("append").parquet(s"$work/in")
+        val b0 = System.nanoTime()
+        q.processAllAvailable()
+        perBatch += ((n, (System.nanoTime() - b0) / 1e9))
+      }
+    } finally q.stop()
+    val totalSecs = (System.nanoTime() - t0) / 1e9
+    val batches = perBatch.result()
+    val scored = spark.read.parquet(s"$work/store/scored").count()
+    spark.stop()
+    def r3(x: Double) = math.floor(x * 1000 + 0.5) / 1000
+    val batchJson = batches.zipWithIndex.map { case ((n, s), i) =>
+      s""""b$i":{"docs":$n,"sec":${r3(s)}}""" }.mkString(",")
+    println(s"""{"metric":"stream_corpus_ingest","unit":"docs_per_sec",""" +
+      s""""value":${r3(nDocs / totalSecs)},"docs":$nDocs,"kept_scored":$scored,""" +
+      s""""batches":$nBatches,"total_sec":${r3(totalSecs)},""" +
+      s""""per_batch":{$batchJson},"sf":"$sfDir"}""")
+    System.out.flush()
+  }
+}

@@ -66,4 +66,17 @@ object Num {
     * DuckDB twin: `(a - ((a % b + b) % b)) // b`. */
   def fdiv(a: Column, b: Column): Column =
     call_function("div", a - pmod(a, b), b)
+
+  /** Exact integer square root of non-negative a: the correctly-rounded
+    * IEEE sqrt seeds, then ONE integer correction step each way makes the
+    * result exact regardless of how sqrt rounded (w² ≤ a < (w+1)² by
+    * construction) — no float boundary survives into the value. The
+    * corrections compare via DIVISION (a div w ≥ w ⟺ w² ≤ a for
+    * non-negative operands), so nothing overflows even at a near 2⁶³
+    * under ANSI arithmetic. DuckDB twin spells the identical formula. */
+  def isqrt(a: Column): Column = {
+    val w0 = floor(sqrt(a.cast("double"))).cast("long")
+    w0 + when(idiv(a, w0 + 1) >= w0 + 1, lit(1L)).otherwise(lit(0L)) -
+      when(idiv(a, greatest(w0, lit(1L))) < w0, lit(1L)).otherwise(lit(0L))
+  }
 }

@@ -126,6 +126,15 @@ object Pipeline {
     results += st("bronze_part", critical = false)(Bronze.part(spark, dir))
     results += st("bronze_orders", critical = true)(Bronze.orders(spark, dir))
     results += st("bronze_lineitem", critical = true)(Bronze.lineitem(spark, dir))
+    // close the optimizer loop BEFORE the join-heavy silver/gold stages:
+    // profile the source tables this pipeline reads and install the
+    // statistics catalog on the session, so every PLAIN join below plans
+    // against measured row counts instead of the file-size heuristic
+    // (VERDICT r9 #7 — StatsHintRule existed but production never
+    // installed a profile). Non-critical: a failed profile leaves the
+    // session planning exactly as before.
+    results += st("stats_profile_install", critical = false)(
+      installStatsProfile(spark, dir, Seq("orders", "lineitem", "customer")))
     // silver (run_sales_analytics.py:109-114)
     val od = Silver.orderDetails(spark, dir)
     results += st("silver_order_details", critical = true,
@@ -347,6 +356,33 @@ object Pipeline {
     results.result()
   }
 
+  /** Measure a statistics profile over the PROFILED columns of the given
+    * source tables and install it on the session
+    * ([[graft.plans.StatsHint]]), returning the profile frame so the
+    * pipeline stage materializes it as an auditable warehouse table. One
+    * stats pass per profiled column (counts/min/max/KMV — no exact-NDV
+    * audit arm); the collect inside install is control-plane (one row per
+    * profiled column). Batch pipelines re-measure per run; a deployment
+    * with maintained stats calls [[runStatsIncrement]](installHints=true)
+    * instead and pays O(delta), not a rescan. */
+  private def installStatsProfile(spark: SparkSession, dir: String,
+                                  tables: Seq[String]): DataFrame = {
+    import graft.ext.Sketch
+    def src(t: String): DataFrame = t match {
+      case "orders" => Sources.orders(spark, dir)
+      case "lineitem" => Sources.lineitem(spark, dir)
+      case "customer" => Sources.customer(spark, dir)
+      case "events" => Sources.events(spark, dir)
+      case other => sys.error(s"unprofiled table $other")
+    }
+    val prof = Sketch.finalizeStats(
+      Sketch.ProfiledColumns.filter(p => tables.contains(p._1))
+        .map { case (t, c) => Sketch.statsState(src(t), t, c) }
+        .reduce(_ unionByName _))
+    graft.plans.StatsHint.install(spark, prof)
+    prof
+  }
+
   /** The supplier pipeline (reference: run_supplier_analytics.py:68-126):
     * nation/region reference data, supplier + part dims, the orders/lineitem
     * facts the scorecard's delivery metrics need, then silver → gold →
@@ -364,6 +400,11 @@ object Pipeline {
     results += st("bronze_part", critical = true)(Bronze.part(spark, dir))
     results += st("bronze_orders", critical = false)(Bronze.orders(spark, dir))
     results += st("bronze_lineitem", critical = false)(Bronze.lineitem(spark, dir))
+    // same optimizer-loop close as the sales pipeline: profile the fact
+    // tables this pipeline joins (supplier/part are unprofiled — the rule
+    // leaves their joins to Spark's own decision)
+    results += st("stats_profile_install", critical = false)(
+      installStatsProfile(spark, dir, Seq("orders", "lineitem")))
     // refined (run_supplier_analytics.py:100-102)
     val od = Silver.orderDetails(spark, dir)
     results += st("silver_order_details", critical = false)(od)

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Num, Sources}
@@ -240,14 +240,34 @@ object Corpus {
     * Plan shape: one corpus scan → source-grain partial agg (the totals)
     * → scalar bottleneck broadcast back → row-level hash filter → one
     * source-grain re-agg. No row-level joins, append-stable membership. */
-  def rebalancedMix(spark: SparkSession, dir: String): DataFrame = {
+  def rebalancedMix(spark: SparkSession, dir: String): DataFrame =
+    mixToWeights(spark, dir, _ => lit(1L))
+
+  /** TEMPERATURE-sampled source mixing — the SAME exact-integer machinery
+    * as [[rebalancedMix]] with the standard multilingual temperature
+    * weights at T=2: target share p_s ∝ T_s^(1/2) (Conneau & Lample 2019's
+    * exponent-α recipe; α = 1/2 keeps low-resource sources present without
+    * flattening to uniform). The weight is the EXACT integer square root
+    * ([[graft.engine.Num.isqrt]] — IEEE sqrt plus a one-step integer
+    * correction each way, so no sqrt rounding at any magnitude can move a
+    * keep decision), and everything downstream is the proven integer
+    * cross-multiplication. T=0 (uniform) and T=2 bracket the recipes a
+    * mixing run sweeps; other integer-exact temperatures slot in as weight
+    * functions. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    mixToWeights(spark, dir, t => greatest(lit(1L), Num.isqrt(t)))
+
+  /** Shared core of [[rebalancedMix]] / [[temperatureMix]]: down-sample to
+    * target shares ∝ `weightOf(src_tokens)` without up-sampling any
+    * source. */
+  private def mixToWeights(spark: SparkSession, dir: String,
+                           weightOf: Column => Column): DataFrame = {
     val nTokens = size(Text.bpeTokens(col("text"))).cast("long")
     val perDoc = Sources.documents(spark, dir)
       .select(col("doc_id"), col("source"), nTokens.as("n_bpe_tokens"))
-    // uniform weights: w_s = 1 for every source present
     val perSource = perDoc.groupBy("source")
       .agg(sum(col("n_bpe_tokens")).as("src_tokens"))
-      .withColumn("w", lit(1L))
+      .withColumn("w", weightOf(col("src_tokens")))
     // bottleneck source m: min of the exact integer ratio floor(T·R/w);
     // ties broken by source name so both engines pick the same row
     val m = perSource

@@ -667,14 +667,7 @@ object Multimodal {
     * cap bucket df exactly like [[Dedup]]'s shingle df-cap — the banding
     * here is the calibration point, not a fixed constant. */
   def phashPairsOf(hashes: Dataset[PhashRow]): DataFrame = {
-    val df = hashes.toDF()
-    val bands = df.select(col("media_id"), col("phash"),
-      explode(array((0 until PhashBands).map(b =>
-        struct(lit(b).as("b"),
-          shiftright(col("phash"), 16 * b).bitwiseAND(lit(65535L)).as("v"))): _*))
-        .as("bv"))
-      .select(col("media_id"), col("phash"),
-        col("bv").getField("b").as("b"), col("bv").getField("v").as("v"))
+    val bands = phashBands(hashes.toDF())
     val left = bands.select(col("b"), col("v"),
       col("media_id").as("media_id_a"), col("phash").as("pa"))
     val right = bands.select(col("b"), col("v"),
@@ -687,6 +680,20 @@ object Multimodal {
       .withColumn("is_near", col("hamming_dist") <= PhashHammingMax)
       .select("media_id_a", "media_id_b", "hamming_dist", "is_near")
   }
+
+  /** The Hamming-LSH band explode of a hashed frame: (media_id, phash, b,
+    * v) with v = 16-bit band value b of the 64-bit hash. Shared by the
+    * batch pair scan above and the streaming image-ingest gate
+    * ([[graft.streaming.Streams.phashIngest]]), so their candidate
+    * generation agrees structurally. */
+  private[graft] def phashBands(hashes: DataFrame): DataFrame =
+    hashes.select(col("media_id"), col("phash"),
+      explode(array((0 until PhashBands).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("phash"), 16 * b).bitwiseAND(lit(65535L)).as("v"))): _*))
+        .as("bv"))
+      .select(col("media_id"), col("phash"),
+        col("bv").getField("b").as("b"), col("bv").getField("v").as("v"))
 
   /** Registered harness: hash the synthetic tiled corpus, band, verify. */
   def phashPairs(spark: SparkSession, dir: String): DataFrame =

@@ -419,8 +419,14 @@ object Similarity {
     * keeps the √n sub-centroids in an ordinary broadcast-joined frame —
     * sized like any broadcast dim table, never codegen'd into the plan.
     * (256 is the usual production pick; 16 keeps every level exercised at
-    * the test SFs — with n=500, 16 cells × 2 sub-cells each.) */
-  val HierTopCells = 16
+    * the test SFs — with n=500, 16 cells × 2 sub-cells each.)
+    *
+    * Deployment tuning knob: `GRAFT_HIER_K1` overrides K₁ for a scale run
+    * (read once at class load; the oracle twin reads the SAME value, so
+    * parity holds at any setting — SCALING_r10 re-audits recall at the
+    * production 256 on sf1). */
+  val HierTopCells: Int =
+    sys.env.get("GRAFT_HIER_K1").map(_.toInt).getOrElse(16)
 
   /** L1 cells probed per vector: its sub-cell candidate set is the union of
     * the sub-centroids of this many nearest top-level cells. Bounds probe

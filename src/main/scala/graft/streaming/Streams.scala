@@ -831,6 +831,117 @@ object Streams {
       }
       .start()
 
+  // --------------------- streaming IMAGE near-dup ingest (phash gate) ----
+
+  /** Catalog name of the phash band-index table for a store path — same
+    * 96-bit-SHA naming rationale as [[bandsTable]]. */
+  private[graft] def phashBandsTable(storePath: String): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(storePath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "graft_phash_bands_" + sha.take(12).map("%02x".format(_)).mkString
+  }
+
+  /** Ensure the phash band-index table: external parquet at
+    * `storePath/bands`, PARTITIONED BY batch and CLUSTERED BY (b, v) — the
+    * probe-join key — so history arrives hash-distributed at any store
+    * size, the same device as the text LSH store ([[ensureBandsTable]];
+    * no legacy-migration arm here, this store was born bucketed). */
+  private def ensurePhashBandsTable(spark: SparkSession,
+                                    storePath: String): String = {
+    val tbl = phashBandsTable(storePath)
+    if (!spark.catalog.tableExists(tbl)) {
+      val loc = new org.apache.hadoop.fs.Path(s"$storePath/bands")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(loc)
+      spark.sql(
+        s"""CREATE TABLE $tbl (media_id BIGINT, b INT, v BIGINT, batch BIGINT)
+           |USING PARQUET
+           |PARTITIONED BY (batch)
+           |CLUSTERED BY (b, v) INTO $LshStoreBuckets BUCKETS
+           |LOCATION '$storePath/bands'""".stripMargin)
+      spark.catalog.recoverPartitions(tbl)
+    }
+    tbl
+  }
+
+  /** STREAMING IMAGE NEAR-DUP INGESTION — the image-side sibling of
+    * [[nearDupIngest]]: each micro-batch of media rows is perceptually
+    * hashed ([[graft.ext.Multimodal.phashOf]] — real decode, map-only),
+    * Hamming-LSH-banded against every image ever seen, and a new image is
+    * REJECTED iff it lands within Hamming ≤
+    * [[graft.ext.Multimodal.PhashHammingMax]] of ANY earlier-id image
+    * (history or lower id in the same batch) — under in-order arrival this
+    * reproduces the batch keep-lowest rule over
+    * [[graft.ext.Multimodal.phashPairsOf]] exactly (StreamingSpec proves
+    * set equality). The store indexes ALL arrivals (rejects included —
+    * transitive chains), but persists only (media_id, phash) ≈ 16 B/row:
+    * the raster never lands in the dedup store.
+    *
+    * Store layout: `bands/` bucketed on (b, v) (no exchange on the history
+    * side of the probe at any size), `hashes/batch=<id>` (the verify
+    * payload), `kept/batch=<id>` — every write a batch-owned partition, so
+    * at-least-once replays rewrite, never duplicate. */
+  def phashIngest(media: DataFrame, storePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestPhashBatch(batch, storePath, batchId)
+      }
+      .start()
+
+  /** One micro-batch of [[phashIngest]]. */
+  private[graft] def ingestPhashBatch(batch0: DataFrame, storePath: String,
+                                      batchId: Long): Unit = {
+    import graft.ext.Multimodal
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hashes = Multimodal.phashOf(
+      Multimodal.balancedByBytes(batch0.as[Multimodal.MediaFile],
+        spark.sparkContext.defaultParallelism)).toDF().persist()
+    val newBands = Multimodal.phashBands(hashes).persist()
+    val tbl = ensurePhashBandsTable(spark, storePath)
+    // history reads exclude this batch's partitions (crash-replay safety),
+    // mirroring ingestDedupBatch
+    val histBands = spark.table(tbl)
+      .where(col("batch") =!= batchId).drop("batch")
+    val histHashes =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$storePath/hashes")))
+        hashes.limit(0)
+      else spark.read.parquet(s"$storePath/hashes")
+        .where(col("batch") =!= batchId).drop("batch")
+    def probe(left: DataFrame, right: DataFrame): DataFrame =
+      left.select(col("b"), col("v"), col("media_id").as("media_id_a"))
+        .join(right.select(col("b"), col("v"), col("media_id").as("media_id_b")),
+          Seq("b", "v"))
+        .where(col("media_id_a") < col("media_id_b"))
+        .select("media_id_a", "media_id_b")
+    val cand = probe(histBands, newBands)
+      .unionByName(probe(newBands, newBands))
+      .distinct()
+    val allHashes = histHashes.unionByName(hashes)
+    val dups = cand
+      .join(allHashes.select(col("media_id").as("media_id_a"),
+        col("phash").as("pa")), "media_id_a")
+      .join(allHashes.select(col("media_id").as("media_id_b"),
+        col("phash").as("pb")), "media_id_b")
+      .where(bit_count(col("pa").bitwiseXOR(col("pb")))
+        <= Multimodal.PhashHammingMax)
+      .select(col("media_id_b").as("media_id")).distinct()
+    val kept = hashes.join(dups, Seq("media_id"), "left_anti")
+    kept.write.mode("overwrite").parquet(s"$storePath/kept/batch=$batchId")
+    hashes.write.mode("overwrite").parquet(s"$storePath/hashes/batch=$batchId")
+    graft.sources.DynamicOverwrite(spark) {
+      newBands.drop("phash").withColumn("batch", lit(batchId))
+        .select("media_id", "b", "v", "batch") // insertInto is positional
+        .write.mode("overwrite").insertInto(tbl)
+    }
+    hashes.unpersist(); newBands.unpersist()
+    ()
+  }
+
   /** True iff `batchId` is already part of the state at `path`. Streaming
     * foreachBatch ids are MONOTONICALLY increasing, so the committed tag's
     * id is the high-water mark: any batchId at or below it has been folded

@@ -48,6 +48,39 @@ class PipelineSpec extends SparkSpec {
       s"warehouse DQ disagrees with derived DQ: ${audited.diff(derived)} vs ${derived.diff(audited)}")
   }
 
+  test("sales pipeline installs the measured stats profile: silver-stage joins " +
+      "are decided by the catalog, not the file-size heuristic") {
+    import graft.plans.StatsHint
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val o = graft.engine.Sources.orders(spark, sf)
+    val l = graft.engine.Sources.lineitem(spark, sf)
+    // the silver fact join, with NO hints anywhere in user code
+    def factJoin = o.join(l, o("o_orderkey") === l("l_orderkey"))
+    def joinHints = factJoin.queryExecution.optimizedPlan.collect {
+      case j: Join => j.hint
+    }
+    StatsHint.uninstall(spark)
+    assert(joinHints.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty),
+      "clean session must plan with no injected hints")
+    val out = Files.createTempDirectory("graft_pipe_stats").toString
+    try {
+      val results = Pipeline.runSalesAnalytics(spark, sf, out)
+      assert(results.exists(r =>
+        r.stage == "stats_profile_install" && r.status == "PASS"))
+      // the profile stage materialized an auditable table with the
+      // measured counts of every profiled source column
+      val prof = spark.read.parquet(s"$out/stats_profile_install")
+      assert(prof.select("table_name").distinct().collect()
+        .map(_.getString(0)).toSet === Set("orders", "lineitem", "customer"))
+      // ... and the SAME plain join is now hint-decided by the catalog:
+      // the rule injected a strategy into the logical Join during this
+      // pipeline's session, which only happens via the installed profile
+      val after = joinHints
+      assert(after.exists(h => h.leftHint.nonEmpty || h.rightHint.nonEmpty),
+        s"profile installed but the silver fact join carries no injected hint: $after")
+    } finally StatsHint.uninstall(spark)
+  }
+
   test("corpus pipeline: all stages pass, scrub boundary holds, DQ gate all-PASS") {
     val out = Files.createTempDirectory("graft_corpus_pipe").toString
     val results = Pipeline.runCorpusPipeline(spark, sf, out)
@@ -79,7 +112,8 @@ class PipelineSpec extends SparkSpec {
     val results = Pipeline.runSupplierAnalytics(spark, sf, out)
     assert(results.map(_.stage) === Seq(
       "bronze_nation", "bronze_region", "bronze_supplier", "bronze_part",
-      "bronze_orders", "bronze_lineitem", "silver_order_details",
+      "bronze_orders", "bronze_lineitem", "stats_profile_install",
+      "silver_order_details",
       "silver_supplier_parts", "gold_supplier_performance", "quality_checks"))
     assert(results.forall(_.status == "PASS"))
     // rows come from write-side metrics, not a read-back scan — must be real

@@ -102,4 +102,39 @@ class PropertySpec extends SparkSpec {
     assert(once === twice)
     assert(once.map(_.head) === Seq(1L, 2L)) // keeps seq=5 row for key 1
   }
+
+  test("integer-division devices match BigInteger semantics: idiv = truncation " +
+      "(= floor for non-negative), fdiv = floor for either sign, isqrt exact") {
+    import graft.engine.Num
+    // adversarial operands: exact multiples, off-by-one around multiples,
+    // huge magnitudes past double precision (> 2^53), tiny divisors
+    val interesting = Seq(0L, 1L, 2L, 999999L, 1000000L, 1000001L,
+      (1L << 53) - 1, (1L << 53), (1L << 53) + 1, (1L << 62) - 3,
+      3037000499L * 3037000499L) // largest long square
+    val divisors = Seq(1L, 2L, 3L, 7L, 1000000L, (1L << 31) - 1)
+    val negs = interesting.map(-_)
+    val cases = for {
+      a <- (interesting ++ negs); b <- divisors
+    } yield (a, b)
+    val df = cases.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Num.idiv(col("a"), col("b")).as("q"),
+        Num.fdiv(col("a"), col("b")).as("f"))
+      .collect()
+    df.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      val truncated = a / b // JVM long division IS truncation toward zero
+      val floored = Math.floorDiv(a, b)
+      assert(r.getAs[Long]("q") === truncated, s"idiv($a, $b)")
+      assert(r.getAs[Long]("f") === floored, s"fdiv($a, $b)")
+    }
+    // isqrt: exact at perfect squares, their neighbors, and past 2^53
+    val sq = interesting.filter(_ >= 0)
+      .flatMap(x => Seq(x - 1, x, x + 1)).filter(_ >= 0).distinct
+    val got = sq.toDF("x").select(col("x"), Num.isqrt(col("x")).as("w")).collect()
+    got.foreach { r =>
+      val (x, w) = (BigInt(r.getAs[Long]("x")), BigInt(r.getAs[Long]("w")))
+      assert(w * w <= x && (w + 1) * (w + 1) > x, s"isqrt($x) = $w")
+    }
+  }
 }

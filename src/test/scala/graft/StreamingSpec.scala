@@ -421,6 +421,65 @@ class StreamingSpec extends SparkSpec {
     assert(after === streamed, "media batch replay changed the store")
   }
 
+  test("phash ingest: streamed image near-dup gate equals the batch keep-lowest " +
+      "rule; replay rewrites; history probe rides the bucketed store") {
+    import graft.ext.Multimodal
+    val dir = Files.createTempDirectory("graft_phi").toString
+    val corpus = Multimodal.phashCorpus(spark, sf)
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val q = Streams.phashIngest(
+      spark.readStream.schema(corpus.toDF().schema).parquet(s"$dir/in"),
+      s"$dir/store", s"$dir/ckpt")
+    try {
+      // in-order arrival in three slices (the keep-lowest contract)
+      Seq(col("media_id") < 150, col("media_id") >= 150 && col("media_id") < 400,
+          col("media_id") >= 400).foreach { slice =>
+        corpus.toDF().where(slice).coalesce(1).write.mode("append").parquet(s"$dir/in")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamedKept = spark.read.parquet(s"$dir/store/kept")
+      .select("media_id").collect().map(_.getLong(0)).toSeq.sorted
+    // batch twin: keep-lowest over the full-corpus near pairs
+    val near = Multimodal.phashPairsOf(Multimodal.phashOf(corpus))
+      .where(col("is_near"))
+      .select("media_id_b").collect().map(_.getLong(0)).toSet
+    val batchKept = corpus.toDF().select("media_id").collect()
+      .map(_.getLong(0)).filterNot(near).toSeq.sorted
+    assert(streamedKept.nonEmpty && streamedKept.size < 500,
+      s"gate is vacuous: kept ${streamedKept.size}/500")
+    assert(streamedKept === batchKept,
+      s"kept sets differ: stream ${streamedKept.size} vs batch ${batchKept.size}")
+    // replay batch 0: rewrites its partitions byte-identically, never appends
+    Streams.ingestPhashBatch(corpus.toDF().where(col("media_id") < 150),
+      s"$dir/store", 0L)
+    val after = spark.read.parquet(s"$dir/store/kept")
+      .select("media_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(after === streamedKept, "phash batch replay changed the kept store")
+    // plan pin: the history side of the probe join is the bucketed table —
+    // force the SMJ shape (the 100-TB-history shape) and assert the store
+    // scan is bucketed with only the micro-batch side shuffling, same
+    // device as the md5 key-store pin
+    val tbl = Streams.phashBandsTable(s"$dir/store")
+    val histBands = spark.table(tbl).where(col("batch") =!= 99L).drop("batch")
+    val newBands = Multimodal.phashBands(
+      Multimodal.phashOf(corpus.limit(10)).toDF())
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = histBands
+        .select(col("b"), col("v"), col("media_id").as("media_id_a"))
+        .join(newBands.select(col("b"), col("v"), col("media_id").as("media_id_b")),
+          Seq("b", "v"))
+        .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+      assert(p.contains("SelectedBucketsCount"),
+        "phash band store scan must be bucketed:\n" + p.take(1200))
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(shuffles === 1,
+        s"only the micro-batch side may shuffle, got $shuffles:\n${p.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("corpus ingest: scrub -> dedup -> score per batch equals the batch chain; replay rewrites") {
     import graft.ext.{Dedup, Pii, Text}
     val dir = Files.createTempDirectory("graft_ci").toString
