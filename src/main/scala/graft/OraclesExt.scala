@@ -2579,6 +2579,54 @@ object OraclesExt {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Twin of Text.dsirSelect — hashed-bigram feature bags ([[rollhash]] mod
+    * buckets, same 31-bit device as the fingerprint), gate-passing target
+    * subset ([[gopherMetricsCte]]), per-feature micro-nat importance
+    * weights with Laplace smoothing, exact BIGINT per-doc sums, global
+    * rank + integer quota. */
+  val textDsirSelect: String = {
+    import graft.ext.Text.{DsirBuckets, DsirKeepDen}
+    def mn(p: String) = s"CAST(FLOOR(-ln($p) * 1e6 + 0.5) AS BIGINT)"
+    s"""WITH $gopherMetricsCte,
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(0, len(t) - 2),
+       |    i -> array_to_string(t[i+1:i+2], ' '))) AS bigram
+       |  FROM (SELECT doc_id, $toks AS t FROM documents)
+       |  WHERE len(t) >= 2),
+       |ft AS (SELECT doc_id, ${rollhash("bigram")} % $DsirBuckets AS f FROM bg),
+       |tgt AS (SELECT doc_id FROM m WHERE $gopherPassesAll),
+       |cr AS (SELECT f, count(*) AS cr FROM ft GROUP BY f),
+       |ct AS (SELECT ft.f, count(*) AS ct FROM ft JOIN tgt USING (doc_id)
+       |  GROUP BY ft.f),
+       |tot AS (SELECT (SELECT sum(cr) FROM cr) AS tr,
+       |  (SELECT coalesce(sum(ct), 0) FROM ct) AS tt),
+       |w AS (
+       |  SELECT cr.f,
+       |    ${mn(s"CAST(cr.cr + 1 AS DOUBLE) / CAST(tot.tr + $DsirBuckets AS DOUBLE)")}
+       |    - ${mn(s"CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) / CAST(tot.tt + $DsirBuckets AS DOUBLE)")}
+       |      AS m
+       |  FROM cr LEFT JOIN ct ON ct.f = cr.f, tot),
+       |perdoc AS (
+       |  SELECT ft.doc_id, count(*) AS n_features,
+       |    CAST(sum(w.m) AS BIGINT) AS lw
+       |  FROM ft JOIN w ON w.f = ft.f GROUP BY ft.doc_id),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang, d.source,
+       |    CAST(coalesce(p.n_features, 0) AS BIGINT) AS n_features,
+       |    CAST(coalesce(p.lw, 0) AS BIGINT) AS lw
+       |  FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY lw DESC, doc_id) AS rn,
+       |    count(*) OVER () AS tot FROM scored)
+       |SELECT doc_id, lang, source, n_features,
+       |  ${R("CAST(lw AS DOUBLE) / 1e6", 4)} AS log_weight,
+       |  rn AS dsir_rank,
+       |  rn <= tot // $DsirKeepDen AS selected
+       |FROM ranked
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Twin of Text.vocabDrift — mixer split, frozen old-corpus top-K vocab,
     * exact counts + pooled `<unk>` mass, pure-BIGINT ppm division (`//` in
     * DuckDB = `div` in Spark for non-negative operands; zero float
@@ -2707,6 +2755,7 @@ object OraclesExt {
     "corpus_curriculum" -> corpusCurriculum,
     "sim_embedding_drift" -> simEmbeddingDrift,
     "text_vocab_drift" -> textVocabDrift,
+    "text_dsir_select" -> textDsirSelect,
     "text_blocklist_filter" -> textBlocklistFilter,
     "text_langid_confusion" -> textLangidConfusion,
     "sampling_cluster_balanced" -> samplingClusterBalanced,

@@ -61,6 +61,7 @@ object SparkEntry {
     "text_lm_score" -> ((s, d) => ext.Text.lmScore(s, d).orderBy("doc_id")),
     "text_nb_quality" -> ((s, d) => ext.Text.nbQuality(s, d).orderBy("doc_id")),
     "text_vocab_drift" -> ((s, d) => ext.Text.vocabDrift(s, d).orderBy("token")),
+    "text_dsir_select" -> ((s, d) => ext.Text.dsirSelect(s, d).orderBy("doc_id")),
     "text_blocklist_filter" -> ((s, d) =>
       ext.Text.blocklistFilter(s, d).orderBy("doc_id")),
     "text_langid_confusion" -> ((s, d) =>

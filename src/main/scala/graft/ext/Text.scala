@@ -672,4 +672,82 @@ object Text {
         coalesce(col("n_scored_tokens"), lit(0L)).as("n_scored_tokens"),
         (badSide - goodSide).as("lo_micro"))
   }
+
+  // ------------------------------- DSIR importance-weighted data selection
+
+  /** Hashed n-gram feature-space size for [[dsirSelect]] — DSIR's hashed
+    * bag-of-bigrams device: every bigram maps to one of this many buckets
+    * via the shared rolling hash, bounding BOTH distribution models at a
+    * broadcastable 8 KB whatever the corpus size. */
+  val DsirBuckets = 1024L
+  /** Keep the top 1/this of documents by importance weight. */
+  val DsirKeepDen = 4L
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * score each raw document by how much more likely its hashed-bigram bag
+    * is under a TARGET distribution than under the raw-corpus distribution,
+    * then keep the top fraction. The published method resamples with Gumbel
+    * noise; this is the deterministic rank analog (same estimator,
+    * reproducible selection — the same stand-in [[graft.ext.Corpus.curriculum]]
+    * makes for curriculum shuffling).
+    *
+    * Target here = the Gopher-gate-passing subset (the same weak
+    * supervision [[nbQuality]] trains on — DSIR shifts the corpus toward
+    * that distribution by CONTENT, not by re-running the gate: a doc can
+    * fail a length gate yet select, because its n-grams look like quality
+    * text). Production callers pass any target frame via [[dsirSelectOf]]
+    * (e.g. a trusted high-quality corpus — DSIR's Wikipedia-target setup).
+    *
+    * Exactness: both unigram-over-features models use the established
+    * micro-nat device — per-feature weight m(f) = microNats(p_raw) −
+    * microNats(p_target) with Laplace (+1)/(T+B) smoothing — and the
+    * per-doc importance log-weight is an exact BIGINT sum of m(f) over the
+    * doc's feature OCCURRENCES. Selection is the distributed global rank
+    * with a pure integer quota.
+    *
+    * Scale shape: one bigram-explode shuffle per model (raw and target,
+    * counts at B-bucket grain with map-side combine), the ≤[[DsirBuckets]]-row
+    * weight table broadcasts back, scoring is map-only + one doc-grain agg;
+    * ranking rides [[graft.plans.GlobalRank]]. At 100 TB the target model
+    * folds incrementally like every other count state. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    dsirSelectOf(docs, docs.where(gopherGate.passesAll))
+  }
+
+  /** PRODUCTION ENTRY — [[dsirSelect]] over ANY (doc_id, lang, source,
+    * text) frame and explicit target frame. */
+  def dsirSelectOf(docs: DataFrame, target: DataFrame): DataFrame = {
+    def feats(d: DataFrame): DataFrame = d
+      .where(size(tokens(col("text"))) >= 2)
+      .select(col("doc_id"), explode(ngrams(col("text"), 2)).as("bg"))
+      .select(col("doc_id"),
+        pmod(rollingHash(col("bg")), lit(DsirBuckets)).as("f"))
+    val rawC = feats(docs).groupBy("f").agg(count(lit(1)).as("cr"))
+    val tgtC = feats(target).groupBy("f").agg(count(lit(1)).as("ct"))
+    val tots = rawC.agg(sum(col("cr")).as("tr"))
+      .crossJoin(tgtC.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
+    // per-feature importance weight in exact micro-nats; ≤ B rows
+    val weights = rawC.join(tgtC, Seq("f"), "left").crossJoin(broadcast(tots))
+      .select(col("f"),
+        (microNats((col("cr") + 1).cast("double") /
+            (col("tr") + DsirBuckets).cast("double")) -
+          microNats((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("tt") + DsirBuckets).cast("double"))).cast("long").as("m"))
+    val perDoc = feats(docs)
+      .join(broadcast(weights), Seq("f")) // every doc feature is in rawC
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"), sum(col("m")).as("lw"))
+    val scored = docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        coalesce(col("lw"), lit(0L)).as("_lw"))
+    val ranked = graft.plans.GlobalRank.withRankColumns(scored,
+      Seq(col("_lw").desc, col("doc_id").asc), "_rn", "_rk", "_tot")
+    ranked.select(col("doc_id"), col("lang"), col("source"), col("n_features"),
+      Num.r4(col("_lw").cast("double") / 1e6).as("log_weight"),
+      col("_rn").as("dsir_rank"),
+      (col("_rn") <= Num.idiv(col("_tot"), lit(DsirKeepDen))).as("selected"))
+  }
 }

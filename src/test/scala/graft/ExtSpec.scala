@@ -320,6 +320,44 @@ class DedupSpec extends SparkSpec {
     assert(acc > majority, s"train accuracy $acc <= majority baseline $majority")
   }
 
+  test("dsir: importance selection shifts toward the target distribution " +
+      "without re-running the gate; quota exact; custom target honored") {
+    import graft.ext.Text
+    import org.apache.spark.sql.functions.col
+    val rows = Text.dsirSelect(spark, sf).collect()
+    val n = rows.length
+    assert(n === 500)
+    val nSel = rows.count(_.getAs[Boolean]("selected"))
+    assert(nSel === n / Text.DsirKeepDen, s"quota: $nSel")
+    // ranks are a permutation and selection = top ranks exactly
+    assert(rows.map(_.getAs[Long]("dsir_rank")).sorted.toSeq === (1L to n).toSeq)
+    rows.foreach(r => assert(r.getAs[Boolean]("selected") ===
+      (r.getAs[Long]("dsir_rank") <= n / Text.DsirKeepDen)))
+    // DISTRIBUTION shift: gate-pass rate among selected docs strictly above
+    // the corpus base rate (DSIR moves toward the target by content)
+    val gate = Text.gopherRules(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("passes_all")).toMap
+    val selRate = rows.filter(_.getAs[Boolean]("selected"))
+      .count(r => gate(r.getAs[Long]("doc_id"))).toDouble / nSel
+    val baseRate = rows.count(r => gate(r.getAs[Long]("doc_id"))).toDouble / n
+    assert(selRate > baseRate,
+      s"no shift toward target: selected $selRate <= base $baseRate")
+    // ... but selection is NOT the gate itself (content, not rules): some
+    // selected doc fails the gate or some passing doc is unselected
+    assert(rows.exists(r => r.getAs[Boolean]("selected") !=
+      gate(r.getAs[Long]("doc_id"))), "DSIR degenerated to the gate")
+    // production entry: an explicit target frame changes the ranking
+    val docs = graft.engine.Sources.documents(spark, sf)
+    val other = Text.dsirSelectOf(docs, docs.where(col("lang") === "de"))
+      .orderBy("doc_id").collect()
+    val deShift = other.filter(_.getAs[Boolean]("selected"))
+      .count(_.getAs[String]("lang") == "de").toDouble /
+      other.count(_.getAs[Boolean]("selected"))
+    val deBase = other.count(_.getAs[String]("lang") == "de").toDouble / n
+    assert(deShift > deBase,
+      s"custom target ignored: de-share $deShift <= base $deBase")
+  }
+
   test("source divergence: KL ≥ 0 (Gibbs), oov in [0,1], token totals add up") {
     import graft.ext.Text
     val rows = Text.sourceDivergence(spark, sf).collect()
