@@ -2627,6 +2627,79 @@ object OraclesExt {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Twin of Text.decontaminate — mix-split eval holdout, distinct
+    * [[graft.ext.Text.ContamN]]-gram collision counts, pure-BIGINT ppm
+    * (`//`, zero float surface). */
+  val textDecontaminate: String = {
+    import graft.ext.Text.{ContamN, ContamEvalPct}
+    val grams =
+      s"""list_distinct(list_transform(
+         |    generate_series(0, len(t) - $ContamN),
+         |    i -> array_to_string(t[i+1:i+$ContamN], ' ')))""".stripMargin
+    s"""WITH base AS (SELECT doc_id, lang, source, $toks AS t,
+       |    ${mixSql("doc_id")} % 100 AS b FROM documents),
+       |ev AS (SELECT DISTINCT unnest($grams) AS g
+       |  FROM base WHERE b >= ${100 - ContamEvalPct} AND len(t) >= $ContamN),
+       |tr AS (SELECT doc_id, unnest($grams) AS g
+       |  FROM base WHERE b < ${100 - ContamEvalPct} AND len(t) >= $ContamN),
+       |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS hits FROM tr
+       |  WHERE g IN (SELECT g FROM ev) GROUP BY doc_id),
+       |tbase AS (SELECT doc_id, lang, source,
+       |    CASE WHEN len(t) >= $ContamN
+       |      THEN CAST(len($grams) AS BIGINT) ELSE 0 END AS n_ngrams
+       |  FROM base WHERE b < ${100 - ContamEvalPct})
+       |SELECT tb.doc_id, tb.lang, tb.source, tb.n_ngrams,
+       |  CAST(coalesce(h.hits, 0) AS BIGINT) AS n_contaminated,
+       |  CASE WHEN tb.n_ngrams > 0
+       |    THEN CAST((coalesce(h.hits, 0) * 1000000) // tb.n_ngrams AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS contamination_ppm,
+       |  coalesce(h.hits, 0) >= 1 AS contaminated
+       |FROM tbase tb LEFT JOIN hits h ON h.doc_id = tb.doc_id
+       |ORDER BY tb.doc_id""".stripMargin
+  }
+
+  /** Twin of Text.bm25TopK — integer-exact BM25: single-ratio idf
+    * ln((2N+2)/(2df+1)) via the micro-nat device at TERM grain, then pure
+    * BIGINT saturation 22·tf/(10·tf+3+9·dl·N/T) with `//` quotients; the
+    * per-(query,doc) score is an exact BIGINT sum, so the top-k ranking
+    * (score DESC, doc_id) is deterministic in both engines. */
+  val textBm25TopK: String = {
+    import graft.ext.Text.{Bm25QueryPct, Bm25QueryTokens, Bm25TopK}
+    s"""WITH base AS (SELECT doc_id, $toks AS t,
+       |    ${mixSql("doc_id")} % 100 AS b FROM documents),
+       |dls AS (SELECT doc_id,
+       |    CAST(len(list_filter(t, x -> x <> '')) AS BIGINT) AS dl FROM base),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(coalesce(sum(dl), 0) AS BIGINT) AS t FROM dls),
+       |qt AS (SELECT doc_id AS qid,
+       |    unnest(list_distinct(list_filter(t[1:$Bm25QueryTokens],
+       |      x -> x <> ''))) AS token
+       |  FROM base WHERE b >= ${100 - Bm25QueryPct}),
+       |tf AS (SELECT tk.doc_id, tk.token, CAST(count(*) AS BIGINT) AS tf,
+       |    max(dls.dl) AS dl
+       |  FROM (SELECT doc_id, unnest(t) AS token FROM base) tk
+       |  JOIN dls ON dls.doc_id = tk.doc_id
+       |  WHERE tk.token <> '' AND tk.token IN (SELECT token FROM qt)
+       |  GROUP BY tk.doc_id, tk.token),
+       |dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf
+       |  GROUP BY token),
+       |sc AS (SELECT q.qid, f.doc_id,
+       |    (CAST(FLOOR(-ln(CAST(2 * d.df + 1 AS DOUBLE)
+       |        / CAST(2 * tot.n + 2 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       |      * ((f.tf * 22000000000000) //
+       |         ((10 * f.tf + 3) * 1000000
+       |          + 9 * ((f.dl * tot.n * 1000000) // tot.t)))) // 1000000 AS s
+       |  FROM qt q JOIN tf f ON f.token = q.token
+       |  JOIN dfr d ON d.token = q.token, tot),
+       |agg AS (SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score_mn,
+       |    CAST(count(*) AS BIGINT) AS n_terms FROM sc GROUP BY qid, doc_id),
+       |rk AS (SELECT *, row_number() OVER (
+       |    PARTITION BY qid ORDER BY score_mn DESC, doc_id) AS rank FROM agg)
+       |SELECT qid, rank, doc_id, score_mn, n_terms, qid = doc_id AS self_hit
+       |FROM rk WHERE rank <= $Bm25TopK
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** Twin of Text.vocabDrift — mixer split, frozen old-corpus top-K vocab,
     * exact counts + pooled `<unk>` mass, pure-BIGINT ppm division (`//` in
     * DuckDB = `div` in Spark for non-negative operands; zero float
@@ -2756,6 +2829,8 @@ object OraclesExt {
     "sim_embedding_drift" -> simEmbeddingDrift,
     "text_vocab_drift" -> textVocabDrift,
     "text_dsir_select" -> textDsirSelect,
+    "text_decontaminate" -> textDecontaminate,
+    "text_bm25_topk" -> textBm25TopK,
     "text_blocklist_filter" -> textBlocklistFilter,
     "text_langid_confusion" -> textLangidConfusion,
     "sampling_cluster_balanced" -> samplingClusterBalanced,

@@ -62,6 +62,8 @@ object SparkEntry {
     "text_nb_quality" -> ((s, d) => ext.Text.nbQuality(s, d).orderBy("doc_id")),
     "text_vocab_drift" -> ((s, d) => ext.Text.vocabDrift(s, d).orderBy("token")),
     "text_dsir_select" -> ((s, d) => ext.Text.dsirSelect(s, d).orderBy("doc_id")),
+    "text_decontaminate" -> ((s, d) => ext.Text.decontaminate(s, d).orderBy("doc_id")),
+    "text_bm25_topk" -> ((s, d) => ext.Text.bm25TopK(s, d).orderBy("qid", "rank")),
     "text_blocklist_filter" -> ((s, d) =>
       ext.Text.blocklistFilter(s, d).orderBy("doc_id")),
     "text_langid_confusion" -> ((s, d) =>

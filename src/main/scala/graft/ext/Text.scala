@@ -750,4 +750,150 @@ object Text {
       col("_rn").as("dsir_rank"),
       (col("_rn") <= Num.idiv(col("_tot"), lit(DsirKeepDen))).as("selected"))
   }
+
+  // --------------------------- eval-set decontamination (n-gram collision)
+
+  /** N-gram size for [[decontaminate]]. Published decontamination filters
+    * key on 8-13-gram collisions (GPT-3's 13-gram appendix-C filter and its
+    * descendants); 5 matches this fixture's 10-99-token documents so both
+    * verdicts occur. One knob, shared with the DuckDB twin. */
+  val ContamN = 5
+  /** Percent of the mix split held out as the eval set. */
+  val ContamEvalPct = 10
+
+  /** Benchmark DECONTAMINATION — the filter every serious pretraining run
+    * applies before training: flag TRAIN documents that share any
+    * [[ContamN]]-gram with a held-out EVAL set, so eval answers can't leak
+    * into the training corpus. Per train doc: its distinct n-gram count,
+    * how many of those collide with the eval set, the collision rate as an
+    * exact BIGINT ppm ([[Num.idiv]] — zero float surface), and the flag.
+    *
+    * The fixture split is the shared [[graft.ext.Sampling.mixHash]] device
+    * (top [[ContamEvalPct]]% of buckets = eval); production callers pass a
+    * real benchmark suite via [[decontaminateOf]].
+    *
+    * Scale shape — the reason this works at 100 TB: eval suites are tiny
+    * and FIXED (a few MB of n-grams) while the corpus is the 100-TB side,
+    * so the eval n-gram set BROADCASTS and the train side is one map-only
+    * semi-join over the exploded n-gram stream (no shuffle of corpus
+    * n-grams at all), followed by a single doc-grain count aggregation
+    * with map-side partials. Nothing in the plan grows with corpus size
+    * except the linear scan itself. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val bucket = graft.ext.Sampling.mixHash(col("doc_id")) % 100
+    decontaminateOf(docs.where(bucket < 100 - ContamEvalPct),
+      docs.where(bucket >= 100 - ContamEvalPct))
+  }
+
+  /** PRODUCTION ENTRY — [[decontaminate]] of ANY (doc_id, lang, source,
+    * text) train frame against an explicit eval frame. */
+  def decontaminateOf(train: DataFrame, eval: DataFrame): DataFrame = {
+    def grams(d: DataFrame): DataFrame = d
+      .where(size(tokens(col("text"))) >= ContamN)
+      .select(col("doc_id"),
+        explode(array_distinct(ngrams(col("text"), ContamN))).as("g"))
+    val evalGrams = grams(eval).select("g").distinct()
+    val hits = grams(train)
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    val base = train.select(col("doc_id"), col("lang"), col("source"),
+      when(size(tokens(col("text"))) >= ContamN,
+        size(array_distinct(ngrams(col("text"), ContamN))).cast("long"))
+        .otherwise(lit(0L)).as("n_ngrams"))
+    base.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_ngrams"),
+        coalesce(col("hits"), lit(0L)).as("n_contaminated"),
+        when(col("n_ngrams") > 0,
+          Num.idiv(coalesce(col("hits"), lit(0L)) * 1000000L, col("n_ngrams")))
+          .otherwise(lit(0L)).as("contamination_ppm"),
+        (coalesce(col("hits"), lit(0L)) >= 1).as("contaminated"))
+  }
+
+  // ------------------------------------ BM25 retrieval (integer-exact top-k)
+
+  /** Top percent of the mix split whose documents become queries. */
+  val Bm25QueryPct = 5
+  /** A query is the first this-many tokens of its source document. */
+  val Bm25QueryTokens = 6
+  /** Results kept per query. */
+  val Bm25TopK = 5
+
+  /** BM25 top-k retrieval — the lexical search layer of a RAG / data-audit
+    * stack, with the ENTIRE score in exact integer arithmetic so the DuckDB
+    * twin hashes bit-identically:
+    *
+    *  - idf: BM25's ln(1 + (N−df+½)/(df+½)) collapses to the single-ratio
+    *    form ln((2N+2)/(2df+1)), evaluated once per TERM via the
+    *    [[microNats]] device (same contract as the NB/LM models: one
+    *    identical IEEE ln at model grain, pre-rounded to a BIGINT).
+    *  - tf saturation with k1=1.2, b=0.75: tf·(k1+1)/(tf+k1(1−b+b·dl/avgdl)).
+    *    Clearing denominators (k1=6/5, b=3/4, avgdl=T/N) gives
+    *    22·tf / (10·tf + 3 + 9·dl·N/T); with dl·N/T pre-rounded to micro
+    *    units by [[Num.idiv]], the saturation is one BIGINT quotient —
+    *    every step after the per-term ln is integer-exact in both engines.
+    *    (Overflow bound: dl·N·10⁶ < 2⁶³ holds to N·dl ≈ 9·10¹²; a 100-TB
+    *    deployment with more documents pre-divides T/N once.)
+    *
+    * Fixture queries are known-item probes: the first [[Bm25QueryTokens]]
+    * tokens of the top-[[Bm25QueryPct]]% mix-split docs (production passes
+    * real queries via [[bm25TopKOf]]). The fixture's synthetic ~40-token
+    * vocabulary is deliberately non-discriminative, so self-retrieval@1 is
+    * NOT expected there — the operator's contract is the deterministic
+    * ranking, pinned by the oracle.
+    *
+    * Scale shape: the query term set broadcasts (queries ≪ corpus), so tf
+    * postings for query terms come off ONE map-side-filtered scan with a
+    * (doc,term)-grain partial agg; df derives from the postings (no second
+    * scan); scoring is map-only; one (qid,doc) shuffle aggregates scores and
+    * the per-query top-k rides WindowGroupLimit — per-partition heads of k,
+    * never a full sort of the candidate set. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val bucket = graft.ext.Sampling.mixHash(col("doc_id")) % 100
+    bm25TopKOf(docs, docs.where(bucket >= 100 - Bm25QueryPct)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(tokens(col("text")), 1, Bm25QueryTokens))
+          .as("qtext")))
+  }
+
+  /** PRODUCTION ENTRY — [[bm25TopK]] of ANY (qid, qtext) query frame
+    * against a (doc_id, text) corpus. Distinct query terms (6-token probe
+    * queries carry no meaningful within-query tf). */
+  def bm25TopKOf(docs: DataFrame, queries: DataFrame): DataFrame = {
+    val nzTokens = filter(tokens(col("text")), t => t =!= "")
+    val tots = docs.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(nzTokens)), lit(0)).cast("long").as("t"))
+    val qterms = queries.select(col("qid"),
+      explode(array_distinct(filter(tokens(col("qtext")), t => t =!= "")))
+        .as("token"))
+    val qtok = qterms.select("token").distinct()
+    val tf = docs
+      .select(col("doc_id"), size(nzTokens).cast("long").as("dl"),
+        explode(tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .join(broadcast(qtok), Seq("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = qterms.join(tf, Seq("token"))
+      .join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(tots))
+      .select(col("qid"), col("doc_id"),
+        Num.idiv(
+          microNats((col("df") * 2 + 1).cast("double") /
+            (col("n") * 2 + 2).cast("double")).cast("long") *
+            Num.idiv(col("tf") * lit(22000000000000L),
+              (col("tf") * 10L + 3L) * 1000000L +
+                Num.idiv(col("dl") * col("n") * 1000000L, col("t")) * 9L),
+          lit(1000000L)).as("s"))
+    val agg = scored.groupBy("qid", "doc_id")
+      .agg(sum(col("s")).as("score_mn"), count(lit(1)).as("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score_mn").desc, col("doc_id"))
+    agg.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= Bm25TopK)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score_mn"),
+        col("n_terms"), (col("qid") === col("doc_id")).as("self_hit"))
+  }
 }

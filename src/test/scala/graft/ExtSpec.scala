@@ -358,6 +358,82 @@ class DedupSpec extends SparkSpec {
       s"custom target ignored: de-share $deShift <= base $deBase")
   }
 
+  test("decontaminate: planted eval doc flags fully, disjoint eval flags " +
+      "nothing, ppm is the exact integer quotient") {
+    import graft.ext.Text
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Sources.documents(spark, sf)
+    // plant: the eval set IS one train doc's text — that doc must flag on
+    // every one of its n-grams (ppm exactly 1e6); unrelated docs may flag
+    // only via genuine shared spans
+    val planted = docs.where(col("doc_id") === 7)
+    val full = Text.decontaminateOf(docs, planted)
+      .where(col("doc_id") === 7).collect()
+    assert(full.length === 1)
+    assert(full.head.getAs[Long]("n_contaminated") ===
+      full.head.getAs[Long]("n_ngrams"))
+    assert(full.head.getAs[Long]("contamination_ppm") === 1000000L)
+    assert(full.head.getAs[Boolean]("contaminated"))
+    // disjoint eval: novel tokens can share no n-gram with any train doc
+    val novel = docs.limit(3).withColumn("text",
+      lit("zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8"))
+    val none = Text.decontaminateOf(docs, novel).collect()
+    assert(none.length === docs.count())
+    none.foreach { r =>
+      assert(r.getAs[Long]("n_contaminated") === 0L, r.toString)
+      assert(!r.getAs[Boolean]("contaminated"))
+    }
+    // fixture entry: internal consistency of every row
+    val rows = Text.decontaminate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ng = r.getAs[Long]("n_ngrams")
+      val nc = r.getAs[Long]("n_contaminated")
+      assert(nc >= 0 && nc <= ng, r.toString)
+      assert(r.getAs[Boolean]("contaminated") === (nc >= 1))
+      val ppm = r.getAs[Long]("contamination_ppm")
+      assert(ppm === (if (ng > 0) nc * 1000000L / ng else 0L), r.toString)
+    }
+  }
+
+  test("bm25: planted discriminative token retrieves its doc at rank 1; " +
+      "ranks contiguous, scores non-increasing, ties break on doc_id") {
+    import graft.ext.Text
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Sources.documents(spark, sf)
+    // plant a unique token in doc 42 and query for it: BM25's idf makes the
+    // rare term dominate every common-term match
+    val planted = docs.withColumn("text",
+      when(col("doc_id") === 42, concat(col("text"), lit(" zzzneedle")))
+        .otherwise(col("text")))
+    import spark.implicits._
+    val qs = Seq((9001L, "zzzneedle the a")).toDF("qid", "qtext")
+    val hit = Text.bm25TopKOf(planted, qs).orderBy("rank").collect()
+    assert(hit.nonEmpty)
+    assert(hit.head.getAs[Long]("doc_id") === 42L,
+      s"rank-1 is ${hit.head}, expected doc 42")
+    // fixture entry: per-query result-set shape
+    val rows = Text.bm25TopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq === (1 to rs.length),
+        s"qid $qid ranks not contiguous")
+      assert(rs.length <= Text.Bm25TopK)
+      val scores = byRank.map(_.getAs[Long]("score_mn"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"qid $qid scores increase: ${scores.toSeq}")
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          if (a.getAs[Long]("score_mn") == b.getAs[Long]("score_mn"))
+            assert(a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id"))
+        case _ =>
+      }
+      rs.foreach(r => assert(r.getAs[Long]("n_terms") >= 1 &&
+        r.getAs[Long]("n_terms") <= Text.Bm25QueryTokens))
+    }
+  }
+
   test("source divergence: KL ≥ 0 (Gibbs), oov in [0,1], token totals add up") {
     import graft.ext.Text
     val rows = Text.sourceDivergence(spark, sf).collect()

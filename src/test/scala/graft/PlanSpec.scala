@@ -341,4 +341,18 @@ class PlanSpec extends SparkSpec {
       assert(p3.contains("BroadcastHashJoin"), p3.take(800)) // tiny files
     } finally StatsHint.uninstall(spark) // rule stays registered but no-ops
   }
+
+  test("decontaminate: eval n-grams broadcast into a map-side semi-join " +
+      "(the corpus n-gram stream is never shuffled)") {
+    val p = plan(graft.ext.Text.decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(1500))
+  }
+
+  test("bm25: query terms broadcast; per-query top-k is a WindowGroupLimit, " +
+      "not a full sort of the candidate set") {
+    val p = plan(graft.ext.Text.bm25TopK(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+  }
 }
