@@ -1554,6 +1554,35 @@ object OraclesExt {
   val corpusTemperatureMix: String =
     corpusMixToWeights(s"GREATEST(1, ${isqrtSql("src_tokens")})")
 
+  /** Twin of Corpus.epochPlan — temperature weights (exact integer sqrt),
+    * ppm shares/epochs via `//`, BIGINT cap arithmetic. */
+  val corpusEpochPlan: String = {
+    import graft.ext.Corpus.{EpochBudgetX, EpochCap}
+    import graft.ext.Text.BpePattern
+    s"""WITH per_source AS (
+       |  SELECT source, CAST(sum(len(regexp_extract_all(text, '$BpePattern'))) AS BIGINT) AS src_tokens
+       |  FROM documents GROUP BY source),
+       |ws AS (SELECT source, src_tokens,
+       |    GREATEST(1, ${isqrtSql("src_tokens")}) AS w FROM per_source),
+       |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS tot_tokens,
+       |    CAST(sum(w) AS BIGINT) AS tot_w FROM ws),
+       |pl AS (SELECT s.source, s.src_tokens, s.w,
+       |    CAST((s.w * 1000000) // tot.tot_w AS BIGINT) AS target_share_ppm,
+       |    CAST((s.w * ($EpochBudgetX * tot.tot_tokens)) // tot.tot_w AS BIGINT)
+       |      AS target_tokens
+       |  FROM ws s, tot)
+       |SELECT source, src_tokens, CAST(w AS BIGINT) AS weight,
+       |  target_share_ppm, target_tokens,
+       |  CAST((target_tokens * 1000000) // src_tokens AS BIGINT) AS epochs_ppm,
+       |  (target_tokens * 1000000) // src_tokens > ${EpochCap * 1000000L}
+       |    AS over_cap,
+       |  LEAST(target_tokens, $EpochCap * src_tokens) AS served_tokens,
+       |  target_tokens - LEAST(target_tokens, $EpochCap * src_tokens)
+       |    AS shortfall_tokens
+       |FROM pl
+       |ORDER BY source""".stripMargin
+  }
+
   /** Twin of Dedup.chunkRewrite — identical chunking to
     * [[dedupChunkSpans]], first-occurrence keep rule (row_number over
     * (doc_id, i) per chunk), ordered reassembly + verbatim tail. */
@@ -2224,6 +2253,31 @@ object OraclesExt {
        |LEFT JOIN perdoc p ON p.doc_id = d.doc_id, unk u
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Twin of Text.nbCalibration — per-doc micro-nat log-odds, global
+    * NTILE deciles on (lo DESC, doc_id) (DuckDB NTILE and the distributed
+    * globalNtile share the first-N%n-buckets-get-⌈N/n⌉ rule), ppm rates
+    * via `//`. */
+  val textNbCalibration: String = {
+    import graft.ext.Text.CalibrationDeciles
+    s"""WITH $nbCtes,
+       |los AS (SELECT d.doc_id, $nbLoMicro AS lo, l.weak_good
+       |  FROM documents d JOIN lab l ON l.doc_id = d.doc_id
+       |  LEFT JOIN perdoc p ON p.doc_id = d.doc_id, unk u),
+       |dd AS (SELECT *, ntile($CalibrationDeciles)
+       |    OVER (ORDER BY lo DESC, doc_id) AS decile FROM los)
+       |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN weak_good THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_gate_pass,
+       |  CAST((sum(CASE WHEN weak_good THEN 1 ELSE 0 END) * 1000000)
+       |    // count(*) AS BIGINT) AS gate_pass_ppm,
+       |  CAST(sum(CASE WHEN lo > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pred_good,
+       |  CAST(max(lo) AS BIGINT) AS lo_micro_max,
+       |  CAST(min(lo) AS BIGINT) AS lo_micro_min
+       |FROM dd GROUP BY decile
+       |ORDER BY decile""".stripMargin
+  }
+
   /** Twin of Corpus.qualitySample — the [[nbCtes]] scores feeding the
     * clamped linear keep-probability ramp and the integer mixer verdict.
     * The ramp quotient is the pure-BIGINT pmod floor-division device
@@ -2831,6 +2885,7 @@ object OraclesExt {
     "text_dsir_select" -> textDsirSelect,
     "text_decontaminate" -> textDecontaminate,
     "text_bm25_topk" -> textBm25TopK,
+    "text_nb_calibration" -> textNbCalibration,
     "text_blocklist_filter" -> textBlocklistFilter,
     "text_langid_confusion" -> textLangidConfusion,
     "sampling_cluster_balanced" -> samplingClusterBalanced,
@@ -2871,6 +2926,7 @@ object OraclesExt {
     "corpus_token_budget_mix" -> corpusTokenBudgetMix,
     "corpus_rebalanced_mix" -> corpusRebalancedMix,
     "corpus_temperature_mix" -> corpusTemperatureMix,
+    "corpus_epoch_plan" -> corpusEpochPlan,
     "dedup_chunk_rewrite" -> dedupChunkRewrite,
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,

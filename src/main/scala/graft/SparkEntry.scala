@@ -64,6 +64,7 @@ object SparkEntry {
     "text_dsir_select" -> ((s, d) => ext.Text.dsirSelect(s, d).orderBy("doc_id")),
     "text_decontaminate" -> ((s, d) => ext.Text.decontaminate(s, d).orderBy("doc_id")),
     "text_bm25_topk" -> ((s, d) => ext.Text.bm25TopK(s, d).orderBy("qid", "rank")),
+    "text_nb_calibration" -> ((s, d) => ext.Text.nbCalibration(s, d).orderBy("decile")),
     "text_blocklist_filter" -> ((s, d) =>
       ext.Text.blocklistFilter(s, d).orderBy("doc_id")),
     "text_langid_confusion" -> ((s, d) =>
@@ -189,6 +190,7 @@ object SparkEntry {
     "corpus_token_budget_mix" -> ((s, d) => ext.Corpus.tokenBudgetMix(s, d).orderBy("source")),
     "corpus_rebalanced_mix" -> ((s, d) => ext.Corpus.rebalancedMix(s, d).orderBy("source")),
     "corpus_temperature_mix" -> ((s, d) => ext.Corpus.temperatureMix(s, d).orderBy("source")),
+    "corpus_epoch_plan" -> ((s, d) => ext.Corpus.epochPlan(s, d).orderBy("source")),
     "corpus_quality_sample" -> ((s, d) => ext.Corpus.qualitySample(s, d).orderBy("doc_id")),
     "corpus_data_card" -> ((s, d) => ext.Corpus.dataCard(s, d).orderBy("source")),
     "corpus_export_shards" -> ((s, d) => ext.Corpus.exportShards(s, d).orderBy("shard")),

@@ -428,7 +428,8 @@ object Pipeline {
   /** The CORPUS-BUILD pipeline — the LLM-data counterpart of
     * [[runSalesAnalytics]], with the same stage discipline (retry, timeout,
     * gating, write metrics): PII scrub at the boundary → heuristic gate
-    * verdicts → learned NB classifier → classifier-scored soft sample →
+    * verdicts → learned NB classifier → benchmark decontamination sweep →
+    * classifier-scored soft sample →
     * fused preprocess (quality/lang/near-dup/split) → per-doc reject
     * ledger → sequence packing → per-source data card → a corpus DQ gate
     * over the tables THIS run wrote. Every stage's operator is
@@ -467,6 +468,14 @@ object Pipeline {
       Text.blocklistFilterOf(scrubbedDocs))
     results += st("corpus_nb_quality", critical = false)(
       Text.nbQualityOf(scrubbedDocs))
+    // benchmark decontamination on the scrubbed text — the eval holdout is
+    // the fixture's mix split (a production run passes its benchmark suite)
+    results += st("corpus_decontaminate", critical = true) {
+      val bucket = graft.ext.Sampling.mixHash(col("doc_id")) % 100
+      Text.decontaminateOf(
+        scrubbedDocs.where(bucket < 100 - Text.ContamEvalPct),
+        scrubbedDocs.where(bucket >= 100 - Text.ContamEvalPct))
+    }
     results += st("corpus_quality_sample", critical = true)(
       Corpus.qualitySampleOf(scrubbedDocs))
     results += st("corpus_preprocess", critical = true)(

@@ -257,6 +257,50 @@ object Corpus {
   def temperatureMix(spark: SparkSession, dir: String): DataFrame =
     mixToWeights(spark, dir, t => greatest(lit(1L), Num.isqrt(t)))
 
+  /** Fixture token budget = this many × the corpus's own token mass —
+    * large enough that the temperature-mix target shares force some
+    * sources past the repetition cap, so both planner verdicts occur. */
+  val EpochBudgetX = 4L
+  /** Repetition cap in epochs: repeated-data value decays sharply past
+    * ~4 passes (Muennighoff et al. 2023, "Scaling Data-Constrained LMs"). */
+  val EpochCap = 4L
+
+  /** Data-budget EPOCH PLANNER — the pretraining-run planning table: given
+    * a total token budget and the [[temperatureMix]] target shares
+    * (w ∝ √tokens, exact [[Num.isqrt]]), how many PASSES over each source
+    * does the budget imply, which sources blow the [[EpochCap]], and how
+    * many target tokens are unservable under the cap. Every column is
+    * integer-exact: shares and epochs as ppm via idiv, served tokens a
+    * BIGINT min. (Fixture budget = [[EpochBudgetX]]×corpus; a production
+    * run passes its real budget — the plan is the artifact a data lead
+    * signs off before launch, next to the data card.)
+    *
+    * Scale shape: ONE source-grain groupBy with map-side partials over the
+    * scan; everything after lives at ≤|sources| rows on broadcast scalars.
+    * (Integer bound: w·budget < 2⁶³ holds to ~10¹³ budget tokens at the
+    * fixture's weight scale; a 100-TB planner pre-divides budget/tot_w
+    * once at the scalar grain.) */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(Text.bpeTokens(col("text"))).cast("long")
+    val perSource = Sources.documents(spark, dir)
+      .groupBy("source").agg(sum(nTokens).as("src_tokens"))
+      .withColumn("w", greatest(lit(1L), Num.isqrt(col("src_tokens"))))
+    val tot = perSource.agg(sum(col("src_tokens")).as("tot_tokens"),
+      sum(col("w")).as("tot_w"))
+    val target = Num.idiv(
+      col("w") * (lit(EpochBudgetX) * col("tot_tokens")), col("tot_w"))
+    val served = least(target, lit(EpochCap) * col("src_tokens"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("src_tokens"), col("w").as("weight"),
+        Num.idiv(col("w") * 1000000L, col("tot_w")).as("target_share_ppm"),
+        target.as("target_tokens"),
+        Num.idiv(target * 1000000L, col("src_tokens")).as("epochs_ppm"),
+        (Num.idiv(target * 1000000L, col("src_tokens")) >
+          lit(EpochCap * 1000000L)).as("over_cap"),
+        served.as("served_tokens"),
+        (target - served).as("shortfall_tokens"))
+  }
+
   /** Shared core of [[rebalancedMix]] / [[temperatureMix]]: down-sample to
     * target shares ∝ `weightOf(src_tokens)` without up-sampling any
     * source. */

@@ -673,6 +673,44 @@ object Text {
         (badSide - goodSide).as("lo_micro"))
   }
 
+  /** Global deciles for [[nbCalibration]]. */
+  val CalibrationDeciles = 10
+
+  /** NB classifier CALIBRATION CURVE — the reliability diagram as data:
+    * rank every document by the exact integer log-odds (lo_micro desc,
+    * doc_id), cut into [[CalibrationDeciles]] GLOBAL deciles, and report
+    * per decile the gate-agreement rate (weak-label pass rate as an exact
+    * ppm), predicted-good count, and the decile's log-odds bounds. A
+    * healthy classifier's gate-pass rate falls monotonically across
+    * deciles; inversions in this table are the retrain signal a corpus
+    * release review reads next to the data card. No float surface: scores
+    * are the micro-nat BIGINTs, rates are idiv ppm.
+    *
+    * Scale shape: scoring is the broadcast-model map-only pass; the decile
+    * cut rides the distributed [[graft.engine.Rank.globalNtile]] (no
+    * single-partition sort); the final agg is 10 groups with map-side
+    * partials. */
+  def nbCalibration(spark: SparkSession, dir: String): DataFrame =
+    nbCalibrationOf(Sources.documents(spark, dir))
+
+  /** PRODUCTION ENTRY — [[nbCalibration]] over ANY documents frame. */
+  def nbCalibrationOf(docs: DataFrame): DataFrame = {
+    val (model, unk) = nbModelFrames(docs)
+    val scored = nbMicroWith(docs, model, unk)
+    val dec = graft.engine.Rank.globalNtile(scored, CalibrationDeciles,
+      "decile", col("lo_micro").desc, col("doc_id").asc)
+    dec.groupBy("decile").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("weak_good"), 1L).otherwise(0L)).as("n_gate_pass"),
+        sum(when(col("lo_micro") > 0, 1L).otherwise(0L)).as("n_pred_good"),
+        max(col("lo_micro")).as("lo_micro_max"),
+        min(col("lo_micro")).as("lo_micro_min"))
+      .select(col("decile"), col("n_docs"), col("n_gate_pass"),
+        Num.idiv(col("n_gate_pass") * 1000000L, col("n_docs"))
+          .as("gate_pass_ppm"),
+        col("n_pred_good"), col("lo_micro_max"), col("lo_micro_min"))
+  }
+
   // ------------------------------- DSIR importance-weighted data selection
 
   /** Hashed n-gram feature-space size for [[dsirSelect]] — DSIR's hashed
@@ -786,15 +824,25 @@ object Text {
       docs.where(bucket >= 100 - ContamEvalPct))
   }
 
+  /** The distinct [[ContamN]]-gram stream of a documents frame — per
+    * (doc_id, g). Exposed so the streaming ingest can FREEZE an eval
+    * suite's gram set once instead of recomputing it per micro-batch. */
+  private[graft] def contamGrams(d: DataFrame): DataFrame = d
+    .where(size(tokens(col("text"))) >= ContamN)
+    .select(col("doc_id"),
+      explode(array_distinct(ngrams(col("text"), ContamN))).as("g"))
+
   /** PRODUCTION ENTRY — [[decontaminate]] of ANY (doc_id, lang, source,
     * text) train frame against an explicit eval frame. */
-  def decontaminateOf(train: DataFrame, eval: DataFrame): DataFrame = {
-    def grams(d: DataFrame): DataFrame = d
-      .where(size(tokens(col("text"))) >= ContamN)
-      .select(col("doc_id"),
-        explode(array_distinct(ngrams(col("text"), ContamN))).as("g"))
-    val evalGrams = grams(eval).select("g").distinct()
-    val hits = grams(train)
+  def decontaminateOf(train: DataFrame, eval: DataFrame): DataFrame =
+    decontaminateAgainstGrams(train, contamGrams(eval).select("g").distinct())
+
+  /** [[decontaminateOf]] with the eval side already reduced to its distinct
+    * gram set (one `g` column) — the frozen-reference form the streaming
+    * gate broadcasts per micro-batch. */
+  private[graft] def decontaminateAgainstGrams(train: DataFrame,
+                                               evalGrams: DataFrame): DataFrame = {
+    val hits = contamGrams(train)
       .join(broadcast(evalGrams), Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("hits"))
     val base = train.select(col("doc_id"), col("lang"), col("source"),

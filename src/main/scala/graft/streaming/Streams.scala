@@ -276,6 +276,34 @@ object Streams {
       }
       .start()
 
+  /** STREAMING DECONTAMINATION GATE — eval-suite n-gram collision flagging
+    * at the ingest boundary, so benchmark leakage is caught on ARRIVAL
+    * rather than in a pre-release sweep. Eval suites are tiny, fixed, and
+    * version-pinned per corpus release, so the suite's distinct gram set is
+    * FROZEN once at query start (a local frame — same bounded-control-plane
+    * contract as the frozen LM/NB model frames) and broadcast into each
+    * micro-batch's map-side semi-join: the arriving corpus n-gram stream is
+    * never shuffled, exactly the batch operator's plan
+    * ([[graft.ext.Text.decontaminateOf]]). Stateless per doc → stream ==
+    * batch for any batching; replay rewrites its own `batch=<id>`
+    * overwrite partition. */
+  def decontaminateIngest(docs: DataFrame, evalDocs: DataFrame,
+                          outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val gramsDf = graft.ext.Text.contamGrams(evalDocs).select("g").distinct()
+    val frozenGrams = spark.createDataFrame(
+      java.util.Arrays.asList(gramsDf.collect(): _*), gramsDf.schema)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Text.decontaminateAgainstGrams(batch, frozenGrams)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .start()
+  }
+
   /** STREAMING MEDIA FEATURE EXTRACTION — the multimodal ingest plumbing:
     * each micro-batch of media blobs is byte-balanced (blob-size skew, not
     * row count, is the media failure mode) and decoded through the REAL

@@ -396,6 +396,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("nb calibration: balanced global deciles, exact ppm, boundaries " +
+      "ordered, classifier signal separates top from bottom decile") {
+    import graft.ext.Text
+    val rows = Text.nbCalibration(spark, sf).collect()
+      .sortBy(_.getAs[Int]("decile"))
+    assert(rows.map(_.getAs[Int]("decile")).toSeq ===
+      (1 to Text.CalibrationDeciles))
+    val sizes = rows.map(_.getAs[Long]("n_docs"))
+    assert(sizes.sum === 500L)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced deciles: ${sizes.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("gate_pass_ppm") ===
+        r.getAs[Long]("n_gate_pass") * 1000000L / r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("lo_micro_max") >= r.getAs[Long]("lo_micro_min"))
+    }
+    // the deciles tile the global (lo desc) order: each decile's min
+    // log-odds is >= the next decile's max
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("lo_micro_min") >= b.getAs[Long]("lo_micro_max"),
+          s"decile overlap: $a vs $b")
+      case _ =>
+    }
+    // the classifier carries signal: gate-pass rate at the top decile
+    // strictly above the bottom decile (matches the NB train-acc spec)
+    assert(rows.head.getAs[Long]("gate_pass_ppm") >
+      rows.last.getAs[Long]("gate_pass_ppm"), "no calibration slope")
+  }
+
   test("bm25: planted discriminative token retrieves its doc at rank 1; " +
       "ranks contiguous, scores non-increasing, ties break on doc_id") {
     import graft.ext.Text
@@ -1155,6 +1184,35 @@ class SketchSpec extends SparkSpec {
 }
 
 class CorpusSpec extends SparkSpec {
+
+  test("epoch plan: shares sum to ~1e6, budget conserved to floor loss, " +
+      "cap arithmetic consistent, both verdicts occur") {
+    import graft.ext.Corpus
+    val rows = Corpus.epochPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nSrc = rows.length
+    val shareSum = rows.map(_.getAs[Long]("target_share_ppm")).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - nSrc,
+      s"share sum $shareSum outside the floor-loss band")
+    val totTokens = rows.map(_.getAs[Long]("src_tokens")).sum
+    val targetSum = rows.map(_.getAs[Long]("target_tokens")).sum
+    assert(targetSum <= Corpus.EpochBudgetX * totTokens &&
+      targetSum > Corpus.EpochBudgetX * totTokens - nSrc *
+        (totTokens / rows.map(_.getAs[Long]("weight")).sum + 1),
+      s"budget not conserved: $targetSum vs ${Corpus.EpochBudgetX * totTokens}")
+    rows.foreach { r =>
+      val src = r.getAs[Long]("src_tokens")
+      val tgt = r.getAs[Long]("target_tokens")
+      val served = r.getAs[Long]("served_tokens")
+      val short = r.getAs[Long]("shortfall_tokens")
+      assert(served === math.min(tgt, Corpus.EpochCap * src), r.toString)
+      assert(short === tgt - served && short >= 0, r.toString)
+      assert(r.getAs[Long]("epochs_ppm") === tgt * 1000000L / src, r.toString)
+      if (r.getAs[Boolean]("over_cap")) assert(short > 0, r.toString)
+    }
+    assert(rows.exists(_.getAs[Boolean]("over_cap")), "no source over cap — vacuous")
+    assert(rows.exists(!_.getAs[Boolean]("over_cap")), "all sources over cap — vacuous")
+  }
 
   test("rebalanced mix: bottleneck source kept whole, no source up-sampled, " +
     "and post-mix shares sit closer to the uniform target") {

@@ -86,9 +86,13 @@ class PipelineSpec extends SparkSpec {
     val results = Pipeline.runCorpusPipeline(spark, sf, out)
     assert(results.forall(_.status == "PASS"), results.mkString("; "))
     assert(results.map(_.stage) === Seq("corpus_scrubbed", "corpus_gates",
-      "corpus_blocklist", "corpus_nb_quality", "corpus_quality_sample",
-      "corpus_preprocess", "corpus_reject_ledger", "corpus_packed",
-      "corpus_data_card", "quality_checks"))
+      "corpus_blocklist", "corpus_nb_quality", "corpus_decontaminate",
+      "corpus_quality_sample", "corpus_preprocess", "corpus_reject_ledger",
+      "corpus_packed", "corpus_data_card", "quality_checks"))
+    // the decontamination sweep ran on the scrubbed text and flagged the
+    // fixture's genuine eval/train shared spans (non-vacuous)
+    assert(spark.read.parquet(s"$out/corpus_decontaminate")
+      .where(org.apache.spark.sql.functions.col("contaminated")).count() > 0)
     assert(results.forall(_.rows > 0), results.mkString("; "))
     // the ingest boundary: no raw text column anywhere in the scrub store
     val scrubbed = spark.read.parquet(s"$out/corpus_scrubbed")

@@ -591,6 +591,46 @@ class StreamingSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("decontaminate ingest: streamed collision flags equal the batch " +
+      "operator; replay rewrites") {
+    val dir = Files.createTempDirectory("graft_decon").toString
+    val docs = graft.engine.Sources.documents(spark, sf)
+    val bucket = graft.ext.Sampling.mixHash(col("doc_id")) % 100
+    val evalPct = graft.ext.Text.ContamEvalPct
+    val evalDocs = docs.where(bucket >= 100 - evalPct)
+    val train = docs.where(bucket < 100 - evalPct)
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val q = Streams.decontaminateIngest(
+      graft.engine.Sources.parquetStream(spark, s"$dir/in", "documents"),
+      evalDocs, s"$dir/flagged", s"$dir/ckpt")
+    try {
+      Seq(col("doc_id") < 150, col("doc_id") >= 150 && col("doc_id") < 400,
+          col("doc_id") >= 400).foreach { slice =>
+        train.where(slice).coalesce(1).write.mode("append").parquet(s"$dir/in")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("doc_id"), r.getAs[Long]("n_ngrams"),
+      r.getAs[Long]("n_contaminated"), r.getAs[Long]("contamination_ppm"),
+      r.getAs[Boolean]("contaminated"))
+    val streamed = spark.read.parquet(s"$dir/flagged")
+      .collect().map(key).toSeq.sorted
+    val batch = graft.ext.Text.decontaminate(spark, sf)
+      .collect().map(key).toSeq.sorted
+    assert(streamed.size === batch.size,
+      s"streamed row count ${streamed.size} != batch ${batch.size}")
+    assert(streamed === batch)
+    // the stream caught the same leakage the batch sweep finds (non-vacuous)
+    assert(streamed.exists(_._5), "no contaminated doc crossed the gate")
+    // at-least-once replay: re-running a batch id rewrites its partition
+    graft.ext.Text.decontaminateOf(
+      train.where(col("doc_id") < 150), evalDocs)
+      .write.mode("overwrite").parquet(s"$dir/flagged/batch=0")
+    val after = spark.read.parquet(s"$dir/flagged").collect().map(key).toSeq.sorted
+    assert(after === streamed, "batch replay changed the store")
+  }
+
   test("PII scrub ingest: streamed redactions equal the batch scrubber; replay rewrites") {
     val dir = Files.createTempDirectory("graft_pii").toString
     // the synthetic-PII corpus: nonzero matches of every pattern family
