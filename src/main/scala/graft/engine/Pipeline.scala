@@ -429,7 +429,8 @@ object Pipeline {
     * [[runSalesAnalytics]], with the same stage discipline (retry, timeout,
     * gating, write metrics): PII scrub at the boundary → heuristic gate
     * verdicts → learned NB classifier → benchmark decontamination sweep →
-    * classifier-scored soft sample →
+    * classifier-scored soft sample → release manifest (kept minus
+    * flagged-or-holdout — the set that ships) →
     * fused preprocess (quality/lang/near-dup/split) → per-doc reject
     * ledger → sequence packing → per-source data card → a corpus DQ gate
     * over the tables THIS run wrote. Every stage's operator is
@@ -478,6 +479,19 @@ object Pipeline {
     }
     results += st("corpus_quality_sample", critical = true)(
       Corpus.qualitySampleOf(scrubbedDocs))
+    // the RELEASE manifest — the set that actually ships: sampler-kept
+    // docs minus anything the decontamination sweep flagged (and minus the
+    // eval holdout itself, which is not trainable data). Flagging without
+    // excluding is an audit, not a defense; this stage closes the loop,
+    // and the DQ gate below asserts the exclusion held.
+    results += st("corpus_release_manifest", critical = true) {
+      val flags = spark.read.parquet(s"$outDir/corpus_decontaminate")
+      spark.read.parquet(s"$outDir/corpus_quality_sample")
+        .where(col("kept")).select("doc_id", "lang", "source")
+        .join(flags.select(col("doc_id"),
+          col("n_contaminated"), col("contaminated")), Seq("doc_id"))
+        .where(!col("contaminated"))
+    }
     results += st("corpus_preprocess", critical = true)(
       Corpus.preprocess(spark, dir))
     results += st("corpus_reject_ledger", critical = false)(
@@ -500,11 +514,19 @@ object Pipeline {
           Seq("doc_id"), "left_anti").count()
       val cardDocs = spark.read.parquet(s"$outDir/corpus_data_card")
         .agg(coalesce(sum(col("n_docs")), lit(0L))).first().getLong(0)
+      // independent recheck of the release exclusion: NO released doc may
+      // appear in the decontamination sweep's flagged set
+      val releasedLeaks = spark.read.parquet(s"$outDir/corpus_release_manifest")
+        .select("doc_id")
+        .join(spark.read.parquet(s"$outDir/corpus_decontaminate")
+          .where(col("contaminated")).select("doc_id"), Seq("doc_id"))
+        .count()
       val checks = Seq(
         ("scrub_coverage", nScrubbed, nScrubbed == nDocs),
         ("residual_pii", residualPii, residualPii == 0L),
         ("sample_referential_integrity", keptOrphans, keptOrphans == 0L),
-        ("data_card_reconciliation", cardDocs, cardDocs == nDocs))
+        ("data_card_reconciliation", cardDocs, cardDocs == nDocs),
+        ("release_leak_free", releasedLeaks, releasedLeaks == 0L))
       import spark.implicits._
       checks.map { case (n, m, ok) => (n, m, if (ok) "PASS" else "FAIL") }
         .toDF("check_name", "metric", "status")

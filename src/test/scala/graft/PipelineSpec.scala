@@ -87,12 +87,19 @@ class PipelineSpec extends SparkSpec {
     assert(results.forall(_.status == "PASS"), results.mkString("; "))
     assert(results.map(_.stage) === Seq("corpus_scrubbed", "corpus_gates",
       "corpus_blocklist", "corpus_nb_quality", "corpus_decontaminate",
-      "corpus_quality_sample", "corpus_preprocess", "corpus_reject_ledger",
+      "corpus_quality_sample", "corpus_release_manifest",
+      "corpus_preprocess", "corpus_reject_ledger",
       "corpus_packed", "corpus_data_card", "quality_checks"))
     // the decontamination sweep ran on the scrubbed text and flagged the
     // fixture's genuine eval/train shared spans (non-vacuous)
     assert(spark.read.parquet(s"$out/corpus_decontaminate")
       .where(org.apache.spark.sql.functions.col("contaminated")).count() > 0)
+    // the release manifest EXCLUDED them (kept ∧ ¬contaminated ∧ train)
+    val rel = spark.read.parquet(s"$out/corpus_release_manifest")
+    val kept = spark.read.parquet(s"$out/corpus_quality_sample")
+      .where(org.apache.spark.sql.functions.col("kept"))
+    assert(rel.count() > 0 && rel.count() < kept.count(),
+      s"release ${rel.count()} vs kept ${kept.count()}: exclusion vacuous")
     assert(results.forall(_.rows > 0), results.mkString("; "))
     // the ingest boundary: no raw text column anywhere in the scrub store
     val scrubbed = spark.read.parquet(s"$out/corpus_scrubbed")
@@ -103,7 +110,8 @@ class PipelineSpec extends SparkSpec {
     val dq = spark.read.parquet(s"$out/quality_checks").collect()
       .map(r => r.getAs[String]("check_name") -> r.getAs[String]("status")).toMap
     assert(dq.keySet === Set("scrub_coverage", "residual_pii",
-      "sample_referential_integrity", "data_card_reconciliation"))
+      "sample_referential_integrity", "data_card_reconciliation",
+      "release_leak_free"))
     assert(dq.values.forall(_ == "PASS"), dq.toString)
     // frame-based stages ran on the scrubbed text: the sample's doc set is
     // exactly the corpus (clean fixture: scrub is a no-op on content)
