@@ -799,6 +799,35 @@ object OraclesExt {
        |             RANGE BETWEEN ${RollingDays - 1} PRECEDING AND CURRENT ROW)
        |ORDER BY user_id, day""".stripMargin
 
+  /** Twin of Events.anomalyDays — exact decimal daily totals, medians as
+    * exact order statistics under the (value, day) total order (lower and
+    * upper middle averaged), 3·MAD verdict on unrounded doubles. */
+  val eventsAnomalyDays: String = {
+    import graft.ext.Events.AnomalyMadK
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+       |    ${DS("value")} AS total
+       |  FROM events GROUP BY CAST(ts AS DATE)),
+       |rk AS (SELECT *, row_number() OVER (ORDER BY total, day) AS rn,
+       |    count(*) OVER () AS tot FROM daily),
+       |med AS (SELECT sum(total) / count(*) AS med FROM rk
+       |  WHERE rn = (tot + 1) // 2 OR rn = tot // 2 + 1),
+       |dev AS (SELECT day, n_events, total, med, abs(total - med) AS dev
+       |  FROM daily, med),
+       |rk2 AS (SELECT dev, day, row_number() OVER (ORDER BY dev, day) AS rn,
+       |    count(*) OVER () AS tot FROM dev),
+       |mad AS (SELECT sum(dev) / count(*) AS mad FROM rk2
+       |  WHERE rn = (tot + 1) // 2 OR rn = tot // 2 + 1)
+       |SELECT day, n_events,
+       |  ${R("total", 2)} AS total_value,
+       |  ${R("med", 2)} AS median_value,
+       |  ${R("dev", 2)} AS abs_deviation,
+       |  ${R("mad", 2)} AS mad,
+       |  dev > $AnomalyMadK * mad AS is_anomaly
+       |FROM dev, mad
+       |ORDER BY day""".stripMargin
+  }
+
   /** Twin of Events.userSeriesCorrelation — the same implicit-zero Pearson
     * algebra: user/day and day decimal aggregates, three grid moments,
     * clamped variances. */
@@ -2985,6 +3014,7 @@ object OraclesExt {
     "events_sessions" -> eventsSessions,
     "events_session_windows" -> eventsSessionWindows,
     "events_user_rolling_daily" -> eventsUserRollingDaily,
+    "events_anomaly_days" -> eventsAnomalyDays,
     "events_user_series_corr" -> eventsUserSeriesCorr,
     "events_type_kpis" -> eventsTypeKpis,
     "events_funnel" -> eventsFunnel,

@@ -138,6 +138,7 @@ object SparkEntry {
     "events_sessions" -> ((s, d) => ext.Events.sessions(s, d).orderBy("user_id", "session_seq")),
     "events_session_windows" -> ((s, d) =>
       ext.Events.sessionWindowsNative(s, d).orderBy("user_id", "session_start")),
+    "events_anomaly_days" -> ((s, d) => ext.Events.anomalyDays(s, d).orderBy("day")),
     "events_user_rolling_daily" -> ((s, d) =>
       ext.Events.userRollingDaily(s, d).orderBy("user_id", "day")),
     "events_user_series_corr" -> ((s, d) =>

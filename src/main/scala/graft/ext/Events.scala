@@ -266,4 +266,56 @@ object Events {
         .select(lit(i + 1).as("stage"), lit(s).as("event_type"), col("n_users"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Anomaly-gate multiplier: flag days with |total − median| > this·MAD. */
+  val AnomalyMadK = 3
+
+  /** Robust daily ANOMALY GATE — median/MAD outlier detection on the daily
+    * value series, the monitoring-side sibling of the stats-drift gates:
+    * mean/stddev baselines let a burst inflate its own threshold, while the
+    * median and the median-absolute-deviation have a 50% breakdown point —
+    * half the days can be corrupt before the baseline moves.
+    *
+    * Exactness: daily totals are the established exact DECIMAL sums
+    * ([[graft.engine.Num.dsum]]); medians are exact order statistics
+    * (lower/upper middle by (value, day) total order, averaged — one IEEE
+    * add/divide on identical doubles in both engines); the verdict compares
+    * unrounded doubles whose every producing op is correctly rounded —
+    * deterministic on any IEEE-754 platform (same disposition as the r10
+    * exactness audit's "genuine double data" class).
+    *
+    * Scale shape: ONE day-grain shuffle with map-side partial aggregation;
+    * the day-grain frame is bounded (years × 365 rows — control-plane
+    * small at any corpus size), so the two median rank passes ride the
+    * distributed [[graft.plans.GlobalRank]] and the scalars broadcast
+    * back. */
+  def anomalyDays(spark: SparkSession, dir: String): DataFrame =
+    anomalyDaysOf(Sources.events(spark, dir))
+
+  /** PRODUCTION ENTRY — [[anomalyDays]] over ANY (ts, value) frame. */
+  def anomalyDaysOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total"))
+    // exact median of `valueCol` under the (valueCol, day) total order
+    def medianOf(df: DataFrame, out: String): DataFrame = {
+      val ranked = graft.plans.GlobalRank.withRankColumns(df,
+        Seq(col("_mv").asc, col("day").asc), "_rn", "_rk", "_tot")
+      ranked.where(col("_rn") === Num.idiv(col("_tot") + 1, lit(2L)) ||
+          col("_rn") === Num.idiv(col("_tot"), lit(2L)) + 1)
+        .agg((sum(col("_mv")) / count(lit(1))).as(out))
+    }
+    val med = medianOf(daily.select(col("day"), col("total").as("_mv")), "med")
+    val dev = daily.crossJoin(broadcast(med))
+      .select(col("day"), col("n_events"), col("total"), col("med"),
+        abs(col("total") - col("med")).as("dev"))
+    val mad = medianOf(dev.select(col("day"), col("dev").as("_mv")), "mad")
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("n_events"),
+        r2(col("total")).as("total_value"),
+        r2(col("med")).as("median_value"),
+        r2(col("dev")).as("abs_deviation"),
+        r2(col("mad")).as("mad"),
+        (col("dev") > lit(AnomalyMadK.toDouble) * col("mad")).as("is_anomaly"))
+  }
 }

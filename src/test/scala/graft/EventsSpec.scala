@@ -110,4 +110,37 @@ class EventsSpec extends SparkSpec {
     assert(solo.head.getAs[Double]("pearson_r") === 1.0,
       s"self-correlation must be exactly 1: ${solo.head}")
   }
+
+  test("anomaly days: one median/MAD baseline, planted spike day flags, " +
+      "robustness — the spike does not move the median verdicts") {
+    import spark.implicits._
+    val rows = Events.anomalyDays(spark, sf).collect()
+    assert(rows.length === 30)
+    assert(rows.map(_.getAs[Double]("median_value")).distinct.length === 1)
+    assert(rows.map(_.getAs[Double]("mad")).distinct.length === 1)
+    val flagged = rows.filter(_.getAs[Boolean]("is_anomaly"))
+    assert(flagged.nonEmpty, "no anomalous day — vacuous gate")
+    assert(flagged.length < rows.length / 2, "baseline broke down")
+    // plant a massive spike on a fresh day: it must flag, and — the robust
+    // point — the OTHER days' verdicts must be unchanged (a mean/stddev
+    // gate would absorb the spike into its own threshold)
+    val base = graft.engine.Sources.events(spark, sf)
+    val spike = Seq.tabulate(50)(i =>
+      (900000L + i, java.sql.Timestamp.valueOf("2024-02-15 12:00:00"),
+        1L, "purchase", 1.0e7, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val withSpike = Events.anomalyDaysOf(base.unionByName(spike)).collect()
+    assert(withSpike.length === 31)
+    val spikeRow = withSpike
+      .find(_.getAs[java.sql.Date]("day").toString == "2024-02-15").get
+    assert(spikeRow.getAs[Boolean]("is_anomaly"), s"spike not flagged: $spikeRow")
+    val beforeMap = rows.map(r =>
+      r.getAs[java.sql.Date]("day").toString -> r.getAs[Boolean]("is_anomaly")).toMap
+    withSpike.filter(_.getAs[java.sql.Date]("day").toString != "2024-02-15")
+      .foreach { r =>
+        val d = r.getAs[java.sql.Date]("day").toString
+        assert(beforeMap(d) === r.getAs[Boolean]("is_anomaly"),
+          s"spike moved day $d's verdict (baseline not robust)")
+      }
+  }
 }

@@ -137,4 +137,36 @@ class PropertySpec extends SparkSpec {
       assert(w * w <= x && (w + 1) * (w + 1) > x, s"isqrt($x) = $w")
     }
   }
+
+  test("bm25 saturation kernel: Long arithmetic == BigInt arithmetic across " +
+      "the documented operating range (no silent overflow), bounded by the " +
+      "k1+1 ceiling, monotone up in tf and down in dl") {
+    // the integer saturation from Text.bm25TopKOf / OraclesExt.textBm25TopK:
+    // sat_u = 22·tf·1e12 / ((10·tf+3)·1e6 + 9·⌊dl·N·1e6/T⌋)
+    def satLong(tf: Long, dl: Long, n: Long, t: Long): Long = {
+      val ndl = dl * n * 1000000L / t
+      tf * 22000000000000L / ((10L * tf + 3L) * 1000000L + 9L * ndl)
+    }
+    def satBig(tf: Long, dl: Long, n: Long, t: Long): BigInt = {
+      val ndl = BigInt(dl) * n * 1000000 / t
+      BigInt(tf) * BigInt("22000000000000") /
+        ((BigInt(10) * tf + 3) * 1000000 + 9 * ndl)
+    }
+    val gen = for {
+      n <- Gen.choose(1L, 1000000000L)   // corpus size up to 1e9 docs
+      avg <- Gen.choose(1L, 9000L)       // so T = N·avg stays in range
+      dl <- Gen.choose(1L, math.max(1L, 9200000000000L / n)) // dl·N ≤ 9.2e12
+      tf <- Gen.choose(1L, math.min(dl, 400000L))            // tf·22e12 < 2⁶³
+    } yield (tf, dl, n, n * avg)
+    val cases = samples(gen, 300)
+    assert(cases.size >= 200, "generator starved")
+    for ((tf, dl, n, t) <- cases) {
+      val s = satLong(tf, dl, n, t)
+      assert(BigInt(s) === satBig(tf, dl, n, t),
+        s"Long overflow at tf=$tf dl=$dl n=$n t=$t")
+      assert(s >= 0 && s <= 2200000L, s"saturation out of range: $s")
+      assert(satLong(tf + 1, dl, n, t) >= s, s"not monotone in tf at $tf,$dl")
+      assert(satLong(tf, dl + 1, n, t) <= s, s"not antitone in dl at $tf,$dl")
+    }
+  }
 }
