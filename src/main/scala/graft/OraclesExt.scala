@@ -1163,6 +1163,29 @@ object OraclesExt {
          |    ${R(s"(${dotSql("q.v", "x.v")}) / (q.norm * x.norm)", 6)} AS cosine
          |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id)""".stripMargin)}""".stripMargin
 
+  /** Twin of Similarity.hardNegatives — the [[hierChain]] candidate set
+    * with the contrastive cosine band applied before the bounded
+    * per-anchor top-k (band ceiling = the shared embedding near-dup
+    * threshold). */
+  val simHardNegatives: String = {
+    import graft.ext.Similarity.{NegBandLo, NegBandHi, NegK}
+    s"""WITH $hierChain,
+       |p AS (
+       |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |    ${R(s"(${dotSql("q.v", "x.v")}) / (q.norm * x.norm)", 6)} AS cosine
+       |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id),
+       |b AS (SELECT * FROM p
+       |  WHERE cosine >= $NegBandLo AND cosine < $NegBandHi),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS "rank"
+       |  FROM b)
+       |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked
+       |WHERE "rank" <= $NegK
+       |ORDER BY query_id, "rank"""".stripMargin
+  }
+
   /** Twin of Similarity.annIvfHierSpill: the [[hierChainAt]] chain with
     * spilled lists + spill-aware calibration, DISTINCT pairs before the
     * refine (a pair meets once per shared cell). */
@@ -2960,6 +2983,7 @@ object OraclesExt {
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
     "sim_ann_ivf_hier" -> simAnnIvfHier,
+    "sim_hard_negatives" -> simHardNegatives,
     "sim_ann_ivf_hier_spill" -> simAnnIvfHierSpill,
     // the persisted index is bit-identical to the hier operator by
     // construction (same frozen model, exact parquet round-trip), so it is

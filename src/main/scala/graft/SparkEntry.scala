@@ -114,6 +114,8 @@ object SparkEntry {
       ext.Similarity.annIvfKmeans(s, d).orderBy("query_id", "rank")),
     "sim_ann_ivf_hier" -> ((s, d) =>
       ext.Similarity.annIvfHier(s, d).orderBy("query_id", "rank")),
+    "sim_hard_negatives" -> ((s, d) =>
+      ext.Similarity.hardNegatives(s, d).orderBy("query_id", "rank")),
     "sim_ann_ivf_hier_spill" -> ((s, d) =>
       ext.Similarity.annIvfHierSpill(s, d).orderBy("query_id", "rank")),
     "sim_ann_index" -> ((s, d) =>

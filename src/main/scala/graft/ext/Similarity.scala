@@ -604,6 +604,53 @@ object Similarity {
     hierArm(pins.pin(hierScored(vecs, m.l1, m.subs, m.nProbe)))
   }
 
+  /** Hard-negative cosine band floor: below this a candidate is an EASY
+    * negative (random-pair regime on this corpus — median pair cosine ≈ 0),
+    * worthless for contrastive training. */
+  val NegBandLo = 0.25
+  /** Band ceiling = the embedding near-dup line ([[Dedup.CosineThreshold]],
+    * shared constant): at or above it a candidate is a suspected duplicate
+    * or positive — mining it as a "negative" poisons the loss. */
+  val NegBandHi: Double = Dedup.CosineThreshold
+  /** Hard negatives kept per anchor. */
+  val NegK = 5
+
+  /** Contrastive HARD-NEGATIVE MINING — the embedding-training data prep
+    * step: for every anchor vector, the [[NegK]] hardest negatives — the
+    * highest-cosine candidates INSIDE the ([[NegBandLo]], [[NegBandHi]))
+    * band, i.e. close enough to the anchor to carry gradient signal but
+    * below the near-dup line that would make them false negatives. The
+    * band ceiling is the SAME constant the dedup layer flags duplicates
+    * at, so the miner and the deduper cannot disagree about what counts
+    * as "same".
+    *
+    * Deployment semantics (standard practice): negatives are mined from
+    * the ANN-REACHABLE candidate set — the identical two-level hier
+    * quantizer, calibrated probes, and inverted-list equi-join as
+    * [[annIvfHier]], with the band filter applied before the bounded
+    * per-anchor top-k. Same 100-TB shape as the retrieval path: map-only
+    * L1 assignment, ≤nProbe rows per vector through the shuffle, bounded
+    * top-k aggregate. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val pins = new Pins
+    val vecs = pins.pin(withNorm(Sources.embeddings(spark, dir)))
+    val m = hierModel(vecs)
+    pins.track(m.subs)
+    val scored = pins.pin(hierScored(vecs, m.l1, m.subs, m.nProbe))
+    val inverted = scored.where(col("_crank") === 1)
+      .select(col("cl"), col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("norm").as("nb"))
+    val probes = scored
+      .select(col("cl"), col("vec_id").as("query_id"),
+        col("v").as("va"), col("norm").as("na"))
+    val pairs = probes.join(inverted, "cl")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        r(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .where(col("cosine") >= NegBandLo && col("cosine") < NegBandHi)
+    topK(pairs, NegK)
+  }
+
   /** The hier ANN retrieval over a caller-pinned scored assignment — shared
     * by [[annIvfHier]] and the recall audits (which build the model once
     * and feed the same `scored` frame to this arm and the PQ arm). */

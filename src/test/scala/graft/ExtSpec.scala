@@ -614,6 +614,37 @@ class DedupSpec extends SparkSpec {
       "synthetic case not asymmetric enough to be meaningful")
   }
 
+  test("hard negatives: every mined pair inside the contrastive band, " +
+      "disjoint from the near-dup set by the shared threshold, ranks bounded") {
+    val rows = Similarity.hardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c >= Similarity.NegBandLo && c < Similarity.NegBandHi, r.toString)
+      assert(r.getAs[Long]("query_id") !== r.getAs[Long]("neighbor_id"))
+    }
+    // band ceiling == the dedup line ⇒ no mined negative can also be a
+    // flagged near-dup pair (the false-negative poisoning guard)
+    val dupPairs = Dedup.embeddingCosinePairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      val key = (math.min(a, b), math.max(a, b))
+      assert(!dupPairs.contains(key), s"mined a near-dup as negative: $key")
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.length <= Similarity.NegK)
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks === (1 to rs.length), s"anchor $q ranks not contiguous")
+      // hardest-first: cosine non-increasing in rank
+      val byRank = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
+    }
+    // enough anchors get a full quota for the miner to be useful
+    assert(rows.groupBy(_.getAs[Long]("query_id"))
+      .count(_._2.length == Similarity.NegK) > 10, "quota starved")
+  }
+
   test("embedding cosine pairs are symmetric-free and within [-1, 1]") {
     val rows = Dedup.embeddingCosinePairs(spark, sf).collect()
     rows.foreach { r =>
