@@ -2938,6 +2938,11 @@ object OraclesExt {
     "text_decontaminate" -> textDecontaminate,
     "text_bm25_topk" -> textBm25TopK,
     "text_nb_calibration" -> textNbCalibration,
+    // the persisted-index twins are bit-identical to the batch operator by
+    // construction (shared scoring tail over bit-identical postings), so
+    // they share its oracle — same device as sim_ann_index / ivf_hier
+    "text_bm25_indexed" -> textBm25TopK,
+    "text_bm25_index_search" -> textBm25TopK,
     "text_blocklist_filter" -> textBlocklistFilter,
     "text_langid_confusion" -> textLangidConfusion,
     "sampling_cluster_balanced" -> samplingClusterBalanced,

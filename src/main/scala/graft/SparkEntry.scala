@@ -65,6 +65,10 @@ object SparkEntry {
     "text_decontaminate" -> ((s, d) => ext.Text.decontaminate(s, d).orderBy("doc_id")),
     "text_bm25_topk" -> ((s, d) => ext.Text.bm25TopK(s, d).orderBy("qid", "rank")),
     "text_nb_calibration" -> ((s, d) => ext.Text.nbCalibration(s, d).orderBy("decile")),
+    "text_bm25_indexed" -> ((s, d) =>
+      ext.TextIndex.bm25Indexed(s, d).orderBy("qid", "rank")),
+    "text_bm25_index_search" -> ((s, d) =>
+      ext.TextIndex.bm25IndexedSearch(s, d).orderBy("qid", "rank")),
     "text_blocklist_filter" -> ((s, d) =>
       ext.Text.blocklistFilter(s, d).orderBy("doc_id")),
     "text_langid_confusion" -> ((s, d) =>

@@ -898,12 +898,24 @@ object Text {
     * never a full sort of the candidate set. */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
     val docs = Sources.documents(spark, dir)
+    bm25TopKOf(docs, bm25FixtureQueries(docs))
+  }
+
+  /** The fixture's known-item probe queries — shared with the persisted
+    * index twins so all three arms score the identical query set. */
+  private[graft] def bm25FixtureQueries(docs: DataFrame): DataFrame = {
     val bucket = graft.ext.Sampling.mixHash(col("doc_id")) % 100
-    bm25TopKOf(docs, docs.where(bucket >= 100 - Bm25QueryPct)
+    docs.where(bucket >= 100 - Bm25QueryPct)
       .select(col("doc_id").as("qid"),
         concat_ws(" ", slice(tokens(col("text")), 1, Bm25QueryTokens))
-          .as("qtext")))
+          .as("qtext"))
   }
+
+  /** (qid, token) distinct query terms of a (qid, qtext) frame. */
+  private[graft] def bm25QueryTerms(queries: DataFrame): DataFrame =
+    queries.select(col("qid"),
+      explode(array_distinct(filter(tokens(col("qtext")), t => t =!= "")))
+        .as("token"))
 
   /** PRODUCTION ENTRY — [[bm25TopK]] of ANY (qid, qtext) query frame
     * against a (doc_id, text) corpus. Distinct query terms (6-token probe
@@ -912,17 +924,27 @@ object Text {
     val nzTokens = filter(tokens(col("text")), t => t =!= "")
     val tots = docs.agg(count(lit(1)).as("n"),
       coalesce(sum(size(nzTokens)), lit(0)).cast("long").as("t"))
-    val qterms = queries.select(col("qid"),
-      explode(array_distinct(filter(tokens(col("qtext")), t => t =!= "")))
-        .as("token"))
-    val qtok = qterms.select("token").distinct()
+    val qterms = bm25QueryTerms(queries)
     val tf = docs
       .select(col("doc_id"), size(nzTokens).cast("long").as("dl"),
         explode(tokens(col("text"))).as("token"))
       .where(col("token") =!= "")
-      .join(broadcast(qtok), Seq("token"))
+      .join(broadcast(qterms.select("token").distinct()), Seq("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    bm25Tail(qterms, tf, tots)
+  }
+
+  /** The BM25 scoring tail shared by the batch operator and the persisted
+    * index ([[TextIndex.search]]): df derived from the (token, doc_id,
+    * tf, dl) postings of the QUERY TERMS (postings are unique per
+    * (token, doc) by construction in both producers, so count == df),
+    * then the integer-exact score and the WindowGroupLimit top-k. The two
+    * producers feed bit-identical postings frames, so their outputs are
+    * bit-identical — the indexed twins share the batch operator's DuckDB
+    * oracle. */
+  private[graft] def bm25Tail(qterms: DataFrame, tf: DataFrame,
+                              tots: DataFrame): DataFrame = {
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = qterms.join(tf, Seq("token"))
       .join(broadcast(dfreq), Seq("token"))
