@@ -1040,8 +1040,11 @@ object OraclesExt {
 
   /** Twin of Similarity.kmeansCentroids/annIvfKmeans: the [[kmeansCtes]]
     * quantizer, the [[calibrationCtes]] recall-targeted probe depth, then
-    * the same probe/refine as [[simAnnIvf]]. Cluster id = seed vec_id. */
-  val simAnnIvfKmeans: String = {
+    * the same probe/refine as [[simAnnIvf]]. Cluster id = seed vec_id.
+    * `probeCond` (AND-appended to the probes CTE) restricts WHICH vectors
+    * query the index — the twin of annIvfKmeansFrom's probeFilter; the
+    * index structure and calibration stay full-corpus. */
+  private def simAnnIvfKmeansSql(probeCond: String = ""): String = {
     import graft.ext.Similarity.KmeansIters
     s"""WITH $normCte,
        |$kmeansCtes,
@@ -1055,12 +1058,44 @@ object OraclesExt {
         "SELECT vec_id AS neighbor_id, cl FROM scored WHERE crank = 1")},
        |inv AS (SELECT cl, vec_id, v, norm FROM scored WHERE crank = 1),
        |probes AS (SELECT cl, vec_id, v, norm FROM scored
-       |  WHERE crank <= (SELECT p FROM np)),
+       |  WHERE crank <= (SELECT p FROM np)$probeCond),
        |${topKSql(
         s"""p AS (
            |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
            |    ${R(s"(${dotSql("q.v", "x.v")}) / (q.norm * x.norm)", 6)} AS cosine
            |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id)""".stripMargin)}""".stripMargin
+  }
+
+  val simAnnIvfKmeans: String = simAnnIvfKmeansSql()
+
+  /** Twin of Hybrid.hybridRrf — reciprocal-rank fusion of the BM25
+    * known-item arm ([[textBm25TopK]], nested verbatim) and the √n k-means
+    * IVF dense arm probing the same mix-bucket ids
+    * ([[simAnnIvfKmeansSql]] with the probe restriction). Rank-only
+    * integer fusion: contribution = `1000000 // (K + rank)`, missing arm
+    * → 0; ties → lower doc_id. Zero float surface in the fusion layer —
+    * the arms' own determinism devices carry through. */
+  lazy val textHybridRrf: String = {
+    import graft.ext.Hybrid.{FusedTopK, RrfK}
+    import graft.ext.Text.Bm25QueryPct
+    val denseSql = simAnnIvfKmeansSql(
+      s" AND ${mixSql("vec_id")} % 100 >= ${100 - Bm25QueryPct}")
+    s"""WITH lex AS (SELECT qid, doc_id, rank FROM ($textBm25TopK)),
+       |dense AS (SELECT query_id AS qid, neighbor_id AS doc_id, rank
+       |  FROM ($denseSql)),
+       |f AS (SELECT COALESCE(l.qid, d.qid) AS qid,
+       |    COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       |    CAST(COALESCE(l.rank, 0) AS BIGINT) AS lex_rank,
+       |    CAST(COALESCE(d.rank, 0) AS BIGINT) AS dense_rank,
+       |    CAST(COALESCE(1000000 // ($RrfK + l.rank), 0)
+       |       + COALESCE(1000000 // ($RrfK + d.rank), 0) AS BIGINT) AS rrf_mn
+       |  FROM lex l FULL JOIN dense d
+       |    ON d.qid = l.qid AND d.doc_id = l.doc_id),
+       |rk AS (SELECT *, row_number() OVER (
+       |    PARTITION BY qid ORDER BY rrf_mn DESC, doc_id) AS rank FROM f)
+       |SELECT qid, rank, doc_id, rrf_mn, lex_rank, dense_rank
+       |FROM rk WHERE rank <= $FusedTopK
+       |ORDER BY qid, rank""".stripMargin
   }
 
   /** The two-level quantizer CTE chain shared by [[simAnnIvfHier]] and
@@ -2769,8 +2804,16 @@ object OraclesExt {
     * BIGINT saturation 22·tf/(10·tf+3+9·dl·N/T) with `//` quotients; the
     * per-(query,doc) score is an exact BIGINT sum, so the top-k ranking
     * (score DESC, doc_id) is deterministic in both engines. */
-  val textBm25TopK: String = {
+  private def textBm25TopKSql(queryLimit: Option[Int]): String = {
     import graft.ext.Text.{Bm25QueryPct, Bm25QueryTokens, Bm25TopK}
+    // the bounded variant (twin of Text.bm25BoundedQueries) caps the query
+    // batch by (mix, doc_id) — the search-only index arm's fixed workload
+    val qsel = queryLimit match {
+      case Some(n) =>
+        s"""(SELECT doc_id, t FROM base WHERE b >= ${100 - Bm25QueryPct}
+           |  ORDER BY ${mixSql("doc_id")}, doc_id LIMIT $n)""".stripMargin
+      case None => s"base WHERE b >= ${100 - Bm25QueryPct}"
+    }
     s"""WITH base AS (SELECT doc_id, $toks AS t,
        |    ${mixSql("doc_id")} % 100 AS b FROM documents),
        |dls AS (SELECT doc_id,
@@ -2780,7 +2823,7 @@ object OraclesExt {
        |qt AS (SELECT doc_id AS qid,
        |    unnest(list_distinct(list_filter(t[1:$Bm25QueryTokens],
        |      x -> x <> ''))) AS token
-       |  FROM base WHERE b >= ${100 - Bm25QueryPct}),
+       |  FROM $qsel),
        |tf AS (SELECT tk.doc_id, tk.token, CAST(count(*) AS BIGINT) AS tf,
        |    max(dls.dl) AS dl
        |  FROM (SELECT doc_id, unnest(t) AS token FROM base) tk
@@ -2805,6 +2848,13 @@ object OraclesExt {
        |FROM rk WHERE rank <= $Bm25TopK
        |ORDER BY qid, rank""".stripMargin
   }
+
+  val textBm25TopK: String = textBm25TopKSql(None)
+
+  /** The search-only index arm's oracle: same scoring, query batch capped
+    * at [[graft.ext.Text.Bm25SearchQueries]]. */
+  val textBm25Bounded: String =
+    textBm25TopKSql(Some(graft.ext.Text.Bm25SearchQueries))
 
   /** Twin of Text.vocabDrift — mixer split, frozen old-corpus top-K vocab,
     * exact counts + pooled `<unk>` mass, pure-BIGINT ppm division (`//` in
@@ -2939,10 +2989,12 @@ object OraclesExt {
     "text_bm25_topk" -> textBm25TopK,
     "text_nb_calibration" -> textNbCalibration,
     // the persisted-index twins are bit-identical to the batch operator by
-    // construction (shared scoring tail over bit-identical postings), so
-    // they share its oracle — same device as sim_ann_index / ivf_hier
+    // construction (shared scoring tail over bit-identical postings): the
+    // build+search harness shares its oracle outright, the search-only arm
+    // the bounded-query-batch variant — same device as sim_ann_index
     "text_bm25_indexed" -> textBm25TopK,
-    "text_bm25_index_search" -> textBm25TopK,
+    "text_bm25_index_search" -> textBm25Bounded,
+    "text_hybrid_rrf" -> textHybridRrf,
     "text_blocklist_filter" -> textBlocklistFilter,
     "text_langid_confusion" -> textLangidConfusion,
     "sampling_cluster_balanced" -> samplingClusterBalanced,

@@ -69,6 +69,8 @@ object SparkEntry {
       ext.TextIndex.bm25Indexed(s, d).orderBy("qid", "rank")),
     "text_bm25_index_search" -> ((s, d) =>
       ext.TextIndex.bm25IndexedSearch(s, d).orderBy("qid", "rank")),
+    "text_hybrid_rrf" -> ((s, d) =>
+      ext.Hybrid.hybridRrf(s, d).orderBy("qid", "rank")),
     "text_blocklist_filter" -> ((s, d) =>
       ext.Text.blocklistFilter(s, d).orderBy("doc_id")),
     "text_langid_confusion" -> ((s, d) =>

@@ -376,7 +376,8 @@ object Similarity {
     * in [[hierModel]]: exact pairs covering the calibration sample skip the
     * duplicate exactSampled pass without changing nProbe. */
   private[ext] def annIvfKmeansFrom(vecs: DataFrame, pins: Pins,
-                                    preExact: Option[DataFrame] = None): DataFrame = {
+                                    preExact: Option[DataFrame] = None,
+                                    probeFilter: Option[Column] = None): DataFrame = {
     val cents = kmeansCentroidsLocal(vecs) // driver-resident, ≤ √n rows
     val sample = querySample(vecs, CalQueries)
     val k = cents.length
@@ -403,10 +404,25 @@ object Similarity {
     val inverted = scored.where(col("_crank") === 1)
       .select(col("cl"), col("vec_id").as("neighbor_id"),
         col("v").as("vb"), col("norm").as("nb"))
-    val probes = scored
+    // probeFilter restricts WHICH vectors query the index (the hybrid
+    // retrieval arm probes only its query subset); the index structure —
+    // inverted lists, centroids, calibrated probe depth — is query-set
+    // independent by construction, so filtered probes return exactly the
+    // unfiltered arm's rows for the surviving query_ids
+    val probes = probeFilter.foldLeft(scored)(_ where _)
       .select(col("cl"), col("vec_id").as("query_id"),
         col("v").as("va"), col("norm").as("na"))
     refineTail(probes, inverted)
+  }
+
+  /** [[annIvfKmeans]] with the probe side restricted to a query subset —
+    * the dense arm of hybrid retrieval ([[Hybrid.hybridRrf]]): full-corpus
+    * index build + calibration, probes only where `probeFilter` holds. */
+  private[ext] def annIvfKmeansQueries(spark: SparkSession, dir: String,
+                                       probeFilter: Column): DataFrame = {
+    val pins = new Pins
+    annIvfKmeansFrom(pins.pin(withNorm(Sources.embeddings(spark, dir))),
+      pins, probeFilter = Some(probeFilter))
   }
 
   // ------------------------------- two-level (hierarchical) IVF quantizer

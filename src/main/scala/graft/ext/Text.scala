@@ -911,6 +911,23 @@ object Text {
           .as("qtext"))
   }
 
+  /** Query-batch size of the SEARCH-ONLY index arm. The fixture query set
+    * grows with the corpus (a fixed percent of docs), which is the right
+    * harness for the batch operator and the build+search idempotence twin —
+    * but it conflates query-batch growth with corpus growth, so a
+    * "search-only" bench number over it measures an ever-larger workload,
+    * not the index. A deployment search is a FIXED query batch against a
+    * growing corpus; this cap (the [[Similarity.CalQueries]] device) makes
+    * `text_bm25_index_search`'s number exactly that. */
+  val Bm25SearchQueries = 200
+
+  /** The first [[Bm25SearchQueries]] fixture queries by (mix, qid) — a
+    * deterministic bounded TakeOrdered, portable to the DuckDB twin. */
+  private[graft] def bm25BoundedQueries(docs: DataFrame): DataFrame =
+    bm25FixtureQueries(docs)
+      .orderBy(graft.ext.Sampling.mixHash(col("qid")), col("qid"))
+      .limit(Bm25SearchQueries)
+
   /** (qid, token) distinct query terms of a (qid, qtext) frame. */
   private[graft] def bm25QueryTerms(queries: DataFrame): DataFrame =
     queries.select(col("qid"),

@@ -169,13 +169,15 @@ object TextIndex {
 
   /** Registered SEARCH-ONLY twin (same contract as the PQ index's search
     * arm): the store is built at most once per (session, corpus); every
-    * call is a pure search, so THIS arm's bench number is the per-query
-    * lexical search cost with no one-time indexing conflated in. Shares
-    * the batch operator's oracle. */
+    * call is a pure search of a FIXED [[Text.Bm25SearchQueries]]-query
+    * batch, so THIS arm's bench number is the deployment search cost —
+    * bounded query batch against the full index, no one-time indexing and
+    * no corpus-proportional query growth conflated in. Its oracle is the
+    * batch operator's SQL with the same bounded query set. */
   def bm25IndexedSearch(spark: SparkSession, dir: String): DataFrame = {
     val store = storeFor(spark, dir)
     if (builtThisSession.add(store))
       build(spark, store, Sources.documents(spark, dir))
-    search(spark, store, Text.bm25FixtureQueries(Sources.documents(spark, dir)))
+    search(spark, store, Text.bm25BoundedQueries(Sources.documents(spark, dir)))
   }
 }

@@ -445,6 +445,29 @@ object Streams {
       }
       .start()
 
+  /** STREAMING LEXICAL-INDEX MAINTENANCE — the [[vectorIngest]] twin for
+    * the persisted BM25 index ([[graft.ext.TextIndex]]): each micro-batch
+    * of (doc_id, text) documents folds its postings and additive (n, t)
+    * stats into the store. The per-batch cost is the honest indexing
+    * shuffle (one (doc, token) aggregation over the DELTA only — the
+    * corpus-sized postings are never touched), and search stays
+    * bit-identical to the batch operator at any batching because df/N/T
+    * derive from the store at query time. Same id-offset replay discipline
+    * as [[vectorIngest]]: bulk load owns `batch=0`, stream batch b lands
+    * in `batch=b+1` via dynamic partition overwrite in BOTH tables, so a
+    * crash-replay rewrites its own partitions and the additive stats never
+    * double-count. */
+  def bm25IndexIngest(docs: DataFrame, storePath: String,
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.TextIndex.ingest(batch.sparkSession, storePath,
+          batch, batchId + 1L)
+      }
+      .start()
+
   /** One micro-batch of [[nearDupIngest]], REPLAY-IDEMPOTENT by layout:
     * foreachBatch is at-least-once (a crash between the data write and the
     * checkpoint advance replays the batch), and replaying a plain append

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Hybrid, Sampling, Similarity, Text}
+
+/** Hybrid retrieval ([[graft.ext.Hybrid]]): exact integer RRF arithmetic,
+  * consensus ordering, tie-breaks, the top-k cap, and the probe-filter
+  * identity (the filtered dense arm ≡ the full k-means IVF arm restricted
+  * to the query ids) — oracle parity of `text_hybrid_rrf` is Verify's
+  * job. */
+class HybridSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(rows: Seq[(Long, Long, Int)]) =
+    rows.toDF("qid", "doc_id", "rank")
+
+  private def key(r: org.apache.spark.sql.Row) = (
+    r.getAs[Long]("qid"), r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+    r.getAs[Long]("rrf_mn"), r.getAs[Long]("lex_rank"),
+    r.getAs[Long]("dense_rank"))
+
+  test("RRF fusion is exact integer arithmetic: consensus at rank (2,1) " +
+      "outranks a single-arm rank-1 hit") {
+    val lex = ranks(Seq((1L, 10L, 1), (1L, 11L, 2)))
+    val dense = ranks(Seq((1L, 11L, 1), (1L, 12L, 2)))
+    val got = Hybrid.rrfFuseOf(lex, dense)
+      .orderBy("qid", "rank").collect().map(key).toSeq
+    // 1e6//61 = 16393, 1e6//62 = 16129
+    assert(got === Seq(
+      (1L, 1, 11L, 16393L + 16129L, 2L, 1L), // both arms: consensus wins
+      (1L, 2, 10L, 16393L, 1L, 0L),          // lexical-only rank 1
+      (1L, 3, 12L, 16129L, 0L, 2L)))         // dense-only rank 2
+  }
+
+  test("equal fused scores tie-break to the lower doc_id") {
+    val got = Hybrid.rrfFuseOf(
+        ranks(Seq((7L, 20L, 1))), ranks(Seq((7L, 5L, 1))))
+      .orderBy("rank").collect().map(key).toSeq
+    assert(got === Seq(
+      (7L, 1, 5L, 16393L, 0L, 1L),
+      (7L, 2, 20L, 16393L, 1L, 0L)))
+  }
+
+  test("fusion keeps at most FusedTopK docs per query") {
+    val lex = ranks((1 to 8).map(i => (1L, 100L + i, i)))
+    val dense = ranks((1 to 8).map(i => (1L, 200L + i, i)))
+    val got = Hybrid.rrfFuseOf(lex, dense).collect()
+    assert(got.length === Hybrid.FusedTopK)
+    assert(got.map(_.getAs[Int]("rank")).sorted.toSeq ===
+      (1 to Hybrid.FusedTopK))
+  }
+
+  test("end-to-end hybrid: every BM25 query fused, ranks contiguous, " +
+      "scores non-increasing, both arms contribute somewhere") {
+    val out = Hybrid.hybridRrf(spark, sf).collect().map(key).toSeq.sorted
+    assert(out.nonEmpty)
+    val wantQids = Text.bm25FixtureQueries(
+        graft.engine.Sources.documents(spark, sf))
+      .select("qid").collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet === wantQids)
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2) === (1 to byRank.size), s"ranks not contiguous for $qid")
+      val scores = byRank.map(_._4)
+      assert(scores === scores.sorted.reverse, s"scores not monotone for $qid")
+    }
+    // the fusion is non-vacuous: some doc was retrieved by both arms, and
+    // each arm also contributed docs the other missed
+    assert(out.exists(r => r._5 > 0 && r._6 > 0), "no consensus doc")
+    assert(out.exists(r => r._5 > 0 && r._6 == 0), "no lexical-only doc")
+    assert(out.exists(r => r._6 > 0 && r._5 == 0), "no dense-only doc")
+  }
+
+  test("probe-filter identity: the hybrid's dense arm equals the full " +
+      "k-means IVF arm restricted to the query ids") {
+    val docs = graft.engine.Sources.documents(spark, sf)
+    val lex = Text.bm25TopKOf(docs, Text.bm25FixtureQueries(docs))
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val qBucket = Sampling.mixHash(col("query_id")) % 100 >=
+      lit(100 - Text.Bm25QueryPct)
+    val fullArm = Similarity.annIvfKmeans(spark, sf).where(qBucket)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+        col("rank"))
+    val want = Hybrid.rrfFuseOf(lex, fullArm).collect().map(key).toSeq.sorted
+    val got = Hybrid.hybridRrf(spark, sf).collect().map(key).toSeq.sorted
+    assert(got === want)
+  }
+}

@@ -84,6 +84,36 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("streamed document ingest equals bulk indexing: search bit-identical, " +
+      "per-batch partitions, stats additive") {
+    val s = store()
+    val all = docsOf(sf)
+    TextIndex.build(spark, s, all.where(col("doc_id") < 200))
+    val dir = Files.createTempDirectory("graft_tidx_stream").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val q = graft.streaming.Streams.bm25IndexIngest(
+      graft.engine.Sources.parquetStream(spark, s"$dir/in", "documents"),
+      s, s"$dir/ckpt")
+    try {
+      Seq(col("doc_id") >= 200 && col("doc_id") < 400,
+          col("doc_id") >= 400).foreach { slice =>
+        all.where(slice).coalesce(1).write.mode("append").parquet(s"$dir/in")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = TextIndex.search(spark, s, Text.bm25FixtureQueries(all))
+      .collect().map(key).toSeq.sorted
+    assert(got.nonEmpty)
+    assert(got === batchWant(sf))
+    // bulk load and each micro-batch keep their own replay partitions
+    val batches = spark.table(TextIndex.postingsTable(s))
+      .select("batch").distinct().collect().map(_.getLong(0)).toSet
+    assert(batches === Set(0L, 1L, 2L))
+    // the additive stats saw every document exactly once
+    val n = spark.table(TextIndex.statsTable(s)).agg(sum("n")).first().getLong(0)
+    assert(n === all.count())
+  }
+
   test("search reads the postings store bucketed: no exchange on the " +
       "corpus side of the term join") {
     val s = store()
