@@ -1075,12 +1075,12 @@ object OraclesExt {
     * integer fusion: contribution = `1000000 // (K + rank)`, missing arm
     * → 0; ties → lower doc_id. Zero float surface in the fusion layer —
     * the arms' own determinism devices carry through. */
-  lazy val textHybridRrf: String = {
+  /** The RRF fusion tail shared by both hybrid twins — twin of
+    * Hybrid.rrfFuseOf over a (qid, doc_id, rank) lexical arm and a
+    * (query_id, neighbor_id, rank) dense arm, each nested verbatim. */
+  private def rrfFusionSql(lexSql: String, denseSql: String): String = {
     import graft.ext.Hybrid.{FusedTopK, RrfK}
-    import graft.ext.Text.Bm25QueryPct
-    val denseSql = simAnnIvfKmeansSql(
-      s" AND ${mixSql("vec_id")} % 100 >= ${100 - Bm25QueryPct}")
-    s"""WITH lex AS (SELECT qid, doc_id, rank FROM ($textBm25TopK)),
+    s"""WITH lex AS (SELECT qid, doc_id, rank FROM ($lexSql)),
        |dense AS (SELECT query_id AS qid, neighbor_id AS doc_id, rank
        |  FROM ($denseSql)),
        |f AS (SELECT COALESCE(l.qid, d.qid) AS qid,
@@ -1096,6 +1096,32 @@ object OraclesExt {
        |SELECT qid, rank, doc_id, rrf_mn, lex_rank, dense_rank
        |FROM rk WHERE rank <= $FusedTopK
        |ORDER BY qid, rank""".stripMargin
+  }
+
+  lazy val textHybridRrf: String = {
+    import graft.ext.Text.Bm25QueryPct
+    rrfFusionSql(textBm25TopK, simAnnIvfKmeansSql(
+      s" AND ${mixSql("vec_id")} % 100 >= ${100 - Bm25QueryPct}"))
+  }
+
+  /** Twin of Hybrid.hybridRrfIndexed — the bounded BM25 twin fused with
+    * the hier-IVF twin ([[simAnnIvfHier]]'s chain) restricted to the same
+    * (mix, doc_id)-bounded query batch. */
+  lazy val textHybridRrfIndexed: String = {
+    import graft.ext.Text.{Bm25QueryPct, Bm25SearchQueries}
+    val denseSql =
+      s"""WITH $hierChain,
+         |qsel AS (SELECT doc_id FROM (
+         |    SELECT doc_id, ${mixSql("doc_id")} % 100 AS b FROM documents)
+         |  WHERE b >= ${100 - Bm25QueryPct}
+         |  ORDER BY ${mixSql("doc_id")}, doc_id LIMIT $Bm25SearchQueries),
+         |${topKSql(
+          s"""p AS (
+             |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             |    ${R(s"(${dotSql("q.v", "x.v")}) / (q.norm * x.norm)", 6)} AS cosine
+             |  FROM probes q JOIN qsel s ON s.doc_id = q.vec_id
+             |  JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id)""".stripMargin)}""".stripMargin
+    rrfFusionSql(textBm25Bounded, denseSql)
   }
 
   /** The two-level quantizer CTE chain shared by [[simAnnIvfHier]] and
@@ -2995,6 +3021,7 @@ object OraclesExt {
     "text_bm25_indexed" -> textBm25TopK,
     "text_bm25_index_search" -> textBm25Bounded,
     "text_hybrid_rrf" -> textHybridRrf,
+    "text_hybrid_rrf_indexed" -> textHybridRrfIndexed,
     "text_blocklist_filter" -> textBlocklistFilter,
     "text_langid_confusion" -> textLangidConfusion,
     "sampling_cluster_balanced" -> samplingClusterBalanced,

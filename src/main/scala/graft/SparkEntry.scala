@@ -71,6 +71,8 @@ object SparkEntry {
       ext.TextIndex.bm25IndexedSearch(s, d).orderBy("qid", "rank")),
     "text_hybrid_rrf" -> ((s, d) =>
       ext.Hybrid.hybridRrf(s, d).orderBy("qid", "rank")),
+    "text_hybrid_rrf_indexed" -> ((s, d) =>
+      ext.Hybrid.hybridRrfIndexed(s, d).orderBy("qid", "rank")),
     "text_blocklist_filter" -> ((s, d) =>
       ext.Text.blocklistFilter(s, d).orderBy("doc_id")),
     "text_langid_confusion" -> ((s, d) =>

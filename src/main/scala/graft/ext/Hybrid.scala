@@ -88,4 +88,26 @@ object Hybrid {
         col("rank"))
     rrfFuseOf(lex, dense)
   }
+
+  /** The DEPLOYMENT-shaped twin: the same fusion over the two PERSISTED
+    * stores — [[TextIndex]] postings for the lexical arm, the hier-IVF
+    * [[VectorIndex]] for the dense arm — with a fixed
+    * [[Text.Bm25SearchQueries]]-query batch and both stores built at most
+    * once per session. This arm's bench number is the end-to-end hybrid
+    * search cost a serving stack pays per query batch: two store probes
+    * (each exchange-free on its store side) plus the O(queries × k)
+    * fusion. Oracle: the bounded BM25 twin fused with the hier-IVF twin
+    * restricted to the same qids. */
+  def hybridRrfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val queries = Text.bm25BoundedQueries(docs)
+    val lex = TextIndex.search(spark, TextIndex.sessionStore(spark, dir), queries)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val qvecs = Similarity.withNorm(Sources.embeddings(spark, dir))
+      .join(broadcast(queries.select(col("qid").as("vec_id"))), Seq("vec_id"))
+    val dense = VectorIndex.search(spark, VectorIndex.sessionStore(spark, dir), qvecs)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+        col("rank"))
+    rrfFuseOf(lex, dense)
+  }
 }

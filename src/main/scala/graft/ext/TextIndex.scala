@@ -154,6 +154,16 @@ object TextIndex {
     s"${spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")}" +
       s"/graft_textindex_${VectorIndex.sha12(dir)}"
 
+  /** The (session, corpus)-memoized store: built at most once per session,
+    * every later caller searches it as-is — the deployment contract the
+    * search-only arms and the indexed hybrid measure. */
+  private[ext] def sessionStore(spark: SparkSession, dir: String): String = {
+    val store = storeFor(spark, dir)
+    if (builtThisSession.add(store))
+      build(spark, store, Sources.documents(spark, dir))
+    store
+  }
+
   /** Registered end-to-end twin: build the index for `dir`'s documents in
     * a warehouse-scoped scratch store, then search the fixture query set —
     * bit-identical to `text_bm25_topk`, so it shares that DuckDB oracle.
@@ -174,10 +184,7 @@ object TextIndex {
     * bounded query batch against the full index, no one-time indexing and
     * no corpus-proportional query growth conflated in. Its oracle is the
     * batch operator's SQL with the same bounded query set. */
-  def bm25IndexedSearch(spark: SparkSession, dir: String): DataFrame = {
-    val store = storeFor(spark, dir)
-    if (builtThisSession.add(store))
-      build(spark, store, Sources.documents(spark, dir))
-    search(spark, store, Text.bm25BoundedQueries(Sources.documents(spark, dir)))
-  }
+  def bm25IndexedSearch(spark: SparkSession, dir: String): DataFrame =
+    search(spark, sessionStore(spark, dir),
+      Text.bm25BoundedQueries(Sources.documents(spark, dir)))
 }

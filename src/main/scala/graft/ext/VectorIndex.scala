@@ -294,6 +294,21 @@ object VectorIndex {
     val store = s"${spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")}" +
       s"/graft_vecindex_${sha12(dir)}"
     build(spark, store, withNorm(Sources.embeddings(spark, dir)))
+    builtThisSession.add(store)
     search(spark, store, withNorm(Sources.embeddings(spark, dir)))
+  }
+
+  private val builtThisSession =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The (session, corpus)-memoized store — [[TextIndex.sessionStore]]'s
+    * dense sibling: built at most once per session, later callers (the
+    * indexed hybrid's dense arm) pay only the search. */
+  private[ext] def sessionStore(spark: SparkSession, dir: String): String = {
+    val store = s"${spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")}" +
+      s"/graft_vecindex_${sha12(dir)}"
+    if (builtThisSession.add(store))
+      build(spark, store, withNorm(Sources.embeddings(spark, dir)))
+    store
   }
 }

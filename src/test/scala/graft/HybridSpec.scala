@@ -71,6 +71,24 @@ class HybridSpec extends SparkSpec {
     assert(out.exists(r => r._6 > 0 && r._5 == 0), "no dense-only doc")
   }
 
+  test("indexed hybrid equals the batch arms: persisted BM25 postings + " +
+      "persisted hier-IVF store fuse bit-identically to bounded BM25 + " +
+      "the hier arm restricted to the same qids") {
+    val docs = graft.engine.Sources.documents(spark, sf)
+    val queries = Text.bm25BoundedQueries(docs)
+    val qids = queries.select("qid").collect().map(_.getLong(0)).toSet
+    val lex = Text.bm25TopKOf(docs, queries)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val dense = Similarity.annIvfHier(spark, sf)
+      .where(col("query_id").isin(qids.toSeq: _*))
+      .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+        col("rank"))
+    val want = Hybrid.rrfFuseOf(lex, dense).collect().map(key).toSeq.sorted
+    val got = Hybrid.hybridRrfIndexed(spark, sf).collect().map(key).toSeq.sorted
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("probe-filter identity: the hybrid's dense arm equals the full " +
       "k-means IVF arm restricted to the query ids") {
     val docs = graft.engine.Sources.documents(spark, sf)
