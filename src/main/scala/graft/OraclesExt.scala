@@ -1124,6 +1124,53 @@ object OraclesExt {
     rrfFusionSql(textBm25Bounded, denseSql)
   }
 
+  /** Twin of Hybrid.retrievalQuality — known-item hit rate + micro-unit
+    * MRR of the bounded BM25 arm ([[textBm25Bounded]]) and the indexed
+    * hybrid arm ([[textHybridRrfIndexed]]), each nested verbatim; rr
+    * contribution `1000000 // rank`, MRR = Σrr `//` the bounded query
+    * count. Pure BIGINT end to end. */
+  lazy val textRetrievalQuality: String = {
+    import graft.ext.Text.{Bm25QueryPct, Bm25SearchQueries}
+    def armSql(name: String, resSql: String): String =
+      s"""SELECT '$name' AS arm,
+         |  CAST(count(CASE WHEN qid = doc_id THEN 1 END) AS BIGINT) AS hits_at_k,
+         |  CAST(COALESCE(SUM(CASE WHEN qid = doc_id
+         |      THEN 1000000 // CAST(rank AS BIGINT) END), 0) AS BIGINT) AS rr_sum
+         |FROM ($resSql)""".stripMargin
+    s"""WITH nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM (
+       |    SELECT doc_id FROM (
+       |      SELECT doc_id, ${mixSql("doc_id")} % 100 AS b FROM documents)
+       |    WHERE b >= ${100 - Bm25QueryPct}
+       |    ORDER BY ${mixSql("doc_id")}, doc_id LIMIT $Bm25SearchQueries)),
+       |arms AS (
+       |  ${armSql("bm25", textBm25Bounded)}
+       |  UNION ALL
+       |  ${armSql("hybrid_rrf", textHybridRrfIndexed)})
+       |SELECT arm, (SELECT n_queries FROM nq) AS n_queries, hits_at_k,
+       |  CAST(rr_sum // (SELECT n_queries FROM nq) AS BIGINT) AS mrr_ppm
+       |FROM arms ORDER BY arm""".stripMargin
+  }
+
+  /** Twin of Hybrid.contextPack — greedy prefix packing of the indexed
+    * hybrid's fused top-k into the token budget: rank-ordered running
+    * token total per qid, rows kept while it fits. The window SUM runs
+    * over unique ranks, so DuckDB's RANGE default frame equals Spark's
+    * explicit ROWS frame. */
+  lazy val textContextPack: String = {
+    import graft.ext.Hybrid.CtxBudgetTokens
+    s"""WITH hy AS (SELECT qid, rank, doc_id FROM ($textHybridRrfIndexed)),
+       |dls AS (SELECT doc_id,
+       |    CAST(len(list_filter($toks, x -> x <> '')) AS BIGINT) AS doc_tokens
+       |  FROM documents),
+       |c AS (SELECT hy.qid, hy.rank, hy.doc_id, dls.doc_tokens,
+       |    CAST(SUM(dls.doc_tokens) OVER (
+       |      PARTITION BY hy.qid ORDER BY hy.rank) AS BIGINT) AS cum_tokens
+       |  FROM hy JOIN dls USING (doc_id))
+       |SELECT qid, rank, doc_id, doc_tokens, cum_tokens
+       |FROM c WHERE cum_tokens <= $CtxBudgetTokens
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** The two-level quantizer CTE chain shared by [[simAnnIvfHier]] and
     * [[simAnnIvfPq]] — K₁ fixed L1 cells (seeds + Lloyd rounds, prefixed
     * h*), per-cell sub-centroid table (s*: per-L1 seeds by (mix, vec_id),
@@ -2191,6 +2238,64 @@ object OraclesExt {
        |ORDER BY media_id_a, media_id_b""".stripMargin
   }
 
+  /** Twin of Multimodal.audioDupPairs. The WAV near-dup corpus is a pure
+    * function of the content id (the shared phashContentId planting: id,
+    * or id−4 with sample 0 lifted +1 capped 255): decoded PCM level k is
+    * LCG step k+1 of cid, so the 64-window energy sums, the sign bits, the
+    * 64-bit fingerprint pack, the 4×16-bit bands and the Hamming verify
+    * all replay in integer SQL — the [[mediaPhashPairs]] chain with the
+    * tile means replaced by time-window energy sums. */
+  val mediaAudioDups: String = {
+    import graft.ext.Multimodal.{AudioFpWindows, AudioFpWindowSamples, PhashHammingMax}
+    val A = "6364136223846793005"
+    val C = "1442695040888963407"
+    val M64 = "18446744073709551616" // 2^64
+    val TOP = "72057594037927936" // 2^56
+    val n = AudioFpWindows * AudioFpWindowSamples
+    s"""WITH RECURSIVE ids AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 7 THEN doc_id - 4 ELSE doc_id END AS cid
+       |  FROM documents),
+       |gen AS (
+       |  SELECT doc_id, 0 AS i,
+       |    ((CAST(cid AS HUGEINT) * $A + $C) % $M64) AS s
+       |  FROM ids
+       |  UNION ALL
+       |  SELECT doc_id, i + 1, ((s * $A + $C) % $M64) FROM gen WHERE i < $n),
+       |lv AS (
+       |  SELECT g.doc_id, g.i - 1 AS k,
+       |    CASE WHEN g.doc_id % 10 = 7 AND g.i = 1
+       |         THEN LEAST(255, s // $TOP + 1) ELSE s // $TOP END AS l
+       |  FROM gen g WHERE g.i >= 1),
+       |ws AS (SELECT doc_id, (k * $AudioFpWindows) // $n AS w,
+       |    CAST(SUM(l) AS BIGINT) AS wsum
+       |  FROM lv GROUP BY doc_id, w),
+       |tot AS (SELECT doc_id, CAST(SUM(l) AS BIGINT) AS total FROM lv GROUP BY doc_id),
+       |bits AS (
+       |  SELECT ws.doc_id, CAST(w AS INT) AS t,
+       |    CASE WHEN $AudioFpWindows * wsum > total THEN 1 ELSE 0 END AS bit
+       |  FROM ws JOIN tot USING (doc_id)),
+       |hash AS (
+       |  SELECT doc_id, CAST(SUM(CASE
+       |      WHEN t = 63 THEN CAST(bit AS BIGINT) * (-9223372036854775807 - 1)
+       |      ELSE CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << t) END) AS BIGINT)
+       |    AS phash
+       |  FROM bits GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, phash, b, (phash >> (16 * b)) & 65535 AS v
+       |  FROM hash, (SELECT unnest(generate_series(0, 3)) AS b) bb),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS media_id_a, c.doc_id AS media_id_b,
+       |    a.phash AS pa, c.phash AS pb
+       |  FROM bands a JOIN bands c ON a.b = c.b AND a.v = c.v
+       |    AND a.doc_id < c.doc_id)
+       |SELECT media_id_a, media_id_b,
+       |  CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming_dist,
+       |  bit_count(xor(pa, pb)) <= $PhashHammingMax AS is_near
+       |FROM cand
+       |ORDER BY media_id_a, media_id_b""".stripMargin
+  }
+
   /** Image rows are REAL PNGs of solid gray `(doc_id·A + C) >>> 56` (the
     * LCG's step-0 top byte — `gen` at i = 0): the decoded per-pixel mean is
     * exactly that level. Audio rows are REAL WAV PCM16 whose decoded 8-bit
@@ -3022,6 +3127,9 @@ object OraclesExt {
     "text_bm25_index_search" -> textBm25Bounded,
     "text_hybrid_rrf" -> textHybridRrf,
     "text_hybrid_rrf_indexed" -> textHybridRrfIndexed,
+    "text_retrieval_quality" -> textRetrievalQuality,
+    "text_context_pack" -> textContextPack,
+    "media_audio_dups" -> mediaAudioDups,
     "text_blocklist_filter" -> textBlocklistFilter,
     "text_langid_confusion" -> textLangidConfusion,
     "sampling_cluster_balanced" -> samplingClusterBalanced,

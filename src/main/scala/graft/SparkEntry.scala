@@ -73,6 +73,9 @@ object SparkEntry {
       ext.Hybrid.hybridRrf(s, d).orderBy("qid", "rank")),
     "text_hybrid_rrf_indexed" -> ((s, d) =>
       ext.Hybrid.hybridRrfIndexed(s, d).orderBy("qid", "rank")),
+    "text_retrieval_quality" -> ((s, d) => ext.Hybrid.retrievalQuality(s, d)),
+    "text_context_pack" -> ((s, d) =>
+      ext.Hybrid.contextPack(s, d).orderBy("qid", "rank")),
     "text_blocklist_filter" -> ((s, d) =>
       ext.Text.blocklistFilter(s, d).orderBy("doc_id")),
     "text_langid_confusion" -> ((s, d) =>
@@ -223,6 +226,8 @@ object SparkEntry {
       ext.Multimodal.resizeSummary(s, d).orderBy("kind")),
     "media_phash_pairs" -> ((s, d) =>
       ext.Multimodal.phashPairs(s, d).orderBy("media_id_a", "media_id_b")),
+    "media_audio_dups" -> ((s, d) =>
+      ext.Multimodal.audioDupPairs(s, d).orderBy("media_id_a", "media_id_b")),
     // the reference README's documented BI consumer queries
     // (reference: README.md:216-236; O2 top-K → TakeOrderedAndProject)
     "consumer_top_clv" -> ((s, d) =>

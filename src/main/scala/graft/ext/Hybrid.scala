@@ -110,4 +110,76 @@ object Hybrid {
         col("rank"))
     rrfFuseOf(lex, dense)
   }
+
+  // ---------------------- retrieval quality (known-item MRR audit) ------
+
+  /** Per-arm known-item stats of a (qid, rank, doc_id) top-k list: hit
+    * rate and MRR at the arm's k, exact-integer (reciprocal ranks in
+    * micro-units, `1e6 // rank`, MRR = their sum `//` the query count) —
+    * the retrieval sibling of the ANN recall audits: quality as data, so
+    * drift in the retrieval stack is a queryable number, not a vibe. */
+  def retrievalQualityOf(arm: String, results: DataFrame,
+                         nQueries: DataFrame): DataFrame =
+    results.where(col("qid") === col("doc_id"))
+      .agg(count(lit(1)).as("hits_at_k"),
+        coalesce(sum(Num.idiv(lit(1000000L), col("rank").cast("long"))),
+          lit(0L)).as("rr_sum"))
+      .crossJoin(broadcast(nQueries))
+      .select(lit(arm).as("arm"), col("n_queries"), col("hits_at_k"),
+        Num.idiv(col("rr_sum"), col("n_queries")).as("mrr_ppm"))
+
+  /** Registered harness: the fixed [[Text.Bm25SearchQueries]]-query
+    * known-item batch scored by BOTH deployment arms — lexical BM25 (the
+    * batch operator, bit-identical to the [[TextIndex]] search by
+    * construction) and the fused hybrid ([[hybridRrfIndexed]]) — at the
+    * shared k ([[Text.Bm25TopK]] == [[FusedTopK]]). The dense arm excludes
+    * self like every ANN arm here, so the hybrid self-hit rides only the
+    * lexical contribution: the audit MEASURES what consensus fusion costs
+    * (or buys) on known-item lookup, per corpus, as an oracle-checked
+    * number. Aggregation is O(queries × k) on top of the arms. */
+  def retrievalQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val queries = Text.bm25BoundedQueries(docs)
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    retrievalQualityOf("bm25", Text.bm25TopKOf(docs, queries), nq)
+      .unionByName(retrievalQualityOf("hybrid_rrf",
+        hybridRrfIndexed(spark, dir), nq))
+      .orderBy("arm")
+  }
+
+  // ---------------------- context packing (RAG assembly) ----------------
+
+  /** Token budget of the packed retrieval context. Fixture docs run
+    * 10–99 tokens (median ≈56), so a 128-token budget packs 1–3 of the
+    * 5 fused hits — the cut is exercised at every SF. */
+  val CtxBudgetTokens = 128L
+
+  /** PRODUCTION ENTRY — greedy prefix packing of ANY (qid, rank, doc_id)
+    * retrieval list into a per-query token budget: docs enter in rank
+    * order, the list stops at the first overflow (prefix packing — rank
+    * order IS the relevance order, so skipping a long doc to admit a
+    * worse one is not done). One broadcast-sized window per qid; the doc
+    * length join is the only shuffle. Output keeps the running total so
+    * the packed context is audit-ready (qid, rank, doc_id, doc_tokens,
+    * cum_tokens ≤ budget). */
+  def contextPackOf(results: DataFrame, docs: DataFrame,
+                    budget: Long): DataFrame = {
+    val dls = docs.select(col("doc_id"),
+      size(filter(Text.tokens(col("text")), t => t =!= ""))
+        .cast("long").as("doc_tokens"))
+    val w = Window.partitionBy("qid").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    results.select("qid", "rank", "doc_id")
+      .join(dls, Seq("doc_id"))
+      .withColumn("cum_tokens", sum(col("doc_tokens")).over(w))
+      .where(col("cum_tokens") <= budget)
+      .select("qid", "rank", "doc_id", "doc_tokens", "cum_tokens")
+  }
+
+  /** Registered harness: pack the indexed hybrid's fused top-k into the
+    * [[CtxBudgetTokens]] budget — the context-assembly step a RAG serving
+    * stack runs between retrieval and the model call. */
+  def contextPack(spark: SparkSession, dir: String): DataFrame =
+    contextPackOf(hybridRrfIndexed(spark, dir),
+      Sources.documents(spark, dir), CtxBudgetTokens)
 }

@@ -148,8 +148,13 @@ object Multimodal {
 
     /** Genuine RIFF/WAV: 44-byte canonical header + PCM16LE mono frames.
       * Sample k = (byte_k − 128)·256, so the decoded 8-bit level is byte_k. */
-    def encode(id: Long): Array[Byte] = {
-      val data = lcgLevels(id, Samples).flatMap { b =>
+    def encode(id: Long): Array[Byte] = encodeLevels(lcgLevels(id, Samples))
+
+    /** RIFF/WAV from an explicit 8-bit level stream — shared by the feature
+      * corpus ([[encode]]) and the audio near-dup corpus
+      * ([[Multimodal.audioDupCorpus]], which perturbs one sample). */
+    def encodeLevels(levels: Array[Int]): Array[Byte] = {
+      val data = levels.flatMap { b =>
         val s = (b - 128) * 256
         Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
       }
@@ -698,4 +703,77 @@ object Multimodal {
   /** Registered harness: hash the synthetic tiled corpus, band, verify. */
   def phashPairs(spark: SparkSession, dir: String): DataFrame =
     phashPairsOf(phashOf(balancedByBytes(phashCorpus(spark, dir), 8)))
+
+  // ------------------- audio perceptual near-dup (energy fingerprint) ----
+
+  /** Audio fingerprint geometry: the decoded PCM stream is split into
+    * [[AudioFpWindows]] equal time windows; bit j of the 64-bit fingerprint
+    * is [window-j energy > clip mean] — the energy-envelope analogue of the
+    * image average hash, and the same family as published audio
+    * fingerprints (Haitsma-Kalker energy-band signs), kept exact-integer
+    * so the DuckDB twin replays it bit-for-bit. */
+  val AudioFpWindows = 64
+  /** Samples per window in the synthetic near-dup corpus (clip = 256). */
+  val AudioFpWindowSamples = 4
+
+  /** Synthetic audio corpus for the near-dup path: one REAL WAV per
+    * doc_id; every id % 10 == 7 re-renders the SAMPLE STREAM of id−4
+    * (the [[phashContentId]] planting scheme, shared with the image
+    * fixture) with sample 0 lifted one level (capped 255) — a true
+    * near-identical clip pair at every SF, exactly replayable in SQL. */
+  def audioDupCorpus(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    val n = AudioFpWindows * AudioFpWindowSamples
+    Sources.documents(spark, dir).select("doc_id").as[Long].map { id =>
+      val lv = lcgLevels(phashContentId(id), n)
+      if (id % 10 == 7) lv(0) = math.min(255, lv(0) + 1)
+      MediaFile(id, "audio", s"lake://audio/$id", 0, 0, n,
+        WavCodec.encodeLevels(lv))
+    }
+  }
+
+  /** REAL WAV decode → 64-bit energy fingerprint, batched like
+    * [[phashOf]] (map-only; no shuffle): `AudioSystem` parses the RIFF
+    * container, every PCM16 frame folds into its time window's level sum
+    * (window of frame k = k·W/n — any clip length), then bit j =
+    * [W·wsum_j > Σlevels], cross-multiplied so the mean threshold never
+    * touches a float. Emits [[PhashRow]] so the Hamming-banded pair scan
+    * ([[phashPairsOf]]) is shared verbatim with the image path. */
+  def audioFingerprintOf(media: Dataset[MediaFile]): Dataset[PhashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(DecodeBatch).flatMap(_.map { m =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(m.content))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"unexpected WAV layout: $fmt")
+      val nFrames = ais.getFrameLength.toInt
+      val raw = ais.readAllBytes()
+      val wsum = new Array[Long](AudioFpWindows)
+      var total = 0L
+      var k = 0
+      while (k < nFrames) {
+        val lo = raw(2 * k) & 0xff
+        val hi = raw(2 * k + 1).toInt // sign-carrying high byte
+        val level = ((((hi << 8) | lo) >> 8) + 128).toLong
+        wsum(k * AudioFpWindows / nFrames) += level
+        total += level
+        k += 1
+      }
+      var hash = 0L
+      var j = 0
+      while (j < AudioFpWindows) {
+        if (wsum(j) * AudioFpWindows > total) hash |= (1L << j)
+        j += 1
+      }
+      PhashRow(m.media_id, hash)
+    }))
+  }
+
+  /** Registered harness: fingerprint the synthetic WAV corpus through the
+    * real codec, then the SHARED Hamming-banded near-dup pair scan —
+    * text ([[Dedup]]), image ([[phashPairs]]) and audio dedup all ride the
+    * same banded candidate machinery. */
+  def audioDupPairs(spark: SparkSession, dir: String): DataFrame =
+    phashPairsOf(audioFingerprintOf(balancedByBytes(audioDupCorpus(spark, dir), 8)))
 }

@@ -103,4 +103,50 @@ class HybridSpec extends SparkSpec {
     val got = Hybrid.hybridRrf(spark, sf).collect().map(key).toSeq.sorted
     assert(got === want)
   }
+
+  test("retrieval quality: exact integer hit/MRR arithmetic over self-hits") {
+    val res = ranks(Seq(
+      (1L, 1L, 1),  // qid 1: self at rank 1 -> rr 1000000
+      (1L, 9L, 2),
+      (2L, 7L, 1),
+      (2L, 2L, 3),  // qid 2: self at rank 3 -> rr 1000000//3 = 333333
+      (3L, 8L, 1))) // qid 3: no self-hit
+    val nq = Seq(3L).toDF("n_queries")
+    val got = Hybrid.retrievalQualityOf("arm", res, nq).collect().head
+    assert(got.getAs[String]("arm") === "arm")
+    assert(got.getAs[Long]("n_queries") === 3L)
+    assert(got.getAs[Long]("hits_at_k") === 2L)
+    assert(got.getAs[Long]("mrr_ppm") === (1000000L + 333333L) / 3L) // 444444
+  }
+
+  test("retrieval quality: zero self-hits yields mrr 0, never null") {
+    val got = Hybrid.retrievalQualityOf("arm",
+        ranks(Seq((1L, 9L, 1))), Seq(5L).toDF("n_queries")).collect().head
+    assert(got.getAs[Long]("hits_at_k") === 0L)
+    assert(got.getAs[Long]("mrr_ppm") === 0L)
+  }
+
+  test("context pack: greedy prefix stops at the first overflow; the budget " +
+      "boundary is inclusive; an oversized rank-1 doc packs nothing") {
+    def doc(id: Long, tokens: Int) = (id, Seq.fill(tokens)("w").mkString(" "))
+    val docs = Seq(doc(10L, 60), doc(11L, 50), doc(12L, 30), doc(13L, 200))
+      .toDF("doc_id", "text")
+    val res = ranks(Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // 60, 110, 140 cumulative
+      (2L, 13L, 1), (2L, 12L, 2)))              // rank-1 doc alone overflows
+    val got = Hybrid.contextPackOf(res, docs, 128L)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("doc_tokens"),
+        r.getAs[Long]("cum_tokens"))).toSeq
+    // qid 1 keeps ranks 1-2 (cum 60, 110 <= 128), drops rank 3 (140);
+    // qid 2's rank-1 doc is 200 tokens: the prefix is empty, and rank 2 is
+    // NOT admitted past it (prefix packing preserves rank order)
+    assert(got === Seq((1L, 1, 10L, 60L, 60L), (1L, 2, 11L, 50L, 110L)))
+    // boundary: budget exactly at the running total keeps the row
+    val exact = Hybrid.contextPackOf(res, docs, 110L)
+      .where($"qid" === 1L).orderBy("rank").collect()
+      .map(_.getAs[Long]("cum_tokens")).toSeq
+    assert(exact === Seq(60L, 110L))
+  }
 }

@@ -225,6 +225,55 @@ class MultimodalSpec extends SparkSpec {
       r.getAs[Long]("media_id_a") == 3L).forall(!_.getAs[Boolean]("is_near")))
   }
 
+  test("audio: a re-rendered clip pair lands within the Hamming gate through " +
+      "a REAL WAV decode; an unrelated clip does not") {
+    import spark.implicits._
+    val n = Multimodal.AudioFpWindows * Multimodal.AudioFpWindowSamples
+    def clip(id: Long, cid: Long, perturb: Boolean): MediaFile = {
+      val lv = Multimodal.lcgLevels(cid, n)
+      if (perturb) lv(0) = math.min(255, lv(0) + 1)
+      MediaFile(id, "audio", s"u$id", 0, 0, n, Multimodal.WavCodec.encodeLevels(lv))
+    }
+    val media = Seq(clip(1L, 99L, perturb = false), clip(2L, 99L, perturb = true),
+      clip(3L, 1234L, perturb = false)).toDS()
+    // the fingerprint must come from the DECODED frames: recompute it from
+    // the level stream directly and demand bit-identity with the codec path
+    val fps = Multimodal.audioFingerprintOf(media).collect()
+      .map(r => r.media_id -> r.phash).toMap
+    def expectFp(cid: Long, perturb: Boolean): Long = {
+      val lv = Multimodal.lcgLevels(cid, n)
+      if (perturb) lv(0) = math.min(255, lv(0) + 1)
+      val w = Multimodal.AudioFpWindows
+      val ws = Array.tabulate(w)(j =>
+        lv.slice(j * n / w, (j + 1) * n / w).map(_.toLong).sum)
+      val total = ws.sum
+      (0 until w).foldLeft(0L)((h, j) =>
+        if (ws(j) * w > total) h | (1L << j) else h)
+    }
+    assert(fps(1L) === expectFp(99L, perturb = false))
+    assert(fps(2L) === expectFp(99L, perturb = true))
+    val pairs = Multimodal.phashPairsOf(Multimodal.audioFingerprintOf(media)).collect()
+    val near = pairs.find(r => r.getAs[Long]("media_id_a") == 1L &&
+      r.getAs[Long]("media_id_b") == 2L)
+    assert(near.isDefined, s"planted near-dup clip pair not in candidates: ${pairs.toSeq}")
+    assert(near.get.getAs[Boolean]("is_near"),
+      s"hamming=${near.get.getAs[Long]("hamming_dist")} exceeds the gate")
+    assert(pairs.filter(r => r.getAs[Long]("media_id_b") == 3L ||
+      r.getAs[Long]("media_id_a") == 3L).forall(!_.getAs[Boolean]("is_near")))
+  }
+
+  test("audio dup scan: map-only fingerprinting, banded candidates, all " +
+      "planted pairs detected at the fixture SF") {
+    val df = Multimodal.audioDupPairs(spark, sf)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    val near = df.where(org.apache.spark.sql.functions.col("is_near")).collect()
+    val planted = near.filter(r => r.getAs[Long]("media_id_b") -
+      r.getAs[Long]("media_id_a") == 4 && r.getAs[Long]("media_id_b") % 10 == 7)
+    assert(planted.length === 50, s"expected the 50 planted pairs, got ${planted.length}")
+  }
+
   test("phash: hashing is map-only and the candidate join is banded — never all-pairs") {
     val df = Multimodal.phashPairs(spark, sf)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
