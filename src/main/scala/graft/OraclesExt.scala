@@ -120,6 +120,27 @@ object OraclesExt {
        |GROUP BY bigram
        |ORDER BY bigram""".stripMargin
 
+  /** Twin of Text.bpeMergeCandidates — adjacent character-pair frequencies
+    * at distinct-token grain weighted by token corpus counts, top-K by
+    * (count DESC, a, b). 1-indexed substring and character len() agree with
+    * Spark on the ASCII fixture (and on UTF-8 generally: both count
+    * characters). */
+  val textBpeMerges: String = {
+    import graft.ext.Text.BpeTopMerges
+    s"""WITH tok AS (SELECT unnest(list_filter($toks, x -> x <> '')) AS token
+       |  FROM documents),
+       |tc AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+       |pairs AS (
+       |  SELECT substring(token, CAST(i AS INT), 1) AS a,
+       |    substring(token, CAST(i AS INT) + 1, 1) AS b, c
+       |  FROM (SELECT token, c,
+       |      unnest(generate_series(1, len(token) - 1)) AS i
+       |    FROM tc WHERE len(token) >= 2))
+       |SELECT a, b, CAST(SUM(c) AS BIGINT) AS pair_count
+       |FROM pairs GROUP BY a, b
+       |ORDER BY pair_count DESC, a, b LIMIT $BpeTopMerges""".stripMargin
+  }
+
   val textTopTfidf: String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest($toks) AS token FROM documents),
@@ -3204,6 +3225,7 @@ object OraclesExt {
     "text_token_frequency" -> textTokenFrequency,
     "text_length_quantiles" -> textLengthQuantiles,
     "text_bigram_frequency" -> textBigramFrequency,
+    "text_bpe_merges" -> textBpeMerges,
     "text_top_tfidf" -> textTopTfidf,
     "dedup_exact" -> dedupExact,
     "dedup_incremental_bloom" -> dedupIncrementalNew,

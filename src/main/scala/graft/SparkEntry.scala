@@ -56,6 +56,7 @@ object SparkEntry {
     "text_token_frequency" -> ((s, d) => ext.Text.tokenFrequency(s, d).orderBy("token")),
     "text_length_quantiles" -> ((s, d) => ext.Text.lengthQuantiles(s, d).orderBy("lang")),
     "text_bigram_frequency" -> ((s, d) => ext.Text.bigramFrequency(s, d).orderBy("bigram")),
+    "text_bpe_merges" -> ((s, d) => ext.Text.bpeMergeCandidates(s, d)),
     "text_top_tfidf" -> ((s, d) => ext.Text.topTfidfTerms(s, d).orderBy("doc_id", "rank")),
     "text_gopher_rules" -> ((s, d) => ext.Text.gopherRules(s, d).orderBy("doc_id")),
     "text_lm_score" -> ((s, d) => ext.Text.lmScore(s, d).orderBy("doc_id")),

@@ -155,6 +155,41 @@ object Text {
         count(lit(1)).as("occurrences"),
         countDistinct(col("doc_id")).as("doc_frequency"))
 
+  /** Merge candidates kept by [[bpeMergeCandidatesOf]]. */
+  val BpeTopMerges = 32
+
+  /** BPE MERGE MINING — one training round of byte-pair encoding
+    * (Sennrich et al., ACL 2016) over the corpus: the adjacent
+    * character-pair frequencies whose argmax IS the next BPE merge, and
+    * whose top-[[BpeTopMerges]] table is the tokenizer-induction report a
+    * corpus release reviews (which merges this data would teach a fresh
+    * tokenizer). Iterating = apply the top merge to the vocab and re-run —
+    * each round is this same fold.
+    *
+    * Scale shape: the ONLY corpus-grain work is the token-count hash-agg
+    * (map-side partials over the scan); pair explosion happens at
+    * DISTINCT-TOKEN grain — vocabulary, not corpus — so a 100 TB corpus
+    * pays one token shuffle and then |vocab|·avg_len cheap rows. The
+    * top-K is a bounded TakeOrdered, never a global sort. */
+  def bpeMergeCandidatesOf(docs: DataFrame): DataFrame = {
+    val tokCounts = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    tokCounts
+      .where(length(col("token")) >= 2)
+      .select(col("token"), col("c"),
+        explode(sequence(lit(1), length(col("token")) - 1)).as("i"))
+      .select(col("token").substr(col("i"), lit(1)).as("a"),
+        col("token").substr(col("i") + 1, lit(1)).as("b"), col("c"))
+      .groupBy("a", "b").agg(sum(col("c")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("a"), col("b"))
+      .limit(BpeTopMerges)
+  }
+
+  def bpeMergeCandidates(spark: SparkSession, dir: String): DataFrame =
+    bpeMergeCandidatesOf(Sources.documents(spark, dir))
+
   /** All word n-grams in position order (NOT distinct — frequency weighting
     * wants every occurrence; [[graft.ext.Dedup.shingles]] is the distinct
     * set variant). */

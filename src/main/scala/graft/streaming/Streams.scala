@@ -941,15 +941,45 @@ object Streams {
       }
       .start()
 
+  /** STREAMING AUDIO NEAR-DUP INGESTION — the same gate over the audio
+    * energy fingerprint ([[graft.ext.Multimodal.audioFingerprintOf]] —
+    * real WAV decode, map-only): fingerprints land in one 64-bit hash
+    * space, so the band store, probe join, keep-lowest rule and replay
+    * discipline are the [[phashIngest]] machinery verbatim. */
+  def audioDupIngest(media: DataFrame, storePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestAudioDupBatch(batch, storePath, batchId)
+      }
+      .start()
+
   /** One micro-batch of [[phashIngest]]. */
   private[graft] def ingestPhashBatch(batch0: DataFrame, storePath: String,
-                                      batchId: Long): Unit = {
+                                      batchId: Long): Unit =
+    ingestFingerprintBatch(batch0, storePath, batchId,
+      graft.ext.Multimodal.phashOf)
+
+  /** One micro-batch of [[audioDupIngest]]. */
+  private[graft] def ingestAudioDupBatch(batch0: DataFrame, storePath: String,
+                                         batchId: Long): Unit =
+    ingestFingerprintBatch(batch0, storePath, batchId,
+      graft.ext.Multimodal.audioFingerprintOf)
+
+  /** The shared micro-batch body: any real-decode 64-bit fingerprint
+    * ([[graft.ext.Multimodal.PhashRow]]) rides the same banded store. */
+  private def ingestFingerprintBatch(
+      batch0: DataFrame, storePath: String, batchId: Long,
+      hashFn: org.apache.spark.sql.Dataset[graft.ext.Multimodal.MediaFile] =>
+        org.apache.spark.sql.Dataset[graft.ext.Multimodal.PhashRow]): Unit = {
     import graft.ext.Multimodal
     val spark = batch0.sparkSession
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hashes = Multimodal.phashOf(
+    val hashes = hashFn(
       Multimodal.balancedByBytes(batch0.as[Multimodal.MediaFile],
         spark.sparkContext.defaultParallelism)).toDF().persist()
     val newBands = Multimodal.phashBands(hashes).persist()

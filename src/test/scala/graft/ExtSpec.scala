@@ -221,6 +221,25 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists(!_.getAs[Boolean]("passes_all")), "every doc passes — vacuous gates")
   }
 
+  test("bpe merge mining: pair counts weight by token frequency; top-K is a " +
+      "bounded TakeOrdered at distinct-token grain") {
+    import spark.implicits._
+    // tokens: ab x2, cd x1, abc x1 -> pairs (a,b)=2+1, (b,c)=1, (c,d)=1
+    val docs = Seq((1L, "ab ab cd"), (2L, "abc")).toDF("doc_id", "text")
+    val got = graft.ext.Text.bpeMergeCandidatesOf(docs).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Long]("pair_count"))).toSeq
+    assert(got === Seq(("a", "b", 3L), ("b", "c", 1L), ("c", "d", 1L)))
+    // single-char tokens contribute nothing (and never hit the descending-
+    // sequence trap)
+    assert(graft.ext.Text.bpeMergeCandidatesOf(
+      Seq((1L, "a b c")).toDF("doc_id", "text")).count() === 0L)
+    // plan: bounded top-k, never a global sort
+    val p = graft.ext.Text.bpeMergeCandidates(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
   test("repetition: fractions in [0,1], dup+distinct consistent, both verdicts occur") {
     val rows = graft.ext.Text.repetition(spark, sf).collect()
     rows.foreach { r =>
