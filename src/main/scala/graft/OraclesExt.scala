@@ -2317,6 +2317,63 @@ object OraclesExt {
        |ORDER BY media_id_a, media_id_b""".stripMargin
   }
 
+  /** Twin of Multimodal.videoDupPairs — the [[mediaAudioDups]] chain at
+    * video geometry: 128 solid-gray frames per clip, 64 two-frame temporal
+    * windows. Per-frame pixel sums are level·w·h, so the constant raster
+    * factor cancels out of the cross-multiplied threshold and the SQL
+    * compares pure LCG levels — exactly what the real chunk-walk decode
+    * computes up to that shared factor. */
+  val mediaVideoDups: String = {
+    import graft.ext.Multimodal.{VideoFpWindows, VideoFpWindowFrames, PhashHammingMax}
+    val A = "6364136223846793005"
+    val C = "1442695040888963407"
+    val M64 = "18446744073709551616" // 2^64
+    val TOP = "72057594037927936" // 2^56
+    val n = VideoFpWindows * VideoFpWindowFrames
+    s"""WITH RECURSIVE ids AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 7 THEN doc_id - 4 ELSE doc_id END AS cid
+       |  FROM documents),
+       |gen AS (
+       |  SELECT doc_id, 0 AS i,
+       |    ((CAST(cid AS HUGEINT) * $A + $C) % $M64) AS s
+       |  FROM ids
+       |  UNION ALL
+       |  SELECT doc_id, i + 1, ((s * $A + $C) % $M64) FROM gen WHERE i < $n),
+       |lv AS (
+       |  SELECT g.doc_id, g.i - 1 AS k,
+       |    CASE WHEN g.doc_id % 10 = 7 AND g.i = 1
+       |         THEN LEAST(255, s // $TOP + 1) ELSE s // $TOP END AS l
+       |  FROM gen g WHERE g.i >= 1),
+       |ws AS (SELECT doc_id, (k * $VideoFpWindows) // $n AS w,
+       |    CAST(SUM(l) AS BIGINT) AS wsum
+       |  FROM lv GROUP BY doc_id, w),
+       |tot AS (SELECT doc_id, CAST(SUM(l) AS BIGINT) AS total FROM lv GROUP BY doc_id),
+       |bits AS (
+       |  SELECT ws.doc_id, CAST(w AS INT) AS t,
+       |    CASE WHEN $VideoFpWindows * wsum > total THEN 1 ELSE 0 END AS bit
+       |  FROM ws JOIN tot USING (doc_id)),
+       |hash AS (
+       |  SELECT doc_id, CAST(SUM(CASE
+       |      WHEN t = 63 THEN CAST(bit AS BIGINT) * (-9223372036854775807 - 1)
+       |      ELSE CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << t) END) AS BIGINT)
+       |    AS phash
+       |  FROM bits GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, phash, b, (phash >> (16 * b)) & 65535 AS v
+       |  FROM hash, (SELECT unnest(generate_series(0, 3)) AS b) bb),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS media_id_a, c.doc_id AS media_id_b,
+       |    a.phash AS pa, c.phash AS pb
+       |  FROM bands a JOIN bands c ON a.b = c.b AND a.v = c.v
+       |    AND a.doc_id < c.doc_id)
+       |SELECT media_id_a, media_id_b,
+       |  CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming_dist,
+       |  bit_count(xor(pa, pb)) <= $PhashHammingMax AS is_near
+       |FROM cand
+       |ORDER BY media_id_a, media_id_b""".stripMargin
+  }
+
   /** Image rows are REAL PNGs of solid gray `(doc_id·A + C) >>> 56` (the
     * LCG's step-0 top byte — `gen` at i = 0): the decoded per-pixel mean is
     * exactly that level. Audio rows are REAL WAV PCM16 whose decoded 8-bit
@@ -3151,6 +3208,7 @@ object OraclesExt {
     "text_retrieval_quality" -> textRetrievalQuality,
     "text_context_pack" -> textContextPack,
     "media_audio_dups" -> mediaAudioDups,
+    "media_video_dups" -> mediaVideoDups,
     "text_blocklist_filter" -> textBlocklistFilter,
     "text_langid_confusion" -> textLangidConfusion,
     "sampling_cluster_balanced" -> samplingClusterBalanced,

@@ -776,4 +776,80 @@ object Multimodal {
     * same banded candidate machinery. */
   def audioDupPairs(spark: SparkSession, dir: String): DataFrame =
     phashPairsOf(audioFingerprintOf(balancedByBytes(audioDupCorpus(spark, dir), 8)))
+
+  // ------------------ video perceptual near-dup (temporal fingerprint) ----
+
+  /** Video fingerprint geometry: the decoded clip is split into
+    * [[VideoFpWindows]] equal TEMPORAL windows ([[VideoFpWindowFrames]]
+    * frames each in the synthetic corpus); bit j = [window-j pixel-sum >
+    * clip mean] cross-multiplied in integers — the temporal twin of the
+    * image average hash (TMK/temporal-mean-kernel family), robust to
+    * per-frame noise because each bit pools a window. */
+  val VideoFpWindows = 64
+  val VideoFpWindowFrames = 2
+  /** Near-dup corpus frame geometry (small on purpose: the fingerprint
+    * pools whole frames, so raster size only scales decode cost). */
+  val VideoDupW = 16
+  val VideoDupH = 16
+
+  /** Synthetic video corpus for the near-dup path: one REAL uncompressed
+    * AVI per doc_id, 128 solid-gray frames at LCG steps of the content id
+    * (the shared [[phashContentId]] planting; variants lift frame 0 one
+    * level, capped 255) — true near-identical clip pairs at every SF,
+    * exactly replayable in SQL. */
+  def videoDupCorpus(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    val n = VideoFpWindows * VideoFpWindowFrames
+    Sources.documents(spark, dir).select("doc_id").as[Long].map { id =>
+      val lv = lcgLevels(phashContentId(id), n)
+      if (id % 10 == 7) lv(0) = math.min(255, lv(0) + 1)
+      MediaFile(id, "video", s"lake://videodup/$id", VideoDupW, VideoDupH, n,
+        AviCodec.encodeRaster(VideoDupW, VideoDupH,
+          lv.map(l => Array.fill(VideoDupW * VideoDupH)(l.toByte))))
+    }
+  }
+
+  /** REAL AVI chunk-walk decode → 64-bit temporal fingerprint, batched
+    * like [[phashOf]] (map-only): every frame's ACTUAL pixel bits fold
+    * into their temporal window's palette-level sum (window of frame k =
+    * k·W/n — any clip length), then bit j = [W·wsum_j > Σ] with no float
+    * anywhere. Emits [[PhashRow]]: the image/audio/video fingerprints all
+    * share the Hamming-banded pair scan ([[phashPairsOf]]). */
+  def videoFingerprintOf(media: Dataset[MediaFile]): Dataset[PhashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(DecodeBatch).flatMap(_.map { m =>
+      val p = AviCodec.parse(m.content)
+      val st = AviCodec.stride(p.width)
+      val n = p.frames.length
+      val wsum = new Array[Long](VideoFpWindows)
+      var total = 0L
+      p.frames.zipWithIndex.foreach { case ((off, _), k) =>
+        var sum = 0L
+        var y = 0
+        while (y < p.height) {
+          var x = 0
+          while (x < p.width) {
+            sum += p.palette(p.bytes(off + y * st + x) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        wsum(k * VideoFpWindows / n) += sum
+        total += sum
+      }
+      var hash = 0L
+      var j = 0
+      while (j < VideoFpWindows) {
+        if (wsum(j) * VideoFpWindows > total) hash |= (1L << j)
+        j += 1
+      }
+      PhashRow(m.media_id, hash)
+    }))
+  }
+
+  /** Registered harness: the video arm of the shared banded near-dup
+    * machinery — with this the quartet is complete: text, image, audio
+    * and video dedup all run one candidate-generation story. */
+  def videoDupPairs(spark: SparkSession, dir: String): DataFrame =
+    phashPairsOf(videoFingerprintOf(balancedByBytes(videoDupCorpus(spark, dir), 8)))
 }

@@ -968,6 +968,25 @@ object Streams {
     ingestFingerprintBatch(batch0, storePath, batchId,
       graft.ext.Multimodal.audioFingerprintOf)
 
+  /** STREAMING VIDEO NEAR-DUP INGESTION — the video arm of the shared
+    * fingerprint gate ([[graft.ext.Multimodal.videoFingerprintOf]] — real
+    * AVI chunk-walk decode, map-only). */
+  def videoDupIngest(media: DataFrame, storePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestVideoDupBatch(batch, storePath, batchId)
+      }
+      .start()
+
+  /** One micro-batch of [[videoDupIngest]]. */
+  private[graft] def ingestVideoDupBatch(batch0: DataFrame, storePath: String,
+                                         batchId: Long): Unit =
+    ingestFingerprintBatch(batch0, storePath, batchId,
+      graft.ext.Multimodal.videoFingerprintOf)
+
   /** The shared micro-batch body: any real-decode 64-bit fingerprint
     * ([[graft.ext.Multimodal.PhashRow]]) rides the same banded store. */
   private def ingestFingerprintBatch(

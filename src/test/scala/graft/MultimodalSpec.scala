@@ -274,6 +274,58 @@ class MultimodalSpec extends SparkSpec {
     assert(planted.length === 50, s"expected the 50 planted pairs, got ${planted.length}")
   }
 
+  test("video: a re-rendered clip pair lands within the Hamming gate through " +
+      "a REAL AVI chunk-walk decode; an unrelated clip does not") {
+    import spark.implicits._
+    val (w, h) = (Multimodal.VideoDupW, Multimodal.VideoDupH)
+    val n = Multimodal.VideoFpWindows * Multimodal.VideoFpWindowFrames
+    def clip(id: Long, cid: Long, perturb: Boolean): MediaFile = {
+      val lv = Multimodal.lcgLevels(cid, n)
+      if (perturb) lv(0) = math.min(255, lv(0) + 1)
+      MediaFile(id, "video", s"u$id", w, h, n,
+        Multimodal.AviCodec.encodeRaster(w, h,
+          lv.map(l => Array.fill(w * h)(l.toByte))))
+    }
+    val media = Seq(clip(1L, 99L, perturb = false), clip(2L, 99L, perturb = true),
+      clip(3L, 1234L, perturb = false)).toDS()
+    // decoded fingerprint must equal the level-stream computation (the
+    // raster factor w·h cancels out of the cross-multiplied threshold)
+    val fps = Multimodal.videoFingerprintOf(media).collect()
+      .map(r => r.media_id -> r.phash).toMap
+    def expectFp(cid: Long, perturb: Boolean): Long = {
+      val lv = Multimodal.lcgLevels(cid, n)
+      if (perturb) lv(0) = math.min(255, lv(0) + 1)
+      val wn = Multimodal.VideoFpWindows
+      val ws = Array.tabulate(wn)(j =>
+        lv.slice(j * n / wn, (j + 1) * n / wn).map(_.toLong).sum)
+      val total = ws.sum
+      (0 until wn).foldLeft(0L)((hh, j) =>
+        if (ws(j) * wn > total) hh | (1L << j) else hh)
+    }
+    assert(fps(1L) === expectFp(99L, perturb = false))
+    assert(fps(2L) === expectFp(99L, perturb = true))
+    val pairs = Multimodal.phashPairsOf(Multimodal.videoFingerprintOf(media)).collect()
+    val near = pairs.find(r => r.getAs[Long]("media_id_a") == 1L &&
+      r.getAs[Long]("media_id_b") == 2L)
+    assert(near.isDefined, s"planted near-dup clip pair not in candidates: ${pairs.toSeq}")
+    assert(near.get.getAs[Boolean]("is_near"),
+      s"hamming=${near.get.getAs[Long]("hamming_dist")} exceeds the gate")
+    assert(pairs.filter(r => r.getAs[Long]("media_id_b") == 3L ||
+      r.getAs[Long]("media_id_a") == 3L).forall(!_.getAs[Boolean]("is_near")))
+  }
+
+  test("video dup scan: map-only fingerprinting, banded candidates, all " +
+      "planted pairs detected at the fixture SF") {
+    val df = Multimodal.videoDupPairs(spark, sf)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    val near = df.where(org.apache.spark.sql.functions.col("is_near")).collect()
+    val planted = near.filter(r => r.getAs[Long]("media_id_b") -
+      r.getAs[Long]("media_id_a") == 4 && r.getAs[Long]("media_id_b") % 10 == 7)
+    assert(planted.length === 50, s"expected the 50 planted pairs, got ${planted.length}")
+  }
+
   test("phash: hashing is map-only and the candidate join is banded — never all-pairs") {
     val df = Multimodal.phashPairs(spark, sf)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)

@@ -513,6 +513,39 @@ class StreamingSpec extends SparkSpec {
     assert(after === streamedKept, "audio batch replay changed the kept store")
   }
 
+  test("video dup ingest: streamed clip near-dup gate equals the batch " +
+      "keep-lowest rule; replay rewrites") {
+    import graft.ext.Multimodal
+    val dir = Files.createTempDirectory("graft_vdi").toString
+    val corpus = Multimodal.videoDupCorpus(spark, sf)
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val q = Streams.videoDupIngest(
+      spark.readStream.schema(corpus.toDF().schema).parquet(s"$dir/in"),
+      s"$dir/store", s"$dir/ckpt")
+    try {
+      Seq(col("media_id") < 250, col("media_id") >= 250).foreach { slice =>
+        corpus.toDF().where(slice).coalesce(1).write.mode("append").parquet(s"$dir/in")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamedKept = spark.read.parquet(s"$dir/store/kept")
+      .select("media_id").collect().map(_.getLong(0)).toSeq.sorted
+    val near = Multimodal.phashPairsOf(Multimodal.videoFingerprintOf(corpus))
+      .where(col("is_near"))
+      .select("media_id_b").collect().map(_.getLong(0)).toSet
+    val batchKept = corpus.toDF().select("media_id").collect()
+      .map(_.getLong(0)).filterNot(near).toSeq.sorted
+    assert(streamedKept.nonEmpty && streamedKept.size < 500,
+      s"gate is vacuous: kept ${streamedKept.size}/500")
+    assert(streamedKept === batchKept,
+      s"kept sets differ: stream ${streamedKept.size} vs batch ${batchKept.size}")
+    Streams.ingestVideoDupBatch(corpus.toDF().where(col("media_id") < 250),
+      s"$dir/store", 0L)
+    val after = spark.read.parquet(s"$dir/store/kept")
+      .select("media_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(after === streamedKept, "video batch replay changed the kept store")
+  }
+
   test("corpus ingest: scrub -> dedup -> score per batch equals the batch chain; replay rewrites") {
     import graft.ext.{Dedup, Pii, Text}
     val dir = Files.createTempDirectory("graft_ci").toString
