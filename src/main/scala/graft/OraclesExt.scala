@@ -3060,6 +3060,83 @@ object OraclesExt {
 
   val textBm25TopK: String = textBm25TopKSql(None)
 
+  /** Twin of Text.bm25Rm3 — the RM3 chain: bounded first pass (the
+    * [[textBm25TopKSql]] arithmetic verbatim), per-query expansion mining
+    * (top non-query terms of the top docs, ties → token), then the
+    * weighted second pass (`((idf·sat)//1e6 · w)//1e6`, originals
+    * w=1e6 ≡ the unweighted score, expansions w=5e5). */
+  val textBm25Rm3: String = {
+    import graft.ext.Text.{Bm25QueryPct, Bm25QueryTokens, Bm25SearchQueries,
+      Bm25TopK, Rm3ExpTerms, Rm3ExpWeightPpm}
+    s"""WITH base AS (SELECT doc_id, $toks AS t,
+       |    ${mixSql("doc_id")} % 100 AS b FROM documents),
+       |dls AS (SELECT doc_id,
+       |    CAST(len(list_filter(t, x -> x <> '')) AS BIGINT) AS dl FROM base),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(coalesce(sum(dl), 0) AS BIGINT) AS t FROM dls),
+       |qt AS (SELECT doc_id AS qid,
+       |    unnest(list_distinct(list_filter(t[1:$Bm25QueryTokens],
+       |      x -> x <> ''))) AS token
+       |  FROM (SELECT doc_id, t FROM base WHERE b >= ${100 - Bm25QueryPct}
+       |    ORDER BY ${mixSql("doc_id")}, doc_id LIMIT $Bm25SearchQueries)),
+       |dtok AS (SELECT doc_id, token FROM
+       |    (SELECT doc_id, unnest(t) AS token FROM base) WHERE token <> ''),
+       |tf1 AS (SELECT tk.doc_id, tk.token, CAST(count(*) AS BIGINT) AS tf,
+       |    max(dls.dl) AS dl
+       |  FROM dtok tk JOIN dls ON dls.doc_id = tk.doc_id
+       |  WHERE tk.token IN (SELECT token FROM qt)
+       |  GROUP BY tk.doc_id, tk.token),
+       |df1 AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf1
+       |  GROUP BY token),
+       |sc1 AS (SELECT q.qid, f.doc_id,
+       |    (CAST(FLOOR(-ln(CAST(2 * d.df + 1 AS DOUBLE)
+       |        / CAST(2 * tot.n + 2 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       |      * ((f.tf * 22000000000000) //
+       |         ((10 * f.tf + 3) * 1000000
+       |          + 9 * ((f.dl * tot.n * 1000000) // tot.t)))) // 1000000 AS s
+       |  FROM qt q JOIN tf1 f ON f.token = q.token
+       |  JOIN df1 d ON d.token = q.token, tot),
+       |rk1 AS (SELECT qid, doc_id FROM (
+       |    SELECT qid, doc_id, row_number() OVER (
+       |      PARTITION BY qid ORDER BY sum(s) DESC, doc_id) AS rank
+       |    FROM sc1 GROUP BY qid, doc_id)
+       |  WHERE rank <= $Bm25TopK),
+       |exp AS (SELECT qid, token, CAST($Rm3ExpWeightPpm AS BIGINT) AS w FROM (
+       |    SELECT r.qid, d.token,
+       |      row_number() OVER (PARTITION BY r.qid
+       |        ORDER BY count(*) DESC, d.token) AS rk
+       |    FROM rk1 r JOIN dtok d ON d.doc_id = r.doc_id
+       |    LEFT JOIN qt q ON q.qid = r.qid AND q.token = d.token
+       |    WHERE q.token IS NULL
+       |    GROUP BY r.qid, d.token)
+       |  WHERE rk <= $Rm3ExpTerms),
+       |qt2 AS (SELECT qid, token, CAST(1000000 AS BIGINT) AS w FROM qt
+       |  UNION ALL SELECT qid, token, w FROM exp),
+       |tf2 AS (SELECT tk.doc_id, tk.token, CAST(count(*) AS BIGINT) AS tf,
+       |    max(dls.dl) AS dl
+       |  FROM dtok tk JOIN dls ON dls.doc_id = tk.doc_id
+       |  WHERE tk.token IN (SELECT token FROM qt2)
+       |  GROUP BY tk.doc_id, tk.token),
+       |df2 AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf2
+       |  GROUP BY token),
+       |sc2 AS (SELECT q.qid, f.doc_id,
+       |    (((CAST(FLOOR(-ln(CAST(2 * d.df + 1 AS DOUBLE)
+       |        / CAST(2 * tot.n + 2 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       |      * ((f.tf * 22000000000000) //
+       |         ((10 * f.tf + 3) * 1000000
+       |          + 9 * ((f.dl * tot.n * 1000000) // tot.t)))) // 1000000)
+       |      * q.w) // 1000000 AS s
+       |  FROM qt2 q JOIN tf2 f ON f.token = q.token
+       |  JOIN df2 d ON d.token = q.token, tot),
+       |agg2 AS (SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score_mn,
+       |    CAST(count(*) AS BIGINT) AS n_terms FROM sc2 GROUP BY qid, doc_id),
+       |rk2 AS (SELECT *, row_number() OVER (
+       |    PARTITION BY qid ORDER BY score_mn DESC, doc_id) AS rank FROM agg2)
+       |SELECT qid, rank, doc_id, score_mn, n_terms, qid = doc_id AS self_hit
+       |FROM rk2 WHERE rank <= $Bm25TopK
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** The search-only index arm's oracle: same scoring, query batch capped
     * at [[graft.ext.Text.Bm25SearchQueries]]. */
   val textBm25Bounded: String =
@@ -3203,6 +3280,7 @@ object OraclesExt {
     // the bounded-query-batch variant — same device as sim_ann_index
     "text_bm25_indexed" -> textBm25TopK,
     "text_bm25_index_search" -> textBm25Bounded,
+    "text_bm25_rm3" -> textBm25Rm3,
     "text_hybrid_rrf" -> textHybridRrf,
     "text_hybrid_rrf_indexed" -> textHybridRrfIndexed,
     "text_retrieval_quality" -> textRetrievalQuality,

@@ -70,6 +70,7 @@ object SparkEntry {
       ext.TextIndex.bm25Indexed(s, d).orderBy("qid", "rank")),
     "text_bm25_index_search" -> ((s, d) =>
       ext.TextIndex.bm25IndexedSearch(s, d).orderBy("qid", "rank")),
+    "text_bm25_rm3" -> ((s, d) => ext.Text.bm25Rm3(s, d).orderBy("qid", "rank")),
     "text_hybrid_rrf" -> ((s, d) =>
       ext.Hybrid.hybridRrf(s, d).orderBy("qid", "rank")),
     "text_hybrid_rrf_indexed" -> ((s, d) =>

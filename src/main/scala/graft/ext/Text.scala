@@ -996,18 +996,30 @@ object Text {
     * bit-identical — the indexed twins share the batch operator's DuckDB
     * oracle. */
   private[graft] def bm25Tail(qterms: DataFrame, tf: DataFrame,
-                              tots: DataFrame): DataFrame = {
+                              tots: DataFrame): DataFrame =
+    bm25WeightedTail(qterms.withColumn("w", lit(1000000L)), tf, tots)
+
+  /** The weighted form of [[bm25Tail]]: each (qid, token) carries a ppm
+    * weight `w` and the per-term integer score multiplies by `w // 1e6`
+    * AFTER the exact BM25 score — `w = 1e6` is BIT-IDENTICAL to the
+    * unweighted tail (`idiv(s·1e6, 1e6) ≡ s`), so the batch/index
+    * bit-identity contract is untouched (TextIndexSpec re-pins it).
+    * Weighted terms are the RM3 expansion device ([[bm25Rm3Of]]). */
+  private def bm25WeightedTail(qterms: DataFrame, tf: DataFrame,
+                               tots: DataFrame): DataFrame = {
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = qterms.join(tf, Seq("token"))
       .join(broadcast(dfreq), Seq("token"))
       .crossJoin(broadcast(tots))
       .select(col("qid"), col("doc_id"),
         Num.idiv(
-          microNats((col("df") * 2 + 1).cast("double") /
-            (col("n") * 2 + 2).cast("double")).cast("long") *
-            Num.idiv(col("tf") * lit(22000000000000L),
-              (col("tf") * 10L + 3L) * 1000000L +
-                Num.idiv(col("dl") * col("n") * 1000000L, col("t")) * 9L),
+          Num.idiv(
+            microNats((col("df") * 2 + 1).cast("double") /
+              (col("n") * 2 + 2).cast("double")).cast("long") *
+              Num.idiv(col("tf") * lit(22000000000000L),
+                (col("tf") * 10L + 3L) * 1000000L +
+                  Num.idiv(col("dl") * col("n") * 1000000L, col("t")) * 9L),
+            lit(1000000L)) * col("w"),
           lit(1000000L)).as("s"))
     val agg = scored.groupBy("qid", "doc_id")
       .agg(sum(col("s")).as("score_mn"), count(lit(1)).as("n_terms"))
@@ -1017,5 +1029,60 @@ object Text {
       .where(col("rank") <= Bm25TopK)
       .select(col("qid"), col("rank"), col("doc_id"), col("score_mn"),
         col("n_terms"), (col("qid") === col("doc_id")).as("self_hit"))
+  }
+
+  /** Expansion terms mined per query by the PRF pass. */
+  val Rm3ExpTerms = 3
+  /** Expansion-term weight, ppm of an original term (RM3's interpolation
+    * as one exact integer: originals 1e6, expansions 5e5 — a 2:1 mix). */
+  val Rm3ExpWeightPpm = 500000L
+
+  /** PSEUDO-RELEVANCE-FEEDBACK RETRIEVAL — the RM3 recipe (Lavrenko &
+    * Croft, SIGIR 2001; Abdul-Jaleel et al., TREC 2004) on the
+    * integer-exact BM25 stack: (1) first-pass top-k per query; (2) mine
+    * the [[Rm3ExpTerms]] most frequent NON-query terms from each query's
+    * top docs (ties → token order); (3) re-score with the expanded term
+    * set, expansion terms at [[Rm3ExpWeightPpm]] weight through
+    * [[bm25WeightedTail]]. Every step BIGINT — both engines rank
+    * bit-identically.
+    *
+    * Scale shape: the first pass is the standard BM25 probe; mining joins
+    * the corpus token stream against the BROADCAST (qid, top-doc) list —
+    * queries·k rows, map-side — with a bounded per-qid window; the second
+    * pass is one more postings probe over ≤ |q|+[[Rm3ExpTerms]] terms per
+    * query. At deployment both probes ride the persisted [[TextIndex]]
+    * postings instead of scans. */
+  def bm25Rm3Of(docs: DataFrame, queries: DataFrame): DataFrame = {
+    val first = bm25TopKOf(docs, queries).select("qid", "doc_id")
+    val qt = bm25QueryTerms(queries)
+    val docToks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+    val exp = docToks.join(broadcast(first), Seq("doc_id"))
+      .join(qt, Seq("qid", "token"), "left_anti")
+      .groupBy("qid", "token").agg(count(lit(1)).as("etf"))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("etf").desc, col("token"))))
+      .where(col("_rk") <= Rm3ExpTerms)
+      .select(col("qid"), col("token"), lit(Rm3ExpWeightPpm).as("w"))
+    val qt2 = qt.withColumn("w", lit(1000000L)).unionByName(exp)
+    val nzTokens = filter(tokens(col("text")), t => t =!= "")
+    val tots = docs.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(nzTokens)), lit(0)).cast("long").as("t"))
+    val tf = docs
+      .select(col("doc_id"), size(nzTokens).cast("long").as("dl"),
+        explode(tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .join(broadcast(qt2.select("token").distinct()), Seq("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    bm25WeightedTail(qt2, tf, tots)
+  }
+
+  /** Registered harness: RM3 over the fixed bounded query batch. */
+  def bm25Rm3(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    bm25Rm3Of(docs, bm25BoundedQueries(docs))
   }
 }

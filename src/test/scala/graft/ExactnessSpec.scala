@@ -142,6 +142,20 @@ class ExactnessSpec extends SparkSpec {
     }
   }
 
+  test("RM3 can expand to ANY corpus token: every distinct token's idf " +
+      "ratio clears the boundary") {
+    for (dir <- Dirs) {
+      val docs = Sources.documents(spark, dir)
+      val n = docs.count()
+      val dfs = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+        .groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+        .collect().map(_.getAs[Long]("df")).toSeq.distinct
+      assertAll(s"RM3@$dir", dfs.map(df => mnMargin(2 * df + 1, 2 * n + 2)))
+    }
+  }
+
   test("source-divergence KL terms clear the rounding boundary") {
     for (dir <- Dirs) {
       val docs = Sources.documents(spark, dir)

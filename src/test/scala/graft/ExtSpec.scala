@@ -444,6 +444,31 @@ class DedupSpec extends SparkSpec {
       rows.last.getAs[Long]("gate_pass_ppm"), "no calibration slope")
   }
 
+  test("bm25 RM3: pseudo-relevance feedback reaches a doc the first pass " +
+      "cannot; expansion terms score exactly half; untouched docs stay out") {
+    import graft.ext.Text
+    import spark.implicits._
+    // d1 matches the query; d2 shares only d1's OTHER term; d3 is disjoint
+    val docs = Seq((1L, "apple banana"), (2L, "banana cherry"),
+      (3L, "cherry date")).toDF("doc_id", "text")
+    val qs = Seq((10L, "apple")).toDF("qid", "qtext")
+    val first = Text.bm25TopKOf(docs, qs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(first === Set(1L), s"pass 1 should only reach doc 1, got $first")
+    val rm3 = Text.bm25Rm3Of(docs, qs).orderBy("rank").collect()
+    val ids = rm3.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids.head === 1L, s"the original-term match must stay on top: ${rm3.toSeq}")
+    assert(ids.contains(2L), s"expansion failed to reach doc 2: ${rm3.toSeq}")
+    assert(!ids.contains(3L), "doc 3 shares no term with the expanded query")
+    // the expansion term's contribution is EXACTLY the unweighted BM25
+    // score halved (w = 500000 ppm through one integer division)
+    val bananaOnly = Text.bm25TopKOf(docs, Seq((10L, "banana")).toDF("qid", "qtext"))
+      .where($"doc_id" === 2L).collect().head.getAs[Long]("score_mn")
+    val rm3D2 = rm3.find(_.getAs[Long]("doc_id") == 2L).get.getAs[Long]("score_mn")
+    assert(rm3D2 === bananaOnly / 2L,
+      s"expansion weight is not exactly half: $rm3D2 vs $bananaOnly")
+  }
+
   test("bm25: planted discriminative token retrieves its doc at rank 1; " +
       "ranks contiguous, scores non-increasing, ties break on doc_id") {
     import graft.ext.Text
