@@ -1166,6 +1166,8 @@ object OraclesExt {
        |arms AS (
        |  ${armSql("bm25", textBm25Bounded)}
        |  UNION ALL
+       |  ${armSql("bm25_rm3", textBm25Rm3)}
+       |  UNION ALL
        |  ${armSql("hybrid_rrf", textHybridRrfIndexed)})
        |SELECT arm, (SELECT n_queries FROM nq) AS n_queries, hits_at_k,
        |  CAST(rr_sum // (SELECT n_queries FROM nq) AS BIGINT) AS mrr_ppm

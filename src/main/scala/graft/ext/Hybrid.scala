@@ -142,6 +142,8 @@ object Hybrid {
     val queries = Text.bm25BoundedQueries(docs)
     val nq = queries.agg(count(lit(1)).as("n_queries"))
     retrievalQualityOf("bm25", Text.bm25TopKOf(docs, queries), nq)
+      .unionByName(retrievalQualityOf("bm25_rm3",
+        Text.bm25Rm3Of(docs, queries), nq))
       .unionByName(retrievalQualityOf("hybrid_rrf",
         hybridRrfIndexed(spark, dir), nq))
       .orderBy("arm")
