@@ -2376,6 +2376,27 @@ object OraclesExt {
        |ORDER BY media_id_a, media_id_b""".stripMargin
   }
 
+  /** Twin of Multimodal.crossModalDups — each modality arm nested verbatim
+    * (text MinHash-LSH pairs, image/audio/video banded fingerprint pairs),
+    * reject set = the keep-lowest `b` side, report = doc-grain membership
+    * booleans + the blocking OR. */
+  lazy val mediaCrossModalDups: String =
+    s"""WITH tp AS (SELECT doc_b FROM ($dedupMinhashLsh)),
+       |ip AS (SELECT media_id_b FROM ($mediaPhashPairs) WHERE is_near),
+       |ap AS (SELECT media_id_b FROM ($mediaAudioDups) WHERE is_near),
+       |vp AS (SELECT media_id_b FROM ($mediaVideoDups) WHERE is_near)
+       |SELECT doc_id,
+       |  doc_id IN (SELECT doc_b FROM tp) AS text_dup,
+       |  doc_id IN (SELECT media_id_b FROM ip) AS image_dup,
+       |  doc_id IN (SELECT media_id_b FROM ap) AS audio_dup,
+       |  doc_id IN (SELECT media_id_b FROM vp) AS video_dup,
+       |  doc_id IN (SELECT doc_b FROM tp)
+       |    OR doc_id IN (SELECT media_id_b FROM ip)
+       |    OR doc_id IN (SELECT media_id_b FROM ap)
+       |    OR doc_id IN (SELECT media_id_b FROM vp) AS any_dup
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
   /** Image rows are REAL PNGs of solid gray `(doc_id·A + C) >>> 56` (the
     * LCG's step-0 top byte — `gen` at i = 0): the decoded per-pixel mean is
     * exactly that level. Audio rows are REAL WAV PCM16 whose decoded 8-bit
@@ -3289,6 +3310,7 @@ object OraclesExt {
     "text_context_pack" -> textContextPack,
     "media_audio_dups" -> mediaAudioDups,
     "media_video_dups" -> mediaVideoDups,
+    "dedup_cross_modal" -> mediaCrossModalDups,
     "text_blocklist_filter" -> textBlocklistFilter,
     "text_langid_confusion" -> textLangidConfusion,
     "sampling_cluster_balanced" -> samplingClusterBalanced,

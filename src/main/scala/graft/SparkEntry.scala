@@ -232,6 +232,8 @@ object SparkEntry {
       ext.Multimodal.audioDupPairs(s, d).orderBy("media_id_a", "media_id_b")),
     "media_video_dups" -> ((s, d) =>
       ext.Multimodal.videoDupPairs(s, d).orderBy("media_id_a", "media_id_b")),
+    "dedup_cross_modal" -> ((s, d) =>
+      ext.Multimodal.crossModalDups(s, d).orderBy("doc_id")),
     // the reference README's documented BI consumer queries
     // (reference: README.md:216-236; O2 top-K → TakeOrderedAndProject)
     "consumer_top_clv" -> ((s, d) =>

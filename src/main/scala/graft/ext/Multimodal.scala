@@ -852,4 +852,41 @@ object Multimodal {
     * and video dedup all run one candidate-generation story. */
   def videoDupPairs(spark: SparkSession, dir: String): DataFrame =
     phashPairsOf(videoFingerprintOf(balancedByBytes(videoDupCorpus(spark, dir), 8)))
+
+  // ------------------------- cross-modal near-dup release report ---------
+
+  /** CROSS-MODAL DEDUP RELEASE REPORT — the gate a multimodal training
+    * corpus ships through: per document, the keep-lowest near-dup verdict
+    * of EVERY modality arm (text MinHash-LSH, image aHash, audio energy
+    * fingerprint, video temporal fingerprint) plus the release-blocking
+    * OR. A doc whose text is unique but whose image is a near-copy still
+    * flags — single-modality dedup under-counts multimodal redundancy,
+    * which is why release gates consult every arm.
+    *
+    * Scale shape: each arm is its own banded candidate pass (all four
+    * bounded by construction); the report itself is four reject-set
+    * left joins at doc grain — the reject sets are ≪ corpus, so at
+    * cluster scale they broadcast. */
+  def crossModalDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir).select("doc_id")
+    def rejects(pairs: DataFrame, name: String): DataFrame =
+      pairs.where(col("is_near"))
+        .select(col("media_id_b").as("doc_id")).distinct()
+        .withColumn(name, lit(true))
+    val txt = graft.ext.Dedup.minhashLshPairs(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("text_dup", lit(true))
+    docs
+      .join(txt, Seq("doc_id"), "left")
+      .join(rejects(phashPairs(spark, dir), "image_dup"), Seq("doc_id"), "left")
+      .join(rejects(audioDupPairs(spark, dir), "audio_dup"), Seq("doc_id"), "left")
+      .join(rejects(videoDupPairs(spark, dir), "video_dup"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_dup"), lit(false)).as("text_dup"),
+        coalesce(col("image_dup"), lit(false)).as("image_dup"),
+        coalesce(col("audio_dup"), lit(false)).as("audio_dup"),
+        coalesce(col("video_dup"), lit(false)).as("video_dup"))
+      .withColumn("any_dup",
+        col("text_dup") || col("image_dup") || col("audio_dup") || col("video_dup"))
+  }
 }

@@ -326,6 +326,34 @@ class MultimodalSpec extends SparkSpec {
     assert(planted.length === 50, s"expected the 50 planted pairs, got ${planted.length}")
   }
 
+  test("cross-modal report: per-doc verdicts reconcile with each arm's " +
+      "reject set; any_dup is their OR; the planted media variants flag " +
+      "on all three media arms") {
+    import org.apache.spark.sql.functions.col
+    val rows = Multimodal.crossModalDups(spark, sf).collect()
+    assert(rows.length === 500)
+    // planted media variants (id % 10 == 7) near-dup in image+audio+video
+    rows.filter(_.getAs[Long]("doc_id") % 10 == 7).foreach { r =>
+      assert(r.getAs[Boolean]("image_dup") && r.getAs[Boolean]("audio_dup") &&
+        r.getAs[Boolean]("video_dup") && r.getAs[Boolean]("any_dup"), r.toString)
+    }
+    // text arm reconciles with the registered near-dup filter's complement
+    val textKept = graft.ext.Dedup.nearDupFiltered(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("text_dup") === !textKept(r.getAs[Long]("doc_id")),
+        s"text verdict mismatch: $r")
+      assert(r.getAs[Boolean]("any_dup") === (r.getAs[Boolean]("text_dup") ||
+        r.getAs[Boolean]("image_dup") || r.getAs[Boolean]("audio_dup") ||
+        r.getAs[Boolean]("video_dup")), s"any_dup is not the OR: $r")
+    }
+    // the report must add signal over any single arm: some doc is text-
+    // unique but media-flagged
+    assert(rows.exists(r => !r.getAs[Boolean]("text_dup") &&
+      r.getAs[Boolean]("image_dup")),
+      "no text-unique media near-dup — the cross-modal gate is vacuous")
+  }
+
   test("phash: hashing is map-only and the candidate join is banded — never all-pairs") {
     val df = Multimodal.phashPairs(spark, sf)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
