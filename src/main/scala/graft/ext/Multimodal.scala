@@ -864,28 +864,30 @@ object Multimodal {
     * which is why release gates consult every arm.
     *
     * Scale shape: each arm is its own banded candidate pass (all four
-    * bounded by construction); the report itself is four reject-set
-    * left joins at doc grain — the reject sets are ≪ corpus, so at
-    * cluster scale they broadcast. */
+    * bounded by construction); the report itself is ONE doc-grain hash
+    * aggregate over the union of the tagged reject sets — not a chain of
+    * outer joins, both because one shuffle beats four and because an
+    * aggregate cannot be join-eliminated under a bare count() (a left
+    * join with unreferenced output can — which would let a row-count
+    * harness silently skip the arms). */
   def crossModalDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Sources.documents(spark, dir).select("doc_id")
-    def rejects(pairs: DataFrame, name: String): DataFrame =
+    def rejects(pairs: DataFrame, m: String): DataFrame =
       pairs.where(col("is_near"))
         .select(col("media_id_b").as("doc_id")).distinct()
-        .withColumn(name, lit(true))
-    val txt = graft.ext.Dedup.minhashLshPairs(spark, dir)
-      .select(col("doc_b").as("doc_id")).distinct()
-      .withColumn("text_dup", lit(true))
-    docs
-      .join(txt, Seq("doc_id"), "left")
-      .join(rejects(phashPairs(spark, dir), "image_dup"), Seq("doc_id"), "left")
-      .join(rejects(audioDupPairs(spark, dir), "audio_dup"), Seq("doc_id"), "left")
-      .join(rejects(videoDupPairs(spark, dir), "video_dup"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("text_dup"), lit(false)).as("text_dup"),
-        coalesce(col("image_dup"), lit(false)).as("image_dup"),
-        coalesce(col("audio_dup"), lit(false)).as("audio_dup"),
-        coalesce(col("video_dup"), lit(false)).as("video_dup"))
+        .withColumn("m", lit(m))
+    docs.withColumn("m", lit("none"))
+      .unionByName(graft.ext.Dedup.minhashLshPairs(spark, dir)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("m", lit("text")))
+      .unionByName(rejects(phashPairs(spark, dir), "image"))
+      .unionByName(rejects(audioDupPairs(spark, dir), "audio"))
+      .unionByName(rejects(videoDupPairs(spark, dir), "video"))
+      .groupBy("doc_id")
+      .agg(max(col("m") === "text").as("text_dup"),
+        max(col("m") === "image").as("image_dup"),
+        max(col("m") === "audio").as("audio_dup"),
+        max(col("m") === "video").as("video_dup"))
       .withColumn("any_dup",
         col("text_dup") || col("image_dup") || col("audio_dup") || col("video_dup"))
   }
