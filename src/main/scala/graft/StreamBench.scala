@@ -60,7 +60,6 @@ object StreamBench {
     val totalSecs = (System.nanoTime() - t0) / 1e9
     val batches = perBatch.result()
     val scored = spark.read.parquet(s"$work/store/scored").count()
-    spark.stop()
     def r3(x: Double) = math.floor(x * 1000 + 0.5) / 1000
     val batchJson = batches.zipWithIndex.map { case ((n, s), i) =>
       s""""b$i":{"docs":$n,"sec":${r3(s)}}""" }.mkString(",")
@@ -68,6 +67,40 @@ object StreamBench {
       s""""value":${r3(nDocs / totalSecs)},"docs":$nDocs,"kept_scored":$scored,""" +
       s""""batches":$nBatches,"total_sec":${r3(totalSecs)},""" +
       s""""per_batch":{$batchJson},"sf":"$sfDir"}""")
+
+    // second arm: the MEDIA fingerprint gate (real PNG decode → aHash →
+    // banded probe vs all history, the body shared by the audio/video
+    // ingests) — media items/sec under the same in-order slice protocol
+    val media = graft.ext.Multimodal.phashCorpus(spark, sfDir).toDF().cache()
+    val nMedia = media.count()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/min"))
+    val mq = Streams.phashIngest(
+      spark.readStream.schema(media.schema).parquet(s"$work/min"),
+      s"$work/mstore", s"$work/mckpt")
+    val mPerBatch = Vector.newBuilder[(Long, Double)]
+    val m0 = System.nanoTime()
+    try {
+      (0 until nBatches).foreach { i =>
+        val slice = media.where(col("media_id") >= lo + i * step &&
+          col("media_id") < lo + (i + 1) * step)
+        val n = slice.count()
+        slice.coalesce(1).write.mode("append").parquet(s"$work/min")
+        mPerBatch += ((n, {
+          val b0 = System.nanoTime()
+          mq.processAllAvailable()
+          (System.nanoTime() - b0) / 1e9
+        }))
+      }
+    } finally mq.stop()
+    val mSecs = (System.nanoTime() - m0) / 1e9
+    val mKept = spark.read.parquet(s"$work/mstore/kept").count()
+    spark.stop()
+    val mBatchJson = mPerBatch.result().zipWithIndex.map { case ((n, s), i) =>
+      s""""b$i":{"media":$n,"sec":${r3(s)}}""" }.mkString(",")
+    println(s"""{"metric":"stream_phash_ingest","unit":"media_per_sec",""" +
+      s""""value":${r3(nMedia / mSecs)},"media":$nMedia,"kept":$mKept,""" +
+      s""""batches":$nBatches,"total_sec":${r3(mSecs)},""" +
+      s""""per_batch":{$mBatchJson},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
