@@ -479,18 +479,26 @@ object Pipeline {
     }
     results += st("corpus_quality_sample", critical = true)(
       Corpus.qualitySampleOf(scrubbedDocs))
+    // every modality's near-dup verdict per doc — a multimodal corpus is
+    // redundant if ANY of its arms is a near-copy, not just the text
+    results += st("corpus_cross_modal", critical = true)(
+      graft.ext.Multimodal.crossModalDups(spark, dir))
     // the RELEASE manifest — the set that actually ships: sampler-kept
     // docs minus anything the decontamination sweep flagged (and minus the
-    // eval holdout itself, which is not trainable data). Flagging without
-    // excluding is an audit, not a defense; this stage closes the loop,
-    // and the DQ gate below asserts the exclusion held.
+    // eval holdout itself, which is not trainable data), minus any doc the
+    // cross-modal gate marked as a near-dup in ANY modality. Flagging
+    // without excluding is an audit, not a defense; this stage closes the
+    // loop, and the DQ gate below asserts both exclusions held.
     results += st("corpus_release_manifest", critical = true) {
       val flags = spark.read.parquet(s"$outDir/corpus_decontaminate")
+      val dups = spark.read.parquet(s"$outDir/corpus_cross_modal")
+        .where(col("any_dup")).select("doc_id")
       spark.read.parquet(s"$outDir/corpus_quality_sample")
         .where(col("kept")).select("doc_id", "lang", "source")
         .join(flags.select(col("doc_id"),
           col("n_contaminated"), col("contaminated")), Seq("doc_id"))
         .where(!col("contaminated"))
+        .join(dups, Seq("doc_id"), "left_anti")
     }
     results += st("corpus_preprocess", critical = true)(
       Corpus.preprocess(spark, dir))
@@ -521,12 +529,20 @@ object Pipeline {
         .join(spark.read.parquet(s"$outDir/corpus_decontaminate")
           .where(col("contaminated")).select("doc_id"), Seq("doc_id"))
         .count()
+      // independent recheck of the cross-modal exclusion: NO released doc
+      // may be near-dup in any modality
+      val releasedDups = spark.read.parquet(s"$outDir/corpus_release_manifest")
+        .select("doc_id")
+        .join(spark.read.parquet(s"$outDir/corpus_cross_modal")
+          .where(col("any_dup")).select("doc_id"), Seq("doc_id"))
+        .count()
       val checks = Seq(
         ("scrub_coverage", nScrubbed, nScrubbed == nDocs),
         ("residual_pii", residualPii, residualPii == 0L),
         ("sample_referential_integrity", keptOrphans, keptOrphans == 0L),
         ("data_card_reconciliation", cardDocs, cardDocs == nDocs),
-        ("release_leak_free", releasedLeaks, releasedLeaks == 0L))
+        ("release_leak_free", releasedLeaks, releasedLeaks == 0L),
+        ("release_dup_free", releasedDups, releasedDups == 0L))
       import spark.implicits._
       checks.map { case (n, m, ok) => (n, m, if (ok) "PASS" else "FAIL") }
         .toDF("check_name", "metric", "status")

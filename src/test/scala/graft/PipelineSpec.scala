@@ -87,7 +87,7 @@ class PipelineSpec extends SparkSpec {
     assert(results.forall(_.status == "PASS"), results.mkString("; "))
     assert(results.map(_.stage) === Seq("corpus_scrubbed", "corpus_gates",
       "corpus_blocklist", "corpus_nb_quality", "corpus_decontaminate",
-      "corpus_quality_sample", "corpus_release_manifest",
+      "corpus_quality_sample", "corpus_cross_modal", "corpus_release_manifest",
       "corpus_preprocess", "corpus_reject_ledger",
       "corpus_packed", "corpus_data_card", "quality_checks"))
     // the decontamination sweep ran on the scrubbed text and flagged the
@@ -111,8 +111,18 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getAs[String]("check_name") -> r.getAs[String]("status")).toMap
     assert(dq.keySet === Set("scrub_coverage", "residual_pii",
       "sample_referential_integrity", "data_card_reconciliation",
-      "release_leak_free"))
+      "release_leak_free", "release_dup_free"))
     assert(dq.values.forall(_ == "PASS"), dq.toString)
+    // the cross-modal gate EXCLUDED every any_dup doc from the release
+    val relIds = rel.select("doc_id")
+    val dupJoin = relIds.join(
+      spark.read.parquet(s"$out/corpus_cross_modal")
+        .where(org.apache.spark.sql.functions.col("any_dup"))
+        .select("doc_id"), Seq("doc_id"))
+    assert(dupJoin.count() === 0L, "released doc is a cross-modal near-dup")
+    assert(spark.read.parquet(s"$out/corpus_cross_modal")
+      .where(org.apache.spark.sql.functions.col("any_dup")).count() > 0,
+      "cross-modal gate vacuous on the fixture")
     // frame-based stages ran on the scrubbed text: the sample's doc set is
     // exactly the corpus (clean fixture: scrub is a no-op on content)
     val sample = spark.read.parquet(s"$out/corpus_quality_sample")
