@@ -331,9 +331,15 @@ object Oracles {
        |ORDER BY supplier_key""".stripMargin
 
   val goldMonthlySalesTrends: String = {
+    // twin of Gold's integer-cents window device: total_revenue is 2-decimal
+    // money, floor(d·100+0.5) recovers the exact cent count from the shared
+    // double, and the moving averages / YTD run on BIGINT cents — no
+    // double→decimal cast whose sub-cent digits differ across engines
+    val cents = "CAST(floor(total_revenue * 100 + 0.5) AS BIGINT)"
     def mavg(nPrev: Int): String = {
       val w = s"ORDER BY order_year, order_month ROWS BETWEEN $nPrev PRECEDING AND CURRENT ROW"
-      R(s"${DSOVER("total_revenue", w)} / COUNT(*) OVER ($w)", 2)
+      s"CAST((2 * SUM($cents) OVER ($w) + COUNT(*) OVER ($w)) " +
+        s"// (2 * COUNT(*) OVER ($w)) AS DOUBLE) / 100"
     }
     s"""WITH $silverCtes,
        |base AS (
@@ -363,8 +369,8 @@ object Oracles {
        |    ${mavg(2)} AS revenue_3mo_moving_avg,
        |    ${mavg(5)} AS revenue_6mo_moving_avg,
        |    ${mavg(11)} AS revenue_12mo_moving_avg,
-       |    ${R(DSOVER("total_revenue",
-            "PARTITION BY order_year ORDER BY order_month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"), 2)}
+       |    CAST(SUM($cents) OVER (PARTITION BY order_year ORDER BY order_month
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
        |      AS ytd_cumulative_revenue,
        |    CAST(RANK() OVER (PARTITION BY order_year ORDER BY total_revenue DESC) AS INTEGER)
        |      AS revenue_rank_in_year,

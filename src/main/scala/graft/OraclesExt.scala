@@ -2063,7 +2063,7 @@ object OraclesExt {
          |  SELECT count(*) AS m_sample,
          |    $sampleQ
          |  FROM (SELECT $cv AS cv FROM $t WHERE $c IS NOT NULL
-         |        ORDER BY ${mixSql(rk)}, $rk LIMIT $QSampleK)) s,
+         |        ORDER BY ${mixSql(rk)}, $rk, cv LIMIT $QSampleK)) s,
          |(
          |  SELECT count(*) AS n_rows,
          |    $exactQ

@@ -223,10 +223,21 @@ object Gold {
         r1(sum(col("shipping_delay_days")) / count(lit(1))).as("avg_ship_delay"))
 
     val ym = Window.orderBy("order_year", "order_month")
+    // total_revenue is 2-decimal money: floor(d·100+0.5) recovers the cent
+    // count EXACTLY (one shared IEEE multiply, error ≪ 0.5), so the window
+    // arithmetic runs on BIGINT cents and never touches the double→decimal
+    // cast — whose sub-cent digits differ across engines (Spark rounds the
+    // double's shortest string, DuckDB its exact binary expansion; at 1e8
+    // magnitudes they disagree by up to ~3e-8, enough to flip a half-cent
+    // r2 boundary — observed once in the 137-query sf0.1 oracle sweep).
+    val cents = floor(col("total_revenue") * 100 + lit(0.5)).cast("long")
     def movingAvg(n: Int): Column = {
       val w = ym.rowsBetween(-(n - 1), Window.currentRow)
-      r2(sum(col("total_revenue").cast(SumDec)).over(w).cast("double") /
-        count(lit(1)).over(w))
+      val cs = sum(cents).over(w)
+      val cnt = count(lit(1)).over(w)
+      // round-half-up(cs/cnt) cents = floor((2cs+cnt)/(2cnt)) — same value
+      // r2 produced, now with zero float surface before the final /100
+      idiv(cs * 2 + cnt, cnt * 2).cast("double") / 100
     }
     val ytd = Window.partitionBy("order_year").orderBy("order_month")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -242,7 +253,8 @@ object Gold {
       .withColumn("revenue_3mo_moving_avg", movingAvg(3))
       .withColumn("revenue_6mo_moving_avg", movingAvg(6))
       .withColumn("revenue_12mo_moving_avg", movingAvg(12))
-      .withColumn("ytd_cumulative_revenue", r2(dsumOver(col("total_revenue"), ytd)))
+      .withColumn("ytd_cumulative_revenue",
+        sum(cents).over(ytd).cast("double") / 100)
       .withColumn("revenue_rank_in_year",
         rank().over(Window.partitionBy("order_year").orderBy(col("total_revenue").desc)))
       .withColumn("avg_order_value", r2(div0(col("total_revenue"), col("total_orders"))))

@@ -217,7 +217,14 @@ object Sketch {
     val keyed = df.where(col(c).isNotNull)
       .select(hashKey(df, c).as("cv"), mixHash(rowKey(t)).as("h"),
         rowKey(t).as("rk"))
-    val sample = keyed.orderBy(col("h"), col("rk")).limit(QSampleK)
+    // the raw tables deliberately contain duplicate business keys (the
+    // bronze keep-latest dedup's fixture surface), so rk alone is NOT a
+    // strict order: rows tied on (h, rk) are different physical rows whose
+    // profiled values differ, and each engine would keep a different one
+    // (observed at sf0.1: 2 of 9 profile rows diverged). Adding cv makes
+    // the cut value-deterministic — any residual tie has equal cv, which
+    // cannot move a quantile.
+    val sample = keyed.orderBy(col("h"), col("rk"), col("cv")).limit(QSampleK)
     def qs(src: String) = QuantilePcts.map(p =>
       Num.r2(percentile(col("cv"), lit(p / 100.0)) / scale)
         .as(s"p${p}_$src"))
