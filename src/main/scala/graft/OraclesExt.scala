@@ -50,7 +50,7 @@ object OraclesExt {
   }
 
   val textLangid: String = {
-    val hitCols = Markers.map { case (l, ws) => s"${hits(ws)} AS ${l}_hits" }
+    val hitCols = Markers.map { case (l, ws) => s"CAST(${hits(ws)} AS INTEGER) AS ${l}_hits" }
     val best = Markers.map(l => s"${l._1}_hits").mkString("GREATEST(", ", ", ")")
     val arms = Markers.map { case (l, _) => s"WHEN ${l}_hits = best THEN '$l'" }
     s"""WITH h AS (
@@ -153,7 +153,8 @@ object OraclesExt {
        |  FROM tf JOIN dfreq ON tf.token = dfreq.token),
        |ranked AS (
        |  SELECT doc_id, token, tf, tfidf,
-       |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS "rank"
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token)
+       |      AS INTEGER) AS "rank"
        |  FROM scored)
        |SELECT doc_id, token, tf, ${R("tfidf", 4)} AS tfidf, "rank"
        |FROM ranked WHERE "rank" <= 5
@@ -428,7 +429,7 @@ object OraclesExt {
        |  FROM sigs CROSS JOIN (VALUES ${(0 until SimhashChunks).map(c => s"($c)").mkString(",")}) c(chunk)),
        |pairs AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-       |    bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
        |  FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.v = y.v
        |  WHERE x.doc_id < y.doc_id)
        |SELECT doc_a, doc_b, hamming FROM pairs
@@ -543,8 +544,8 @@ object OraclesExt {
     s"""$pairsCte,
        |ranked AS (
        |  SELECT query_id, neighbor_id, cosine,
-       |    row_number() OVER (PARTITION BY query_id
-       |                       ORDER BY cosine DESC, neighbor_id) AS "rank"
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS "rank"
        |  FROM p)
        |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked
        |WHERE "rank" <= $TopK
@@ -1112,8 +1113,8 @@ object OraclesExt {
        |       + COALESCE(1000000 // ($RrfK + d.rank), 0) AS BIGINT) AS rrf_mn
        |  FROM lex l FULL JOIN dense d
        |    ON d.qid = l.qid AND d.doc_id = l.doc_id),
-       |rk AS (SELECT *, row_number() OVER (
-       |    PARTITION BY qid ORDER BY rrf_mn DESC, doc_id) AS rank FROM f)
+       |rk AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY rrf_mn DESC, doc_id) AS INTEGER) AS rank FROM f)
        |SELECT qid, rank, doc_id, rrf_mn, lex_rank, dense_rank
        |FROM rk WHERE rank <= $FusedTopK
        |ORDER BY qid, rank""".stripMargin
@@ -1309,8 +1310,8 @@ object OraclesExt {
        |  WHERE cosine >= $NegBandLo AND cosine < $NegBandHi),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cosine,
-       |    row_number() OVER (PARTITION BY query_id
-       |                       ORDER BY cosine DESC, neighbor_id) AS "rank"
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS "rank"
        |  FROM b)
        |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked
        |WHERE "rank" <= $NegK
@@ -2159,8 +2160,8 @@ object OraclesExt {
     import graft.ext.Sampling.StratumK
     s"""WITH ranked AS (
        |  SELECT lang, doc_id, source,
-       |    row_number() OVER (PARTITION BY lang
-       |      ORDER BY ${mixSql("doc_id")}, doc_id) AS sample_rank
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${mixSql("doc_id")}, doc_id) AS INTEGER) AS sample_rank
        |  FROM documents)
        |SELECT lang, sample_rank, doc_id, source FROM ranked
        |WHERE sample_rank <= $StratumK
@@ -2582,8 +2583,8 @@ object OraclesExt {
        |los AS (SELECT d.doc_id, $nbLoMicro AS lo, l.weak_good
        |  FROM documents d JOIN lab l ON l.doc_id = d.doc_id
        |  LEFT JOIN perdoc p ON p.doc_id = d.doc_id, unk u),
-       |dd AS (SELECT *, ntile($CalibrationDeciles)
-       |    OVER (ORDER BY lo DESC, doc_id) AS decile FROM los)
+       |dd AS (SELECT *, CAST(ntile($CalibrationDeciles)
+       |    OVER (ORDER BY lo DESC, doc_id) AS INTEGER) AS decile FROM los)
        |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(CASE WHEN weak_good THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_gate_pass,
@@ -2612,7 +2613,7 @@ object OraclesExt {
     s"""WITH $nbCtes
        |SELECT d.doc_id, d.lang, d.source,
        |  ${R(s"CAST($nbLoMicro AS DOUBLE) / 1e6", 4)} AS log_odds,
-       |  $pm AS keep_millis,
+       |  CAST($pm AS BIGINT) AS keep_millis,
        |  ${mixSql("d.doc_id")} % 1000 < $pm AS kept
        |FROM documents d
        |LEFT JOIN perdoc p ON p.doc_id = d.doc_id, unk u
@@ -3074,8 +3075,8 @@ object OraclesExt {
        |  JOIN dfr d ON d.token = q.token, tot),
        |agg AS (SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score_mn,
        |    CAST(count(*) AS BIGINT) AS n_terms FROM sc GROUP BY qid, doc_id),
-       |rk AS (SELECT *, row_number() OVER (
-       |    PARTITION BY qid ORDER BY score_mn DESC, doc_id) AS rank FROM agg)
+       |rk AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY score_mn DESC, doc_id) AS INTEGER) AS rank FROM agg)
        |SELECT qid, rank, doc_id, score_mn, n_terms, qid = doc_id AS self_hit
        |FROM rk WHERE rank <= $Bm25TopK
        |ORDER BY qid, rank""".stripMargin
@@ -3153,8 +3154,8 @@ object OraclesExt {
        |  JOIN df2 d ON d.token = q.token, tot),
        |agg2 AS (SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score_mn,
        |    CAST(count(*) AS BIGINT) AS n_terms FROM sc2 GROUP BY qid, doc_id),
-       |rk2 AS (SELECT *, row_number() OVER (
-       |    PARTITION BY qid ORDER BY score_mn DESC, doc_id) AS rank FROM agg2)
+       |rk2 AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY score_mn DESC, doc_id) AS INTEGER) AS rank FROM agg2)
        |SELECT qid, rank, doc_id, score_mn, n_terms, qid = doc_id AS self_hit
        |FROM rk2 WHERE rank <= $Bm25TopK
        |ORDER BY qid, rank""".stripMargin
@@ -3191,7 +3192,8 @@ object OraclesExt {
        |rows_ AS (
        |  SELECT v.token, v.c_old, coalesce(nc.c_new, 0) AS c_new
        |  FROM vocab v LEFT JOIN nc ON nc.token = v.token
-       |  UNION ALL SELECT '<unk>', unk_old, unk_new FROM t),
+       |  UNION ALL SELECT '<unk>', CAST(unk_old AS BIGINT),
+       |    CAST(unk_new AS BIGINT) FROM t),
        |scored AS (
        |  SELECT r.token, r.c_old, r.c_new,
        |    ${ppm("r.c_old", "t.t_old")} AS ppm_old,

@@ -46,6 +46,20 @@ def diff(s, o):
         return f"ROWCOUNT MISMATCH spark={len(s)} oracle={len(o)}"
     s, o = s[sc].reset_index(drop=True), o[sc].reset_index(drop=True)
     bad = []
+    # Type gate (VERDICT r10 #2): the driver's hash canonicalization is
+    # kind-sensitive — a DuckDB HUGEINT lands in pandas as float64 while
+    # Spark's int64 stays integer, hashing `50.0` != `50` on bit-equal
+    # values. Compare dtype KINDS so that class fails here, before the
+    # driver. (OracleTypeSpec pins exact widths via DESCRIBE; this is the
+    # value-path backstop.)
+    for c in sc:
+        ka, kb = s[c].dtype.kind, o[c].dtype.kind
+        # object columns (strings, lists) and NaN-promoted floats aside,
+        # int-vs-float kind skew is exactly the driver's failure mode
+        if {ka, kb} == {"i", "f"} or {ka, kb} == {"u", "f"}:
+            bad.append(f"col {c}: TYPE KIND MISMATCH spark={s[c].dtype} oracle={o[c].dtype}")
+    if bad:
+        return " | ".join(bad)
     for c in sc:
         a, b = s[c], o[c]
         if str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime") or a.dtype == object:
