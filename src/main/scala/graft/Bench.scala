@@ -44,48 +44,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PASSES", "7").toInt
+    // The driver's tail capture must contain ONLY the JSON line(s), and it
+    // reads a merged stream — per-package level whack-a-mole (r6 #6, r8 #3,
+    // r9 #4: WindowExec, SparkStringUtils, BlockManager-init INFO, …) kept
+    // losing to startup lines emitted BEFORE setLogLevel could run. Silence
+    // log4j entirely before any Spark class initializes it; query failures
+    // still surface — Bench prints them itself on stderr and counts them in
+    // the JSON `errors` map.
+    Session.silenceAllLogs()
     val spark = Session.build(s"local[$cpus]", cpus, "graft-bench")
-    spark.sparkContext.setLogLevel("WARN")
-    // componentsOf intentionally unpersists superseded localCheckpoint
-    // rounds; RDD.unpersist logs a benign "was locally checkpointed …"
-    // warning for each (logger = the concrete RDD subclass, so silence the
-    // whole rdd package). Keep it out of the parsed stdout tail.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
-    // "Broadcasting large task binary" (DAGScheduler WARN): the deployment
-    // ANN path (hier) no longer triggers it — its centroid literal is
-    // bounded — but the flat √n BASELINE still measured at sf1 does, and
-    // the driver's tail capture must contain only the JSON line(s)
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.scheduler.DAGScheduler", org.apache.logging.log4j.Level.ERROR)
-    // per-query isolation clearCache()+re-persist makes "Asked to cache
-    // already cached data" (CacheManager WARN) routine across passes
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.CacheManager", org.apache.logging.log4j.Level.ERROR)
-    // same isolation makes "Block rdd_N already exists on this machine"
-    // (BlockManager WARN) routine, and wide profile rows trip the
-    // maxToStringFields truncation notice — neither may pollute the
-    // driver-parsed stdout tail (r7's tail carried both)
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.storage", org.apache.logging.log4j.Level.ERROR)
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.catalyst.util", org.apache.logging.log4j.Level.ERROR)
-    // the "Truncated the string representation of a plan since it was too
-    // large" WARN moved OUT of sql.catalyst.util in Spark 4 — truncatedString
-    // now lives in org.apache.spark.util.SparkStringUtils (common-utils), so
-    // the line above no longer covers it (r8's tail carried the fragment).
-    // Silence the new home too; Session.build additionally raises
-    // maxToStringFields so the truncation never fires in the first place.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.util.SparkStringUtils", org.apache.logging.log4j.Level.ERROR)
-    // "No Partition Defined for Window operation!" (WindowExec WARN): the
-    // month-grain lag chains in Gold.monthlySalesTrends run over ~84 rows
-    // by design (SURVEY §4) — the warning is expected and harmless, but it
-    // kept landing as the first line of the driver's parsed bench tail
-    // (r6 #6, r8 #3, r9 #4). Silence the window-exec package so the tail
-    // is exactly the JSON line(s).
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
     // warmup: exercise scans/joins/windows/aggs once at tiny SF so the first
     // timed query doesn't absorb JVM + whole-stage-codegen compilation
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -216,7 +183,9 @@ object Bench {
         Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
         java.nio.file.Files.writeString(path,
           sfDirs.map(lineFor(_, keepAll = true)).mkString("", "\n", "\n"))
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only: an OOM/LinkageError here must not be swallowed
+        // into a healthy-looking bench line (ADVICE r10)
         System.err.println(s"[bench] SPARK_GRAFT_BENCH_OUT write failed: ${e.getMessage}")
       }
     }

@@ -33,4 +33,26 @@ object Session {
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "600s")
       .getOrCreate()
+
+  /** Discard ALL log4j output for this JVM — for the bench mains, whose
+    * stdout tail the driver parses as JSON and whose stderr may be merged
+    * into that capture. Must run BEFORE any Spark class initializes
+    * logging. Root at OFF with a single discarding Null appender: Spark's
+    * Logging only re-applies its INFO console profile when the root is
+    * appender-less or ERROR-on-DefaultConfiguration, so this config
+    * survives SparkContext init untouched. Delivered via the
+    * log4j2.configurationFile property (read at first LogManager use) —
+    * programmatic Configurator.initialize proved unreliable across
+    * logger-context selectors. */
+  def silenceAllLogs(): Unit = {
+    val quiet = java.nio.file.Files.createTempFile("graft-quiet-log4j2", ".properties")
+    quiet.toFile.deleteOnExit()
+    java.nio.file.Files.writeString(quiet,
+      """rootLogger.level = OFF
+        |appender.discard.type = Null
+        |appender.discard.name = discard
+        |rootLogger.appenderRef.discard.ref = discard
+        |""".stripMargin)
+    System.setProperty("log4j2.configurationFile", quiet.toString)
+  }
 }

@@ -22,8 +22,9 @@ object StreamBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "8").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // same tail contract as Bench: the JSON line(s) must be the only output
+    Session.silenceAllLogs()
     val spark = Session.build(s"local[$cpus]", cpus, "graft-streambench")
-    spark.sparkContext.setLogLevel("WARN")
     import graft.engine.Sources
     import graft.ext.Text
     import graft.streaming.Streams
