@@ -3306,6 +3306,9 @@ object OraclesExt {
     "text_bm25_indexed" -> textBm25TopK,
     "text_bm25_index_search" -> textBm25Bounded,
     "text_bm25_rm3" -> textBm25Rm3,
+    // the index-backed RM3 is bit-identical to the batch arm by
+    // construction (TextIndexSpec pins it) — shared oracle
+    "text_bm25_rm3_indexed" -> textBm25Rm3,
     "text_hybrid_rrf" -> textHybridRrf,
     "text_hybrid_rrf_indexed" -> textHybridRrfIndexed,
     "text_retrieval_quality" -> textRetrievalQuality,

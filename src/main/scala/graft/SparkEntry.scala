@@ -71,6 +71,8 @@ object SparkEntry {
     "text_bm25_index_search" -> ((s, d) =>
       ext.TextIndex.bm25IndexedSearch(s, d).orderBy("qid", "rank")),
     "text_bm25_rm3" -> ((s, d) => ext.Text.bm25Rm3(s, d).orderBy("qid", "rank")),
+    "text_bm25_rm3_indexed" -> ((s, d) =>
+      ext.TextIndex.bm25Rm3Indexed(s, d).orderBy("qid", "rank")),
     "text_hybrid_rrf" -> ((s, d) =>
       ext.Hybrid.hybridRrf(s, d).orderBy("qid", "rank")),
     "text_hybrid_rrf_indexed" -> ((s, d) =>

@@ -1005,8 +1005,8 @@ object Text {
     * unweighted tail (`idiv(s·1e6, 1e6) ≡ s`), so the batch/index
     * bit-identity contract is untouched (TextIndexSpec re-pins it).
     * Weighted terms are the RM3 expansion device ([[bm25Rm3Of]]). */
-  private def bm25WeightedTail(qterms: DataFrame, tf: DataFrame,
-                               tots: DataFrame): DataFrame = {
+  private[ext] def bm25WeightedTail(qterms: DataFrame, tf: DataFrame,
+                                    tots: DataFrame): DataFrame = {
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = qterms.join(tf, Seq("token"))
       .join(broadcast(dfreq), Seq("token"))

@@ -31,6 +31,29 @@ class TextIndexSpec extends SparkSpec {
     assert(got === batchWant(sf))
   }
 
+  test("index-backed RM3 reproduces the batch RM3 operator bit-for-bit " +
+      "(expansion mass from SUM(tf) over postings == batch token counts)") {
+    val docs = docsOf(sf)
+    val queries = Text.bm25BoundedQueries(docs)
+    val want = Text.bm25Rm3Of(docs, queries).collect().map(key).toSeq.sorted
+    val got = TextIndex.bm25Rm3Indexed(spark, sf).collect().map(key).toSeq.sorted
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
+  test("search of a nonexistent store path throws instead of creating an " +
+      "empty store and returning zero rows") {
+    val ghost = store() // never built
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.search(spark, ghost, Text.bm25FixtureQueries(docsOf(sf)))
+    }
+    assert(e.getMessage.contains("not found"))
+    val fs = new org.apache.hadoop.fs.Path(ghost)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ghost/postings")),
+      "failed search must not create store directories")
+  }
+
   test("split ingest equals bulk load: postings and (N, T) stats fold " +
       "additively, so df/idf and length norms come out identical") {
     val s = store()
