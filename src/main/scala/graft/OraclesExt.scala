@@ -3316,6 +3316,10 @@ object OraclesExt {
     "media_audio_dups" -> mediaAudioDups,
     "media_video_dups" -> mediaVideoDups,
     "dedup_cross_modal" -> mediaCrossModalDups,
+    // the store-backed audit is bit-identical to the decode-everything
+    // report by construction (a fingerprint is a pure function of the
+    // file's bytes; FingerprintStoreSpec pins it) — shared oracle
+    "dedup_cross_modal_indexed" -> mediaCrossModalDups,
     "text_blocklist_filter" -> textBlocklistFilter,
     "text_langid_confusion" -> textLangidConfusion,
     "sampling_cluster_balanced" -> samplingClusterBalanced,

@@ -236,6 +236,8 @@ object SparkEntry {
       ext.Multimodal.videoDupPairs(s, d).orderBy("media_id_a", "media_id_b")),
     "dedup_cross_modal" -> ((s, d) =>
       ext.Multimodal.crossModalDups(s, d).orderBy("doc_id")),
+    "dedup_cross_modal_indexed" -> ((s, d) =>
+      ext.Multimodal.crossModalDupsIndexed(s, d).orderBy("doc_id")),
     // the reference README's documented BI consumer queries
     // (reference: README.md:216-236; O2 top-K → TakeOrderedAndProject)
     "consumer_top_clv" -> ((s, d) =>

@@ -300,8 +300,13 @@ object Dedup {
         struct(lit(b).as("band"), bandBucket(b).as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Sources.documents(spark, dir)
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairsOf(Sources.documents(spark, dir))
+
+  /** PRODUCTION ENTRY — MinHash-LSH near-dup pairs over ANY (doc_id, text)
+    * frame, so a pipeline can run the text arm on the corpus it actually
+    * ships (the scrubbed frame), not the raw lake (ADVICE r10). */
+  def minhashLshPairsOf(docs: DataFrame): DataFrame = {
     // The band self-join's two SIDES share one exchange via AQE reuse (no
     // cache needed there — identical subplans). But `candidates` itself is
     // consumed THREE ways inside jaccardVerify (doc-id union ×2 + the pair

@@ -1,0 +1,157 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MEDIA-FINGERPRINT store — the multimodal sibling of
+  * [[VectorIndex]]/[[TextIndex]] (VERDICT r10 #6): one (media_id, modality,
+  * fp) row per media file, written ONCE by a build/delta-ingest path, so a
+  * cross-modal release audit is a fingerprint-table scan instead of a
+  * corpus re-decode. The r10 scaling audit measured the batch report at
+  * exponent 0.63 with the audio/video decode arms at 0.91/0.60 — the
+  * decode IS the report's cost, and at 100 TB a release audit cannot
+  * re-decode the media lake every run. This store moves the decode to
+  * where the lakehouse already pays it (ingest, O(delta) per new file) and
+  * makes the audit itself decode-free ([[FingerprintStoreSpec]] proves
+  * zero decodes by counter, not by plan-reading).
+  *
+  * Store discipline is the proven [[VectorIndex]] protocol reused verbatim:
+  *   - `fps/` — (media_id, modality, fp) external table PARTITIONED BY
+  *     (batch), CLUSTERED BY (media_id) INTO [[StoreBuckets]] buckets, so
+  *     the delta-ingest anti-join's STORE side arrives hash-distributed on
+  *     the join key (no exchange on the already-fingerprinted corpus,
+  *     however large it grows).
+  *   - per-`batch` partitions + dynamic partition overwrite → replay-safe
+  *     ingest; a crashed half-written batch re-runs as a smaller delta
+  *     (fingerprint rows are per-file facts — ids already stored are
+  *     simply excluded by the anti-join, never duplicated).
+  *   - [[VectorIndex.compactCore]]'s atomic floor-pointer compaction.
+  *
+  * Why the audit is bit-identical to the decode-everything report: a
+  * fingerprint is a pure function of the file's bytes (the REAL-codec
+  * leaves in [[Multimodal]]), so WHERE it was computed (ingest vs audit)
+  * cannot change it, and the store holds exactly one row per (media_id,
+  * modality) by the anti-join construction. */
+object FpStore {
+
+  /** Bucket count of the fps table — the store's fixed on-disk
+    * parallelism; at 100 TB pick ≈ cluster cores. */
+  val StoreBuckets = 8
+
+  private[graft] def fpTable(storePath: String): String =
+    "graft_media_fps_" + VectorIndex.sha12(storePath)
+
+  private def ensureTable(spark: SparkSession, storePath: String): String = {
+    val tbl = fpTable(storePath)
+    if (!spark.catalog.tableExists(tbl)) {
+      VectorIndex.fsOf(spark, storePath)
+        .mkdirs(new org.apache.hadoop.fs.Path(s"$storePath/fps"))
+      spark.sql(
+        s"""CREATE TABLE $tbl (media_id BIGINT, modality STRING, fp BIGINT,
+           |batch BIGINT)
+           |USING PARQUET
+           |PARTITIONED BY (batch)
+           |CLUSTERED BY (media_id) INTO $StoreBuckets BUCKETS
+           |LOCATION '$storePath/fps'""".stripMargin)
+      spark.catalog.recoverPartitions(tbl)
+    }
+    tbl
+  }
+
+  /** Audit-path store access: like [[TextIndex.search]], a READ must never
+    * conjure an empty store out of a mistyped path and report a dup-free
+    * corpus (the worst possible silent failure for a release gate) —
+    * require the fps table to exist before registering. */
+  private def requireStore(spark: SparkSession, storePath: String): String = {
+    val exists = spark.catalog.tableExists(fpTable(storePath)) ||
+      VectorIndex.fsOf(spark, storePath)
+        .exists(new org.apache.hadoop.fs.Path(s"$storePath/fps"))
+    require(exists,
+      s"FpStore not found at $storePath — build()/ingestDelta() it first")
+    ensureTable(spark, storePath)
+  }
+
+  private def live(spark: SparkSession, storePath: String, tbl: String): DataFrame =
+    spark.table(tbl)
+      .where(VectorIndex.livePred(VectorIndex.compactState(spark, storePath)))
+
+  /** One modality's live fingerprints as the [[Multimodal.PhashRow]] frame
+    * the shared Hamming-banded pair scan consumes — the decode-free input
+    * to [[Multimodal.crossModalDupsFromStore]]. */
+  def fingerprints(spark: SparkSession, storePath: String,
+                   modality: String): Dataset[Multimodal.PhashRow] = {
+    import spark.implicits._
+    live(spark, storePath, requireStore(spark, storePath))
+      .where(col("modality") === modality)
+      .select(col("media_id"), col("fp").as("phash"))
+      .as[Multimodal.PhashRow]
+  }
+
+  /** Build from scratch: wipe any prior store at the path, then ingest the
+    * whole media lake as batch 0. Idempotent clean replace. */
+  def build(spark: SparkSession, storePath: String, dir: String): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS ${fpTable(storePath)}")
+    VectorIndex.fsOf(spark, storePath)
+      .delete(new org.apache.hadoop.fs.Path(storePath), true)
+    ensureTable(spark, storePath)
+    ingestDelta(spark, storePath, dir)
+  }
+
+  /** Fold ONLY the not-yet-fingerprinted media into the store: per
+    * modality, the lake's ids anti-join the stored ids (store side
+    * bucket-distributed on media_id — no exchange on the fingerprinted
+    * history), and the REAL-codec decode leaf runs on the surviving delta
+    * alone — O(new files) decode per audit cycle, the same O(delta)
+    * discipline as [[graft.engine.Pipeline.runSalesIncrement]]. On the
+    * synthetic fixture the corpus rows are synthesized before the
+    * anti-join (encode is corpus CONSTRUCTION, not audit cost); in
+    * production the id listing comes off the lake manifest before any
+    * bytes are read. Returns the per-modality new-file counts — the
+    * ingest's audit record. */
+  def ingestDelta(spark: SparkSession, storePath: String, dir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = ensureTable(spark, storePath)
+    val nextBatch = spark.table(tbl)
+      .agg(coalesce(max(col("batch")) + 1, lit(0L))).first().getLong(0)
+    val stored = live(spark, storePath, tbl)
+    val fps = Multimodal.dupModalities.map { case (m, corpus, fp) =>
+      val delta = corpus(spark, dir)
+        .join(stored.where(col("modality") === m).select("media_id"),
+          Seq("media_id"), "left_anti")
+        .as[Multimodal.MediaFile]
+      fp(Multimodal.balancedByBytes(delta, 8)).toDF()
+        .select(col("media_id"), lit(m).as("modality"), col("phash").as("fp"))
+    }.reduce(_ unionByName _).withColumn("batch", lit(nextBatch))
+    graft.sources.DynamicOverwrite(spark) {
+      fps.select("media_id", "modality", "fp", "batch")
+        .write.mode("overwrite").insertInto(tbl)
+    }
+    spark.table(tbl).where(col("batch") === nextBatch)
+      .groupBy("modality").agg(count(lit(1)).as("n_new"))
+  }
+
+  /** Compact batches ≤ `upTo` behind [[VectorIndex.compactCore]]'s atomic
+    * floor pointer — fingerprint rows are per-file facts, so consolidation
+    * cannot change the audit by construction. */
+  def compact(spark: SparkSession, storePath: String, upTo: Long): Unit =
+    VectorIndex.compactCore(spark, storePath, upTo, Seq(
+      (ensureTable(spark, storePath), "fps", Seq("media_id", "modality", "fp"))))
+
+  // ----------------------------------------------------- session memoizing
+
+  private val builtThisSession =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def storeFor(spark: SparkSession, dir: String): String =
+    s"${spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")}" +
+      s"/graft_fpstore_${VectorIndex.sha12(dir)}"
+
+  /** The (session, corpus)-memoized store: decoded at most once per
+    * session, every later caller audits it as-is — the deployment contract
+    * `dedup_cross_modal_indexed` measures. */
+  private[ext] def sessionStore(spark: SparkSession, dir: String): String = {
+    val store = storeFor(spark, dir)
+    if (builtThisSession.add(store)) build(spark, store, dir)
+    store
+  }
+}

@@ -149,6 +149,32 @@ object Hybrid {
       .orderBy("arm")
   }
 
+  /** Known-item hit-rate floor (percent) the corpus pipeline's retrieval
+    * DQ gate enforces. This is a BREAKAGE detector, not a quality SLA: the
+    * fixture's synthetic text is highly repetitive, so known-item
+    * self-hit@5 runs 30–40% (measured 40% at sf0.001, 32% at sf0.01 —
+    * shorter near-boilerplate docs legitimately outrank the probed doc),
+    * while a broken stack (empty index, broken tokenizer, drifted doc ids)
+    * scores ~0. 20 separates the two regimes with margin on both sides;
+    * a production corpus with distinctive documents should raise it. */
+  val RetrievalHitFloorPct = 20L
+
+  /** DQ verdict over ANY (qid, rank, doc_id) known-item retrieval list:
+    * (hit-rate percent, pass) against `floorPct` — the gate form of
+    * [[retrievalQualityOf]] (VERDICT r10 #7): a corpus release should FAIL
+    * when known-item retrieval over the shipped text degrades, exactly as
+    * it fails on residual PII or a released near-dup. Zero queries is a
+    * FAIL, not a vacuous pass — a gate that cannot probe proves nothing. */
+  def retrievalQualityGate(results: DataFrame, nQueries: DataFrame,
+                           floorPct: Long): (Long, Boolean) = {
+    // the zero-query guard runs BEFORE the audit: its MRR division is
+    // meaningless (and ANSI-fatal) with no queries, and no probe = no proof
+    if (nQueries.first().getLong(0) == 0L) return (0L, false)
+    val r = retrievalQualityOf("gate", results, nQueries).first()
+    val pct = r.getLong(2) * 100L / r.getLong(1)
+    (pct, pct >= floorPct)
+  }
+
   // ---------------------- context packing (RAG assembly) ----------------
 
   /** Token budget of the packed retrieval context. Fixture docs run
@@ -163,7 +189,14 @@ object Hybrid {
     * worse one is not done). One broadcast-sized window per qid; the doc
     * length join is the only shuffle. Output keeps the running total so
     * the packed context is audit-ready (qid, rank, doc_id, doc_tokens,
-    * cum_tokens ≤ budget). */
+    * cum_tokens ≤ budget).
+    *
+    * A retrieved doc_id ABSENT from `docs` (store/corpus drift) is treated
+    * as an overflow that terminates that qid's prefix (ADVICE r10): the
+    * doc's length is unknown, so admitting anything ranked past it would
+    * violate the never-skip-a-doc prefix contract. The join is therefore a
+    * LEFT join + per-qid first-missing-rank cutoff, never an inner join
+    * that would silently pack past the hole. */
   def contextPackOf(results: DataFrame, docs: DataFrame,
                     budget: Long): DataFrame = {
     val dls = docs.select(col("doc_id"),
@@ -172,7 +205,10 @@ object Hybrid {
     val w = Window.partitionBy("qid").orderBy("rank")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     results.select("qid", "rank", "doc_id")
-      .join(dls, Seq("doc_id"))
+      .join(dls, Seq("doc_id"), "left")
+      .withColumn("_missing_at", min(when(col("doc_tokens").isNull,
+        col("rank"))).over(Window.partitionBy("qid")))
+      .where(col("_missing_at").isNull || col("rank") < col("_missing_at"))
       .withColumn("cum_tokens", sum(col("doc_tokens")).over(w))
       .where(col("cum_tokens") <= budget)
       .select("qid", "rank", "doc_id", "doc_tokens", "cum_tokens")

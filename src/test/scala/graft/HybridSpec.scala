@@ -149,4 +149,37 @@ class HybridSpec extends SparkSpec {
       .map(_.getAs[Long]("cum_tokens")).toSeq
     assert(exact === Seq(60L, 110L))
   }
+
+  test("context pack: a retrieved doc MISSING from the corpus terminates " +
+      "that qid's prefix — nothing packs past the hole (ADVICE r10)") {
+    def doc(id: Long, tokens: Int) = (id, Seq.fill(tokens)("w").mkString(" "))
+    val docs = Seq(doc(10L, 20), doc(12L, 20), doc(20L, 30))
+      .toDF("doc_id", "text") // doc 11 drifted out of the corpus
+    val res = ranks(Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // rank 2 is the hole
+      (2L, 20L, 1)))                            // control qid: unaffected
+    val got = Hybrid.contextPackOf(res, docs, 128L)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"))).toSeq
+    // qid 1: rank 1 packs, the unknown-length rank 2 acts as an overflow,
+    // rank 3 is NOT admitted past it; qid 2 packs normally
+    assert(got === Seq((1L, 1, 10L), (2L, 1, 20L)))
+  }
+
+  test("retrieval-quality gate: fixture self-hits pass the floor; a broken " +
+      "(empty) retrieval list FAILS rather than passing vacuously") {
+    val nq = Seq(3L).toDF("n_queries")
+    val healthy = ranks(Seq((1L, 1L, 1), (2L, 2L, 1), (3L, 3L, 2)))
+    assert(Hybrid.retrievalQualityGate(healthy, nq,
+      Hybrid.RetrievalHitFloorPct) === ((100L, true)))
+    // 0 of 3 known items found (the broken-stack regime) → 0% < floor
+    val degraded = ranks(Seq((1L, 8L, 1), (2L, 9L, 1), (3L, 9L, 1)))
+    assert(Hybrid.retrievalQualityGate(degraded, nq,
+      Hybrid.RetrievalHitFloorPct) === ((0L, false)))
+    // zero queries proves nothing: FAIL, not a vacuous pass
+    assert(Hybrid.retrievalQualityGate(
+      ranks(Seq.empty[(Long, Long, Int)]), Seq(0L).toDF("n_queries"),
+      Hybrid.RetrievalHitFloorPct) === ((0L, false)))
+  }
 }

@@ -87,7 +87,8 @@ class PipelineSpec extends SparkSpec {
     assert(results.forall(_.status == "PASS"), results.mkString("; "))
     assert(results.map(_.stage) === Seq("corpus_scrubbed", "corpus_gates",
       "corpus_blocklist", "corpus_nb_quality", "corpus_decontaminate",
-      "corpus_quality_sample", "corpus_cross_modal", "corpus_release_manifest",
+      "corpus_quality_sample", "corpus_fingerprints", "corpus_cross_modal",
+      "corpus_release_manifest",
       "corpus_preprocess", "corpus_reject_ledger",
       "corpus_packed", "corpus_data_card", "quality_checks"))
     // the decontamination sweep ran on the scrubbed text and flagged the
@@ -111,8 +112,14 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getAs[String]("check_name") -> r.getAs[String]("status")).toMap
     assert(dq.keySet === Set("scrub_coverage", "residual_pii",
       "sample_referential_integrity", "data_card_reconciliation",
-      "release_leak_free", "release_dup_free"))
+      "release_leak_free", "release_dup_free", "retrieval_quality"))
     assert(dq.values.forall(_ == "PASS"), dq.toString)
+    // the fingerprint ingest decoded every modality exactly once (3 report
+    // rows, one per media arm) and the cross-modal stage audited the STORE
+    val fpReport = spark.read.parquet(s"$out/corpus_fingerprints").collect()
+      .map(r => r.getAs[String]("modality") -> r.getAs[Long]("n_new")).toMap
+    assert(fpReport.keySet === Set("image", "audio", "video"), fpReport.toString)
+    assert(fpReport.values.forall(_ > 0), fpReport.toString)
     // the cross-modal gate EXCLUDED every any_dup doc from the release
     val relIds = rel.select("doc_id")
     val dupJoin = relIds.join(
