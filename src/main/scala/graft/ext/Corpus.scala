@@ -400,11 +400,20 @@ object Corpus {
     qualitySampleOf(Sources.documents(spark, dir))
 
   /** PRODUCTION ENTRY — [[qualitySample]] over ANY (doc_id, lang, source,
-    * text) frame: trains the NB model on the frame itself (a production
-    * caller with a pre-trained model gates on
-    * [[Text.nbMicroWith]] directly). */
+    * text) frame: trains the NB model on the frame itself. */
   def qualitySampleOf(docs: DataFrame): DataFrame = {
     val (model, unk) = Text.nbModelFrames(docs)
+    qualitySampleWith(docs, model, unk)
+  }
+
+  /** [[qualitySampleOf]] against a FROZEN pre-trained classifier — the
+    * per-doc verdict is then a pure map-only function of the doc, which is
+    * what lets the streaming release fold ([[graft.streaming.Streams
+    * .releaseIngest]]) gate each micro-batch bit-identically to the batch
+    * pipeline: the model is a fixed input refreshed by a scheduled job,
+    * never re-trained on the hot path. */
+  def qualitySampleWith(docs: DataFrame, model: DataFrame,
+                        unk: DataFrame): DataFrame = {
     val pMillis = greatest(lit(0L), least(lit(1000L),
       lit(500L) + Num.fdiv(col("lo_micro"), lit(QsRampMicroNats / 500L))))
     Text.nbMicroWith(docs, model, unk)

@@ -1042,6 +1042,141 @@ object Streams {
     ()
   }
 
+  // ------------------- end-to-end INCREMENTAL CORPUS RELEASE (versioned) --
+
+  /** STREAMING CORPUS-RELEASE FOLD — the repo's lakehouse-incremental story
+    * applied to its corpus product (VERDICT r10 #8): every micro-batch of
+    * raw documents runs the FULL release gauntlet — PII scrub → text
+    * near-dup gate → image/audio/video fingerprint gates → frozen-classifier
+    * quality sample → frozen-eval-suite decontamination — and appends ONLY
+    * its own released rows as `release/batch=<id>`, so each batch produces
+    * a new release VERSION in O(delta): version v ≡ the union of partitions
+    * ≤ v, and [[releaseManifest]] at the final version is bit-identical to
+    * [[graft.engine.Pipeline.runCorpusPipeline]]'s from-scratch
+    * `corpus_release_manifest` (ReleaseSpec proves it).
+    *
+    * Why a per-batch append is CORRECT (no retro-invalidation): every gate
+    * verdict for a doc is decided at the doc's own arrival —
+    *  - the four dup gates use the keep-lowest rule under in-order arrival
+    *    (a doc is rejected iff it pairs with an EARLIER-id doc; later
+    *    arrivals can only be rejected themselves, never flag history) —
+    *    the proven [[nearDupIngest]]/[[phashIngest]] semantics;
+    *  - the quality verdict is map-only against the FROZEN classifier
+    *    ([[graft.ext.Corpus.qualitySampleWith]]);
+    *  - contamination is map-only against the FROZEN eval suite's
+    *    broadcast gram set ([[decontaminateIngest]]'s device) — eval
+    *    benchmarks are fixed external inputs in production, which is
+    *    exactly what makes streaming decontamination possible.
+    * The classifier and eval suite are refresh-by-scheduled-job inputs (the
+    * [[corpusIngest]] frozen-model pattern); re-freezing them starts a new
+    * release lineage.
+    *
+    * Store layout under `storePath`: `dedup/` (the text LSH gate's store),
+    * `image/`, `audio/`, `video/` (the fingerprint gates' stores — each
+    * band-bucketed, probe joins exchange-free on the history side),
+    * `release/batch=<id>` (this batch's released rows — the ONLY rows this
+    * batch adds to the product), `versions/batch=<id>` (the release log:
+    * one row per version with its released-row delta). All writes are
+    * batch-owned partitions — at-least-once replays rewrite, never
+    * duplicate. */
+  def releaseIngest(docs: DataFrame, dir: String, storePath: String,
+                    nbModel: DataFrame, nbUnk: DataFrame, evalDocs: DataFrame,
+                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    def frozen(df: DataFrame): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    val (fNb, fNbU) = (frozen(nbModel), frozen(nbUnk))
+    val fGrams = frozen(
+      graft.ext.Text.contamGrams(evalDocs).select("g").distinct())
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestReleaseBatch(batch, dir, storePath, batchId, fNb, fNbU, fGrams)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[releaseIngest]]: the full gate chain over the
+    * delta, ending in the batch's own `release/` and `versions/`
+    * partitions. `evalGrams` must already be the frozen distinct gram set
+    * (one `g` column). */
+  private[graft] def ingestReleaseBatch(batch0: DataFrame, dir: String,
+      storePath: String, batchId: Long, nbModel: DataFrame, nbUnk: DataFrame,
+      evalGrams: DataFrame): Unit = {
+    import graft.ext.{Corpus, Multimodal, Pii, Text}
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    // the scrub boundary: every downstream verdict describes SHIPPED text
+    val scrubbed = Pii.redactedOf(batch0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("redacted_text").as("text"))
+      .persist()
+    // the four modality dup gates, each appending to its own sub-store;
+    // the fixture's media lake is keyed by doc_id, so the batch's media is
+    // the corpora restricted to the batch's ids (in production the media
+    // rows arrive alongside the documents)
+    ingestDedupBatch(scrubbed, s"$storePath/dedup", batchId)
+    val ids = scrubbed.select(col("doc_id").as("media_id"))
+    val gates = Map[String, (DataFrame, String, Long) => Unit](
+      "image" -> (ingestPhashBatch _),
+      "audio" -> (ingestAudioDupBatch _),
+      "video" -> (ingestVideoDupBatch _))
+    Multimodal.dupModalities.foreach { case (m, corpus, _) =>
+      gates(m)(corpus(spark, dir).join(ids, Seq("media_id"), "left_semi"),
+        s"$storePath/$m", batchId)
+    }
+    // this batch's rejects per arm = batch ids minus the arm's kept
+    // partition (keep-lowest: a doc's verdict is final at its own batch)
+    def rejectsOf(sub: String, idCol: String): DataFrame =
+      scrubbed.select("doc_id").join(
+        spark.read.parquet(s"$storePath/$sub/kept/batch=$batchId")
+          .select(col(idCol).as("doc_id")), Seq("doc_id"), "left_anti")
+    val dupped = rejectsOf("dedup", "doc_id")
+      .unionByName(rejectsOf("image", "media_id"))
+      .unionByName(rejectsOf("audio", "media_id"))
+      .unionByName(rejectsOf("video", "media_id"))
+      .distinct()
+    // quality + decontamination against the frozen references (map-only),
+    // then the same release algebra as the batch pipeline's manifest:
+    // kept ∧ train ∧ ¬contaminated ∧ ¬any-modality-dup
+    val trainPred = graft.ext.Sampling.mixHash(col("doc_id")) % 100 <
+      lit(100 - Text.ContamEvalPct)
+    val flags = Text.decontaminateAgainstGrams(
+      scrubbed.where(trainPred), evalGrams)
+    val released = Corpus.qualitySampleWith(scrubbed, nbModel, nbUnk)
+      .where(col("kept")).select("doc_id", "lang", "source")
+      .join(flags.select(col("doc_id"),
+        col("n_contaminated"), col("contaminated")), Seq("doc_id"))
+      .where(!col("contaminated"))
+      .join(dupped, Seq("doc_id"), "left_anti")
+      .persist()
+    released.write.mode("overwrite")
+      .parquet(s"$storePath/release/batch=$batchId")
+    // the version log: one row per release version with its O(delta) size
+    Seq(released.count()).toDF("n_released")
+      .write.mode("overwrite").parquet(s"$storePath/versions/batch=$batchId")
+    scrubbed.unpersist(); released.unpersist()
+    ()
+  }
+
+  /** A release VERSION of the streamed corpus: the union of released
+    * partitions up to `upTo` (None = latest). Column-for-column the batch
+    * pipeline's `corpus_release_manifest` schema. */
+  def releaseManifest(spark: SparkSession, storePath: String,
+                      upTo: Option[Long] = None): DataFrame = {
+    val rel = spark.read.parquet(s"$storePath/release")
+    upTo.map(v => rel.where(col("batch") <= v)).getOrElse(rel)
+      .select("doc_id", "lang", "source", "n_contaminated", "contaminated")
+  }
+
+  /** The release log: (version, n_released) per streamed batch. The cast
+    * pins the partition-inferred `batch` (int) to the batch-id type. */
+  def releaseVersions(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(s"$storePath/versions")
+      .select(col("batch").cast("long").as("version"), col("n_released"))
+
   /** True iff `batchId` is already part of the state at `path`. Streaming
     * foreachBatch ids are MONOTONICALLY increasing, so the committed tag's
     * id is the high-water mark: any batchId at or below it has been folded
