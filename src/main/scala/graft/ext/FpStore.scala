@@ -119,7 +119,7 @@ object FpStore {
         .join(stored.where(col("modality") === m).select("media_id"),
           Seq("media_id"), "left_anti")
         .as[Multimodal.MediaFile]
-      fp(Multimodal.balancedByBytes(delta, 8)).toDF()
+      fp(Multimodal.balancedByBytes(delta, Multimodal.decodeParts(spark))).toDF()
         .select(col("media_id"), lit(m).as("modality"), col("phash").as("fp"))
     }.reduce(_ unionByName _).withColumn("batch", lit(nextBatch))
     graft.sources.DynamicOverwrite(spark) {

@@ -474,6 +474,21 @@ object Multimodal {
   def balancedByBytes(media: Dataset[MediaFile], partitions: Int): Dataset[MediaFile] =
     media.repartitionByRange(partitions, length(col("content")), col("media_id"))
 
+  /** Decode parallelism for the batch media arms: one byte-balanced
+    * partition per available core — the same min(defaultParallelism,
+    * shuffle.partitions) target [[graft.engine.Sources.spread]] uses, so
+    * batch and streaming ([[graft.streaming.Streams]] passes
+    * defaultParallelism) agree. Through r10 this was a hardcoded 8: every
+    * batch decode ran in exactly 8 tasks regardless of cluster size —
+    * measured flat local[8] ≈ local[16] ≈ local[32] on the sf1 fixture —
+    * the one knob that would have serialized the byte-bound decode floor
+    * on a real cluster. Partition count never changes results here: dup
+    * pairs come from key-joins on fingerprints and every downstream sum is
+    * integer or decimal-exact (order-free). */
+  def decodeParts(spark: SparkSession): Int =
+    math.min(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   /** Batched decode/feature-extract: the mapInPandas twin — each partition's
     * rows are fed to the codec [[DecodeBatch]] at a time. Every kind runs a
     * REAL decode (`javax.imageio` / `javax.sound.sampled` / the AVI chunk
@@ -552,7 +567,7 @@ object Multimodal {
     * w·h·frames, luma from actual frame bits). */
   def kindSummary(spark: SparkSession, dir: String): DataFrame = {
     import graft.engine.Num._
-    extractFeatures(balancedByBytes(mediaCorpus(spark, dir), 8)).toDF()
+    extractFeatures(balancedByBytes(mediaCorpus(spark, dir), decodeParts(spark))).toDF()
       .groupBy("kind")
       .agg(
         count(lit(1)).as("n_media"),
@@ -712,7 +727,7 @@ object Multimodal {
 
   /** Registered harness: hash the synthetic tiled corpus, band, verify. */
   def phashPairs(spark: SparkSession, dir: String): DataFrame =
-    phashPairsOf(phashOf(balancedByBytes(phashCorpus(spark, dir), 8)))
+    phashPairsOf(phashOf(balancedByBytes(phashCorpus(spark, dir), decodeParts(spark))))
 
   // ------------------- audio perceptual near-dup (energy fingerprint) ----
 
@@ -786,7 +801,7 @@ object Multimodal {
     * text ([[Dedup]]), image ([[phashPairs]]) and audio dedup all ride the
     * same banded candidate machinery. */
   def audioDupPairs(spark: SparkSession, dir: String): DataFrame =
-    phashPairsOf(audioFingerprintOf(balancedByBytes(audioDupCorpus(spark, dir), 8)))
+    phashPairsOf(audioFingerprintOf(balancedByBytes(audioDupCorpus(spark, dir), decodeParts(spark))))
 
   // ------------------ video perceptual near-dup (temporal fingerprint) ----
 
@@ -863,7 +878,7 @@ object Multimodal {
     * machinery — with this the quartet is complete: text, image, audio
     * and video dedup all run one candidate-generation story. */
   def videoDupPairs(spark: SparkSession, dir: String): DataFrame =
-    phashPairsOf(videoFingerprintOf(balancedByBytes(videoDupCorpus(spark, dir), 8)))
+    phashPairsOf(videoFingerprintOf(balancedByBytes(videoDupCorpus(spark, dir), decodeParts(spark))))
 
   // ------------------------- cross-modal near-dup release report ---------
 
@@ -896,7 +911,7 @@ object Multimodal {
   def crossModalDups(spark: SparkSession, dir: String): DataFrame =
     crossModalDupsOf(Sources.documents(spark, dir),
       dupModalities.map { case (m, corpus, fp) =>
-        (m, fp(balancedByBytes(corpus(spark, dir), 8)))
+        (m, fp(balancedByBytes(corpus(spark, dir), decodeParts(spark))))
       })
 
   /** PRODUCTION ENTRY — the report over an EXPLICIT text frame and
