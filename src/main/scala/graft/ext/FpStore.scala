@@ -5,54 +5,81 @@ import org.apache.spark.sql.functions._
 
 /** Persisted MEDIA-FINGERPRINT store — the multimodal sibling of
   * [[VectorIndex]]/[[TextIndex]] (VERDICT r10 #6): one (media_id, modality,
-  * fp) row per media file, written ONCE by a build/delta-ingest path, so a
-  * cross-modal release audit is a fingerprint-table scan instead of a
-  * corpus re-decode. The r10 scaling audit measured the batch report at
-  * exponent 0.63 with the audio/video decode arms at 0.91/0.60 — the
-  * decode IS the report's cost, and at 100 TB a release audit cannot
-  * re-decode the media lake every run. This store moves the decode to
-  * where the lakehouse already pays it (ingest, O(delta) per new file) and
-  * makes the audit itself decode-free ([[FingerprintStoreSpec]] proves
-  * zero decodes by counter, not by plan-reading).
+  * fp) row per media file, written ONCE by whoever sees the file first —
+  * the batch build/delta-ingest path OR the streaming near-dup gates
+  * ([[graft.streaming.Streams.phashIngest]] and siblings write HERE too,
+  * VERDICT r11 #3) — so a cross-modal release audit is a fingerprint-table
+  * scan instead of a corpus re-decode, and streamed ingest + batch audit
+  * share ONE source of truth (through r11 the streaming gates kept their
+  * own hash+band store: double decode + double storage on the ingest path).
+  * The r10 scaling audit measured the batch report at exponent 0.63 with
+  * the audio/video decode arms at 0.91/0.60 — the decode IS the report's
+  * cost, and at 100 TB a release audit cannot re-decode the media lake
+  * every run. This store moves the decode to where the lakehouse already
+  * pays it (ingest, O(delta) per new file) and makes the audit itself
+  * decode-free ([[FingerprintStoreSpec]] proves zero decodes by counter,
+  * not by plan-reading; the streamed-then-audit decode-once proof is in
+  * StreamingSpec).
+  *
+  * On-disk layout: ONE logical table at `fps/` — subdirs
+  * `fps/modality=<m>/batch=<b>/` — so `spark.read.parquet("<store>/fps")`
+  * yields the full (media_id, fp, modality, batch) frame via ordinary
+  * partition discovery. The catalog addresses it as one bucketed external
+  * table PER modality (location `fps/modality=<m>`, PARTITIONED BY (batch),
+  * CLUSTERED BY (media_id) INTO [[storeBuckets]] buckets): per-modality
+  * tables keep [[VectorIndex.compactCore]]'s batch-partition protocol
+  * intact AND let the three streaming gates dynamic-overwrite the same
+  * batch id concurrently without clobbering each other's rows, while reads
+  * still arrive hash-distributed on media_id — the delta-ingest anti-join's
+  * store side needs no exchange however large the fingerprinted history
+  * grows.
   *
   * Store discipline is the proven [[VectorIndex]] protocol reused verbatim:
-  *   - `fps/` — (media_id, modality, fp) external table PARTITIONED BY
-  *     (batch), CLUSTERED BY (media_id) INTO [[StoreBuckets]] buckets, so
-  *     the delta-ingest anti-join's STORE side arrives hash-distributed on
-  *     the join key (no exchange on the already-fingerprinted corpus,
-  *     however large it grows).
-  *   - per-`batch` partitions + dynamic partition overwrite → replay-safe
-  *     ingest; a crashed half-written batch re-runs as a smaller delta
-  *     (fingerprint rows are per-file facts — ids already stored are
-  *     simply excluded by the anti-join, never duplicated).
-  *   - [[VectorIndex.compactCore]]'s atomic floor-pointer compaction.
+  * per-`batch` partitions + dynamic partition overwrite → replay-safe
+  * ingest (a crashed half-written batch re-runs as a smaller delta;
+  * fingerprint rows are per-file facts — ids already stored are simply
+  * excluded by the anti-join, never duplicated), plus
+  * [[VectorIndex.compactCore]]'s atomic floor-pointer compaction over all
+  * three modality tables behind ONE pointer.
   *
   * Why the audit is bit-identical to the decode-everything report: a
   * fingerprint is a pure function of the file's bytes (the REAL-codec
-  * leaves in [[Multimodal]]), so WHERE it was computed (ingest vs audit)
-  * cannot change it, and the store holds exactly one row per (media_id,
-  * modality) by the anti-join construction. */
+  * leaves in [[Multimodal]]), so WHERE it was computed (batch ingest vs
+  * streaming gate vs audit) cannot change it, and the store holds exactly
+  * one row per (media_id, modality) by the anti-join / keep-first
+  * construction. */
 object FpStore {
 
-  /** Bucket count of the fps table — the store's fixed on-disk
-    * parallelism; at 100 TB pick ≈ cluster cores. */
-  val StoreBuckets = 8
+  /** Default bucket count of the fps tables — the store's on-disk
+    * parallelism. Overridable per env: `spark.graft.fpstore.buckets`
+    * (wired from `configs/{env}.json` via [[graft.engine.EngineConfig]];
+    * at 100 TB pick ≈ cluster cores). Geometry binds at store CREATION and
+    * is recorded in the store's `_GEOMETRY` file — an existing store keeps
+    * the bucket count it was written with regardless of later conf (a
+    * bucketed table whose physical layout disagrees with its declared
+    * bucket count would silently mis-distribute every exchange-free read). */
+  val DefaultStoreBuckets = 8
 
-  private[graft] def fpTable(storePath: String): String =
-    "graft_media_fps_" + VectorIndex.sha12(storePath)
+  def storeBuckets(spark: SparkSession, storePath: String): Int =
+    VectorIndex.geometryBuckets(spark, storePath,
+      "spark.graft.fpstore.buckets", DefaultStoreBuckets)
 
-  private def ensureTable(spark: SparkSession, storePath: String): String = {
-    val tbl = fpTable(storePath)
+  private[graft] def fpTable(storePath: String, modality: String): String =
+    s"graft_media_fps_${modality}_" + VectorIndex.sha12(storePath)
+
+  private[graft] def ensureTable(spark: SparkSession, storePath: String,
+                                 modality: String): String = {
+    val tbl = fpTable(storePath, modality)
     if (!spark.catalog.tableExists(tbl)) {
+      val buckets = storeBuckets(spark, storePath)
       VectorIndex.fsOf(spark, storePath)
-        .mkdirs(new org.apache.hadoop.fs.Path(s"$storePath/fps"))
+        .mkdirs(new org.apache.hadoop.fs.Path(s"$storePath/fps/modality=$modality"))
       spark.sql(
-        s"""CREATE TABLE $tbl (media_id BIGINT, modality STRING, fp BIGINT,
-           |batch BIGINT)
+        s"""CREATE TABLE $tbl (media_id BIGINT, fp BIGINT, batch BIGINT)
            |USING PARQUET
            |PARTITIONED BY (batch)
-           |CLUSTERED BY (media_id) INTO $StoreBuckets BUCKETS
-           |LOCATION '$storePath/fps'""".stripMargin)
+           |CLUSTERED BY (media_id) INTO $buckets BUCKETS
+           |LOCATION '$storePath/fps/modality=$modality'""".stripMargin)
       spark.catalog.recoverPartitions(tbl)
     }
     tbl
@@ -61,39 +88,59 @@ object FpStore {
   /** Audit-path store access: like [[TextIndex.search]], a READ must never
     * conjure an empty store out of a mistyped path and report a dup-free
     * corpus (the worst possible silent failure for a release gate) —
-    * require the fps table to exist before registering. */
-  private def requireStore(spark: SparkSession, storePath: String): String = {
-    val exists = spark.catalog.tableExists(fpTable(storePath)) ||
+    * require the modality's fps data to exist before registering. */
+  private def requireStore(spark: SparkSession, storePath: String,
+                           modality: String): String = {
+    val exists = spark.catalog.tableExists(fpTable(storePath, modality)) ||
       VectorIndex.fsOf(spark, storePath)
-        .exists(new org.apache.hadoop.fs.Path(s"$storePath/fps"))
+        .exists(new org.apache.hadoop.fs.Path(s"$storePath/fps/modality=$modality"))
     require(exists,
       s"FpStore not found at $storePath — build()/ingestDelta() it first")
-    ensureTable(spark, storePath)
+    ensureTable(spark, storePath, modality)
   }
 
-  private def live(spark: SparkSession, storePath: String, tbl: String): DataFrame =
+  private[graft] def live(spark: SparkSession, storePath: String,
+                          tbl: String): DataFrame =
     spark.table(tbl)
       .where(VectorIndex.livePred(VectorIndex.compactState(spark, storePath)))
 
   /** One modality's live fingerprints as the [[Multimodal.PhashRow]] frame
     * the shared Hamming-banded pair scan consumes — the decode-free input
-    * to [[Multimodal.crossModalDupsFromStore]]. */
+    * to [[Multimodal.crossModalDupsFromStore]], and (bands being a pure
+    * function of fp, derived at read time via [[Multimodal.phashBands]])
+    * the history side of the streaming gates' probe joins. */
   def fingerprints(spark: SparkSession, storePath: String,
                    modality: String): Dataset[Multimodal.PhashRow] = {
     import spark.implicits._
-    live(spark, storePath, requireStore(spark, storePath))
-      .where(col("modality") === modality)
+    live(spark, storePath, requireStore(spark, storePath, modality))
       .select(col("media_id"), col("fp").as("phash"))
       .as[Multimodal.PhashRow]
+  }
+
+  /** The streaming gates' write path: fold one micro-batch's fingerprints
+    * into the modality's table under the stream's OWN batch id — dynamic
+    * overwrite of `batch=batchId`, so an at-least-once replay rewrites,
+    * never duplicates. Takes (media_id, phash) — [[Multimodal.PhashRow]]
+    * shape. */
+  private[graft] def writeBatch(spark: SparkSession, storePath: String,
+                                modality: String, hashes: DataFrame,
+                                batchId: Long): Unit = {
+    val tbl = ensureTable(spark, storePath, modality)
+    graft.sources.DynamicOverwrite(spark) {
+      hashes.select(col("media_id"), col("phash").as("fp"),
+        lit(batchId).as("batch"))
+        .write.mode("overwrite").insertInto(tbl)
+    }
   }
 
   /** Build from scratch: wipe any prior store at the path, then ingest the
     * whole media lake as batch 0. Idempotent clean replace. */
   def build(spark: SparkSession, storePath: String, dir: String): DataFrame = {
-    spark.sql(s"DROP TABLE IF EXISTS ${fpTable(storePath)}")
+    Multimodal.dupModalities.foreach { case (m, _, _) =>
+      spark.sql(s"DROP TABLE IF EXISTS ${fpTable(storePath, m)}")
+    }
     VectorIndex.fsOf(spark, storePath)
       .delete(new org.apache.hadoop.fs.Path(storePath), true)
-    ensureTable(spark, storePath)
     ingestDelta(spark, storePath, dir)
   }
 
@@ -110,32 +157,39 @@ object FpStore {
     * ingest's audit record. */
   def ingestDelta(spark: SparkSession, storePath: String, dir: String): DataFrame = {
     import spark.implicits._
-    val tbl = ensureTable(spark, storePath)
-    val nextBatch = spark.table(tbl)
-      .agg(coalesce(max(col("batch")) + 1, lit(0L))).first().getLong(0)
-    val stored = live(spark, storePath, tbl)
-    val fps = Multimodal.dupModalities.map { case (m, corpus, fp) =>
+    val tables = Multimodal.dupModalities.map { case (m, _, _) =>
+      m -> ensureTable(spark, storePath, m)
+    }.toMap
+    val nextBatch = tables.values.map { tbl =>
+      spark.table(tbl).agg(coalesce(max(col("batch")) + 1, lit(0L)))
+        .first().getLong(0)
+    }.max
+    Multimodal.dupModalities.map { case (m, corpus, fp) =>
+      val stored = live(spark, storePath, tables(m))
       val delta = corpus(spark, dir)
-        .join(stored.where(col("modality") === m).select("media_id"),
-          Seq("media_id"), "left_anti")
+        .join(stored.select("media_id"), Seq("media_id"), "left_anti")
         .as[Multimodal.MediaFile]
-      fp(Multimodal.balancedByBytes(delta, Multimodal.decodeParts(spark))).toDF()
-        .select(col("media_id"), lit(m).as("modality"), col("phash").as("fp"))
-    }.reduce(_ unionByName _).withColumn("batch", lit(nextBatch))
-    graft.sources.DynamicOverwrite(spark) {
-      fps.select("media_id", "modality", "fp", "batch")
-        .write.mode("overwrite").insertInto(tbl)
-    }
-    spark.table(tbl).where(col("batch") === nextBatch)
-      .groupBy("modality").agg(count(lit(1)).as("n_new"))
+      writeBatch(spark, storePath, m,
+        fp(Multimodal.balancedByBytes(delta, Multimodal.decodeParts(spark))).toDF(),
+        nextBatch)
+      spark.table(tables(m)).where(col("batch") === nextBatch)
+        .agg(count(lit(1)).as("n_new"))
+        .select(lit(m).as("modality"), col("n_new"))
+        .where(col("n_new") > 0)
+    }.reduce(_ unionByName _)
   }
 
-  /** Compact batches ≤ `upTo` behind [[VectorIndex.compactCore]]'s atomic
-    * floor pointer — fingerprint rows are per-file facts, so consolidation
-    * cannot change the audit by construction. */
+  /** Compact batches ≤ `upTo` across ALL THREE modality tables behind
+    * [[VectorIndex.compactCore]]'s single atomic floor pointer —
+    * fingerprint rows are per-file facts, so consolidation cannot change
+    * the audit by construction, and one pointer means a half-compacted
+    * store is never readable. */
   def compact(spark: SparkSession, storePath: String, upTo: Long): Unit =
-    VectorIndex.compactCore(spark, storePath, upTo, Seq(
-      (ensureTable(spark, storePath), "fps", Seq("media_id", "modality", "fp"))))
+    VectorIndex.compactCore(spark, storePath, upTo,
+      Multimodal.dupModalities.map { case (m, _, _) =>
+        (ensureTable(spark, storePath, m), s"fps/modality=$m",
+          Seq("media_id", "fp"))
+      })
 
   // ----------------------------------------------------- session memoizing
 
@@ -149,7 +203,7 @@ object FpStore {
   /** The (session, corpus)-memoized store: decoded at most once per
     * session, every later caller audits it as-is — the deployment contract
     * `dedup_cross_modal_indexed` measures. */
-  private[ext] def sessionStore(spark: SparkSession, dir: String): String = {
+  private[graft] def sessionStore(spark: SparkSession, dir: String): String = {
     val store = storeFor(spark, dir)
     if (builtThisSession.add(store)) build(spark, store, dir)
     store

@@ -35,8 +35,11 @@ import graft.engine.Sources
   */
 object TextIndex {
 
-  /** Bucket count of the postings table — the store's fixed on-disk
-    * parallelism; at 100 TB pick ≈ cluster cores. */
+  /** Default bucket count of the postings table — the store's fixed
+    * on-disk parallelism; at 100 TB pick ≈ cluster cores (override:
+    * `spark.graft.textindex.buckets`, wired from `configs/{env}.json` via
+    * [[graft.engine.EngineConfig]]; binds at store creation — see
+    * [[VectorIndex.geometryBuckets]]). */
   val IndexBuckets = 8
 
   private[graft] def postingsTable(storePath: String): String =
@@ -48,6 +51,8 @@ object TextIndex {
     val pTbl = postingsTable(storePath)
     val sTbl = statsTable(storePath)
     val fs = VectorIndex.fsOf(spark, storePath)
+    def buckets = VectorIndex.geometryBuckets(spark, storePath,
+      "spark.graft.textindex.buckets", IndexBuckets)
     if (!spark.catalog.tableExists(pTbl)) {
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$storePath/postings"))
       spark.sql(
@@ -55,7 +60,7 @@ object TextIndex {
            |dl BIGINT, batch BIGINT)
            |USING PARQUET
            |PARTITIONED BY (batch)
-           |CLUSTERED BY (token) INTO $IndexBuckets BUCKETS
+           |CLUSTERED BY (token) INTO $buckets BUCKETS
            |LOCATION '$storePath/postings'""".stripMargin)
       spark.catalog.recoverPartitions(pTbl)
     }

