@@ -3290,7 +3290,24 @@ object OraclesExt {
        |ORDER BY b.source""".stripMargin
   }
 
+  /** Twin of Corpus.releaseManifest — the release algebra composed from
+    * the three component twins verbatim (kept ∧ train ∧ ¬contaminated ∧
+    * ¬any-modality-near-dup): the decontaminate twin is already
+    * train-split-scoped, so the inner join restricts the sampler's kept
+    * set to trainable docs exactly like the pipeline stage. */
+  lazy val corpusReleaseManifest: String =
+    s"""WITH qs AS (SELECT * FROM ($corpusQualitySample)),
+       |dec AS (SELECT * FROM ($textDecontaminate)),
+       |xm AS (SELECT doc_id FROM ($mediaCrossModalDups) WHERE any_dup)
+       |SELECT qs.doc_id, qs.lang, qs.source,
+       |  dec.n_contaminated, dec.contaminated
+       |FROM qs JOIN dec ON dec.doc_id = qs.doc_id
+       |WHERE qs.kept AND NOT dec.contaminated
+       |  AND qs.doc_id NOT IN (SELECT doc_id FROM xm)
+       |ORDER BY qs.doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
+    "corpus_release_manifest" -> corpusReleaseManifest,
     "corpus_data_card" -> corpusDataCard,
     "corpus_curriculum" -> corpusCurriculum,
     "sim_embedding_drift" -> simEmbeddingDrift,

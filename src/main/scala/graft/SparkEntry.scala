@@ -215,6 +215,11 @@ object SparkEntry {
     "corpus_sliding_windows" -> ((s, d) =>
       ext.Corpus.slidingWindows(s, d).orderBy("doc_id", "window_id")),
     "corpus_curriculum" -> ((s, d) => ext.Corpus.curriculum(s, d).orderBy("doc_id")),
+    // the release manifest as a standalone queryable product (VERDICT r11
+    // #7): the pipeline stage's exact algebra, cross-modal arm riding the
+    // session fingerprint store (decode-once)
+    "corpus_release_manifest" -> ((s, d) =>
+      ext.Corpus.releaseManifest(s, d).orderBy("doc_id")),
     // lakehouse-incremental surface: SCD2 history, change-data-feed diff,
     // delta-fold aggregate maintenance (oracle = from-scratch recompute)
     "scd2_user_event_type" -> ((s, d) =>
@@ -238,6 +243,15 @@ object SparkEntry {
       ext.Multimodal.crossModalDups(s, d).orderBy("doc_id")),
     "dedup_cross_modal_indexed" -> ((s, d) =>
       ext.Multimodal.crossModalDupsIndexed(s, d).orderBy("doc_id")),
+    // the same near-dup arms over REAL FILES via binaryFile (deployment
+    // shape: byte balance from the scan's `length` metadata, zero sampling;
+    // bit-identical to the synthesized twins → shared oracles)
+    "media_phash_pairs_files" -> ((s, d) =>
+      ext.MediaLake.phashPairsFiles(s, d).orderBy("media_id_a", "media_id_b")),
+    "media_audio_dups_files" -> ((s, d) =>
+      ext.MediaLake.audioDupPairsFiles(s, d).orderBy("media_id_a", "media_id_b")),
+    "media_video_dups_files" -> ((s, d) =>
+      ext.MediaLake.videoDupPairsFiles(s, d).orderBy("media_id_a", "media_id_b")),
     // the reference README's documented BI consumer queries
     // (reference: README.md:216-236; O2 top-K → TakeOrderedAndProject)
     "consumer_top_clv" -> ((s, d) =>
@@ -292,5 +306,14 @@ object SparkEntry {
     "sim_recall_audit",       // embeds the O(n²) exact arm + every baseline
     "sim_ann_lsh")            // near-all-pairs candidates at this fixture's regime
 
-  def oracleSql: Map[String, String] = Oracles.all ++ OraclesExt.all
+  def oracleSql: Map[String, String] = {
+    val base = Oracles.all ++ OraclesExt.all
+    // the real-file (binaryFile) media arms are bit-identical to their
+    // synthesized twins — fingerprints are pure functions of the file
+    // bytes, and the files ARE those bytes — so they share the oracles
+    base ++ Map(
+      "media_phash_pairs_files" -> base("media_phash_pairs"),
+      "media_audio_dups_files" -> base("media_audio_dups"),
+      "media_video_dups_files" -> base("media_video_dups"))
+  }
 }

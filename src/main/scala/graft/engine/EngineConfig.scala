@@ -24,7 +24,33 @@ final case class EngineConfig(
     logLevel: String,
     maxRetryAttempts: Int,
     retryDelaySeconds: Double,
-    stageTimeoutSeconds: Double)
+    stageTimeoutSeconds: Double,
+    // store geometry + decode fan-out (VERDICT r11 #5): per-env knobs the
+    // reference drives from configs/{env}.json; at 100 TB set the bucket
+    // counts ≈ cluster cores. Geometry binds at store CREATION (recorded in
+    // the store's _GEOMETRY file) — see graft.ext.VectorIndex.geometryBuckets.
+    fpStoreBuckets: Int = 8,
+    vecIndexBuckets: Int = 8,
+    textIndexBuckets: Int = 8,
+    decodeParallelism: Option[Int] = None) {
+
+  /** Publish the geometry/decode knobs as session confs — the indirection
+    * the persisted stores ([[graft.ext.FpStore]]/[[graft.ext.VectorIndex]]/
+    * [[graft.ext.TextIndex]]) and the batch decode arms
+    * ([[graft.ext.Multimodal.decodeParts]]) read. Pipelines call this once
+    * at entry, so a `configs/{env}.json` geometry reaches every store the
+    * run creates. */
+  def applyTo(spark: org.apache.spark.sql.SparkSession): EngineConfig = {
+    spark.conf.set("spark.graft.fpstore.buckets", fpStoreBuckets.toString)
+    spark.conf.set("spark.graft.vecindex.buckets", vecIndexBuckets.toString)
+    spark.conf.set("spark.graft.textindex.buckets", textIndexBuckets.toString)
+    decodeParallelism match {
+      case Some(n) => spark.conf.set("spark.graft.decode.parallelism", n.toString)
+      case None => spark.conf.unset("spark.graft.decode.parallelism")
+    }
+    this
+  }
+}
 
 object EngineConfig {
   val ValidEnvs: Seq[String] = Seq("dev", "stage", "prod")
@@ -69,7 +95,14 @@ object EngineConfig {
         logLevel = str("log_level", d.logLevel),
         maxRetryAttempts = num("max_retry_attempts", d.maxRetryAttempts).toInt,
         retryDelaySeconds = num("retry_delay_seconds", d.retryDelaySeconds),
-        stageTimeoutSeconds = num("stage_timeout_seconds", d.stageTimeoutSeconds))
+        stageTimeoutSeconds = num("stage_timeout_seconds", d.stageTimeoutSeconds),
+        fpStoreBuckets = num("fpstore_buckets", d.fpStoreBuckets).toInt,
+        vecIndexBuckets = num("vecindex_buckets", d.vecIndexBuckets).toInt,
+        textIndexBuckets = num("textindex_buckets", d.textIndexBuckets).toInt,
+        decodeParallelism =
+          if (n.hasNonNull("decode_parallelism"))
+            Some(n.get("decode_parallelism").asInt())
+          else d.decodeParallelism)
     }
   }
 }

@@ -448,6 +448,10 @@ object Pipeline {
                         cfg: EngineConfig = EngineConfig.defaults("dev")): Seq[StageResult] = {
     import org.apache.spark.sql.functions._
     import graft.ext.{Corpus, Pii, Text}
+    // publish the env's store geometry / decode knobs before any store is
+    // created (VERDICT r11 #5): configs/{env}.json reaches every persisted
+    // index this run builds
+    cfg.applyTo(spark)
     def st(name: String, critical: Boolean)(df: => DataFrame): StageResult =
       stage(spark, cfg, name, critical, outDir)(df)
     val results = Seq.newBuilder[StageResult]
@@ -554,6 +558,12 @@ object Pipeline {
         graft.ext.Text.bm25TopKOf(scrubbedDocs, rqQueries),
         rqQueries.agg(count(lit(1)).as("n_queries")),
         graft.ext.Hybrid.RetrievalHitFloorPct)
+      // embedding-index recall gate (VERDICT r11 #6): the DEPLOYED ANN
+      // method's mean recall@k on the deterministic query sample must clear
+      // the floor — index quality is a release gate, not just an audit
+      // table. Zero queries = FAIL, like the retrieval gate.
+      val (recallPct, recallOk) = graft.ext.Similarity.recallAuditGate(
+        spark, dir, graft.ext.Similarity.RecallFloorPct)
       val checks = Seq(
         ("scrub_coverage", nScrubbed, nScrubbed == nDocs),
         ("residual_pii", residualPii, residualPii == 0L),
@@ -561,7 +571,8 @@ object Pipeline {
         ("data_card_reconciliation", cardDocs, cardDocs == nDocs),
         ("release_leak_free", releasedLeaks, releasedLeaks == 0L),
         ("release_dup_free", releasedDups, releasedDups == 0L),
-        ("retrieval_quality", rqHitPct, rqOk))
+        ("retrieval_quality", rqHitPct, rqOk),
+        ("embedding_index_recall", recallPct, recallOk))
       import spark.implicits._
       checks.map { case (n, m, ok) => (n, m, if (ok) "PASS" else "FAIL") }
         .toDF("check_name", "metric", "status")

@@ -425,6 +425,33 @@ object Corpus {
         col("keep_millis"), col("kept"))
   }
 
+  /** The RELEASE MANIFEST as one queryable plan — the exact algebra of
+    * [[graft.engine.Pipeline.runCorpusPipeline]]'s `corpus_release_manifest`
+    * stage (kept ∧ train-split ∧ ¬contaminated ∧ ¬any-modality-near-dup),
+    * composed from the same production entries instead of materialized
+    * stage outputs, so an analyst can `SELECT * FROM
+    * corpus_release_manifest` without running the pipeline (VERDICT r11
+    * #7). The cross-modal arm rides the session fingerprint store —
+    * decode-once, like the `dedup_cross_modal_indexed` deployment twin. */
+  def releaseManifest(spark: SparkSession, dir: String): DataFrame = {
+    val scrubbed = Pii.redactedOf(Sources.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("redacted_text").as("text"))
+    val bucket = Sampling.mixHash(col("doc_id")) % 100
+    val flags = Text.decontaminateOf(
+      scrubbed.where(bucket < 100 - Text.ContamEvalPct),
+      scrubbed.where(bucket >= 100 - Text.ContamEvalPct))
+    val dups = Multimodal.crossModalDupsFromStore(spark, scrubbed,
+        FpStore.sessionStore(spark, dir))
+      .where(col("any_dup")).select("doc_id")
+    qualitySampleOf(scrubbed)
+      .where(col("kept")).select("doc_id", "lang", "source")
+      .join(flags.select(col("doc_id"),
+        col("n_contaminated"), col("contaminated")), Seq("doc_id"))
+      .where(!col("contaminated"))
+      .join(dups, Seq("doc_id"), "left_anti")
+  }
+
   /** Per-source corpus DATA CARD — the release report a dataset ships with
     * (Gebru et al., "Datasheets for Datasets"): volume (docs / unique texts
     * / tokens), language mix, heuristic-gate pass rate, learned-classifier

@@ -1010,6 +1010,54 @@ object Similarity {
     localized(spark, out, pins)
   }
 
+  /** Mean-recall floor (percent of [[TopK]]) the corpus pipeline's
+    * embedding-index DQ gate enforces. Like
+    * [[graft.ext.Hybrid.RetrievalHitFloorPct]] this is a BREAKAGE detector,
+    * not a quality SLA: the deployed hier-IVF method measures 80–89% mean
+    * recall across SFs (README scaling table) while a broken index (empty
+    * lists, drifted quantizer, wrong id space) scores ~0; 60 separates the
+    * regimes with margin on both sides. */
+  val RecallFloorPct = 60L
+
+  /** DQ verdict over an (exact ground-truth, approx results) pair: (mean
+    * recall@[[TopK]] as an integer percent, pass) against `floorPct` — the
+    * gate form of the recall audits (VERDICT r11 #6): a corpus release
+    * should FAIL when the deployed embedding index degrades, exactly as it
+    * fails on residual PII or a released near-dup. Zero probe queries is a
+    * FAIL, not a vacuous pass — a gate that cannot probe proves nothing. */
+  def recallGateOf(exact: DataFrame, approx: DataFrame,
+                   floorPct: Long): (Long, Boolean) = {
+    val nq = exact.select("query_id").distinct().count()
+    if (nq == 0L) return (0L, false)
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .count()
+    val pct = hits * 100L / (nq * TopK)
+    (pct, pct >= floorPct)
+  }
+
+  /** The gate over the DEPLOYED index method (hier IVF at its calibrated
+    * probe depth) on the [[SampleAuditQueries]]-query deterministic sample —
+    * the cheap at-scale audit shape (cost |sample|·n exact arm + one
+    * map-only approx arm), run per release by
+    * [[graft.engine.Pipeline.runCorpusPipeline]]'s DQ stage. */
+  def recallAuditGate(spark: SparkSession, dir: String,
+                      floorPct: Long = RecallFloorPct): (Long, Boolean) = {
+    val pins = new Pins
+    val vecs = pins.pin(withNorm(Sources.embeddings(spark, dir)))
+    vecs.count() // materialize once: the exact arm and the quantizer share it
+    val exact = pins.pin(
+      exactSampled(vecs, querySample(vecs, SampleAuditQueries)))
+    exact.count()
+    val m = hierModel(vecs, preExact = Some(exact))
+    pins.track(m.subs)
+    val approx = hierArm(pins.pin(hierScored(vecs, m.l1, m.subs, m.nProbe)))
+    val out = recallGateOf(exact, approx, floorPct)
+    pins.release()
+    out
+  }
+
   /** Exact top-[[TopK]] cosine neighbors for every vector (the O(n²) ground
     * truth; ties broken by neighbor id so results are total-ordered). */
   def knnBruteForce(spark: SparkSession, dir: String): DataFrame =

@@ -112,7 +112,8 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getAs[String]("check_name") -> r.getAs[String]("status")).toMap
     assert(dq.keySet === Set("scrub_coverage", "residual_pii",
       "sample_referential_integrity", "data_card_reconciliation",
-      "release_leak_free", "release_dup_free", "retrieval_quality"))
+      "release_leak_free", "release_dup_free", "retrieval_quality",
+      "embedding_index_recall"))
     assert(dq.values.forall(_ == "PASS"), dq.toString)
     // the fingerprint ingest decoded every modality exactly once (3 report
     // rows, one per media arm) and the cross-modal stage audited the STORE
@@ -134,6 +135,62 @@ class PipelineSpec extends SparkSpec {
     // exactly the corpus (clean fixture: scrub is a no-op on content)
     val sample = spark.read.parquet(s"$out/corpus_quality_sample")
     assert(sample.count() === scrubbed.count())
+  }
+
+  test("embedding-index recall gate: the deployed method clears the floor; " +
+      "a degraded index and an unprobable (zero-query) audit both FAIL") {
+    import org.apache.spark.sql.functions._
+    val (pct, ok) = graft.ext.Similarity.recallAuditGate(spark, sf)
+    assert(ok && pct >= graft.ext.Similarity.RecallFloorPct,
+      s"deployed-index recall $pct% under floor")
+    // degraded index: approx results that miss everything → hard FAIL
+    val exact = graft.ext.Similarity.knnBruteForce(spark, sf)
+      .select("query_id", "neighbor_id")
+    val garbage = exact.select(col("query_id"),
+      (col("neighbor_id") + 1000000L).as("neighbor_id"))
+    val (gPct, gOk) = graft.ext.Similarity.recallGateOf(exact, garbage, 60L)
+    assert(!gOk && gPct === 0L, s"degraded index passed at $gPct%")
+    // zero probe queries = FAIL, never a vacuous pass
+    val (zPct, zOk) = graft.ext.Similarity.recallGateOf(
+      exact.limit(0), exact, 60L)
+    assert(!zOk && zPct === 0L)
+  }
+
+  test("store geometry comes from configs/{env}.json (VERDICT r11 #5): " +
+      "non-default buckets reach a NEW store; an existing store keeps its " +
+      "recorded geometry regardless of conf") {
+    val cfgDir = Files.createTempDirectory("graft_cfg").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(cfgDir, "stage.json"),
+      """{"fpstore_buckets": 4, "vecindex_buckets": 16,
+        | "textindex_buckets": 4, "decode_parallelism": 12}""".stripMargin)
+    val cfg = graft.engine.EngineConfig.load("stage", cfgDir)
+    assert(cfg.fpStoreBuckets === 4 && cfg.vecIndexBuckets === 16 &&
+      cfg.textIndexBuckets === 4 && cfg.decodeParallelism === Some(12))
+    cfg.applyTo(spark)
+    try {
+      assert(graft.ext.Multimodal.decodeParts(spark) === 12)
+      val store = Files.createTempDirectory("graft_geo").toString + "/fp"
+      graft.ext.FpStore.build(spark, store, sf).collect()
+      val tbl = spark.sql(
+        s"DESCRIBE TABLE EXTENDED ${graft.ext.FpStore.fpTable(store, "image")}")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(tbl.get("Num Buckets").contains("4"), tbl.toString)
+      // physical layout agrees: every data file carries one of exactly 4
+      // bucket ids (one file per task × bucket; the _NNNNN suffix is the
+      // bucket id)
+      val bucketIds = new java.io.File(s"$store/fps/modality=image/batch=0")
+        .listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+        .flatMap("_(\\d{5})\\.c000".r.findFirstMatchIn(_).map(_.group(1).toInt))
+        .toSet
+      assert(bucketIds === Set(0, 1, 2, 3), s"bucket ids: $bucketIds")
+      // an EXISTING store is immune to a later conf change (geometry is
+      // recorded at creation — _GEOMETRY wins over session conf)
+      spark.conf.set("spark.graft.fpstore.buckets", "16")
+      assert(graft.ext.FpStore.storeBuckets(spark, store) === 4)
+    } finally {
+      graft.engine.EngineConfig.defaults("dev").applyTo(spark)
+    }
   }
 
   test("supplier pipeline runs the reference's full stage list incl. nation/region") {

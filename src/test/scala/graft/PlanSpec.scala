@@ -169,6 +169,35 @@ class PlanSpec extends SparkSpec {
     assert(card === spark.sql("SELECT count(*) FROM documents").first().getLong(0))
   }
 
+  test("extension products are SQL-addressable (VERDICT r11 #7): release " +
+      "manifest, retrieval quality, recall audit, fingerprint store") {
+    Catalog.registerAll(spark, sf) // the raw-table views (documents, ...)
+    Catalog.registerExtensions(spark, sf)
+    // the release manifest answers analyst SQL without running the pipeline
+    val rel = spark.sql(
+      """SELECT source, count(*) AS n FROM corpus_release_manifest
+        |GROUP BY source ORDER BY source""".stripMargin).collect()
+    assert(rel.nonEmpty && rel.map(_.getLong(1)).sum > 0)
+    // retrieval quality: one row per deployment arm, probed queries > 0
+    val rq = spark.sql(
+      "SELECT arm, n_queries, hits_at_k FROM text_retrieval_quality ORDER BY arm")
+      .collect()
+    assert(rq.map(_.getString(0)).toSeq === Seq("bm25", "bm25_rm3", "hybrid_rrf"))
+    assert(rq.forall(_.getLong(1) > 0))
+    // recall audit: the deployed methods' mean recall is queryable
+    val ra = spark.sql(
+      """SELECT method, mean_recall FROM sim_recall_audit
+        |WHERE method = 'ann_ivf_hier'""".stripMargin).collect()
+    assert(ra.length === 1 && ra.head.getDouble(1) > 0.5,
+      s"hier recall off: ${ra.toSeq}")
+    // the fingerprint store: one row per (media file, modality)
+    val nDocs = spark.sql("SELECT count(*) FROM documents").first().getLong(0)
+    val fps = spark.sql(
+      "SELECT modality, count(*) AS n FROM media_fingerprints GROUP BY modality")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fps === Map("image" -> nDocs, "audio" -> nDocs, "video" -> nDocs))
+  }
+
   test("k-means quantizer: centroids are a driver-local leaf; assignments broadcast, " +
     "never Cartesian") {
     val e = graft.ext.Similarity.withNorm(graft.engine.Sources.embeddings(spark, sf))

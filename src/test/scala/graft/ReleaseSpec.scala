@@ -74,6 +74,32 @@ class ReleaseSpec extends SparkSpec {
       sf, store, 1L, nbM, nbU, grams)
     assert(rows(Streams.releaseManifest(spark, store)) === got,
       "replaying batch 1 changed the release")
+
+    // retention (VERDICT r11 #8): vacuum version 0 — the current manifest
+    // and every RETAINED upTo are bit-identical (consolidation moves rows,
+    // never drops them), the version LOG survives in full, time travel at
+    // the floor ends loudly, and the latest version is refused
+    Streams.vacuumReleases(spark, store, upTo = 0L)
+    assert(rows(Streams.releaseManifest(spark, store)) === got,
+      "vacuum changed the current release")
+    assert(rows(Streams.releaseManifest(spark, store, upTo = Some(1L))) === got,
+      "vacuum changed a retained version's manifest")
+    val vAfter = Streams.releaseVersions(spark, store)
+      .orderBy("version").collect()
+      .map(r => r.getAs[Long]("version") -> r.getAs[Long]("n_released"))
+    assert(vAfter.toSeq === versions.toSeq, "vacuum changed the version log")
+    intercept[IllegalArgumentException] {
+      Streams.releaseManifest(spark, store, upTo = Some(0L)).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Streams.vacuumReleases(spark, store, upTo = 1L)
+    }
+    val fsr = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fsr.exists(new org.apache.hadoop.fs.Path(s"$store/release/batch=0")),
+      "vacuumed partition still on disk")
+    assert(fsr.exists(new org.apache.hadoop.fs.Path(s"$store/release/batch=-1")),
+      "consolidated partition missing")
     docs.unpersist(); scrubbed.unpersist()
   }
 }
