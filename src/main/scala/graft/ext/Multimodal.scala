@@ -84,6 +84,14 @@ object Multimodal {
     * decode reads the PNG and measures dims/luma/embedding from the ACTUAL
     * pixels — nothing is inferred from metadata. */
   object PngCodec {
+    // ImageIO defaults to DISK-BACKED stream caches (useCache=true): every
+    // encode/decode materializes a temp cache file under java.io.tmpdir —
+    // at 32 decode threads that is 32-way contention on one directory and
+    // a hidden disk write per blob. The streams here are all in-memory
+    // byte arrays; cache in memory. JVM-wide, set once at codec init (each
+    // executor JVM initializes this object on first use).
+    ImageIO.setUseCache(false)
+
     /** Deterministic gray level for an id: the unsigned top byte of one LCG
       * step — the same generator the fake payloads use, so the DuckDB twin
       * reads it as `((id·A + C) mod 2⁶⁴) ÷ 2⁵⁶`. */
@@ -157,6 +165,32 @@ object Multimodal {
     val Samples = 64
     val SampleRate = 8000
 
+    /** The JVM's WAV-capable AudioFileReader, resolved ONCE through the
+      * public SPI. The `AudioSystem.getAudioInputStream` facade re-resolves
+      * providers through a `synchronized` STATIC on every call
+      * (JDK13Services.getProviders) — a JVM-global lock all decode threads
+      * serialize on; measured on the sf1 fixture: the audio arm ran 9.7 s
+      * at local[8] but 11.8 s at local[32] (negative thread scaling) until
+      * this bypass. Same reader object the facade would pick (probed with
+      * a real RIFF header), so the decode itself is unchanged — the
+      * container parse stays `javax.sound`. The shared instance is safe:
+      * file readers are stateless (a fresh stream per call). */
+    private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+      import scala.jdk.CollectionConverters._
+      val probe = encodeLevels(Array.fill(4)(0))
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .asScala.find { r =>
+          try { r.getAudioInputStream(new ByteArrayInputStream(probe)).close(); true }
+          catch { case scala.util.control.NonFatal(_) => false }
+        }
+        .getOrElse(sys.error("no WAV-capable AudioFileReader installed"))
+    }
+
+    /** Real RIFF/WAV container parse through the once-resolved reader. */
+    def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream =
+      wavReader.getAudioInputStream(new ByteArrayInputStream(bytes))
+
     /** Genuine RIFF/WAV: 44-byte canonical header + PCM16LE mono frames.
       * Sample k = (byte_k − 128)·256, so the decoded 8-bit level is byte_k. */
     def encode(id: Long): Array[Byte] = encodeLevels(lcgLevels(id, Samples))
@@ -188,8 +222,7 @@ object Multimodal {
       * header (format, rate, frame count are taken from the DECODER, not
       * from our metadata), then levels come from the actual PCM samples. */
     def features(m: MediaFile): MediaFeatures = {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(m.content))
+      val ais = open(m.content)
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
         s"unexpected WAV layout: $fmt")
@@ -818,8 +851,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.grouped(DecodeBatch).flatMap(_.map { m =>
       fpDecodeOps.incrementAndGet()
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(m.content))
+      val ais = WavCodec.open(m.content)
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
         s"unexpected WAV layout: $fmt")

@@ -366,4 +366,24 @@ class MultimodalSpec extends SparkSpec {
       r.getAs[Long]("media_id_a") == 4 && r.getAs[Long]("media_id_b") % 10 == 7)
     assert(planted.length === 50, s"expected the 50 planted pairs, got ${planted.length}")
   }
+
+  test("codec init kills the JDK decode-contention classes: in-memory " +
+      "ImageIO streams, once-resolved WAV reader (SCALING_r12 ablation)") {
+    import graft.ext.Multimodal
+    // force codec init, then pin: no disk-backed ImageIO stream caches
+    // (pre-fix every PNG encode/decode wrote a temp cache file — measured
+    // 9.2x on the sf1 phash arm at local[32])
+    Multimodal.PngCodec.grayLevel(0L)
+    assert(!javax.imageio.ImageIO.getUseCache,
+      "ImageIO must cache streams in memory, not temp files")
+    // the WAV path parses a REAL RIFF container through the once-resolved
+    // reader (pre-fix AudioSystem's facade took a JVM-global synchronized
+    // provider lookup per call — measured 4.8x on the sf1 audio arm)
+    val ais = Multimodal.WavCodec.open(Multimodal.WavCodec.encode(7L))
+    try {
+      assert(ais.getFormat.getSampleSizeInBits === 16)
+      assert(ais.getFrameLength === Multimodal.WavCodec.Samples.toLong)
+    } finally ais.close()
+  }
+
 }
