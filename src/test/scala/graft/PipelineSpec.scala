@@ -135,6 +135,15 @@ class PipelineSpec extends SparkSpec {
     // exactly the corpus (clean fixture: scrub is a no-op on content)
     val sample = spark.read.parquet(s"$out/corpus_quality_sample")
     assert(sample.count() === scrubbed.count())
+    // the standalone release-manifest plan (the SQL-addressable product,
+    // Corpus.releaseManifest) reproduces the pipeline stage BIT-FOR-BIT —
+    // one algebra, two surfaces; a drift between them would ship a product
+    // view that disagrees with the released artifact
+    val viaView = graft.ext.Corpus.releaseManifest(spark, sf)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val viaStage = rel.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaView === viaStage,
+      s"view ${viaView.size} rows vs stage ${viaStage.size}")
   }
 
   test("embedding-index recall gate: the deployed method clears the floor; " +
