@@ -141,6 +141,87 @@ object OraclesExt {
        |ORDER BY pair_count DESC, a, b LIMIT $BpeTopMerges""".stripMargin
   }
 
+  /** Twin of Text.bpeTokenize — mine the merge table exactly as
+    * [[textBpeMerges]] does, rank it, then apply the merges in rank order
+    * with a recursive CTE: iteration i's state is the symbol string after
+    * merge i. Both engines encode a token as space-wrapped symbol units
+    * (`regexp_replace(token,'(.)',' \1 ')`) and apply each merge as ONE
+    * non-overlapping left-to-right literal `replace` — parity is
+    * structural, not numeric. Encoding runs at distinct-token grain. */
+  val textBpeTokenize: String = {
+    import graft.ext.Text.BpeTopMerges
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT doc_id, unnest(list_filter($toks, x -> x <> '')) AS token
+       |  FROM documents),
+       |tc AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+       |pairs AS (
+       |  SELECT substring(token, CAST(i AS INT), 1) AS a,
+       |    substring(token, CAST(i AS INT) + 1, 1) AS b, c
+       |  FROM (SELECT token, c, unnest(generate_series(1, len(token) - 1)) AS i
+       |    FROM tc WHERE len(token) >= 2)),
+       |merges AS (
+       |  SELECT a, b,
+       |    CAST(row_number() OVER (ORDER BY pair_count DESC, a, b) AS BIGINT) AS r
+       |  FROM (SELECT a, b, SUM(c) AS pair_count FROM pairs GROUP BY a, b
+       |    ORDER BY pair_count DESC, a, b LIMIT $BpeTopMerges)),
+       |vocab AS (SELECT DISTINCT token FROM tok),
+       |apply AS (
+       |  SELECT token, regexp_replace(token, '(.)', ' \\1 ', 'g') AS sym,
+       |    CAST(0 AS BIGINT) AS r
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT a.token,
+       |    replace(a.sym, ' ' || m.a || '  ' || m.b || ' ',
+       |      ' ' || m.a || m.b || ' '), a.r + 1
+       |  FROM apply a JOIN merges m ON m.r = a.r + 1),
+       |enc AS (
+       |  SELECT token,
+       |    CAST((length(sym) - length(replace(sym, ' ', ''))) // 2 AS BIGINT) AS n_bpe
+       |  FROM apply WHERE r = (SELECT count(*) FROM merges))
+       |SELECT t.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(length(t.token)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(e.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       |  ${R("CAST(SUM(length(t.token)) AS DOUBLE) / CAST(SUM(e.n_bpe) AS DOUBLE)", 4)}
+       |    AS chars_per_bpe_token
+       |FROM tok t JOIN enc e USING (token)
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
+  /** Twin of Text.cmsHeavyHitters — bigram extraction exactly as
+    * [[textBigramFrequency]]; the same [[rollhash]] fold salted by row
+    * index places every bigram in the identical (row, bucket) cell;
+    * counters sum bigram counts per cell, the estimate is the min over the
+    * bigram's CmsDepth cells. */
+  val textCmsHeavyHitters: String = {
+    import graft.ext.Text.{CmsDepth, CmsWidth, CmsTopK}
+    s"""WITH bg AS (
+       |  SELECT unnest(list_transform(
+       |    generate_series(0, len(t) - 2),
+       |    i -> array_to_string(t[i+1:i+2], ' '))) AS bigram
+       |  FROM (SELECT $toks AS t FROM documents)
+       |  WHERE len(t) >= 2),
+       |tc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY bigram),
+       |h AS (
+       |  SELECT bigram, c, r,
+       |    ${rollhash("CAST(r AS VARCHAR) || ':' || bigram")} % $CmsWidth AS bucket
+       |  FROM tc CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS r)),
+       |counters AS (
+       |  SELECT r, bucket, CAST(SUM(c) AS BIGINT) AS cnt
+       |  FROM h GROUP BY r, bucket),
+       |est AS (
+       |  SELECT h.bigram, max(h.c) AS exact_count, min(k.cnt) AS cms_estimate
+       |  FROM h JOIN counters k USING (r, bucket)
+       |  GROUP BY h.bigram)
+       |SELECT bigram, CAST(exact_count AS BIGINT) AS exact_count,
+       |  CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       |  cms_estimate > exact_count AS overestimated
+       |FROM est
+       |ORDER BY cms_estimate DESC, bigram LIMIT $CmsTopK""".stripMargin
+  }
+
   val textTopTfidf: String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest($toks) AS token FROM documents),
@@ -454,6 +535,11 @@ object OraclesExt {
     s"""list_reduce(list_prepend(0.0, list_transform(
        |    generate_series(1, $Dim), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
 
+  /** [[dotSql]] at an explicit length (the JL arms work in RpDims ≠ Dim). */
+  private def dotSqlN(a: String, b: String, n: Int): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(
+       |    generate_series(1, $n), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+
   val dedupEmbeddingCosine: String =
     s"""WITH $normCte,
        |scored AS (
@@ -599,6 +685,56 @@ object OraclesExt {
        |  ${R(s"(${dotSql("v", "dv")}) / (norm * dnorm)", 6)} AS cosine_orig_deq
        |FROM dn
        |ORDER BY vec_id""".stripMargin
+
+  /** Twin of Similarity.rpProject: 16 projection components, each a
+    * [[dotSql]]-ordered fold of v against the splitmix ±1 component with
+    * plane = RpPlaneBase + j (unrolled per j like [[simAnnLsh]]'s tables;
+    * the flat index is plane·Dim + i with DuckDB's 1-based i), divided by
+    * the IEEE-exact √RpDims = 4. pnorm mirrors normCte's fold shape. */
+  private val rpProjCte = {
+    import graft.ext.Similarity.{RpDims, RpPlaneBase}
+    def comp(j: Int): String = {
+      val h0 = s"((${(RpPlaneBase + j).toLong * Dim} + i) * $MixA % $M32)"
+      val m = s"(xor($h0, $h0 >> 16) % $M31)"
+      val h1 = s"($m * $MixB % $M32)"
+      s"(CASE WHEN (($h1 >> 15) % 2) = 0 THEN 1.0 ELSE -1.0 END)"
+    }
+    def proj(j: Int): String =
+      s"""list_reduce(list_prepend(0.0, list_transform(
+         |      generate_series(1, $Dim), i -> v[i] * ${comp(j)})), (x, y) -> x + y)
+         |      / sqrt(${RpDims}.0)""".stripMargin
+    val ps = (0 until RpDims).map(proj).mkString(",\n    ")
+    s"""$normCte,
+       |pj AS (SELECT vec_id, norm, list_value(
+       |    $ps) AS p FROM n),
+       |pn AS (SELECT vec_id, norm, p,
+       |  sqrt(list_reduce(list_prepend(0.0, list_transform(p, x -> x * x)),
+       |    (a, b) -> a + b)) AS pnorm
+       |  FROM pj)""".stripMargin
+  }
+
+  /** Twin of Similarity.rpDistortion — the flag applies the bound to the
+    * ROUNDED ratio, exactly like the Spark side. */
+  val simRpDistortion: String = {
+    import graft.ext.Similarity.RpDistortionBound
+    s"""WITH $rpProjCte
+       |SELECT vec_id, ${R("norm", 6)} AS norm, ${R("pnorm", 6)} AS rp_norm,
+       |  ${R("pnorm / norm", 6)} AS rp_norm_ratio,
+       |  abs(${R("pnorm / norm", 6)} - 1.0) <= $RpDistortionBound AS distortion_ok
+       |FROM pn
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** Twin of Similarity.rpKnn — exact top-K in the projected space. */
+  val simRpKnn: String = {
+    import graft.ext.Similarity.RpDims
+    s"""WITH $rpProjCte,
+       |${topKSql(
+        s"""p AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    ${R(s"(${dotSqlN("a.p", "b.p", RpDims)}) / (a.pnorm * b.pnorm)", 6)} AS cosine
+           |  FROM pn a JOIN pn b ON a.vec_id <> b.vec_id)""".stripMargin)}""".stripMargin
+  }
 
   /** Twin of Similarity.srpSignature/annLsh: hyperplane component for
     * (plane, 0-based dim i) = sign of Lehmer hash of flat index plane·Dim+i;
@@ -3412,6 +3548,8 @@ object OraclesExt {
     "text_length_quantiles" -> textLengthQuantiles,
     "text_bigram_frequency" -> textBigramFrequency,
     "text_bpe_merges" -> textBpeMerges,
+    "text_bpe_tokenize" -> textBpeTokenize,
+    "text_cms_heavy_hitters" -> textCmsHeavyHitters,
     "text_top_tfidf" -> textTopTfidf,
     "dedup_exact" -> dedupExact,
     "dedup_incremental_bloom" -> dedupIncrementalNew,
@@ -3429,6 +3567,8 @@ object OraclesExt {
     "dedup_semantic_kmeans" -> dedupSemanticKmeans,
     "dedup_chunk_spans" -> dedupChunkSpans,
     "sim_knn_bruteforce" -> simKnnBruteForce,
+    "sim_rp_distortion" -> simRpDistortion,
+    "sim_rp_knn" -> simRpKnn,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_lsh_calibration" -> simLshCalibration,
     "sim_quantized_knn" -> simQuantizedKnn,

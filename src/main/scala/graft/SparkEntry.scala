@@ -57,6 +57,8 @@ object SparkEntry {
     "text_length_quantiles" -> ((s, d) => ext.Text.lengthQuantiles(s, d).orderBy("lang")),
     "text_bigram_frequency" -> ((s, d) => ext.Text.bigramFrequency(s, d).orderBy("bigram")),
     "text_bpe_merges" -> ((s, d) => ext.Text.bpeMergeCandidates(s, d)),
+    "text_bpe_tokenize" -> ((s, d) => ext.Text.bpeTokenize(s, d).orderBy("doc_id")),
+    "text_cms_heavy_hitters" -> ((s, d) => ext.Text.cmsHeavyHitters(s, d)),
     "text_top_tfidf" -> ((s, d) => ext.Text.topTfidfTerms(s, d).orderBy("doc_id", "rank")),
     "text_gopher_rules" -> ((s, d) => ext.Text.gopherRules(s, d).orderBy("doc_id")),
     "text_lm_score" -> ((s, d) => ext.Text.lmScore(s, d).orderBy("doc_id")),
@@ -118,6 +120,8 @@ object SparkEntry {
     "sim_knn_bruteforce" -> ((s, d) =>
       ext.Similarity.knnBruteForce(s, d).orderBy("query_id", "rank")),
     "sim_ann_lsh" -> ((s, d) => ext.Similarity.annLsh(s, d).orderBy("query_id", "rank")),
+    "sim_rp_distortion" -> ((s, d) => ext.Similarity.rpDistortion(s, d).orderBy("vec_id")),
+    "sim_rp_knn" -> ((s, d) => ext.Similarity.rpKnn(s, d).orderBy("query_id", "rank")),
     "sim_lsh_calibration" -> ((s, d) =>
       ext.LshCal.calibrationGrid(s, d).orderBy("bits", "tables")),
     "sim_quantized_knn" -> ((s, d) =>
@@ -304,7 +308,8 @@ object SparkEntry {
     "sim_ann_ivf",            // fixture-label IVF: n²/K probe join, K fixed
     "dedup_semantic",         // fixture-label SemDeDup: n²/K pair scan
     "sim_recall_audit",       // embeds the O(n²) exact arm + every baseline
-    "sim_ann_lsh")            // near-all-pairs candidates at this fixture's regime
+    "sim_ann_lsh",            // near-all-pairs candidates at this fixture's regime
+    "sim_rp_knn")             // exact O(n²) in the projected space (JL audit)
 
   def oracleSql: Map[String, String] = {
     val base = Oracles.all ++ OraclesExt.all

@@ -103,6 +103,72 @@ object Similarity {
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  // ------------------------------- JL random projection (dimensionality cut)
+
+  /** Reduced dimensionality of the JL projection. A perfect square, so the
+    * 1/√k normalizer (= 1/4 exactly) is IEEE-exact in both engines. */
+  val RpDims = 16
+
+  /** Plane-family base for the projection rows — disjoint from every SRP
+    * plane in use ([[srpSignature]] tops out at LshTables·LshBits = 24,
+    * [[graft.ext.LshCal]]'s grid at TablesMax·BitsMax — all ≪ this). */
+  val RpPlaneBase = 4096
+
+  private[graft] def rpVec(j: Int): Seq[Double] =
+    (0 until Dim).map(planeComponent(RpPlaneBase + j, _))
+
+  /** JOHNSON–LINDENSTRAUSS RANDOM PROJECTION (Achlioptas, JCSS 2003:
+    * database-friendly ±1 projections): [[Dim]] → [[RpDims]] against the
+    * same deterministic splitmix ±1 plane family as the SRP signatures,
+    * scaled by 1/√k so squared norms are preserved in expectation. Unlike
+    * [[srpSignature]] (sign only — one BIT per plane), the projection keeps
+    * the real value: downstream similarity work runs in k dims at k/Dim of
+    * the flop, storage, and shuffle cost — the map-only dim-reduce a 100-TB
+    * pipeline applies before storing, clustering, or indexing embeddings.
+    * Each component is one codegen dot against a ±1 literal array; the
+    * whole projection is map-only (zero exchanges). */
+  def rpProject(v: Column): Column =
+    array((0 until RpDims).map(j =>
+      dot(v, typedLit(rpVec(j))) / math.sqrt(RpDims.toDouble)): _*)
+
+  private[ext] def rpProjected(e: DataFrame): DataFrame =
+    e.withColumn("p", rpProject(col("v")))
+      .withColumn("pnorm", sqrt(dot(col("p"), col("p"))))
+
+  /** JL flags a vector when its projected/original norm ratio strays more
+    * than this from 1 — wide enough that k=16 concentration keeps the
+    * fixture's flag rate low, tight enough to catch a broken plane family
+    * (a degenerate projection collapses norms toward 0). */
+  val RpDistortionBound = 0.5
+
+  /** Per-vector JL distortion audit — the deployment-shaped quality gate
+    * for the projection: map-only, linear in n, no pairs, so it runs at ANY
+    * corpus size (same contract as the sampled recall audit). ‖Pv‖/‖v‖
+    * concentrates near 1 (JL lemma); `distortion_ok` applies
+    * [[RpDistortionBound]] to the ROUNDED ratio so both engines flag
+    * identically. */
+  def rpDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val e = rpProjected(withNorm(Sources.embeddings(spark, dir)))
+    e.select(col("vec_id"),
+      r(col("norm"), 6).as("norm"),
+      r(col("pnorm"), 6).as("rp_norm"),
+      r(col("pnorm") / col("norm"), 6).as("rp_norm_ratio"))
+      .withColumn("distortion_ok",
+        abs(col("rp_norm_ratio") - 1.0) <= RpDistortionBound)
+  }
+
+  /** Exact top-[[TopK]] in PROJECTED space — the fixture-grain audit of
+    * what JL does to neighbor structure (recall vs [[knnBruteForce]] is
+    * pinned in spec). All-pairs by construction → declared smallNOnly; a
+    * deployment reduces THEN indexes (feed [[rpProject]] output to the
+    * IVF/LSH arms — every pairwise op downstream is k/Dim cheaper). */
+  def rpKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = rpProjected(withNorm(Sources.embeddings(spark, dir)))
+    val a = e.select(col("vec_id").as("query_id"), col("p").as("va"), col("pnorm").as("na"))
+    val b = e.select(col("vec_id").as("neighbor_id"), col("p").as("vb"), col("pnorm").as("nb"))
+    topK(cosinePairs(a, b), TopK)
+  }
+
   private def cosinePairs(a: DataFrame, b: DataFrame): DataFrame =
     a.join(b, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", r(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))

@@ -190,6 +190,132 @@ object Text {
   def bpeMergeCandidates(spark: SparkSession, dir: String): DataFrame =
     bpeMergeCandidatesOf(Sources.documents(spark, dir))
 
+  /** TOKENIZER APPLY — encode the corpus with the [[bpeMergeCandidatesOf]]
+    * merge table and count the resulting BPE tokens per document: the
+    * "how many tokens is this corpus under the tokenizer we just induced"
+    * report that sizes a training run (mining tells you WHAT the merges
+    * are; this is what they DO to the data).
+    *
+    * Representation: a token is encoded as space-wrapped symbol units
+    * (`"the"` → `" t  h  e "`); merge (a,b) is one literal replace of
+    * `" a  b "` with `" ab "`, applied in mined rank order. Tokens are
+    * whitespace-split so a symbol can never contain the delimiter, every
+    * unit carries its OWN pair of spaces (no boundary sharing between
+    * adjacent matches — `"a a a"` merges left-to-right greedily, exactly
+    * like the DuckDB twin's `replace`), and a merged unit's interior
+    * characters can no longer match a later single-character pair. Both
+    * engines apply the same M sequential non-overlapping left-to-right
+    * literal replaces, so parity is structural.
+    *
+    * Scale shape: the merge table is a bounded driver-side collect
+    * (≤ [[BpeTopMerges]] rows — the frozen-model pattern every classifier
+    * here uses); the M replaces run at DISTINCT-TOKEN grain (vocabulary,
+    * not corpus) inside whole-stage codegen; the corpus pays one shuffle
+    * joining tokens back to their encodings and one for the per-doc agg —
+    * the same two exchanges as [[graft.ext.Dedup.chunkSpans]]. At 100 TB
+    * the vocab side is millions of rows against trillions of corpus
+    * tokens; AQE broadcasts it. */
+  def bpeTokenizeOf(docs: DataFrame): DataFrame = {
+    val merges: Seq[(String, String)] = bpeMergeCandidatesOf(docs)
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+    val sym0 = regexp_replace(col("token"), "(.)", " $1 ")
+    val applied = merges.foldLeft(sym0) { case (c, (a, b)) =>
+      replace(c, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    val enc = tok.select("token").distinct()
+      .select(col("token"),
+        idiv((length(applied) -
+          length(replace(applied, lit(" "), lit("")))).cast("long"), lit(2L)).as("n_bpe"))
+    tok.join(enc, Seq("token"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("token")).cast("long")).as("n_chars"),
+        sum(col("n_bpe")).as("n_bpe_tokens"))
+      .withColumn("chars_per_bpe_token", r(col("n_chars") / col("n_bpe_tokens"), 4))
+  }
+
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenizeOf(Sources.documents(spark, dir))
+
+  /** Count-min sketch geometry: [[CmsDepth]] independent hash rows ×
+    * [[CmsWidth]] counters. Width is deliberately far below the fixture's
+    * vocabulary so collisions (and therefore real overestimates) occur —
+    * the property the spec and the oracle both exercise. */
+  val CmsDepth = 4
+  val CmsWidth = 64
+
+  /** COUNT-MIN HEAVY HITTERS (Cormode & Muthukrishnan, J.Alg 2005) —
+    * BIGRAM frequency under a BOUNDED-STATE sketch instead of a
+    * full-universe hash-agg, plus the top-K bigrams by estimate with their
+    * exact counts beside (est ≥ exact always; `overestimated` marks
+    * collisions). Bigrams, not unigrams: the fixture's word list is 31
+    * words (every one would own its cells — a vacuous sketch) while its
+    * bigram universe is ~900 against [[CmsWidth]]=64 counters, so the
+    * sketch genuinely compresses, exactly the n-gram-collocation regime
+    * the sketch exists for.
+    *
+    * Why it matters at 100 TB: [[bigramFrequency]]'s agg state is the
+    * whole bigram universe (quadratic in vocabulary — a shuffle of
+    * billions of keys); the sketch's state is a constant
+    * [[CmsDepth]]×[[CmsWidth]] integer grid that partial-aggregates
+    * map-side and MERGES additively — the same fold-don't-rescan contract
+    * as the drift states, so a streaming twin is a sum of per-batch grids.
+    * Hash rows use the cross-engine [[rollingHash]] salted by row index,
+    * so the DuckDB twin lands every bigram in the identical cell.
+    *
+    * Grain: the corpus pays ONE bigram hash-agg (to (bigram, count) —
+    * needed anyway for the exact-count column); sketch build and probe
+    * then run at universe grain (explode ×[[CmsDepth]] over distinct
+    * bigrams, two bounded shuffles on (row, bucket)). A deployment that
+    * wants ONLY the sketch skips the exact agg and folds the grid straight
+    * off the scan. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    cmsHeavyHittersOf(Sources.documents(spark, dir))
+
+  /** (bigram, c) corpus bigram counts — the shared exact side (same
+    * extraction as [[bigramFrequency]]). */
+  private[graft] def cmsKeyCountsOf(docs: DataFrame): DataFrame =
+    docs.where(size(tokens(col("text"))) >= 2)
+      .select(explode(ngrams(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c"))
+
+  /** One row per (bigram, c, hash row, bucket) — the bigram's [[CmsDepth]]
+    * sketch cells. */
+  private[graft] def cmsCellsOf(tc: DataFrame): DataFrame = {
+    val cells = (0 until CmsDepth).map { rr =>
+      struct(lit(rr).as("r"),
+        pmod(graft.functions.Native.polyHash(
+          concat(lit(s"$rr:"), col("bigram"))), lit(CmsWidth.toLong)).as("bucket"))
+    }
+    tc.select(col("bigram"), col("c"), explode(array(cells: _*)).as("rb"))
+      .select(col("bigram"), col("c"),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+  }
+
+  /** The sketch itself: the [[CmsDepth]]×[[CmsWidth]] counter grid. ADDITIVE
+    * in the corpus — sketch(A ∪ B) = cell-wise sketch(A) + sketch(B) (the
+    * spec pins it), so per-batch grids fold instead of rescanning. */
+  private[graft] def cmsCountersOf(tc: DataFrame): DataFrame =
+    cmsCellsOf(tc).groupBy("r", "bucket").agg(sum(col("c")).as("cnt"))
+
+  def cmsHeavyHittersOf(docs: DataFrame): DataFrame = {
+    val tc = cmsKeyCountsOf(docs)
+    val hashed = cmsCellsOf(tc)
+    hashed.join(cmsCountersOf(tc), Seq("r", "bucket"))
+      .groupBy("bigram")
+      .agg(max(col("c")).as("exact_count"), min(col("cnt")).as("cms_estimate"))
+      .withColumn("overestimated", col("cms_estimate") > col("exact_count"))
+      .orderBy(col("cms_estimate").desc, col("bigram"))
+      .limit(CmsTopK)
+  }
+
+  /** Heavy hitters reported by [[cmsHeavyHitters]]. */
+  val CmsTopK = 25
+
   /** All word n-grams in position order (NOT distinct — frequency weighting
     * wants every occurrence; [[graft.ext.Dedup.shingles]] is the distinct
     * set variant). */

@@ -240,6 +240,70 @@ class DedupSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1200))
   }
 
+  test("bpe tokenize-apply: hand corpus encodes exactly; greedy left-to-right " +
+      "merge of a a a leaves two units") {
+    import spark.implicits._
+    // mining over {aaa, ab ab}: pairs (a,a)=2, (a,b)=2 -> tie broken (a,a)
+    // first; applying both merges: "aaa" -> [aa, a] (greedy, non-overlapping),
+    // "ab" -> [ab]
+    val docs = Seq((1L, "aaa"), (2L, "ab ab")).toDF("doc_id", "text")
+    val got = graft.ext.Text.bpeTokenizeOf(docs).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_bpe_tokens"))).toSeq
+    assert(got === Seq((1L, 1L, 3L, 2L), (2L, 2L, 4L, 2L)))
+  }
+
+  test("bpe tokenize-apply: fixture invariants — words <= bpe tokens <= chars, " +
+      "one-round merges never make a unit longer than 2 chars, merging happened") {
+    val rows = graft.ext.Text.bpeTokenize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, c, b) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_bpe_tokens"))
+      assert(w <= b && b <= c, s"doc ${r.get(0)}: words=$w bpe=$b chars=$c")
+      // every mined merge joins two SINGLE chars, so units are at most 2 chars
+      assert(2 * b >= c, s"doc ${r.get(0)}: unit longer than 2 chars")
+      val ratio = r.getAs[Double]("chars_per_bpe_token")
+      assert(ratio >= 1.0 && ratio <= 2.0)
+    }
+    // the merge table is non-trivial on the fixture: somewhere tokens shrank
+    assert(rows.exists(r => r.getAs[Long]("n_bpe_tokens") < r.getAs[Long]("n_chars")))
+  }
+
+  test("cms heavy hitters: estimate >= exact everywhere, collisions occur at " +
+      "width 64 over a ~900-bigram universe, top estimate bounded by the " +
+      "corpus bigram count") {
+    import graft.ext.Text
+    val rows = Text.cmsHeavyHitters(spark, sf).collect()
+    assert(rows.length === Text.CmsTopK)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_estimate") >= r.getAs[Long]("exact_count"),
+        s"CMS underestimated ${r.getAs[String]("bigram")}")
+      assert(r.getAs[Boolean]("overestimated") ===
+        (r.getAs[Long]("cms_estimate") > r.getAs[Long]("exact_count")))
+    }
+    // width 64 << bigram universe: at least one reported bigram collided
+    assert(rows.exists(_.getAs[Boolean]("overestimated")))
+    val total = Text.cmsKeyCountsOf(graft.engine.Sources.documents(spark, sf))
+      .agg(sum("c")).first().getLong(0)
+    assert(rows.map(_.getAs[Long]("cms_estimate")).max <= total)
+  }
+
+  test("cms sketch is MERGEABLE: grid(A union B) = grid(A) + grid(B) cell-wise") {
+    import graft.ext.Text
+    val docs = graft.engine.Sources.documents(spark, sf)
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 =!= 0)
+    val folded = Text.cmsCountersOf(Text.cmsKeyCountsOf(a))
+      .union(Text.cmsCountersOf(Text.cmsKeyCountsOf(b)))
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+    val full = Text.cmsCountersOf(Text.cmsKeyCountsOf(docs))
+    assert(folded.join(full, Seq("r", "bucket"), "full")
+      .where(folded("cnt") =!= full("cnt") ||
+        folded("cnt").isNull || full("cnt").isNull)
+      .count() === 0L)
+  }
+
   test("repetition: fractions in [0,1], dup+distinct consistent, both verdicts occur") {
     val rows = graft.ext.Text.repetition(spark, sf).collect()
     rows.foreach { r =>
@@ -1049,6 +1113,71 @@ class SimilaritySpec extends SparkSpec {
 /** The statistics catalog: the KMV NDV sketch must be exact below its
   * capacity, accurate within theory above it, and a pure function of the
   * data (two runs bit-equal). */
+class RandomProjectionSpec extends SparkSpec {
+  import graft.ext.Similarity
+
+  test("jl projection: map-only k=16 arrays, norms concentrate around the " +
+      "original (E[|Pv|^2] = |v|^2), distortion gate mostly passes") {
+    val rows = Similarity.rpDistortion(spark, sf).collect()
+    val n = graft.engine.Sources.embeddings(spark, sf).count()
+    assert(rows.length.toLong === n, "one distortion verdict per vector")
+    val ratios = rows.map(_.getAs[Double]("rp_norm_ratio"))
+    ratios.foreach(x => assert(x > 0.0, "projection collapsed a vector to 0"))
+    // unbiasedness: mean squared ratio near 1 (JL: E<Pv,Pv> = <v,v>)
+    val meanSq = ratios.map(x => x * x).sum / ratios.length
+    assert(meanSq > 0.7 && meanSq < 1.3, s"mean ratio^2 = $meanSq")
+    // k=16 concentration: the 0.5 gate flags at most a thin tail
+    val ok = rows.count(_.getAs[Boolean]("distortion_ok"))
+    assert(ok.toDouble / rows.length >= 0.9,
+      s"only $ok/${rows.length} within the distortion bound")
+    // the flag is exactly the rounded-ratio rule (both engines share it)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("distortion_ok") ===
+        (math.abs(r.getAs[Double]("rp_norm_ratio") - 1.0) <= Similarity.RpDistortionBound))
+    }
+  }
+
+  test("jl projection components match a driver-side recomputation of the " +
+      "plane family (the oracle re-derives these same bits)") {
+    import org.apache.spark.sql.functions._
+    val e = Similarity.withNorm(graft.engine.Sources.embeddings(spark, sf)).limit(3)
+    val got = e.select(col("vec_id"), col("v"), Similarity.rpProject(col("v")).as("p"))
+      .collect()
+    got.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Double]]("v")
+      val p = r.getAs[scala.collection.Seq[Double]]("p")
+      assert(p.length === Similarity.RpDims)
+      (0 until Similarity.RpDims).foreach { j =>
+        val plane = Similarity.rpVec(j)
+        val expect = v.indices.foldLeft(0.0)((acc, i) => acc + v(i) * plane(i)) /
+          math.sqrt(Similarity.RpDims.toDouble)
+        assert(p(j) === expect, s"component $j")
+      }
+    }
+  }
+
+  test("jl knn: top-5 per query in projected space; recall vs full-space " +
+      "exact knn clears the floor a 4x dim cut can promise") {
+    val rp = Similarity.rpKnn(spark, sf).collect()
+    val exact = Similarity.knnBruteForce(spark, sf).collect()
+    val perQuery = rp.groupBy(_.getAs[Long]("query_id"))
+    perQuery.values.foreach(g => assert(g.length === Similarity.TopK))
+    assert(perQuery.keySet.size === exact.groupBy(_.getAs[Long]("query_id")).size)
+    val rpSet = rp.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val hits = exact.count(r =>
+      rpSet((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+    val recall = hits.toDouble / exact.length
+    // the fixture's neighbors sit near cosine 0.3 (near-random directions —
+    // the same documented hard case that forces the IVF arms to calibrated
+    // deep probing): with 1/sqrt(16) ~ 0.25 JL error vs 0.3 cosine gaps,
+    // rank preservation is weak BY CONSTRUCTION here (measured 0.12).
+    // Pin >= 8x chance (TopK/n ~ 0.01) so a broken plane family (recall
+    // ~ chance) still fails loudly without promising what JL cannot give
+    // on gap-free data.
+    assert(recall >= 0.08, s"JL recall@5 = $recall")
+  }
+}
+
 class SketchSpec extends SparkSpec {
   import graft.ext.Sketch
 

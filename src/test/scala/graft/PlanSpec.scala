@@ -119,6 +119,32 @@ class PlanSpec extends SparkSpec {
       "fused ShingleMinhash must compute signatures without a keyed shuffle:\n" + p.take(1500))
   }
 
+  test("jl projection is map-only: the distortion audit adds no keyed exchange " +
+      "over the embedding scan") {
+    val e = graft.ext.Similarity.withNorm(
+      graft.engine.Sources.embeddings(spark, sf))
+    // the projected frame itself (the deployment product): strictly map-only
+    val p = plan(e.withColumn("p",
+      graft.ext.Similarity.rpProject(org.apache.spark.sql.functions.col("v"))))
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning") &&
+      !p.contains("Exchange SinglePartition"),
+      "rpProject must be a pure projection:\n" + p.take(1500))
+  }
+
+  test("bpe tokenize-apply: merge replaces run at vocab grain and join back " +
+      "broadcast; cms probe joins its bounded grid without a sort") {
+    val bpe = plan(graft.SparkEntry.queries("text_bpe_tokenize")(spark, sf))
+    // the encoded-vocab side is small -> AQE or the static planner must
+    // broadcast it into the corpus-token join, never sort-merge the corpus
+    assert(bpe.contains("BroadcastHashJoin"), bpe.take(2000))
+    assert(!bpe.contains("CartesianProduct") &&
+      !bpe.contains("BroadcastNestedLoopJoin"), bpe.take(2000))
+    val cms = plan(graft.SparkEntry.queries("text_cms_heavy_hitters")(spark, sf))
+    assert(!cms.contains("CartesianProduct") &&
+      !cms.contains("BroadcastNestedLoopJoin"), cms.take(2000))
+  }
+
   test("length batches rank via the custom operator, never a single-partition window") {
     val p = plan(graft.ext.Corpus.lengthBatches(spark, sf))
     assert(p.contains("GlobalOrderedRank"), p.take(1500))
