@@ -1612,6 +1612,8 @@ object OraclesExt {
        |${auditArmSql("ann_lsh", simAnnLsh)}
        |UNION ALL
        |${auditArmSql("knn_quantized", simQuantizedKnn)}
+       |UNION ALL
+       |${auditArmSql("rp_knn", simRpKnn)}
        |ORDER BY method""".stripMargin
 
   /** Twin of Similarity.recallAuditSampled: the exact arm restricted to the

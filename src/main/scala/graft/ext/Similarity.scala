@@ -162,8 +162,11 @@ object Similarity {
     * pinned in spec). All-pairs by construction → declared smallNOnly; a
     * deployment reduces THEN indexes (feed [[rpProject]] output to the
     * IVF/LSH arms — every pairwise op downstream is k/Dim cheaper). */
-  def rpKnn(spark: SparkSession, dir: String): DataFrame = {
-    val e = rpProjected(withNorm(Sources.embeddings(spark, dir)))
+  def rpKnn(spark: SparkSession, dir: String): DataFrame =
+    rpKnnFrom(withNorm(Sources.embeddings(spark, dir)))
+
+  private[ext] def rpKnnFrom(vecs: DataFrame): DataFrame = {
+    val e = rpProjected(vecs)
     val a = e.select(col("vec_id").as("query_id"), col("p").as("va"), col("pnorm").as("na"))
     val b = e.select(col("vec_id").as("neighbor_id"), col("p").as("vb"), col("pnorm").as("nb"))
     topK(cosinePairs(a, b), TopK)
@@ -987,7 +990,8 @@ object Similarity {
       "ann_ivf_kmeans" -> kmArm,
       "ann_ivf_pq" -> Pq.annIvfPqFrom(vecs, scored, books),
       "ann_lsh" -> annLsh(spark, dir),
-      "knn_quantized" -> quantizedKnn(spark, dir)))
+      "knn_quantized" -> quantizedKnn(spark, dir),
+      "rp_knn" -> rpKnnFrom(vecs)))
     localized(spark, out, pins)
   }
 

@@ -302,6 +302,25 @@ object Text {
   private[graft] def cmsCountersOf(tc: DataFrame): DataFrame =
     cmsCellsOf(tc).groupBy("r", "bucket").agg(sum(col("c")).as("cnt"))
 
+  /** Cell-wise sum of sketch grids — the fold
+    * [[graft.streaming.Streams.maintainCmsGrid]] applies per micro-batch
+    * (sparse representation: an absent cell is zero, so a plain union+agg
+    * IS the cell-wise sum). */
+  private[graft] def mergeCmsGrids(grids: Seq[DataFrame]): DataFrame =
+    grids.reduce(_ unionByName _)
+      .groupBy("r", "bucket").agg(sum(col("cnt")).as("cnt"))
+
+  /** Heavy-hitter estimates from a MAINTAINED grid, no corpus rescan:
+    * probe the candidate bigrams' cells against the folded counters.
+    * Exact counts are absent BY DESIGN — the sketch's point is that the
+    * corpus is gone; candidates come from the caller (the current batch's
+    * bigrams, or the previously reported top-K being re-checked). */
+  def cmsEstimateOver(grid: DataFrame, keys: DataFrame): DataFrame =
+    cmsCellsOf(keys.select(col("bigram")).distinct()
+        .withColumn("c", lit(0L)))
+      .join(grid, Seq("r", "bucket"))
+      .groupBy("bigram").agg(min(col("cnt")).as("cms_estimate"))
+
   def cmsHeavyHittersOf(docs: DataFrame): DataFrame = {
     val tc = cmsKeyCountsOf(docs)
     val hashed = cmsCellsOf(tc)

@@ -882,6 +882,26 @@ object Streams {
       }
       .start()
 
+  /** Streaming COUNT-MIN maintenance — the live half of
+    * [[graft.ext.Text.cmsHeavyHitters]]'s sketch: each micro-batch's
+    * bigram counts fold CELL-WISE into a versioned
+    * CmsDepth×CmsWidth grid (the sketch is additive — DedupSpec pins
+    * sketch(A∪B) = sketch(A)+sketch(B)), so n-gram heavy-hitter estimates
+    * stay queryable ([[graft.ext.Text.cmsEstimateOver]]) at O(batch) work
+    * per micro-batch + O(d·w) constant state — never a corpus rescan, and
+    * the corpus itself need not be retained. Exactly-once by the
+    * batch-tagged version commit (same discipline as the occupancy fold:
+    * a replayed batch must not double-fold an additive state). */
+  def maintainCmsGrid(docs: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldCmsBatch(batch, path, batchId)
+      }
+      .start()
+
   // --------------------- streaming IMAGE near-dup ingest (phash gate) ----
 
   /** STREAMING IMAGE NEAR-DUP INGESTION — the image-side sibling of
@@ -1244,6 +1264,25 @@ object Streams {
         scala.util.Try(t.stripPrefix("batch=").trim.toLong)
           .toOption.exists(batchId <= _)
     }
+
+  /** One micro-batch of [[maintainCmsGrid]] — same replay discipline as
+    * [[foldCellOccupancyBatch]] (the grid is additive; a double fold would
+    * inflate every estimate). */
+  private[graft] def foldCmsBatch(batch: DataFrame, path: String,
+                                  batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import graft.sources.Versioned
+    import graft.ext.Text
+    if (alreadyFolded(spark, path, batchId)) return
+    val delta = Text.cmsCountersOf(Text.cmsKeyCountsOf(batch))
+    val merged = Versioned.latestVersion(spark, path) match {
+      case Some(_) =>
+        Text.mergeCmsGrids(Seq(Versioned.read(spark, path), delta))
+      case None => delta
+    }
+    Versioned.write(merged, path, Some(s"batch=$batchId"))
+    ()
+  }
 
   /** One micro-batch of [[maintainCellOccupancy]] — same replay discipline
     * as [[foldMonthlyRevenueBatch]]. */

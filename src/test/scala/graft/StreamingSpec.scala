@@ -667,6 +667,43 @@ class StreamingSpec extends SparkSpec {
     vecs.unpersist()
   }
 
+  test("cms grid fold: streamed grid == from-scratch grid cell-for-cell; " +
+      "replay no-ops; estimates from the maintained grid match the batch report") {
+    import graft.ext.Text
+    val dir = Files.createTempDirectory("graft_cms").toString
+    val docs = graft.engine.Sources.documents(spark, sf).cache()
+    docs.count()
+    // three micro-batches by key range
+    Seq(col("doc_id") < 150, col("doc_id") >= 150 && col("doc_id") < 400,
+        col("doc_id") >= 400).zipWithIndex.foreach { case (slice, i) =>
+      Streams.foldCmsBatch(docs.where(slice), s"$dir/cms", i.toLong)
+    }
+    def gridRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val folded = graft.sources.Versioned.read(spark, s"$dir/cms")
+      .select("r", "bucket", "cnt")
+    val scratch = Text.cmsCountersOf(Text.cmsKeyCountsOf(docs))
+      .select("r", "bucket", "cnt")
+    assert(gridRows(folded) === gridRows(scratch), "fold != from-scratch grid")
+    // replay of an already-committed batch must not double-fold
+    Streams.foldCmsBatch(docs.where(col("doc_id") < 150), s"$dir/cms", 1L)
+    assert(gridRows(graft.sources.Versioned.read(spark, s"$dir/cms")
+      .select("r", "bucket", "cnt")) === gridRows(folded),
+      "replayed batch double-folded")
+    // heavy-hitter estimates from the MAINTAINED grid (no corpus rescan)
+    // agree with the batch report for every reported bigram
+    val reported = Text.cmsHeavyHitters(spark, sf).collect()
+      .map(r => r.getAs[String]("bigram") -> r.getAs[Long]("cms_estimate")).toMap
+    val est = {
+      import spark.implicits._
+      Text.cmsEstimateOver(folded, reported.keys.toSeq.sorted.toDF("bigram"))
+        .collect().map(r => r.getAs[String]("bigram") -> r.getAs[Long]("cms_estimate")).toMap
+    }
+    assert(est === reported, "maintained-grid estimates diverge from the batch report")
+    docs.unpersist()
+  }
+
   test("NB-scored ingest: streamed scores equal the batch classifier for any batching") {
     val dir = Files.createTempDirectory("graft_nbi").toString
     val docs = graft.engine.Sources.documents(spark, sf).cache()
