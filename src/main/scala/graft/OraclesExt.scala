@@ -686,6 +686,46 @@ object OraclesExt {
        |FROM dn
        |ORDER BY vec_id""".stripMargin
 
+  /** Twin of Similarity.embeddingTableChecks — identical filter-size
+    * element predicates, one multi-aggregate pass + one full-outer parity
+    * join. */
+  val qualityEmbeddings: String = {
+    val nf = "x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 1e308"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |one AS (SELECT
+       |    CAST(count(*) AS BIGINT) AS _n,
+       |    CAST(count(CASE WHEN embedding IS NULL THEN 1 END) AS BIGINT) AS _null,
+       |    CAST(count(CASE WHEN embedding IS NOT NULL
+       |      AND len(embedding) <> $Dim THEN 1 END) AS BIGINT) AS _dim,
+       |    CAST(count(CASE WHEN embedding IS NOT NULL
+       |      AND len(list_filter(embedding, x -> $nf)) > 0 THEN 1 END) AS BIGINT) AS _nf,
+       |    CAST(count(CASE WHEN embedding IS NOT NULL
+       |      AND len(list_filter(embedding, x -> CAST(x AS DOUBLE) <> 0.0)) = 0
+       |      THEN 1 END) AS BIGINT) AS _zero,
+       |    CAST(count(*) - count(DISTINCT vec_id) AS BIGINT) AS _dup
+       |  FROM e),
+       |par AS (SELECT
+       |    CAST(count(CASE WHEN v.vec_id IS NULL THEN 1 END) AS BIGINT) AS _no_vec,
+       |    CAST(count(CASE WHEN d.doc_id IS NULL THEN 1 END) AS BIGINT) AS _no_doc
+       |  FROM (SELECT doc_id FROM documents) d
+       |  FULL JOIN (SELECT vec_id FROM e) v ON d.doc_id = v.vec_id),
+       |u AS (
+       |  SELECT 'embeddings.empty_table' AS check_name,
+       |    CASE WHEN _n = 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+       |      AS violations FROM one
+       |  UNION ALL SELECT 'embeddings.null_vector', _null FROM one
+       |  UNION ALL SELECT 'embeddings.wrong_dim', _dim FROM one
+       |  UNION ALL SELECT 'embeddings.non_finite_vector', _nf FROM one
+       |  UNION ALL SELECT 'embeddings.zero_vector', _zero FROM one
+       |  UNION ALL SELECT 'embeddings.duplicate_vec_id', _dup FROM one
+       |  UNION ALL SELECT 'documents.missing_vector', _no_vec FROM par
+       |  UNION ALL SELECT 'embeddings.orphan_vector', _no_doc FROM par)
+       |SELECT check_name, violations,
+       |  CASE WHEN violations = 0 THEN 'PASS' ELSE 'FAIL' END AS status
+       |FROM u
+       |ORDER BY check_name""".stripMargin
+  }
+
   /** Twin of Similarity.rpProject: 16 projection components, each a
     * [[dotSql]]-ordered fold of v against the splitmix ±1 component with
     * plane = RpPlaneBase + j (unrolled per j like [[simAnnLsh]]'s tables;
@@ -3571,6 +3611,7 @@ object OraclesExt {
     "sim_knn_bruteforce" -> simKnnBruteForce,
     "sim_rp_distortion" -> simRpDistortion,
     "sim_rp_knn" -> simRpKnn,
+    "quality_embeddings" -> qualityEmbeddings,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_lsh_calibration" -> simLshCalibration,
     "sim_quantized_knn" -> simQuantizedKnn,

@@ -49,6 +49,8 @@ object SparkEntry {
     "quality_referential_integrity" -> ((s, d) => Quality.referentialIntegrity(s, d)),
     "quality_business_rules" -> ((s, d) => Quality.businessRules(s, d)),
     "quality_freshness" -> ((s, d) => Quality.freshness(s, d)),
+    "quality_embeddings" -> ((s, d) =>
+      ext.Similarity.embeddingTableChecks(s, d).orderBy("check_name")),
     // ext: training-data pipeline operators over documents/embeddings/events
     "text_stats" -> ((s, d) => ext.Text.stats(s, d).orderBy("doc_id")),
     "text_langid" -> ((s, d) => ext.Text.langId(s, d).orderBy("doc_id")),

@@ -564,6 +564,12 @@ object Pipeline {
       // table. Zero queries = FAIL, like the retrieval gate.
       val (recallPct, recallOk) = graft.ext.Similarity.recallAuditGate(
         spark, dir, graft.ext.Similarity.RecallFloorPct)
+      // embedding TABLE gate: the vectors the dedup/ANN stages trusted must
+      // themselves be sound (doc↔vector parity, dims, finiteness, dup ids) —
+      // the ML-side sibling of the warehouse null/RI checks. The metric is
+      // total violations across the eight checks; any violation fails.
+      val embViolations = graft.ext.Similarity.embeddingTableChecks(spark, dir)
+        .agg(coalesce(sum(col("violations")), lit(0L))).first().getLong(0)
       val checks = Seq(
         ("scrub_coverage", nScrubbed, nScrubbed == nDocs),
         ("residual_pii", residualPii, residualPii == 0L),
@@ -572,7 +578,8 @@ object Pipeline {
         ("release_leak_free", releasedLeaks, releasedLeaks == 0L),
         ("release_dup_free", releasedDups, releasedDups == 0L),
         ("retrieval_quality", rqHitPct, rqOk),
-        ("embedding_index_recall", recallPct, recallOk))
+        ("embedding_index_recall", recallPct, recallOk),
+        ("embedding_table", embViolations, embViolations == 0L))
       import spark.implicits._
       checks.map { case (n, m, ok) => (n, m, if (ok) "PASS" else "FAIL") }
         .toDF("check_name", "metric", "status")

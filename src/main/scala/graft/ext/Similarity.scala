@@ -103,6 +103,68 @@ object Similarity {
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  // ------------------------------- embedding-table data quality ----------
+
+  /** TABLE-LEVEL DQ over the ML tables — the `quality_*` family extended to
+    * documents↔embeddings: the checks a training pipeline runs BEFORE any
+    * similarity work trusts the vectors (the warehouse family audits the
+    * reference's tables; nothing audited the embedding side until now).
+    * One row per check, violations + PASS/FAIL, same surface as
+    * [[graft.engine.Quality]].
+    *
+    * Two passes total, matching the one-pass discipline there: a single
+    * multi-aggregate over embeddings (null / wrong-dim / non-finite /
+    * all-zero / duplicate-id — NOT five scans), and ONE full-outer key join
+    * producing BOTH parity checks (doc without vector, vector without doc).
+    * Element predicates are filter-size formulations so the DuckDB twin is
+    * structurally identical (null elements drop out of both engines'
+    * filters the same way). */
+  def embeddingTableChecks(spark: SparkSession, dir: String): DataFrame =
+    embeddingTableChecksOf(
+      Sources.documents(spark, dir),
+      Sources.embeddings(spark, dir))
+
+  private[graft] def embeddingTableChecksOf(docs: DataFrame,
+                                            embs: DataFrame): DataFrame = {
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val d = docs.select(col("doc_id"))
+    val nonFinite = (x: Column) => x.isNull || isnan(x) || abs(x) > lit(1e308)
+    val onePass = e.agg(
+        count(lit(1)).as("_n"),
+        count(when(col("embedding").isNull, 1)).as("_null"),
+        count(when(col("embedding").isNotNull &&
+          size(col("embedding")) =!= Dim, 1)).as("_dim"),
+        count(when(col("embedding").isNotNull &&
+          size(filter(col("embedding"), x => nonFinite(x.cast("double")))) > 0, 1))
+          .as("_nf"),
+        count(when(col("embedding").isNotNull &&
+          size(filter(col("embedding"), x => x.cast("double") =!= 0.0)) === 0, 1))
+          .as("_zero"),
+        (count(lit(1)) - countDistinct(col("vec_id"))).as("_dup"))
+      .select(explode(map(
+        lit("embeddings.empty_table"),
+          when(col("_n") === 0, 1L).otherwise(0L),
+        lit("embeddings.null_vector"), col("_null").cast("long"),
+        lit("embeddings.wrong_dim"), col("_dim").cast("long"),
+        lit("embeddings.non_finite_vector"), col("_nf").cast("long"),
+        lit("embeddings.zero_vector"), col("_zero").cast("long"),
+        lit("embeddings.duplicate_vec_id"), col("_dup").cast("long")))
+        .as(Seq("check_name", "violations")))
+    val parity = d
+      .join(e.select(col("vec_id")), col("doc_id") === col("vec_id"), "full")
+      .agg(
+        count(when(col("vec_id").isNull, 1)).as("_no_vec"),
+        count(when(col("doc_id").isNull, 1)).as("_no_doc"))
+      .select(explode(map(
+        lit("documents.missing_vector"), col("_no_vec").cast("long"),
+        lit("embeddings.orphan_vector"), col("_no_doc").cast("long")))
+        .as(Seq("check_name", "violations")))
+    onePass.unionByName(parity)
+      .withColumn("status",
+        when(col("violations") === 0, "PASS").otherwise("FAIL"))
+      .orderBy("check_name")
+  }
+
   // ------------------------------- JL random projection (dimensionality cut)
 
   /** Reduced dimensionality of the JL projection. A perfect square, so the

@@ -1110,11 +1110,50 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
-/** The statistics catalog: the KMV NDV sketch must be exact below its
-  * capacity, accurate within theory above it, and a pure function of the
-  * data (two runs bit-equal). */
+/** JL random projection + the embedding-table DQ family. */
 class RandomProjectionSpec extends SparkSpec {
   import graft.ext.Similarity
+
+  test("embedding-table DQ: all eight checks PASS on the fixture; injected " +
+      "defects flip exactly their own checks") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Similarity.embeddingTableChecks(spark, sf).collect()
+    assert(rows.length === 8)
+    assert(rows.forall(_.getAs[String]("status") == "PASS"),
+      rows.mkString("; "))
+    // injected corpus: every defect class exactly once (orphans four times)
+    val docs = Seq(1L, 2L, 4L).toDF("doc_id")
+    val good = Array.fill(64)(1.0f)
+    val embs = Seq(
+      (1L, good),                                  // healthy
+      (1L, good),                                  // duplicate vec_id
+      (3L, good),                                  // orphan (no doc 3)
+      (2L, Array.fill(16)(1.0f)),                  // wrong dim
+      (5L, Float.NaN +: Array.fill(63)(1.0f)),     // non-finite (+ orphan)
+      (6L, Array.fill(64)(0.0f)),                  // zero vector (+ orphan)
+      (7L, null.asInstanceOf[Array[Float]]))       // null vector (+ orphan)
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingTableChecksOf(docs, embs).collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("violations"))
+      .toMap
+    assert(got === Map(
+      "documents.missing_vector" -> 1L,     // doc 4
+      "embeddings.duplicate_vec_id" -> 1L,
+      "embeddings.empty_table" -> 0L,
+      "embeddings.non_finite_vector" -> 1L,
+      "embeddings.null_vector" -> 1L,
+      "embeddings.orphan_vector" -> 4L,     // ids 3, 5, 6, 7
+      "embeddings.wrong_dim" -> 1L,
+      "embeddings.zero_vector" -> 1L), got.toString)
+    // degenerate: an empty embedding table fails loudly, not vacuously
+    val empty = Similarity.embeddingTableChecksOf(docs,
+        Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"))
+      .collect().map(r => r.getAs[String]("check_name") -> r.getAs[Long]("violations"))
+      .toMap
+    assert(empty("embeddings.empty_table") === 1L)
+    assert(empty("documents.missing_vector") === 3L)
+  }
 
   test("jl projection: map-only k=16 arrays, norms concentrate around the " +
       "original (E[|Pv|^2] = |v|^2), distortion gate mostly passes") {
@@ -1178,6 +1217,9 @@ class RandomProjectionSpec extends SparkSpec {
   }
 }
 
+/** The statistics catalog: the KMV NDV sketch must be exact below its
+  * capacity, accurate within theory above it, and a pure function of the
+  * data (two runs bit-equal). */
 class SketchSpec extends SparkSpec {
   import graft.ext.Sketch
 

@@ -113,7 +113,7 @@ class PipelineSpec extends SparkSpec {
     assert(dq.keySet === Set("scrub_coverage", "residual_pii",
       "sample_referential_integrity", "data_card_reconciliation",
       "release_leak_free", "release_dup_free", "retrieval_quality",
-      "embedding_index_recall"))
+      "embedding_index_recall", "embedding_table"))
     assert(dq.values.forall(_ == "PASS"), dq.toString)
     // the fingerprint ingest decoded every modality exactly once (3 report
     // rows, one per media arm) and the cross-modal stage audited the STORE
