@@ -91,6 +91,8 @@ object Catalog {
       .createOrReplaceTempView("text_retrieval_quality")
     graft.ext.Similarity.recallAuditSampled(spark, dir)
       .createOrReplaceTempView("sim_recall_audit")
+    graft.ext.Similarity.embeddingTableChecks(spark, dir)
+      .createOrReplaceTempView("quality_embeddings")
     val store = graft.ext.FpStore.sessionStore(spark, dir)
     graft.ext.Multimodal.dupModalities.map { case (m, _, _) =>
       graft.ext.FpStore.fingerprints(spark, store, m).toDF()
