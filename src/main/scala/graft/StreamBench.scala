@@ -95,6 +95,33 @@ object StreamBench {
     } finally mq.stop()
     val mSecs = (System.nanoTime() - m0) / 1e9
     val mKept = spark.read.parquet(s"$work/mstore/kept").count()
+
+    // third arm: COUNT-MIN grid maintenance ([[Streams.maintainCmsGrid]] —
+    // per-batch bigram counts folding cell-wise into the constant 4×64
+    // state). This measures the O(batch)-work-per-micro-batch claim on the
+    // real streaming path: per-batch seconds must not grow with history
+    // (the state is d·w cells, never the corpus).
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/cin"))
+    val cq = Streams.maintainCmsGrid(
+      Sources.parquetStream(spark, s"$work/cin", "documents"),
+      s"$work/cms", s"$work/cckpt")
+    val cPerBatch = Vector.newBuilder[(Long, Double)]
+    val c0 = System.nanoTime()
+    try {
+      (0 until nBatches).foreach { i =>
+        val slice = docs.where(col("doc_id") >= lo + i * step &&
+          col("doc_id") < lo + (i + 1) * step)
+        val n = slice.count()
+        slice.coalesce(1).write.mode("append").parquet(s"$work/cin")
+        cPerBatch += ((n, {
+          val b0 = System.nanoTime()
+          cq.processAllAvailable()
+          (System.nanoTime() - b0) / 1e9
+        }))
+      }
+    } finally cq.stop()
+    val cSecs = (System.nanoTime() - c0) / 1e9
+    val gridCells = graft.sources.Versioned.read(spark, s"$work/cms").count()
     spark.stop()
     val mBatchJson = mPerBatch.result().zipWithIndex.map { case ((n, s), i) =>
       s""""b$i":{"media":$n,"sec":${r3(s)}}""" }.mkString(",")
@@ -102,6 +129,12 @@ object StreamBench {
       s""""value":${r3(nMedia / mSecs)},"media":$nMedia,"kept":$mKept,""" +
       s""""batches":$nBatches,"total_sec":${r3(mSecs)},""" +
       s""""per_batch":{$mBatchJson},"sf":"$sfDir"}""")
+    val cBatchJson = cPerBatch.result().zipWithIndex.map { case ((n, s), i) =>
+      s""""b$i":{"docs":$n,"sec":${r3(s)}}""" }.mkString(",")
+    println(s"""{"metric":"stream_cms_fold","unit":"docs_per_sec",""" +
+      s""""value":${r3(nDocs / cSecs)},"docs":$nDocs,"grid_cells":$gridCells,""" +
+      s""""batches":$nBatches,"total_sec":${r3(cSecs)},""" +
+      s""""per_batch":{$cBatchJson},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
