@@ -60,13 +60,20 @@ object StreamBench {
     } finally q.stop()
     val totalSecs = (System.nanoTime() - t0) / 1e9
     val batches = perBatch.result()
+    // headline value = docs over SUMMED per-batch processing seconds
+    // (processAllAvailable only) — total_sec additionally includes the
+    // slice count + coalesce(1) parquet staging of each input batch, which
+    // is harness overhead, not stream work (ADVICE r12: the old
+    // nDocs/total_sec understated absolute throughput; the convention is
+    // now uniform across all three arms, so cross-arm comparison holds)
+    val procSecs = batches.map(_._2).sum
     val scored = spark.read.parquet(s"$work/store/scored").count()
     def r3(x: Double) = math.floor(x * 1000 + 0.5) / 1000
     val batchJson = batches.zipWithIndex.map { case ((n, s), i) =>
       s""""b$i":{"docs":$n,"sec":${r3(s)}}""" }.mkString(",")
     println(s"""{"metric":"stream_corpus_ingest","unit":"docs_per_sec",""" +
-      s""""value":${r3(nDocs / totalSecs)},"docs":$nDocs,"kept_scored":$scored,""" +
-      s""""batches":$nBatches,"total_sec":${r3(totalSecs)},""" +
+      s""""value":${r3(nDocs / procSecs)},"docs":$nDocs,"kept_scored":$scored,""" +
+      s""""batches":$nBatches,"processing_sec":${r3(procSecs)},"total_sec":${r3(totalSecs)},""" +
       s""""per_batch":{$batchJson},"sf":"$sfDir"}""")
 
     // second arm: the MEDIA fingerprint gate (real PNG decode → aHash →
@@ -94,6 +101,7 @@ object StreamBench {
       }
     } finally mq.stop()
     val mSecs = (System.nanoTime() - m0) / 1e9
+    val mProcSecs = mPerBatch.result().map(_._2).sum
     val mKept = spark.read.parquet(s"$work/mstore/kept").count()
 
     // third arm: COUNT-MIN grid maintenance ([[Streams.maintainCmsGrid]] —
@@ -121,19 +129,20 @@ object StreamBench {
       }
     } finally cq.stop()
     val cSecs = (System.nanoTime() - c0) / 1e9
+    val cProcSecs = cPerBatch.result().map(_._2).sum
     val gridCells = graft.sources.Versioned.read(spark, s"$work/cms").count()
     spark.stop()
     val mBatchJson = mPerBatch.result().zipWithIndex.map { case ((n, s), i) =>
       s""""b$i":{"media":$n,"sec":${r3(s)}}""" }.mkString(",")
     println(s"""{"metric":"stream_phash_ingest","unit":"media_per_sec",""" +
-      s""""value":${r3(nMedia / mSecs)},"media":$nMedia,"kept":$mKept,""" +
-      s""""batches":$nBatches,"total_sec":${r3(mSecs)},""" +
+      s""""value":${r3(nMedia / mProcSecs)},"media":$nMedia,"kept":$mKept,""" +
+      s""""batches":$nBatches,"processing_sec":${r3(mProcSecs)},"total_sec":${r3(mSecs)},""" +
       s""""per_batch":{$mBatchJson},"sf":"$sfDir"}""")
     val cBatchJson = cPerBatch.result().zipWithIndex.map { case ((n, s), i) =>
       s""""b$i":{"docs":$n,"sec":${r3(s)}}""" }.mkString(",")
     println(s"""{"metric":"stream_cms_fold","unit":"docs_per_sec",""" +
-      s""""value":${r3(nDocs / cSecs)},"docs":$nDocs,"grid_cells":$gridCells,""" +
-      s""""batches":$nBatches,"total_sec":${r3(cSecs)},""" +
+      s""""value":${r3(nDocs / cProcSecs)},"docs":$nDocs,"grid_cells":$gridCells,""" +
+      s""""batches":$nBatches,"processing_sec":${r3(cProcSecs)},"total_sec":${r3(cSecs)},""" +
       s""""per_batch":{$cBatchJson},"sf":"$sfDir"}""")
     System.out.flush()
   }
