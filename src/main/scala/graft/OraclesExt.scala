@@ -222,6 +222,38 @@ object OraclesExt {
        |ORDER BY cms_estimate DESC, bigram LIMIT $CmsTopK""".stripMargin
   }
 
+  /** Twin of Text.cmsIndexed — the deployment probe: the same grid CTEs
+    * as [[textCmsHeavyHitters]], but the estimate comes from a LEFT join
+    * of candidate cells against the counters with COALESCE 0 (the sparse
+    * probe contract of cmsEstimateOver) and no exact side. Candidates are
+    * batch-derived here, so every cell is present and the result agrees
+    * with the batch twin's (bigram, cms_estimate) top-K. */
+  val textCmsIndexed: String = {
+    import graft.ext.Text.{CmsDepth, CmsWidth, CmsTopK}
+    s"""WITH bg AS (
+       |  SELECT unnest(list_transform(
+       |    generate_series(0, len(t) - 2),
+       |    i -> array_to_string(t[i+1:i+2], ' '))) AS bigram
+       |  FROM (SELECT $toks AS t FROM documents)
+       |  WHERE len(t) >= 2),
+       |tc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY bigram),
+       |h AS (
+       |  SELECT bigram, c, r,
+       |    ${rollhash("CAST(r AS VARCHAR) || ':' || bigram")} % $CmsWidth AS bucket
+       |  FROM tc CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS r)),
+       |counters AS (
+       |  SELECT r, bucket, CAST(SUM(c) AS BIGINT) AS cnt
+       |  FROM h GROUP BY r, bucket),
+       |est AS (
+       |  SELECT h.bigram, min(COALESCE(k.cnt, 0)) AS cms_estimate
+       |  FROM h LEFT JOIN counters k USING (r, bucket)
+       |  GROUP BY h.bigram)
+       |SELECT bigram, CAST(cms_estimate AS BIGINT) AS cms_estimate
+       |FROM est
+       |ORDER BY cms_estimate DESC, bigram LIMIT $CmsTopK""".stripMargin
+  }
+
   val textTopTfidf: String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest($toks) AS token FROM documents),
@@ -702,13 +734,15 @@ object OraclesExt {
        |    CAST(count(CASE WHEN embedding IS NOT NULL
        |      AND len(list_filter(embedding, x -> CAST(x AS DOUBLE) <> 0.0)) = 0
        |      THEN 1 END) AS BIGINT) AS _zero,
-       |    CAST(count(*) - count(DISTINCT vec_id) AS BIGINT) AS _dup
+       |    CAST(count(CASE WHEN vec_id IS NULL THEN 1 END) AS BIGINT) AS _nullid,
+       |    CAST(count(vec_id) - count(DISTINCT vec_id) AS BIGINT) AS _dup
        |  FROM e),
        |par AS (SELECT
        |    CAST(count(CASE WHEN v.vec_id IS NULL THEN 1 END) AS BIGINT) AS _no_vec,
        |    CAST(count(CASE WHEN d.doc_id IS NULL THEN 1 END) AS BIGINT) AS _no_doc
        |  FROM (SELECT doc_id FROM documents) d
-       |  FULL JOIN (SELECT vec_id FROM e) v ON d.doc_id = v.vec_id),
+       |  FULL JOIN (SELECT vec_id FROM e WHERE vec_id IS NOT NULL) v
+       |    ON d.doc_id = v.vec_id),
        |u AS (
        |  SELECT 'embeddings.empty_table' AS check_name,
        |    CASE WHEN _n = 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
@@ -717,6 +751,7 @@ object OraclesExt {
        |  UNION ALL SELECT 'embeddings.wrong_dim', _dim FROM one
        |  UNION ALL SELECT 'embeddings.non_finite_vector', _nf FROM one
        |  UNION ALL SELECT 'embeddings.zero_vector', _zero FROM one
+       |  UNION ALL SELECT 'embeddings.null_vec_id', _nullid FROM one
        |  UNION ALL SELECT 'embeddings.duplicate_vec_id', _dup FROM one
        |  UNION ALL SELECT 'documents.missing_vector', _no_vec FROM par
        |  UNION ALL SELECT 'embeddings.orphan_vector', _no_doc FROM par)
@@ -1214,17 +1249,18 @@ object OraclesExt {
     * to ∞) and assigned-cell CTE (`neighbor_id, cl`), and the integer
     * ⌈pct·N/100⌉ quantile. Emits CTEs calq/cex/th/np; probe depth is
     * `(SELECT p FROM np)`. */
-  private def calibrationCtes(qRankCte: String, nbCellCte: String): String = {
+  private def calibrationCtes(qRankCte: String, nbCellCte: String,
+                              dim: Int = Dim, src: String = "n"): String = {
     import graft.ext.Similarity.{CalQueries, RecallTargetPct}
     s"""calq AS (SELECT vec_id FROM (
        |    SELECT vec_id, row_number() OVER (ORDER BY ${mixSql("vec_id")}, vec_id) AS rk
-       |    FROM n) WHERE rk <= $CalQueries),
+       |    FROM $src) WHERE rk <= $CalQueries),
        |cex AS (SELECT query_id, neighbor_id FROM (
        |    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-       |        ${R(s"(${dotSql("q.v", "x.v")}) / (q.norm * x.norm)", 6)} DESC, x.vec_id) AS rk
-       |    FROM n q JOIN calq cq ON cq.vec_id = q.vec_id
-       |    JOIN n x ON x.vec_id <> q.vec_id) WHERE rk <= $TopK),
+       |        ${R(s"(${dotSqlN("q.v", "x.v", dim)}) / (q.norm * x.norm)", 6)} DESC, x.vec_id) AS rk
+       |    FROM $src q JOIN calq cq ON cq.vec_id = q.vec_id
+       |    JOIN $src x ON x.vec_id <> q.vec_id) WHERE rk <= $TopK),
        |th AS (SELECT min(COALESCE(qr.qcrank, 2147483647)) AS thresh
        |  FROM cex ex JOIN ($nbCellCte) nbc ON nbc.neighbor_id = ex.neighbor_id
        |  LEFT JOIN ($qRankCte) qr
@@ -1385,8 +1421,10 @@ object OraclesExt {
     * stays at the BASE (depth-1) reachability on purpose: the spill
     * operator's contract is a candidate-set superset of the base arm at
     * the same probe depth (see Similarity.SpillS). */
-  private def hierChainAt(listDepth: Int): String = {
+  private def hierChainAt(listDepth: Int, dim: Int = Dim,
+                          pre: String = normCte, src: String = "n"): String = {
     import graft.ext.Similarity.{HierL1Probes, HierSubIters, HierTopCells, KmeansIters}
+    def dotD(a: String, b: String): String = dotSqlN(a, b, dim)
     val listNorm =
       "sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x * x)), (a, b) -> a + b))"
     // L1 Lloyd rounds over the fixed-K₁ seed set (names prefixed h)
@@ -1394,11 +1432,11 @@ object OraclesExt {
       s"""ha$r AS (
          |  SELECT x.vec_id, x.v, c.cl,
          |    row_number() OVER (PARTITION BY x.vec_id
-         |      ORDER BY (${dotSql("x.v", "c.cv")}) / (x.norm * c.cnorm) DESC, c.cl) AS crank
-         |  FROM n x CROSS JOIN $prev c),
+         |      ORDER BY (${dotD("x.v", "c.cv")}) / (x.norm * c.cnorm) DESC, c.cl) AS crank
+         |  FROM $src x CROSS JOIN $prev c),
          |${out}m AS (
          |  SELECT cl, i, CAST(SUM(CAST(v[i] AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS c
-         |  FROM ha$r, (SELECT unnest(generate_series(1, $Dim)) AS i) AS dims
+         |  FROM ha$r, (SELECT unnest(generate_series(1, $dim)) AS i) AS dims
          |  WHERE crank = 1 GROUP BY cl, i),
          |${out}v AS (SELECT cl, list(c ORDER BY i) AS cv FROM ${out}m GROUP BY cl),
          |$out AS (SELECT cl, cv, $listNorm AS cnorm FROM ${out}v WHERE $listNorm > 0)""".stripMargin
@@ -1410,11 +1448,11 @@ object OraclesExt {
       s"""sa$r AS (
          |  SELECT x.vec_id, x.v, s.cl,
          |    row_number() OVER (PARTITION BY x.vec_id
-         |      ORDER BY (${dotSql("x.v", "s.cv")}) / (x.norm * s.cnorm) DESC, s.cl) AS crank
+         |      ORDER BY (${dotD("x.v", "s.cv")}) / (x.norm * s.cnorm) DESC, s.cl) AS crank
          |  FROM a1 x JOIN $prev s ON s.l1 = x.l1),
          |${out}m AS (
          |  SELECT cl, i, CAST(SUM(CAST(v[i] AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS c
-         |  FROM sa$r, (SELECT unnest(generate_series(1, $Dim)) AS i) AS dims
+         |  FROM sa$r, (SELECT unnest(generate_series(1, $dim)) AS i) AS dims
          |  WHERE crank = 1 GROUP BY cl, i),
          |${out}v AS (SELECT cl, list(c ORDER BY i) AS cv FROM ${out}m GROUP BY cl),
          |${out}n AS (SELECT cl, cv, $listNorm AS cnorm FROM ${out}v WHERE $listNorm > 0),
@@ -1422,20 +1460,20 @@ object OraclesExt {
          |  JOIN s0 ON s0.cl = t.cl)""".stripMargin
     val l2Rounds = (1 to HierSubIters)
       .map(r => l2Round(if (r == 1) "s0" else s"s${r - 1}", s"s$r", r)).mkString(",\n")
-    s"""$normCte,
+    s"""$pre,
        |hsr AS (SELECT vec_id AS cl, v AS cv,
        |    row_number() OVER (ORDER BY ${mixSql("vec_id")}, vec_id) AS rk
-       |  FROM n),
+       |  FROM $src),
        |h0 AS (SELECT cl, cv, $listNorm AS cnorm FROM hsr
        |  WHERE rk <= $HierTopCells AND $listNorm > 0),
        |$l1Rounds,
        |hasg AS (
        |  SELECT x.vec_id, x.v, x.norm, c.cl AS l1,
        |    row_number() OVER (PARTITION BY x.vec_id
-       |      ORDER BY (${dotSql("x.v", "c.cv")}) / (x.norm * c.cnorm) DESC, c.cl) AS lrank
-       |  FROM n x CROSS JOIN h$KmeansIters c),
+       |      ORDER BY (${dotD("x.v", "c.cv")}) / (x.norm * c.cnorm) DESC, c.cl) AS lrank
+       |  FROM $src x CROSS JOIN h$KmeansIters c),
        |a1 AS (SELECT vec_id, v, norm, l1 FROM hasg WHERE lrank = 1),
-       |k2c AS (SELECT CAST(ceil(ceil(sqrt(count(*))) / $HierTopCells.0) AS BIGINT) AS v FROM n),
+       |k2c AS (SELECT CAST(ceil(ceil(sqrt(count(*))) / $HierTopCells.0) AS BIGINT) AS v FROM $src),
        |ss AS (SELECT a.l1, a.vec_id AS cl, a.v AS cv,
        |    row_number() OVER (PARTITION BY a.l1
        |      ORDER BY ${mixSql("a.vec_id")}, a.vec_id) AS rk
@@ -1445,7 +1483,7 @@ object OraclesExt {
        |$l2Rounds,
        |cand AS (
        |  SELECT x.vec_id, x.v, x.norm, s.cl,
-       |    (${dotSql("x.v", "s.cv")}) / (x.norm * s.cnorm) AS c
+       |    (${dotD("x.v", "s.cv")}) / (x.norm * s.cnorm) AS c
        |  FROM (SELECT vec_id, v, norm, l1 FROM hasg WHERE lrank <= $HierL1Probes) x
        |  JOIN s$HierSubIters s ON s.l1 = x.l1),
        |scored AS (
@@ -1454,7 +1492,8 @@ object OraclesExt {
        |  FROM cand),
        |${calibrationCtes(
         "SELECT vec_id AS query_id, cl, crank AS qcrank FROM scored",
-        "SELECT vec_id AS neighbor_id, cl FROM scored WHERE crank = 1")},
+        "SELECT vec_id AS neighbor_id, cl FROM scored WHERE crank = 1",
+        dim, src)},
        |inv AS (SELECT cl, vec_id, v, norm FROM scored WHERE crank <= $listDepth),
        |probes AS (SELECT cl, vec_id, v, norm FROM scored
        |  WHERE crank <= (SELECT p FROM np))""".stripMargin
@@ -1470,6 +1509,24 @@ object OraclesExt {
          |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
          |    ${R(s"(${dotSql("q.v", "x.v")}) / (q.norm * x.norm)", 6)} AS cosine
          |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id)""".stripMargin)}""".stripMargin
+
+  /** Twin of Similarity.annIvfRp — the reduce-THEN-index composition:
+    * [[rpProjCte]]'s 16-dim projected corpus (renamed to the (vec_id, v,
+    * norm) vector shape) fed through the SAME [[hierChainAt]] quantizer +
+    * calibration at dim = RpDims, then the standard refine tail — every
+    * dot in the chain runs over the projected arrays. */
+  val simAnnIvfRp: String = {
+    import graft.ext.Similarity.RpDims
+    val pre = s"""$rpProjCte,
+       |rv AS (SELECT vec_id, p AS v, pnorm AS norm FROM pn)""".stripMargin
+    val chain = hierChainAt(listDepth = 1, dim = RpDims, pre = pre, src = "rv")
+    s"""WITH $chain,
+       |${topKSql(
+      s"""p AS (
+         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |    ${R(s"(${dotSqlN("q.v", "x.v", RpDims)}) / (q.norm * x.norm)", 6)} AS cosine
+         |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id)""".stripMargin)}""".stripMargin
+  }
 
   /** Twin of Similarity.hardNegatives — the [[hierChain]] candidate set
     * with the contrastive cosine band applied before the bounded
@@ -1649,7 +1706,9 @@ object OraclesExt {
        |UNION ALL
        |${auditArmSql("ann_ivf_pq", simAnnIvfPq)}
        |UNION ALL
-       |${auditArmSql("ann_lsh", simAnnLsh)}
+       |${if (graft.ext.Similarity.AuditRpArm)
+           auditArmSql("ann_ivf_rp", simAnnIvfRp) + "\nUNION ALL\n" else ""}${
+         auditArmSql("ann_lsh", simAnnLsh)}
        |UNION ALL
        |${auditArmSql("knn_quantized", simQuantizedKnn)}
        |UNION ALL
@@ -3560,6 +3619,7 @@ object OraclesExt {
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
     "sim_ann_ivf_hier" -> simAnnIvfHier,
+    "sim_ann_ivf_rp" -> simAnnIvfRp,
     "sim_hard_negatives" -> simHardNegatives,
     "sim_ann_ivf_hier_spill" -> simAnnIvfHierSpill,
     // the persisted index is bit-identical to the hier operator by
@@ -3592,6 +3652,7 @@ object OraclesExt {
     "text_bpe_merges" -> textBpeMerges,
     "text_bpe_tokenize" -> textBpeTokenize,
     "text_cms_heavy_hitters" -> textCmsHeavyHitters,
+    "text_cms_indexed" -> textCmsIndexed,
     "text_top_tfidf" -> textTopTfidf,
     "dedup_exact" -> dedupExact,
     "dedup_incremental_bloom" -> dedupIncrementalNew,

@@ -61,6 +61,7 @@ object SparkEntry {
     "text_bpe_merges" -> ((s, d) => ext.Text.bpeMergeCandidates(s, d)),
     "text_bpe_tokenize" -> ((s, d) => ext.Text.bpeTokenize(s, d).orderBy("doc_id")),
     "text_cms_heavy_hitters" -> ((s, d) => ext.Text.cmsHeavyHitters(s, d)),
+    "text_cms_indexed" -> ((s, d) => ext.Text.cmsIndexed(s, d)),
     "text_top_tfidf" -> ((s, d) => ext.Text.topTfidfTerms(s, d).orderBy("doc_id", "rank")),
     "text_gopher_rules" -> ((s, d) => ext.Text.gopherRules(s, d).orderBy("doc_id")),
     "text_lm_score" -> ((s, d) => ext.Text.lmScore(s, d).orderBy("doc_id")),
@@ -135,6 +136,8 @@ object SparkEntry {
       ext.Similarity.annIvfKmeans(s, d).orderBy("query_id", "rank")),
     "sim_ann_ivf_hier" -> ((s, d) =>
       ext.Similarity.annIvfHier(s, d).orderBy("query_id", "rank")),
+    "sim_ann_ivf_rp" -> ((s, d) =>
+      ext.Similarity.annIvfRp(s, d).orderBy("query_id", "rank")),
     "sim_hard_negatives" -> ((s, d) =>
       ext.Similarity.hardNegatives(s, d).orderBy("query_id", "rank")),
     "sim_ann_ivf_hier_spill" -> ((s, d) =>

