@@ -215,9 +215,28 @@ object Text {
     * the same two exchanges as [[graft.ext.Dedup.chunkSpans]]. At 100 TB
     * the vocab side is millions of rows against trillions of corpus
     * tokens; AQE broadcasts it. */
-  def bpeTokenizeOf(docs: DataFrame): DataFrame = {
-    val merges: Seq[(String, String)] = bpeMergeCandidatesOf(docs)
+  def bpeTokenizeOf(docs: DataFrame): DataFrame =
+    bpeTokenizeWith(docs, bpeMergesLocal(docs))
+
+  /** The frozen merge table: mined once ([[bpeMergeCandidatesOf]]'s rank
+    * order preserved), bounded at [[BpeTopMerges]] rows — the driver-side
+    * artifact a deployment trains offline and applies to every later
+    * batch. */
+  def bpeMergesLocal(docs: DataFrame): Seq[(String, String)] =
+    bpeMergeCandidatesOf(docs)
       .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+
+  /** TOKENIZER APPLY with a FROZEN merge table (VERDICT r12 #5): the
+    * deployment split of [[bpeTokenizeOf]] — train once (mine
+    * [[bpeMergesLocal]] on a reference corpus), then encode ANY batch with
+    * that fixed table; the registered harness twin mines and applies on
+    * the same corpus, a production pipeline mines on the training corpus
+    * and applies per arriving batch ([[graft.streaming.Streams
+    * .bpeTokenizeIngest]] — the LM/NB frozen-scorer discipline: the model
+    * never retrains inside the stream). Encoding semantics and the two
+    * corpus exchanges are exactly [[bpeTokenizeOf]]'s. */
+  def bpeTokenizeWith(docs: DataFrame,
+                      merges: Seq[(String, String)]): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .where(col("token") =!= "")

@@ -391,6 +391,43 @@ class StreamingSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("BPE tokenize ingest: frozen merges applied per batch equal the " +
+      "batch encoder for any batching; replay rewrites") {
+    val dir = Files.createTempDirectory("graft_bpei").toString
+    val docs = graft.engine.Sources.documents(spark, sf).cache()
+    // offline half: mine the merge table once (frozen, bounded <= 32 rows)
+    val merges = graft.ext.Text.bpeMergesLocal(docs)
+    assert(merges.nonEmpty && merges.length <= graft.ext.Text.BpeTopMerges)
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val q = Streams.bpeTokenizeIngest(
+      graft.engine.Sources.parquetStream(spark, s"$dir/in", "documents"),
+      merges, s"$dir/enc", s"$dir/ckpt")
+    val slices = Seq(col("doc_id") < 150,
+      col("doc_id") >= 150 && col("doc_id") < 400, col("doc_id") >= 400)
+    try {
+      slices.foreach { slice =>
+        docs.where(slice).coalesce(1).write.mode("append").parquet(s"$dir/in")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+      r.getAs[Long]("n_chars"), r.getAs[Long]("n_bpe_tokens"),
+      r.getAs[Double]("chars_per_bpe_token"))
+    // sorted sequences, not sets (replay-append would dedup away under sets)
+    val streamed = spark.read.parquet(s"$dir/enc").collect().map(key).toSeq.sorted
+    val batch = graft.ext.Text.bpeTokenize(spark, sf).collect().map(key).toSeq.sorted
+    assert(streamed.size === batch.size,
+      s"streamed row count ${streamed.size} != batch ${batch.size}")
+    assert(streamed === batch, "frozen-merge stream diverged from batch encoder")
+    // replay batch 0 (at-least-once): rewrites its partition, store unchanged
+    graft.ext.Text.bpeTokenizeWith(docs.where(slices.head), merges)
+      .write.mode("overwrite").parquet(s"$dir/enc/batch=0")
+    val after = spark.read.parquet(s"$dir/enc").collect().map(key).toSeq.sorted
+    assert(after === streamed, "batch replay changed the encoded store")
+    docs.unpersist()
+  }
+
   test("media feature ingest: streamed decodes equal batch extraction; replay rewrites") {
     import graft.ext.Multimodal
     val dir = Files.createTempDirectory("graft_mfi").toString
