@@ -261,6 +261,15 @@ object SparkEntry {
       ext.MediaLake.audioDupPairsFiles(s, d).orderBy("media_id_a", "media_id_b")),
     "media_video_dups_files" -> ((s, d) =>
       ext.MediaLake.videoDupPairsFiles(s, d).orderBy("media_id_a", "media_id_b")),
+    // ... and over the PACKED blob-parquet form (MediaLake.pack — the
+    // small-files compaction that makes the fast decode path reachable
+    // from real files; bit-identical again → shared oracles)
+    "media_phash_pairs_packed" -> ((s, d) =>
+      ext.MediaLake.phashPairsPacked(s, d).orderBy("media_id_a", "media_id_b")),
+    "media_audio_dups_packed" -> ((s, d) =>
+      ext.MediaLake.audioDupPairsPacked(s, d).orderBy("media_id_a", "media_id_b")),
+    "media_video_dups_packed" -> ((s, d) =>
+      ext.MediaLake.videoDupPairsPacked(s, d).orderBy("media_id_a", "media_id_b")),
     // the reference README's documented BI consumer queries
     // (reference: README.md:216-236; O2 top-K → TakeOrderedAndProject)
     "consumer_top_clv" -> ((s, d) =>
@@ -324,6 +333,9 @@ object SparkEntry {
     base ++ Map(
       "media_phash_pairs_files" -> base("media_phash_pairs"),
       "media_audio_dups_files" -> base("media_audio_dups"),
-      "media_video_dups_files" -> base("media_video_dups"))
+      "media_video_dups_files" -> base("media_video_dups"),
+      "media_phash_pairs_packed" -> base("media_phash_pairs"),
+      "media_audio_dups_packed" -> base("media_audio_dups"),
+      "media_video_dups_packed" -> base("media_video_dups"))
   }
 }

@@ -113,6 +113,72 @@ object MediaLake {
     Multimodal.phashPairsOf(Multimodal.phashOf(
       scan(spark, sessionLake(spark, dir), "image")))
 
+  // -------------------------------------------- packed blob ingestion ----
+
+  /** PACK (VERDICT r12 #4) — the real small-files answer: convert a
+    * binaryFile lake into size-balanced BLOB-PARQUET shards, the storage
+    * form the synthesized arms measure (decode exponents 0.41-0.58 at sf1
+    * vs the `_files` arms' 0.73-0.87, which is pure per-file open cost on
+    * the lake's million tiny files). One maintenance pass per modality:
+    * the metadata-balanced binaryFile scan ([[scan]] — partition key from
+    * file-status `length`, zero sampling) streams each partition's blobs
+    * into one parquet shard, so shards hold ≈ equal BYTES, not equal file
+    * counts. Downstream decode then rides parquet's byte-granular splits
+    * (maxPartitionBytes) with NO per-file open and NO exchange — the
+    * fast path is reachable from real files (PackedLakeSpec pins
+    * fingerprint bit-identity and the exchange-free read plan).
+    *
+    * Idempotent per modality via parquet's own `_SUCCESS` commit marker —
+    * a crashed pack re-runs, a completed one is skipped; at 100 TB this
+    * is the blob compaction job a lake runs once per ingest batch, not
+    * per query. */
+  def pack(spark: SparkSession, lakeRoot: String, packedRoot: String,
+           modality: String): Unit = {
+    val out = s"$packedRoot/$modality"
+    val fs = VectorIndex.fsOf(spark, out)
+    if (fs.exists(new org.apache.hadoop.fs.Path(out, "_SUCCESS"))) return
+    scan(spark, lakeRoot, modality).write.mode("overwrite").parquet(out)
+  }
+
+  /** The packed-lake read path: a plain parquet scan of [[pack]]'s shards,
+    * already byte-balanced by construction (equal-byte shards × parquet's
+    * size-granular splitting) — deliberately NO repartition: an exchange
+    * here would shuffle the blob bytes the pack existed to lay out. */
+  def packedScan(spark: SparkSession, packedRoot: String,
+                 modality: String): Dataset[Multimodal.MediaFile] = {
+    import spark.implicits._
+    spark.read.parquet(s"$packedRoot/$modality").as[Multimodal.MediaFile]
+  }
+
+  /** The (session, corpus)-memoized packed lake: built from [[sessionLake]]
+    * at most once per session (marker-guarded across sessions). */
+  private[graft] def sessionPacked(spark: SparkSession, dir: String): String = {
+    val root = s"${spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")}" +
+      s"/graft_mediapack_${VectorIndex.sha12(dir)}"
+    if (builtThisSession.add(root)) {
+      val lake = sessionLake(spark, dir)
+      Exts.keys.foreach(m => pack(spark, lake, root, m))
+    }
+    root
+  }
+
+  /** Registered packed-lake twins: binaryFile lake → [[pack]] → parquet
+    * blob shards → fingerprints. Bit-identical to the synthesized AND
+    * `_files` arms (byte purity end to end), so they share the same
+    * oracles; their bench rows measure the packed decode path — the form
+    * whose sf1 exponents the synthesized arms already demonstrated. */
+  def phashPairsPacked(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.phashPairsOf(Multimodal.phashOf(
+      packedScan(spark, sessionPacked(spark, dir), "image")))
+
+  def audioDupPairsPacked(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.phashPairsOf(Multimodal.audioFingerprintOf(
+      packedScan(spark, sessionPacked(spark, dir), "audio")))
+
+  def videoDupPairsPacked(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.phashPairsOf(Multimodal.videoFingerprintOf(
+      packedScan(spark, sessionPacked(spark, dir), "video")))
+
   def audioDupPairsFiles(spark: SparkSession, dir: String): DataFrame =
     Multimodal.phashPairsOf(Multimodal.audioFingerprintOf(
       scan(spark, sessionLake(spark, dir), "audio")))

@@ -36,6 +36,26 @@ class MediaLakeSpec extends SparkSpec {
       === rows(Multimodal.videoDupPairs(spark, sf)))
   }
 
+  test("packed lake: blob-parquet fingerprints are bit-identical to the " +
+      "binaryFile scan's, and the packed read plan has NO exchange before " +
+      "the decode leaf (the pack laid the bytes out; a shuffle would move " +
+      "them again)") {
+    val lake = MediaLake.sessionLake(spark, sf)
+    val packed = MediaLake.sessionPacked(spark, sf)
+    Multimodal.dupModalities.foreach { case (m, _, fp) =>
+      def rows(ds: org.apache.spark.sql.Dataset[Multimodal.PhashRow]) =
+        ds.collect().map(r => (r.media_id, r.phash)).sortBy(_._1)
+      val viaFiles = rows(fp(MediaLake.scan(spark, lake, m)))
+      val viaPack = rows(fp(MediaLake.packedScan(spark, packed, m)))
+      assert(viaPack.length === viaFiles.length, s"$m fingerprint count")
+      assert(viaPack === viaFiles, s"$m fingerprints diverged through pack")
+    }
+    val plan = Multimodal.phashOf(MediaLake.packedScan(spark, packed, "image"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!plan.contains("Exchange"),
+      "packed decode must be exchange-free:\n" + plan.take(1200))
+  }
+
   test("the byte balancer is a plain hash exchange — no RangePartitioner " +
       "sampling pass anywhere in the plan (the r11 double-evaluation bug)") {
     val planSynth = Multimodal.balancedByBytes(
