@@ -148,12 +148,24 @@ object OraclesExt {
     * (`regexp_replace(token,'(.)',' \1 ')`) and apply each merge as ONE
     * non-overlapping left-to-right literal `replace` — parity is
     * structural, not numeric. Encoding runs at distinct-token grain. */
-  val textBpeTokenize: String = {
+  val textBpeTokenize: String = bpeTokenizeSql("TRUE")
+
+  /** Twin of Text.bpeTokenizeFrozen — identical chain, merge table mined
+    * only on the deterministic mixHash-parity train half. */
+  val textBpeFrozen: String = bpeTokenizeSql(s"${mixSql("doc_id")} % 2 = 0")
+
+  /** The BPE encode chain parameterized by the MINING split: `mineCond`
+    * restricts which documents' tokens feed the merge table; vocabulary,
+    * apply, and the per-doc report always cover the whole corpus (a
+    * frozen table applied to unseen data simply no-ops on absent pairs). */
+  private def bpeTokenizeSql(mineCond: String): String = {
     import graft.ext.Text.BpeTopMerges
     s"""WITH RECURSIVE tok AS (
        |  SELECT doc_id, unnest(list_filter($toks, x -> x <> '')) AS token
        |  FROM documents),
-       |tc AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+       |tc AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok
+       |  WHERE doc_id IN (SELECT doc_id FROM documents WHERE $mineCond)
+       |  GROUP BY token),
        |pairs AS (
        |  SELECT substring(token, CAST(i AS INT), 1) AS a,
        |    substring(token, CAST(i AS INT) + 1, 1) AS b, c
@@ -3651,6 +3663,7 @@ object OraclesExt {
     "text_bigram_frequency" -> textBigramFrequency,
     "text_bpe_merges" -> textBpeMerges,
     "text_bpe_tokenize" -> textBpeTokenize,
+    "text_bpe_frozen" -> textBpeFrozen,
     "text_cms_heavy_hitters" -> textCmsHeavyHitters,
     "text_cms_indexed" -> textCmsIndexed,
     "text_top_tfidf" -> textTopTfidf,

@@ -60,6 +60,7 @@ object SparkEntry {
     "text_bigram_frequency" -> ((s, d) => ext.Text.bigramFrequency(s, d).orderBy("bigram")),
     "text_bpe_merges" -> ((s, d) => ext.Text.bpeMergeCandidates(s, d)),
     "text_bpe_tokenize" -> ((s, d) => ext.Text.bpeTokenize(s, d).orderBy("doc_id")),
+    "text_bpe_frozen" -> ((s, d) => ext.Text.bpeTokenizeFrozen(s, d).orderBy("doc_id")),
     "text_cms_heavy_hitters" -> ((s, d) => ext.Text.cmsHeavyHitters(s, d)),
     "text_cms_indexed" -> ((s, d) => ext.Text.cmsIndexed(s, d)),
     "text_top_tfidf" -> ((s, d) => ext.Text.topTfidfTerms(s, d).orderBy("doc_id", "rank")),

@@ -260,6 +260,20 @@ object Text {
   def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
     bpeTokenizeOf(Sources.documents(spark, dir))
 
+  /** TOKENIZER GENERALIZATION twin — [[bpeTokenizeWith]] driven the way a
+    * deployment actually is: the merge table is mined on the deterministic
+    * TRAIN half (mixHash parity split — the same split family every
+    * sampler here uses) and applied FROZEN to the WHOLE corpus, so half
+    * the encoded documents never influenced the table. chars_per_bpe_token
+    * on the held-out half vs the train half is the generalization report a
+    * tokenizer ships with. Same two corpus exchanges as the harness twin;
+    * the mining pass reads half the corpus. */
+  def bpeTokenizeFrozen(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val train = docs.where(graft.ext.Sampling.mixHash(col("doc_id")) % 2 === 0)
+    bpeTokenizeWith(docs, bpeMergesLocal(train))
+  }
+
   /** Count-min sketch geometry: [[CmsDepth]] independent hash rows ×
     * [[CmsWidth]] counters. Width is deliberately far below the fixture's
     * vocabulary so collisions (and therefore real overestimates) occur —

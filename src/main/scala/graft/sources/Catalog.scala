@@ -93,6 +93,12 @@ object Catalog {
       .createOrReplaceTempView("sim_recall_audit")
     graft.ext.Similarity.embeddingTableChecks(spark, dir)
       .createOrReplaceTempView("quality_embeddings")
+    // round-13 products: the deployment sketch probe and the
+    // reduce-then-index ANN — both store/model-backed, both cheap reads
+    graft.ext.Text.cmsIndexed(spark, dir)
+      .createOrReplaceTempView("text_cms_indexed")
+    graft.ext.Similarity.annIvfRp(spark, dir)
+      .createOrReplaceTempView("sim_ann_ivf_rp")
     val store = graft.ext.FpStore.sessionStore(spark, dir)
     graft.ext.Multimodal.dupModalities.map { case (m, _, _) =>
       graft.ext.FpStore.fingerprints(spark, store, m).toDF()

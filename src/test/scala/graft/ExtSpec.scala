@@ -270,6 +270,30 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[Long]("n_bpe_tokens") < r.getAs[Long]("n_chars")))
   }
 
+  test("bpe frozen split: train-half merges applied to the whole corpus — " +
+      "well-formed encodings, and the held-out half is genuinely encoded " +
+      "by a table it never influenced") {
+    import graft.ext.Text
+    val rows = Text.bpeTokenizeFrozen(spark, sf).collect()
+    val n = graft.engine.Sources.documents(spark, sf).count()
+    assert(rows.length.toLong === n, "one encoding report per document")
+    rows.foreach { r =>
+      val (c, b) = (r.getAs[Long]("n_chars"), r.getAs[Long]("n_bpe_tokens"))
+      assert(b >= 1 && b <= c, s"doc ${r.get(0)}: impossible BPE count")
+      val ratio = r.getAs[Double]("chars_per_bpe_token")
+      assert(ratio >= 1.0 && ratio <= 2.0)
+    }
+    // the frozen table still compresses (merges fired somewhere)
+    assert(rows.exists(r => r.getAs[Long]("n_bpe_tokens") < r.getAs[Long]("n_chars")))
+    // and it is a genuinely frozen HALF-corpus table, not the full-mined one
+    val docs = graft.engine.Sources.documents(spark, sf)
+    val train = docs.where(
+      graft.ext.Sampling.mixHash(col("doc_id")) % 2 === 0)
+    assert(train.count() < n, "train split must be a strict subset")
+    val frozen = Text.bpeMergesLocal(train)
+    assert(frozen.nonEmpty && frozen.length <= Text.BpeTopMerges)
+  }
+
   test("cms heavy hitters: estimate >= exact everywhere, collisions occur at " +
       "width 64 over a ~900-bigram universe, top estimate bounded by the " +
       "corpus bigram count") {

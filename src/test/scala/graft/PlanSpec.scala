@@ -221,6 +221,13 @@ class PlanSpec extends SparkSpec {
       "SELECT count(*) FROM quality_embeddings WHERE status = 'PASS'")
       .first().getLong(0)
     assert(qe === 9L, s"quality_embeddings PASS rows: $qe")
+    // round-13 products: the sketch probe and the reduce-then-index ANN
+    val cms = spark.sql(
+      "SELECT max(cms_estimate) FROM text_cms_indexed").first().getLong(0)
+    assert(cms > 0L, "cms probe view returned no mass")
+    val rp = spark.sql(
+      "SELECT count(*) FROM sim_ann_ivf_rp WHERE rank <= 5").first().getLong(0)
+    assert(rp > 0L, "rp ANN view returned no neighbors")
     // the fingerprint store: one row per (media file, modality)
     val nDocs = spark.sql("SELECT count(*) FROM documents").first().getLong(0)
     val fps = spark.sql(
