@@ -143,6 +143,15 @@ class PlanSpec extends SparkSpec {
     val cms = plan(graft.SparkEntry.queries("text_cms_heavy_hitters")(spark, sf))
     assert(!cms.contains("CartesianProduct") &&
       !cms.contains("BroadcastNestedLoopJoin"), cms.take(2000))
+    // the persisted-grid probe: the 256-cell grid must come in as a
+    // BROADCAST left-outer build (absent cell = 0 contract), never a
+    // shuffle join — the probe's only exchange is the bigram distinct
+    val cmsIdx = graft.ext.Text.cmsIndexed(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(cmsIdx.contains("BroadcastHashJoin") && cmsIdx.contains("LeftOuter"),
+      cmsIdx.take(2000))
+    assert(!cmsIdx.contains("BroadcastNestedLoopJoin") &&
+      !cmsIdx.contains("SortMergeJoin"), cmsIdx.take(2000))
   }
 
   test("length batches rank via the custom operator, never a single-partition window") {
