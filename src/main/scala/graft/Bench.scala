@@ -31,18 +31,60 @@ import org.apache.spark.sql.SparkSession
   * The JSON line(s) are printed after `spark.stop()` so they are the final
   * stdout lines, and values are rounded to 3 decimals to keep each line well
   * under tail-capture limits.
+  *
+  * Timeout-proofing (r13's one serious failure: the driver's wall-clock
+  * kill landed mid-widening and the bench had emitted ZERO bytes —
+  * BENCH_r13.json was rc 124 with an empty tail, the first missing bench
+  * artifact in 13 rounds):
+  *  - the pass loops are bounded by an elapsed-wall-clock budget
+  *    (SPARK_GRAFT_BENCH_WALL_BUDGET seconds, default [[DefaultWallBudget]]):
+  *    a pass is only STARTED while `elapsed + last-pass-duration` fits,
+  *    so the run converges to an artifact instead of to a kill — the
+  *    throttle sentinel still widens, just within budget (`budget_stop`
+  *    flags a budget-truncated run);
+  *  - base passes drop from 3 to 2 past [[BigRegistry]] queries (medians
+  *    of 2 = midpoints; the sentinel still widens within budget);
+  *  - a JVM shutdown hook prints the JSON line(s) from whatever samples
+  *    exist (`"partial":true` + per-query sample counts in `nsamples`)
+  *    the moment an external TERM lands, so even a kill yields a parsed
+  *    artifact. Sample maps are mutated under [[lock]] for the hook's sake.
+  *  - redundant per-run-rebuild harness twins whose deployment twins are
+  *    timed anyway ([[DefaultSkip]]) are excluded from the TIMED set by
+  *    default (override with SPARK_GRAFT_BENCH_SKIP=a,b / =none). They
+  *    remain fully oracle-checked in Verify/CORRECTNESS — this trims only
+  *    the bench's wall cost, never coverage; the line carries
+  *    `skipped_harness` so a total is never read as whole-registry.
   */
 object Bench {
 
   val ThrottleLimit = 1.5
 
+  /** Default wall budget (seconds): safely inside the driver's observed
+    * kill window (r13's run died past ~20 min) with room for JVM + Spark
+    * startup and the JSON emission. */
+  val DefaultWallBudget = 1200.0
+
+  /** Registry size past which base passes drop to 2. */
+  val BigRegistry = 150
+
+  /** Harness twins excluded from the TIMED set by default: each rebuilds
+    * per run what its `_indexed`/`_search` deployment twin measures from
+    * the persisted store (VERDICT r13 #3 — the rebuild cost is build
+    * evidence the `sim_ann_index*` build+search rows already carry).
+    * Correctness coverage is unaffected: Verify runs the WHOLE registry. */
+  val DefaultSkip: Set[String] =
+    Set("text_bm25_rm3", "text_hybrid_rrf", "sim_ann_index_pq")
+
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sfDirs = sys.env.get("SPARK_GRAFT_SF_DIRS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq(sfDir))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val wallBudget = sys.env.get("SPARK_GRAFT_BENCH_WALL_BUDGET")
+      .map(_.toDouble).getOrElse(DefaultWallBudget)
     val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PASSES", "7").toInt
     // The driver's tail capture must contain ONLY the JSON line(s), and it
     // reads a merged stream — per-package level whack-a-mole (r6 #6, r8 #3,
@@ -53,15 +95,24 @@ object Bench {
     // the JSON `errors` map.
     Session.silenceAllLogs()
     val spark = Session.build(s"local[$cpus]", cpus, "graft-bench")
-    // warmup: exercise scans/joins/windows/aggs once at tiny SF so the first
-    // timed query doesn't absorb JVM + whole-stage-codegen compilation
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional subset (comma-separated names) — used by the sf0.1-vs-sf1
     // scaling run, which times only the expensive queries at both SFs
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // default harness-twin skip: applies only to the full-suite run — an
+    // explicit ONLY subset means the caller asked for exactly those names
+    val skip: Set[String] =
+      if (only.isDefined) Set.empty
+      else sys.env.get("SPARK_GRAFT_BENCH_SKIP") match {
+        case None => DefaultSkip
+        case Some("none") => Set.empty
+        case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+      .filterNot(skip)
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt)
+      .getOrElse(if (names.size > BigRegistry) 2 else 3)
     // multi-SF scaling mode: beyond the smallest SF (dirs are ordered
     // smallest-first), the declared small-n baselines are excluded — they
     // are quadratic by construction (SparkEntry.smallNOnly; measured r6:
@@ -71,6 +122,9 @@ object Bench {
     def namesFor(dir: String): Seq[String] =
       if (sfDirs.size > 1 && dir != sfDirs.head)
         names.filterNot(SparkEntry.smallNOnly) else names
+    // the shutdown hook reads these maps from its own thread while runPass
+    // mutates them — every access goes through `lock`
+    val lock = new Object
     val samples = scala.collection.mutable.Map.empty[(String, String), List[Double]]
       .withDefaultValue(Nil)
     // a throwing query must never masquerade as a (fast) timing sample — its
@@ -95,24 +149,38 @@ object Bench {
         // accumulate across 58 sequential queries turns the storage pool into
         // an eviction battleground (observed 3 s -> 95 s on a late query)
         spark.catalog.clearCache()
-        if (ok) samples((dir, name)) = dt :: samples((dir, name))
-        else failures((dir, name)) += 1
+        lock.synchronized {
+          if (ok) samples((dir, name)) = dt :: samples((dir, name))
+          else failures((dir, name)) += 1
+        }
       }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       s(s.size / 2) // odd sample counts -> true median; even -> upper-median
     }
-    def ratio(): Double = {
+    def ratio(): Double = lock.synchronized {
       val meds = samples.values.map(median).sum
       val mins = samples.values.map(_.min).sum
       if (mins > 0) meds / mins else 1.0
     }
+    // wall-budget gate: start another pass only if the last pass's duration
+    // fits in the remaining budget (pass 1 always runs — one sample per
+    // query beats no artifact). `budgetStop` marks a truncated run so a
+    // 1-2-sample artifact is never read as a settled 3-pass one.
     var done = 0
-    while (done < passes) { runPass(); done += 1 }
-    // throttle sentinel: a ratio past the limit means at least one query's
-    // median is riding a throttle episode — widen the sample rather than
-    // committing a poisoned artifact
-    while (ratio() > ThrottleLimit && done < maxPasses) { runPass(); done += 1 }
+    var lastPass = 0.0
+    var budgetStop = false
+    def tryPass(): Boolean = {
+      if (done > 0 && elapsed + lastPass > wallBudget) {
+        budgetStop = true; false
+      } else {
+        val p0 = System.nanoTime()
+        runPass()
+        lastPass = (System.nanoTime() - p0) / 1e9
+        done += 1
+        true
+      }
+    }
     // The driver tail-captures a fixed number of trailing stdout chars; each
     // JSON line must fit whole or the parse fails. The suite has grown past
     // the point where a full 3-decimal per-query map always fits, so the map
@@ -123,16 +191,23 @@ object Bench {
       val s = "%.3f".format(v)
       s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
     }
-    def lineFor(dir: String, keepAll: Boolean = false): String = {
+    def lineFor(dir: String, keepAll: Boolean = false,
+                killed: Boolean = false): String = {
       val dirNames = namesFor(dir)
+      // snapshot under the lock: the shutdown hook calls this concurrently
+      // with a possibly-running pass
+      val (snap, fails) = lock.synchronized {
+        (dirNames.map(n => n -> samples((dir, n))).toMap,
+         dirNames.flatMap(n => failures.get((dir, n)).map(n -> _)))
+      }
       // a query whose every run failed has no samples — reported as -1 with
       // its failure count in `errors`, and excluded from the total
       val results = dirNames.map { n =>
-        val xs = samples((dir, n))
+        val xs = snap(n)
         n -> (if (xs.isEmpty) -1.0 else median(xs))
       }
       val mins = dirNames.map { n =>
-        val xs = samples((dir, n))
+        val xs = snap(n)
         n -> (if (xs.isEmpty) -1.0 else xs.min)
       }.toMap
       val good = results.filter(_._2 >= 0)
@@ -151,16 +226,22 @@ object Bench {
         val minEntries = kept.sortBy(_._1).map { case (k, _) => "\"" + k + "\":" + fmt(mins(k)) }
         val qs = entries.mkString("{", ",", "}")
         val ms = minEntries.mkString("{", ",", "}")
-        val partial = if (only.isDefined) "\"partial\":true," else ""
+        val partial = if (only.isDefined || killed) "\"partial\":true," else ""
+        // on a kill, sample counts are UNEVEN (the pass was mid-flight) —
+        // carry per-query counts so a reader can weigh each median
+        val ns = if (!killed && !keepAll) ""
+          else kept.sortBy(_._1).map { case (k, _) => "\"" + k + "\":" + snap(k).size }
+            .mkString("\"nsamples\":{", ",", "},")
         val excluded = names.size - dirNames.size
         val excl = if (excluded > 0) s""""excluded_small_n":$excluded,""" else ""
-        val errs = {
-          val fs = dirNames.flatMap(n => failures.get((dir, n)).map(n -> _))
-          if (fs.isEmpty) ""
-          else fs.map { case (k, c) => "\"" + k + "\":" + c }
+        val skipped = if (skip.isEmpty) "" else s""""skipped_harness":${skip.size},"""
+        val budget = if (budgetStop) "\"budget_stop\":true," else ""
+        val kill = if (killed) "\"killed\":true," else ""
+        val errs =
+          if (fails.isEmpty) ""
+          else fails.map { case (k, c) => "\"" + k + "\":" + c }
             .mkString("\"errors\":{", ",", "},")
-        }
-        s"""{"metric":"total","value":$total,"unit":"sec",$partial$excl$errs"throttle_ratio":$tr,"passes":$done,"queries":$qs,"mins":$ms,"sf":"$dir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec",$partial$excl$skipped$budget$kill$errs$ns"throttle_ratio":$tr,"passes":$done,"queries":$qs,"mins":$ms,"sf":"$dir"}"""
       }
       // the driver tail-captures a fixed TOTAL trailing-char budget; in
       // multi-SF mode every line must fit together or the earlier line(s)
@@ -170,6 +251,28 @@ object Bench {
       else (results.size to 0 by -1).map(encode).find(_.length <= lineBudget)
         .getOrElse(encode(0))
     }
+    // emit-once guard shared by the normal path and the shutdown hook: an
+    // external TERM (the r13 failure mode — the driver's timeout kill) must
+    // still yield parsed JSON line(s) from whatever samples exist, and a
+    // normal exit must not print twice (the hook runs on EVERY exit).
+    val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      if (emitted.compareAndSet(false, true)) {
+        // no spark.stop() here — the hook's job is the artifact, and the
+        // JVM is dying anyway; stop() can block on in-flight jobs
+        sfDirs.foreach(d => println(lineFor(d, killed = true)))
+        System.out.flush()
+      }, "bench-emit"))
+    // warmup: exercise scans/joins/windows/aggs once at tiny SF so the first
+    // timed query doesn't absorb JVM + whole-stage-codegen compilation.
+    // AFTER the hook registration: a kill landing during warmup still emits.
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    var go = true
+    while (go && done < passes) go = tryPass()
+    // throttle sentinel: a ratio past the limit means at least one query's
+    // median is riding a throttle episode — widen the sample rather than
+    // committing a poisoned artifact (within the wall budget)
+    while (go && ratio() > ThrottleLimit && done < maxPasses) go = tryPass()
     val lines = sfDirs.map(lineFor(_))
     // full-precision artifact path: per-query medians AND mins for every
     // query with no `_rest` collapse — the stdout lines stay inside the
@@ -190,7 +293,9 @@ object Bench {
       }
     }
     spark.stop() // stop first: the JSON must be the last line(s) of stdout
-    lines.foreach(println)
-    System.out.flush()
+    if (emitted.compareAndSet(false, true)) {
+      lines.foreach(println)
+      System.out.flush()
+    }
   }
 }
