@@ -157,14 +157,20 @@ object OraclesExt {
   /** The BPE encode chain parameterized by the MINING split: `mineCond`
     * restricts which documents' tokens feed the merge table; vocabulary,
     * apply, and the per-doc report always cover the whole corpus (a
-    * frozen table applied to unseen data simply no-ops on absent pairs). */
+    * frozen table applied to unseen data simply no-ops on absent pairs).
+    * The TRUE (unsplit) case emits NO mining filter at all (ADVICE r13):
+    * `doc_id IN (...)` would silently drop NULL-id documents' tokens from
+    * merge mining — NULL never satisfies IN — while the Spark twin mines
+    * them; the split cases are NULL-consistent by construction (a NULL
+    * doc_id fails `mixHash % 2 = 0` in both engines). */
   private def bpeTokenizeSql(mineCond: String): String = {
     import graft.ext.Text.BpeTopMerges
+    val mineWhere = if (mineCond.trim == "TRUE") ""
+      else s"\n  WHERE doc_id IN (SELECT doc_id FROM documents WHERE $mineCond)"
     s"""WITH RECURSIVE tok AS (
        |  SELECT doc_id, unnest(list_filter($toks, x -> x <> '')) AS token
        |  FROM documents),
-       |tc AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok
-       |  WHERE doc_id IN (SELECT doc_id FROM documents WHERE $mineCond)
+       |tc AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok$mineWhere
        |  GROUP BY token),
        |pairs AS (
        |  SELECT substring(token, CAST(i AS INT), 1) AS a,

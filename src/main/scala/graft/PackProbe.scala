@@ -23,12 +23,15 @@ object PackProbe {
     val lake = MediaLake.sessionLake(spark, sfDir)
     val packed = MediaLake.sessionPacked(spark, sfDir)
     def r3(x: Double) = math.floor(x * 1000 + 0.5) / 1000
-    val arms = Multimodal.dupModalities.map { case (m, _, fp) =>
-      val bytes = MediaLake.packedScan(spark, packed, m).toDF()
+    val arms = Multimodal.dupModalities.flatMap { case (m, _, fp) =>
+      // sum over zero rows is NULL (ADVICE r13: an empty modality must be
+      // annotated, not NPE the whole JSON line)
+      val bytes = Option(MediaLake.packedScan(spark, packed, m).toDF()
         .agg(org.apache.spark.sql.functions.sum(
           org.apache.spark.sql.functions.length(
             org.apache.spark.sql.functions.col("content"))))
-        .head().getLong(0)
+        .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (bytes == 0L) Seq(s""""$m":{"blob_mb":0,"empty":true}""") else {
       def time(viaPack: Boolean): Double = {
         val src = if (viaPack) MediaLake.packedScan(spark, packed, m)
                   else MediaLake.scan(spark, lake, m)
@@ -40,12 +43,15 @@ object PackProbe {
       time(viaPack = true); time(viaPack = false) // warm both paths
       val (pk, fl) = (Vector.newBuilder[Double], Vector.newBuilder[Double])
       (1 to passes).foreach { _ => pk += time(true); fl += time(false) }
-      val (pMin, fMin) = (pk.result().min, fl.result().min)
+      // a pass that rounds to 0 would divide MB/s by zero — floor at 1ms
+      val (pMin, fMin) = (math.max(pk.result().min, 1e-3),
+        math.max(fl.result().min, 1e-3))
       val mb = bytes / 1e6
-      s""""$m":{"blob_mb":${r3(mb)},"packed_min_sec":${r3(pMin)},""" +
+      Seq(s""""$m":{"blob_mb":${r3(mb)},"packed_min_sec":${r3(pMin)},""" +
         s""""files_min_sec":${r3(fMin)},"packed_mb_per_sec":${r3(mb / pMin)},""" +
         s""""files_mb_per_sec":${r3(mb / fMin)},""" +
-        s""""packed_speedup":${r3(fMin / pMin)}}"""
+        s""""packed_speedup":${r3(fMin / pMin)}}""")
+      }
     }
     println(s"""{"metric":"pack_probe_mb_per_sec","passes":$passes,""" +
       s""""modalities":{${arms.mkString(",")}},"sf":"$sfDir"}""")

@@ -193,9 +193,6 @@ object FpStore {
 
   // ----------------------------------------------------- session memoizing
 
-  private val builtThisSession =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   private def storeFor(spark: SparkSession, dir: String): String =
     s"${spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")}" +
       s"/graft_fpstore_${VectorIndex.sha12(dir)}"
@@ -205,7 +202,7 @@ object FpStore {
     * `dedup_cross_modal_indexed` measures. */
   private[graft] def sessionStore(spark: SparkSession, dir: String): String = {
     val store = storeFor(spark, dir)
-    if (builtThisSession.add(store)) build(spark, store, dir)
+    SessionOnce(store)(build(spark, store, dir))
     store
   }
 }

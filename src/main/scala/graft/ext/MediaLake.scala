@@ -92,15 +92,14 @@ object MediaLake {
 
   // ----------------------------------------------------- session memoizing
 
-  private val builtThisSession =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** The (session, corpus)-memoized lake root: written at most once per
-    * session (and reused across sessions via the marker). */
+    * session (and reused across sessions via the marker). [[SessionOnce]]
+    * publishes only after the write completes and retries a failed one
+    * (ADVICE r13). */
   private[graft] def sessionLake(spark: SparkSession, dir: String): String = {
     val root = s"${spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")}" +
       s"/graft_medialake_${VectorIndex.sha12(dir)}"
-    if (builtThisSession.add(root)) writeLake(spark, dir, root)
+    SessionOnce(root)(writeLake(spark, dir, root))
     root
   }
 
@@ -155,7 +154,7 @@ object MediaLake {
   private[graft] def sessionPacked(spark: SparkSession, dir: String): String = {
     val root = s"${spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")}" +
       s"/graft_mediapack_${VectorIndex.sha12(dir)}"
-    if (builtThisSession.add(root)) {
+    SessionOnce(root) {
       val lake = sessionLake(spark, dir)
       Exts.keys.foreach(m => pack(spark, lake, root, m))
     }

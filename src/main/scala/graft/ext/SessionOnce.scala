@@ -1,0 +1,56 @@
+package graft.ext
+
+/** Session-scoped build-at-most-once memoization for persisted stores
+  * (ADVICE r13). The previous pattern — `ConcurrentHashMap.newKeySet
+  * .add(key)` guarding the build call — published the key BEFORE the
+  * build ran, so a concurrent second caller raced past the guard and
+  * read the store while the winner was still mid-write; and a FAILED
+  * build left the key marked built for the rest of the session, so the
+  * store was never retried.
+  *
+  * Here the key maps to a future that completes only AFTER the build:
+  * losers block until the winner finishes (then see a fully-written
+  * store), and a thrown build unregisters the key so the next caller
+  * retries instead of trusting a half-written store. Keys are store
+  * paths (warehouse-scoped, content-hashed), so one process-wide map
+  * serves every store family without collision.
+  */
+private[graft] object SessionOnce {
+  private val builds =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.CompletableFuture[Void]]()
+
+  /** Run `body` at most once per `key` per session; every caller returns
+    * only after a successful build (the winner builds, losers wait on the
+    * winner's future). A thrown build unregisters the key — the next
+    * caller retries — and rethrows to the winner. */
+  def apply(key: String)(body: => Unit): Unit = {
+    var done = false
+    while (!done) {
+      val mine = new java.util.concurrent.CompletableFuture[Void]()
+      val cur = builds.putIfAbsent(key, mine)
+      if (cur == null) {
+        try { body; mine.complete(null); done = true }
+        catch { case e: Throwable =>
+          builds.remove(key, mine)
+          mine.completeExceptionally(e)
+          throw e
+        }
+      } else done = !failed(cur) // winner failed+unregistered -> retry
+    }
+  }
+
+  /** Mark `key` built without running anything — for harness twins that
+    * just rebuilt the store explicitly (idempotence arms), so the session
+    * arm reuses their work. */
+  def markBuilt(key: String): Unit =
+    builds.put(key, java.util.concurrent.CompletableFuture.completedFuture(null))
+
+  /** Await `f`; true iff it completed exceptionally (or was cancelled). */
+  private def failed(f: java.util.concurrent.CompletableFuture[Void]): Boolean =
+    try { f.join(); false }
+    catch {
+      case _: java.util.concurrent.CompletionException => true
+      case _: java.util.concurrent.CancellationException => true
+    }
+}

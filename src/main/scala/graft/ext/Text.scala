@@ -377,9 +377,6 @@ object Text {
 
   // ------------------------------------------ persisted count-min grid ---
 
-  private val cmsBuiltThisSession =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   private def cmsStoreFor(spark: SparkSession, dir: String): String =
     s"${spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")}" +
       s"/graft_cmsgrid_${VectorIndex.sha12(dir)}"
@@ -393,11 +390,12 @@ object Text {
     * the fold is already queryable by [[cmsIndexed]] with no batch build. */
   private[graft] def sessionCmsGrid(spark: SparkSession, dir: String): String = {
     val store = cmsStoreFor(spark, dir)
-    if (cmsBuiltThisSession.add(store) &&
-        graft.sources.Versioned.latestVersion(spark, store).isEmpty)
-      graft.sources.Versioned.write(
-        cmsCountersOf(cmsKeyCountsOf(Sources.documents(spark, dir))),
-        store, Some("batch=full"))
+    SessionOnce(store) {
+      if (graft.sources.Versioned.latestVersion(spark, store).isEmpty)
+        graft.sources.Versioned.write(
+          cmsCountersOf(cmsKeyCountsOf(Sources.documents(spark, dir))),
+          store, Some("batch=full"))
+    }
     store
   }
 

@@ -204,9 +204,6 @@ object TextIndex {
 
   // ----------------------------------------------------- registered twins
 
-  private val builtThisSession =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   private def storeFor(spark: SparkSession, dir: String): String =
     s"${spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")}" +
       s"/graft_textindex_${VectorIndex.sha12(dir)}"
@@ -216,8 +213,7 @@ object TextIndex {
     * search-only arms and the indexed hybrid measure. */
   private[ext] def sessionStore(spark: SparkSession, dir: String): String = {
     val store = storeFor(spark, dir)
-    if (builtThisSession.add(store))
-      build(spark, store, Sources.documents(spark, dir))
+    SessionOnce(store)(build(spark, store, Sources.documents(spark, dir)))
     store
   }
 
@@ -230,7 +226,7 @@ object TextIndex {
     val store = storeFor(spark, dir)
     val docs = Sources.documents(spark, dir)
     build(spark, store, docs)
-    builtThisSession.add(store)
+    SessionOnce.markBuilt(store)
     search(spark, store, Text.bm25FixtureQueries(docs))
   }
 

@@ -333,12 +333,9 @@ object VectorIndex {
     val store = s"${spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")}" +
       s"/graft_vecindex_${sha12(dir)}"
     build(spark, store, withNorm(Sources.embeddings(spark, dir)))
-    builtThisSession.add(store)
+    SessionOnce.markBuilt(store)
     search(spark, store, withNorm(Sources.embeddings(spark, dir)))
   }
-
-  private val builtThisSession =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** The (session, corpus)-memoized store — [[TextIndex.sessionStore]]'s
     * dense sibling: built at most once per session, later callers (the
@@ -346,8 +343,8 @@ object VectorIndex {
   private[ext] def sessionStore(spark: SparkSession, dir: String): String = {
     val store = s"${spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")}" +
       s"/graft_vecindex_${sha12(dir)}"
-    if (builtThisSession.add(store))
-      build(spark, store, withNorm(Sources.embeddings(spark, dir)))
+    SessionOnce(store)(
+      build(spark, store, withNorm(Sources.embeddings(spark, dir))))
     store
   }
 }

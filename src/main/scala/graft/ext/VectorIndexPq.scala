@@ -218,11 +218,6 @@ object VectorIndexPq {
     Similarity.topK(pairs, TopK)
   }
 
-  /** Stores this JVM has built (or rebuilt) — the session memo behind
-    * [[annIndexedPqSearch]]'s build-once contract. */
-  private val builtThisSession =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   private[graft] def storeFor(spark: SparkSession, dir: String): String =
     s"${spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")}" +
       s"/graft_vecindexpq_${sha12(dir)}"
@@ -235,7 +230,7 @@ object VectorIndexPq {
   def annIndexedPq(spark: SparkSession, dir: String): DataFrame = {
     val store = storeFor(spark, dir)
     build(spark, store, withNorm(Sources.embeddings(spark, dir)))
-    builtThisSession.add(store)
+    SessionOnce.markBuilt(store)
     search(spark, store, withNorm(Sources.embeddings(spark, dir)))
   }
 
@@ -249,8 +244,8 @@ object VectorIndexPq {
     * in. */
   def annIndexedPqSearch(spark: SparkSession, dir: String): DataFrame = {
     val store = storeFor(spark, dir)
-    if (builtThisSession.add(store))
-      build(spark, store, withNorm(Sources.embeddings(spark, dir)))
+    SessionOnce(store)(
+      build(spark, store, withNorm(Sources.embeddings(spark, dir))))
     search(spark, store, withNorm(Sources.embeddings(spark, dir)))
   }
 }

@@ -332,7 +332,19 @@ class DedupSpec extends SparkSpec {
     val novel = "ZZQX9 ZZQX7"
     val got = Text.cmsEstimateOver(grid, Seq(novel).toDF("bigram")).collect()
     assert(got.length === 1, "novel key vanished from the probe output")
-    assert(got.head.getLong(1) >= 0L)
+    // the estimate BY DEFINITION: min over the key's CmsDepth cells in the
+    // grid, absent cells = 0 (ADVICE r13: `>= 0` was vacuous — any
+    // non-negative wrong estimate passed; pin the exact value)
+    val novelCells = Text.cmsCellsOf(
+        Seq(novel).toDF("bigram").withColumn("c", lit(0L)))
+      .select("r", "bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(novelCells.length === Text.CmsDepth)
+    val gridMap = grid.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = novelCells.map(c => gridMap.getOrElse(c, 0L)).min
+    assert(got.head.getLong(1) === expected,
+      s"novel-key estimate must equal the min over its grid cells")
     // all-cells-absent: against a SPARSE grid (here: emptied) the same key
     // must report estimate 0, not vanish — the public-API contract the
     // inner join broke
