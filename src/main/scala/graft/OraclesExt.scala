@@ -784,7 +784,9 @@ object OraclesExt {
     * plane = RpPlaneBase + j (unrolled per j like [[simAnnLsh]]'s tables;
     * the flat index is plane·Dim + i with DuckDB's 1-based i), divided by
     * the IEEE-exact √RpDims = 4. pnorm mirrors normCte's fold shape. */
-  private val rpProjCte = {
+  /** The projection CTEs alone (pj, pn reading from an existing `n`) —
+    * reused over the planted corpus by [[simRpRecallPlanted]]. */
+  private val rpProjBody = {
     import graft.ext.Similarity.{RpDims, RpPlaneBase}
     def comp(j: Int): String = {
       val h0 = s"((${(RpPlaneBase + j).toLong * Dim} + i) * $MixA % $M32)"
@@ -797,14 +799,16 @@ object OraclesExt {
          |      generate_series(1, $Dim), i -> v[i] * ${comp(j)})), (x, y) -> x + y)
          |      / sqrt(${RpDims}.0)""".stripMargin
     val ps = (0 until RpDims).map(proj).mkString(",\n    ")
-    s"""$normCte,
-       |pj AS (SELECT vec_id, norm, list_value(
+    s"""pj AS (SELECT vec_id, norm, list_value(
        |    $ps) AS p FROM n),
        |pn AS (SELECT vec_id, norm, p,
        |  sqrt(list_reduce(list_prepend(0.0, list_transform(p, x -> x * x)),
        |    (a, b) -> a + b)) AS pnorm
        |  FROM pj)""".stripMargin
   }
+
+  private val rpProjCte = s"""$normCte,
+       |$rpProjBody""".stripMargin
 
   /** Twin of Similarity.rpDistortion — the flag applies the bound to the
     * ROUNDED ratio, exactly like the Spark side. */
@@ -1290,21 +1294,26 @@ object OraclesExt {
        |    WHERE rn = (SELECT ($RecallTargetPct * COUNT(*) + 99) // 100 FROM th))) AS p)""".stripMargin
   }
 
-  /** Twin of Similarity.kmeansCentroids/annIvfKmeans: the [[kmeansCtes]]
-    * quantizer, the [[calibrationCtes]] recall-targeted probe depth, then
-    * the same probe/refine as [[simAnnIvf]]. Cluster id = seed vec_id.
-    * `probeCond` (AND-appended to the probes CTE) restricts WHICH vectors
-    * query the index — the twin of annIvfKmeansFrom's probeFilter; the
-    * index structure and calibration stay full-corpus. */
+  /** Twin of Similarity.annIvfKmeans (r14 definition): flat IVF over the
+    * HIER SUB-CENTROID cells — [[hierStructCtes]]'s `s<HierSubIters>`
+    * table flattened (the l1 routing level dropped), every query ranking
+    * ALL cells exhaustively; then the [[calibrationCtes]] recall-targeted
+    * probe depth and the same probe/refine as [[simAnnIvf]]. Shares the
+    * structure with [[simAnnIvfHier]] exactly as the Spark side shares
+    * one `hierStructure` across the audit arms (VERDICT r13 #2). Cluster
+    * id = seed vec_id. `probeCond` (AND-appended to the probes CTE)
+    * restricts WHICH vectors query the index — the twin of
+    * annIvfKmeansFrom's probeFilter; the index structure and calibration
+    * stay full-corpus. */
   private def simAnnIvfKmeansSql(probeCond: String = ""): String = {
-    import graft.ext.Similarity.KmeansIters
-    s"""WITH $normCte,
-       |$kmeansCtes,
+    import graft.ext.Similarity.HierSubIters
+    s"""WITH ${hierStructCtes()},
+       |fc AS (SELECT cl, cv, cnorm FROM s$HierSubIters),
        |scored AS (
        |  SELECT x.vec_id, x.v, x.norm, c.cl,
        |    row_number() OVER (PARTITION BY x.vec_id
        |      ORDER BY (${dotSql("x.v", "c.cv")}) / (x.norm * c.cnorm) DESC, c.cl) AS crank
-       |  FROM n x CROSS JOIN c$KmeansIters c),
+       |  FROM n x CROSS JOIN fc c),
        |${calibrationCtes(
         "SELECT vec_id AS query_id, cl, crank AS qcrank FROM scored",
         "SELECT vec_id AS neighbor_id, cl FROM scored WHERE crank = 1")},
@@ -1321,8 +1330,8 @@ object OraclesExt {
   val simAnnIvfKmeans: String = simAnnIvfKmeansSql()
 
   /** Twin of Hybrid.hybridRrf — reciprocal-rank fusion of the BM25
-    * known-item arm ([[textBm25TopK]], nested verbatim) and the √n k-means
-    * IVF dense arm probing the same mix-bucket ids
+    * known-item arm ([[textBm25TopK]], nested verbatim) and the flat-IVF
+    * dense arm probing the same mix-bucket ids
     * ([[simAnnIvfKmeansSql]] with the probe restriction). Rank-only
     * integer fusion: contribution = `1000000 // (K + rank)`, missing arm
     * → 0; ties → lower doc_id. Zero float surface in the fusion layer —
@@ -1435,13 +1444,14 @@ object OraclesExt {
     * directly after WITH. */
   private val hierChain: String = hierChainAt(listDepth = 1)
 
-  /** [[hierChain]] parameterized by inverted-list spill depth. Calibration
-    * stays at the BASE (depth-1) reachability on purpose: the spill
-    * operator's contract is a candidate-set superset of the base arm at
-    * the same probe depth (see Similarity.SpillS). */
-  private def hierChainAt(listDepth: Int, dim: Int = Dim,
-                          pre: String = normCte, src: String = "n"): String = {
-    import graft.ext.Similarity.{HierL1Probes, HierSubIters, HierTopCells, KmeansIters}
+  /** The STRUCTURE portion of [[hierChainAt]] — everything through the
+    * final sub-centroid table `s<HierSubIters>` (l1, cl, cv, cnorm), no
+    * routing/calibration. Shared verbatim by the hier twins AND (r14) the
+    * flat-IVF twin, whose cell set IS this structure flattened — the SQL
+    * mirror of `Similarity.flatCents(hierStructure(..))`. */
+  private def hierStructCtes(dim: Int = Dim, pre: String = normCte,
+                             src: String = "n"): String = {
+    import graft.ext.Similarity.{HierSubIters, HierTopCells, KmeansIters}
     def dotD(a: String, b: String): String = dotSqlN(a, b, dim)
     val listNorm =
       "sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x * x)), (a, b) -> a + b))"
@@ -1498,7 +1508,18 @@ object OraclesExt {
        |  FROM a1 a),
        |s0 AS (SELECT l1, cl, cv, $listNorm AS cnorm FROM ss
        |  WHERE rk <= (SELECT v FROM k2c) AND $listNorm > 0),
-       |$l2Rounds,
+       |$l2Rounds""".stripMargin
+  }
+
+  /** [[hierChain]] parameterized by inverted-list spill depth. Calibration
+    * stays at the BASE (depth-1) reachability on purpose: the spill
+    * operator's contract is a candidate-set superset of the base arm at
+    * the same probe depth (see Similarity.SpillS). */
+  private def hierChainAt(listDepth: Int, dim: Int = Dim,
+                          pre: String = normCte, src: String = "n"): String = {
+    import graft.ext.Similarity.{HierL1Probes, HierSubIters}
+    def dotD(a: String, b: String): String = dotSqlN(a, b, dim)
+    s"""${hierStructCtes(dim, pre, src)},
        |cand AS (
        |  SELECT x.vec_id, x.v, x.norm, s.cl,
        |    (${dotD("x.v", "s.cv")}) / (x.norm * s.cnorm) AS c
@@ -1545,6 +1566,74 @@ object OraclesExt {
          |    ${R(s"(${dotSqlN("q.v", "x.v", RpDims)}) / (q.norm * x.norm)", 6)} AS cosine
          |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id)""".stripMargin)}""".stripMargin
   }
+
+  /** Twin of Similarity.plantedVecs — the planted-cluster corpus as a
+    * deterministic function of the fixture's vec_ids: component =
+    * PlantedWeight·sign(center plane) + sign(noise plane), both splitmix
+    * ±1 folds with per-row plane indexes (the SQL form of the Spark
+    * column expression splitmixSign). Emits `n` (vec_id, v, norm). */
+  private val plantedCte: String = {
+    import graft.ext.Similarity.{PlantedCenterBase, PlantedClusterSize,
+      PlantedNoiseBase, PlantedNoiseMod, PlantedWeight}
+    def sign(idx: String): String = {
+      val h0 = s"(($idx) * $MixA % $M32)"
+      val m = s"(xor($h0, $h0 >> 16) % $M31)"
+      val h1 = s"($m * $MixB % $M32)"
+      s"(CASE WHEN (($h1 >> 15) % 2) = 0 THEN 1.0 ELSE -1.0 END)"
+    }
+    val cIdx = s"(($PlantedCenterBase + vec_id // $PlantedClusterSize) * $Dim + i)"
+    val nIdx = s"(($PlantedNoiseBase + vec_id % $PlantedNoiseMod) * $Dim + i)"
+    s"""pe AS (SELECT vec_id, list_transform(generate_series(1, $Dim),
+       |    i -> $PlantedWeight * ${sign(cIdx)} + ${sign(nIdx)}) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0,
+       |    list_transform(v, x -> x * x)), (a, b) -> a + b)) AS norm
+       |  FROM pe)""".stripMargin
+  }
+
+  /** ann_ivf_rp over the planted corpus — the identical [[hierChainAt]]
+    * at dim = RpDims, with the planted corpus + projection as `pre`. */
+  private lazy val plantedRpArmSql: String = {
+    import graft.ext.Similarity.RpDims
+    val pre = s"""$plantedCte,
+       |$rpProjBody,
+       |rv AS (SELECT vec_id, p AS v, pnorm AS norm FROM pn)""".stripMargin
+    val chain = hierChainAt(listDepth = 1, dim = RpDims, pre = pre, src = "rv")
+    s"""WITH $chain,
+       |${topKSql(
+      s"""p AS (
+         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |    ${R(s"(${dotSqlN("q.v", "x.v", RpDims)}) / (q.norm * x.norm)", 6)} AS cosine
+         |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id)""".stripMargin)}""".stripMargin
+  }
+
+  /** rp_knn over the planted corpus — exact top-K in its projected space. */
+  private lazy val plantedRpKnnSql: String = {
+    import graft.ext.Similarity.RpDims
+    s"""WITH $plantedCte,
+       |$rpProjBody,
+       |${topKSql(
+      s"""p AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ${R(s"(${dotSqlN("a.p", "b.p", RpDims)}) / (a.pnorm * b.pnorm)", 6)} AS cosine
+         |  FROM pn a JOIN pn b ON a.vec_id <> b.vec_id)""".stripMargin)}""".stripMargin
+  }
+
+  /** Twin of Similarity.rpRecallPlanted — the planted-regime rp recall
+    * rows: full-space exact truth over the planted corpus, the rp_knn
+    * projected-space ceiling, and the reduce-then-index ann_ivf_rp arm,
+    * each through the standard [[auditArmSql]] recall aggregation. */
+  lazy val simRpRecallPlanted: String =
+    s"""WITH $plantedCte,
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${R(s"(${dotSql("q.v", "x.v")}) / (q.norm * x.norm)", 6)} DESC, x.vec_id) AS rk
+       |    FROM n q JOIN n x ON x.vec_id <> q.vec_id) WHERE rk <= $TopK)
+       |${auditArmSql("ann_ivf_rp", plantedRpArmSql)}
+       |UNION ALL
+       |${auditArmSql("rp_knn", plantedRpKnnSql)}
+       |ORDER BY method""".stripMargin
 
   /** Twin of Similarity.hardNegatives — the [[hierChain]] candidate set
     * with the contrastive cosine band applied before the bounded
@@ -3654,6 +3743,7 @@ object OraclesExt {
     "sim_pq_error" -> simPqError,
     "sim_recall_audit" -> simRecallAudit,
     "sim_recall_audit_sampled" -> simRecallAuditSampled,
+    "sim_rp_recall_planted" -> simRpRecallPlanted,
     "events_asof_purchase_view" -> eventsAsofPurchaseView,
     "events_user_type_pivot" -> eventsUserTypePivot,
     "revenue_rollup" -> revenueRollup,

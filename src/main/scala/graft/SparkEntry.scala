@@ -158,6 +158,8 @@ object SparkEntry {
       ext.Similarity.recallAudit(s, d).orderBy("method")),
     "sim_recall_audit_sampled" -> ((s, d) =>
       ext.Similarity.recallAuditSampled(s, d).orderBy("method")),
+    "sim_rp_recall_planted" -> ((s, d) =>
+      ext.Similarity.rpRecallPlanted(s, d).orderBy("method")),
     // ext: event-stream analytics, batch twins of graft.streaming
     "events_tumbling_hourly" -> ((s, d) =>
       ext.Events.tumblingHourly(s, d).orderBy("window_start", "event_type")),
@@ -324,7 +326,8 @@ object SparkEntry {
     "dedup_semantic",         // fixture-label SemDeDup: n²/K pair scan
     "sim_recall_audit",       // embeds the O(n²) exact arm + every baseline
     "sim_ann_lsh",            // near-all-pairs candidates at this fixture's regime
-    "sim_rp_knn")             // exact O(n²) in the projected space (JL audit)
+    "sim_rp_knn",             // exact O(n²) in the projected space (JL audit)
+    "sim_rp_recall_planted")  // embeds the O(n²) exact arm over the planted corpus
 
   def oracleSql: Map[String, String] = {
     val base = Oracles.all ++ OraclesExt.all

@@ -289,6 +289,99 @@ object Similarity {
     rpProjected(vecs)
       .select(col("vec_id"), col("p").as("v"), col("pnorm").as("norm"))
 
+  // ------------------------------------ planted-cluster recall fixture ---
+
+  /** Cluster SIZE of the PLANTED embeddings corpus (below): consecutive
+    * vec_ids share a cluster, so each vector has exactly
+    * [[PlantedClusterSize]]−1 = [[TopK]] co-members — its true top-K is
+    * the co-member set, SEPARATED from the rest of the corpus (cos ~0.9
+    * vs ~0), not a noise-grade tie among a large cluster. (A first cut
+    * with 20 big clusters measured rp recall 0.37 at parity with the
+    * projected ceiling: JL preserved the CLUSTER but scrambled the ±0.04
+    * within-cluster ordering — recall@K against near-ties measures tie
+    * order, not structure. Cluster size K+1 makes top-K membership, not
+    * ordering, the thing graded.) */
+  val PlantedClusterSize = TopK + 1
+  /** Plane-family bases for center/noise components — disjoint from the
+    * SRP planes (≤ a few hundred), the LshCal grid, and the JL rows at
+    * [[RpPlaneBase]]=4096: centers at 2¹⁹, noise at 2²⁰ + (vec_id mod
+    * 2¹⁸) — the families can never collide. */
+  val PlantedCenterBase = 1 << 19
+  val PlantedNoiseBase = 1 << 20
+  val PlantedNoiseMod = 1 << 18
+  /** Center weight: component = 3·center ± 1 noise, so in-cluster cosine
+    * concentrates near 9/10 and cross-cluster near 0 — the CLUSTERED
+    * regime real embedding corpora live in. */
+  val PlantedWeight = 3.0
+
+  /** [[planeComponent]] as a row-level COLUMN expression (the Scala form
+    * is driver-side, for plan literals): the identical splitmix fold over
+    * a per-row plane index, so the DuckDB twin replays it bit-for-bit.
+    * `idx` must be non-negative (the % / pmod distinction never bites). */
+  private def splitmixSign(idx: Column): Column = {
+    val h0 = idx * lit(MixA) % lit(M32)
+    val m = h0.bitwiseXOR(shiftright(h0, 16)) % lit(M31)
+    val h1 = m * lit(MixB) % lit(M32)
+    when(shiftright(h1, 15) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+  }
+
+  /** The PLANTED-CLUSTER embeddings corpus (VERDICT r13 #4 / open-thread
+    * #3): the fixture's real embeddings have their true neighbors at
+    * cosine ≈ 0.3 — JL's designed worst case — so the rp recall rows read
+    * as "projection destroys everything" while the DEPLOYMENT regime
+    * (clustered corpora) was unmeasured. This corpus is a deterministic
+    * function of the fixture's vec_ids (row count tracks SF; nothing is
+    * persisted): vector = [[PlantedWeight]]·center(vec_id div
+    * [[PlantedClusterSize]]) + noise(vec_id), both ±1 splitmix
+    * components, so each vector's [[TopK]] co-members sit at pairwise
+    * cosine ≈ 0.9 ≫ cross-cluster ≈ 0. Norms are ≥ 2·√[[Dim]] by
+    * construction (components ∈ {±2, ±4}) — the nonzero-norm precondition
+    * holds for free. Map-only to generate: zero extra I/O at any scale. */
+  private[graft] def plantedVecs(spark: SparkSession, dir: String): DataFrame = {
+    // integer floor-division cluster id (vec_ids are non-negative, so SQL
+    // `div` here ≡ DuckDB `//` in the twin)
+    val c = expr(s"vec_id div $PlantedClusterSize")
+    val np = lit(PlantedNoiseBase.toLong) +
+      pmod(col("vec_id"), lit(PlantedNoiseMod.toLong))
+    val v = array((0 until Dim).map { d =>
+      val cIdx = (lit(PlantedCenterBase.toLong) + c) * Dim + (d + 1)
+      val nIdx = np * Dim + (d + 1)
+      lit(PlantedWeight) * splitmixSign(cIdx) + splitmixSign(nIdx)
+    }: _*)
+    Sources.embeddings(spark, dir)
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+  }
+
+  /** The rp recall rows over the PLANTED corpus — the regime row beside
+    * [[recallAudit]]'s hard-case row: same ONE-n²-pass machinery
+    * ([[knnWithRpFrom]]), same reduce-then-index arm ([[annIvfRp]]'s
+    * chain over the projected corpus, probe depth calibrated in the
+    * projected space), recall against full-space exact truth. On this
+    * corpus the projection PRESERVES neighbor structure (in-cluster
+    * cosine ~0.9 survives 4× reduction), so the audit row shows the
+    * high-recall-at-1/4-flop deployment claim measured, not asserted. */
+  def rpRecallPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val pins = new Pins
+    val vecs = pins.pin(plantedVecs(spark, dir))
+    vecs.count()
+    val both = pins.pin(knnWithRpFrom(vecs))
+    both.count()
+    val exact = pins.pin(explodeTop(both, "top_exact")
+      .select(col("query_id"), col("neighbor_id")))
+    exact.count()
+    val rvecs = pins.pin(rpVecsOf(vecs))
+    val (l1r, subsr, k2r) = hierStructure(rvecs, RpDims)
+    pins.track(subsr)
+    val nP = hierCalibrate(rvecs, l1r, subsr, k2r,
+      Some(explodeTop(both, "top_rp")
+        .select(col("query_id"), col("neighbor_id"))))
+    val rpArm = hierArm(pins.pin(hierScored(rvecs, l1r, subsr, nP)))
+    recallOverParallel(spark, exact, Seq(
+      "ann_ivf_rp" -> rpArm,
+      "rp_knn" -> explodeTop(both, "top_rp")), pins)
+  }
+
   /** REDUCE-then-INDEX (VERDICT r12 #2) — the deployment composition the
     * JL scaladoc promises: [[rpProject]]'s 16-dim output fed into the SAME
     * two-level hier-IVF chain ([[annIvfHier]]), so every pairwise op in the
@@ -562,17 +655,22 @@ object Similarity {
     slice(array_sort(scored), 1, take)
   }
 
-  /** IVF-flat ANN over the √n k-means cells — map-only probe assignment
+  /** IVF-flat ANN over the ≈√n HIERARCHICAL SUB-CENTROID cells, each query
+    * ranking ALL cells exhaustively — map-only probe assignment
     * ([[nearestCells]]), then the same inverted-list equi-join and bounded
     * top-k refine as [[annIvf]]. Probe depth is CALIBRATED per corpus to
-    * [[RecallTargetPct]] ([[nProbeFromThresh]]): measured on the fixture,
-    * that picks ~11 of 23 cells at sf0.01, ~20 of 45 at sf0.1 (the
-    * near-random-direction regime where recall 0.8 genuinely costs a ~50%
-    * scan), and 4 of 142 at sf1 (denser corpus → neighbors co-cluster →
-    * 3% scan suffices) — recall ≥ target at EVERY scale instead of the
-    * fixed-depth policy's 0.492-and-falling. Registered as its own query so
-    * the fixture-label variant stays oracle-pinned alongside this scale
-    * path. */
+    * [[RecallTargetPct]] ([[nProbeFromThresh]]).
+    *
+    * The cell set is the SAME deterministic [[hierStructure]] the two-level
+    * arm routes over (VERDICT r13 #2 — the audits were serializing a
+    * fourth full Lloyd chain just to give this arm its own √n quantizer):
+    * sharing the structure cuts the audit's model-build wall AND makes the
+    * flat-vs-hier audit rows a clean ROUTING decomposition — identical
+    * cells, exhaustive ranking here vs L1-routed ranking there, so any
+    * recall gap between the two arms is attributable to the routing alone
+    * (previously the centroids differed too). Standalone calls build the
+    * structure themselves; the audits hand in [[flatCents]] of the shared
+    * one — SEEDED AND UNSEEDED OUTPUTS ARE IDENTICAL (ExtSpec pins it). */
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     // multi-consumer pin: Lloyd rounds + calibration + the scored frame all
     // re-read the normalized corpus
@@ -580,15 +678,34 @@ object Similarity {
     annIvfKmeansFrom(pins.pin(withNorm(Sources.embeddings(spark, dir))), pins)
   }
 
+  /** The hier sub-centroid frame flattened to a driver-resident flat cell
+    * set (the l1 routing level dropped; ≤ ≈√n rows — the same bounded
+    * collect contract as [[kmeansCentroidsLocal]]). Sorted by cell id so
+    * the embedded plan literal is run-stable. */
+  private[ext] def flatCents(subs: DataFrame): Array[Cent] =
+    subs.select(col("cl"), col("cv"), col("cnorm")).collect()
+      .map(r => Cent(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_.cl)
+
   /** [[annIvfKmeans]] over a caller-pinned corpus, persisting through the
     * caller's tracker — lets the recall audits share `vecs` across arms and
     * release every pin once the audit rows are materialized. `preExact` as
     * in [[hierModel]]: exact pairs covering the calibration sample skip the
-    * duplicate exactSampled pass without changing nProbe. */
+    * duplicate exactSampled pass without changing nProbe. `preCents` hands
+    * in an ALREADY-BUILT [[flatCents]] cell set (the audits share one
+    * [[hierStructure]] across the hier, PQ, and flat arms) — by
+    * determinism of the structure, output is identical to the self-built
+    * path. */
   private[ext] def annIvfKmeansFrom(vecs: DataFrame, pins: Pins,
                                     preExact: Option[DataFrame] = None,
-                                    probeFilter: Option[Column] = None): DataFrame = {
-    val cents = kmeansCentroidsLocal(vecs) // driver-resident, ≤ √n rows
+                                    probeFilter: Option[Column] = None,
+                                    preCents: Option[Array[Cent]] = None): DataFrame = {
+    val cents = preCents.getOrElse { // driver-resident, ≤ ≈√n rows
+      val (_, subs, _) = hierStructure(vecs)
+      val out = flatCents(subs)
+      subs.unpersist()
+      out
+    }
     val sample = querySample(vecs, CalQueries)
     val k = cents.length
     val qRank = sample
@@ -623,6 +740,20 @@ object Similarity {
       .select(col("cl"), col("vec_id").as("query_id"),
         col("v").as("va"), col("norm").as("na"))
     refineTail(probes, inverted)
+  }
+
+  /** Test hook (ExtSpec): [[annIvfKmeansFrom]] with the cell set handed in
+    * from a separately-built [[hierStructure]] — pins the audit's
+    * shared-structure path ≡ the standalone self-built path, the
+    * arm-output-identity contract VERDICT r13 #2 requires. */
+  private[graft] def annIvfKmeansSeededForSpec(spark: SparkSession,
+                                               dir: String): DataFrame = {
+    val pins = new Pins
+    val vecs = pins.pin(withNorm(Sources.embeddings(spark, dir)))
+    val (_, subs, _) = hierStructure(vecs)
+    val cents = flatCents(subs)
+    subs.unpersist()
+    annIvfKmeansFrom(vecs, pins, preCents = Some(cents))
   }
 
   /** [[annIvfKmeans]] with the probe side restricted to a query subset —
@@ -1133,32 +1264,57 @@ object Similarity {
     recallAuditAt(spark, dir, AuditRpArm)
 
   /** [[recallAudit]] with the ann_ivf_rp arm explicit — the registered
-    * query binds it to [[AuditRpArm]]; [[graft.AuditProbe]] times both
+    * query binds it to [[AuditRpArm]]; [[graft.AuditProbe]] times the
     * settings interleaved in ONE session (the only comparison this VM's
-    * run-to-run variance permits). */
+    * run-to-run variance permits). `shareStruct`/`serial` are probe-only
+    * knobs (outputs identical at every setting): shareStruct=false
+    * rebuilds the flat arm's structure independently (the r13 shape),
+    * serial=true runs every build on one thread (the overlap-honesty
+    * arm). GRAFT_AUDIT_TRACE=1 prints phase wall times to stderr. */
   private[graft] def recallAuditAt(spark: SparkSession, dir: String,
-                                   withRp: Boolean): DataFrame = {
+                                   withRp: Boolean,
+                                   shareStruct: Boolean = true,
+                                   serial: Boolean = false): DataFrame = {
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val trace = sys.env.contains("GRAFT_AUDIT_TRACE")
+    val tStart = System.nanoTime()
+    def mark(phase: String): Unit = if (trace) System.err.println(
+      f"[audit-trace] $phase%-12s done at ${(System.nanoTime() - tStart) / 1e9}%.2f s")
     val pins = new Pins
     val vecs = pins.pin(withNorm(Sources.embeddings(spark, dir)))
     vecs.count() // materialize before forking — every arm reads it
+    mark("corpus")
     // ONE n² pass scores both spaces (exact ground truth + the rp arm) —
-    // the audit's only cartesian-shaped join; see [[knnWithRpFrom]]
+    // the audit's only cartesian-shaped join; see [[knnWithRpFrom]]. It is
+    // CLUSTER-heavy while the model builds are DRIVER-latency-bound (Lloyd
+    // collects, per-round codegen), so the pass materializes on its own
+    // thread and only the calibration stages await it — the quantizer
+    // STRUCTURE builds overlap the n² scan (r14: the audit trace showed
+    // the two phases strictly serialized on complementary resources).
     val both = pins.pin(knnWithRpFrom(vecs))
-    both.count()
     val exact = pins.pin(explodeTop(both, "top_exact")
       .select(col("query_id"), col("neighbor_id"))) // consumed by every arm
-    exact.count() // eager: 6 arms join it, and the calibrations reuse it
+    val fExact = Future {
+      both.count()
+      exact.count() // eager: 6 arms join it, and the calibrations reuse it
+      mark("n2-pass")
+      exact
+    }
     // arm MODEL BUILDS are chains of small driver-coordinated jobs (Lloyd
     // collects, calibration quantiles) that leave the cluster mostly idle —
     // independent arms build on parallel threads (concurrent job
-    // submission), exactly as they would to saturate a real cluster. The
-    // hier model feeds BOTH the hier arm and the PQ arm — built once; its
-    // calibration reuses the audit's exact pairs (the calibration sample is
-    // a prefix of the audit sample under the same (mixHash, id) order).
-    val (m, scored, kmArm, books, rpArm) = buildArmsParallel(vecs, exact, pins,
-      preRpExact = Some(explodeTop(both, "top_rp")
-        .select(col("query_id"), col("neighbor_id"))), withRp = withRp)
-    val out = recallOver(exact, Seq(
+    // submission), exactly as they would to saturate a real cluster. ONE
+    // hier structure feeds the hier, PQ AND flat arms (VERDICT r13 #2);
+    // its calibration reuses the audit's exact pairs (the calibration
+    // sample is a prefix of the audit sample under the same (mixHash, id)
+    // order).
+    val (m, scored, kmArm, books, rpArm) = buildArmsParallel(vecs, fExact,
+      pins, preRpExact = Some(explodeTop(both, "top_rp")
+        .select(col("query_id"), col("neighbor_id"))), withRp = withRp,
+      shareStruct = shareStruct, serial = serial)
+    mark("builds")
+    val res = recallOverParallel(spark, exact, Seq(
       "ann_ivf" -> annIvfPinned(spark, dir, pins),
       "ann_ivf_hier" -> hierArm(scored),
       "ann_ivf_hier_spill" -> hierArmSpill(scored, m.nProbe),
@@ -1167,27 +1323,45 @@ object Similarity {
       rpArm.map("ann_ivf_rp" -> _).toSeq ++ Seq(
       "ann_lsh" -> annLsh(spark, dir),
       "knn_quantized" -> quantizedKnn(spark, dir),
-      "rp_knn" -> explodeTop(both, "top_rp")))
-    localized(spark, out, pins)
+      "rp_knn" -> explodeTop(both, "top_rp")), pins)
+    mark("arm-eval")
+    res
   }
 
-  /** The audits' shared eager phase, forked four ways: (hier model + its
-    * scored assignment), the flat-k-means arm (calibration inside), the
-    * PQ codebooks, and the reduce-then-index rp arm ([[annIvfRp]]'s chain
-    * over the projected corpus — its Lloyd/calibration collects interleave
-    * with the other builds' idle driver time). Each is deterministic, so
-    * threading changes wall-clock only. `preExact` does NOT feed the rp
-    * build: its calibration truth lives in the projected space. */
-  private def buildArmsParallel(vecs: DataFrame, exact: DataFrame, pins: Pins,
+  /** The audits' shared eager phase. ONE [[hierStructure]] build feeds
+    * THREE arms (VERDICT r13 #2): the hier arm calibrates + scores over
+    * it, the flat arm ranks its sub-centroids exhaustively
+    * ([[flatCents]]), and the PQ arm rides the hier scored frame as
+    * before — so the audit runs TWO quantizer Lloyd chains (base + rp
+    * space) where r13 ran four. Forked: (structure → hier calibration +
+    * scored), (structure → flat arm), the PQ codebooks, and the
+    * reduce-then-index rp arm ([[annIvfRp]]'s chain over the projected
+    * corpus). Each is deterministic, so threading changes wall-clock
+    * only. `preExact` does NOT feed the rp build: its calibration truth
+    * lives in the projected space. */
+  private def buildArmsParallel(vecs: DataFrame,
+                                fExact: scala.concurrent.Future[DataFrame],
+                                pins: Pins,
                                 preRpExact: Option[DataFrame] = None,
-                                withRp: Boolean = false)
+                                withRp: Boolean = false,
+                                shareStruct: Boolean = true,
+                                serial: Boolean = false)
       : (HierModel, DataFrame, DataFrame, Pq.Books, Option[DataFrame]) = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fHier = Future {
-      val m = hierModel(vecs, preExact = Some(exact))
-      pins.track(m.subs)
+    // only the CALIBRATION stages await the exact pass — every structure
+    // build overlaps it
+    def exact: DataFrame = Await.result(fExact, Duration.Inf)
+    def structPart(): (Array[Cent], DataFrame, Int) = {
+      val (l1, subs, k2) = hierStructure(vecs)
+      pins.track(subs)
+      (l1, subs, k2)
+    }
+    def hierPart(t: (Array[Cent], DataFrame, Int)): (HierModel, DataFrame) = {
+      val (l1, subs, k2) = t
+      val m = HierModel(l1, subs, k2,
+        hierCalibrate(vecs, l1, subs, k2, Some(exact)))
       // the spill arm shares this frame: lists at crank ≤ SpillS, probes at
       // the same base depth (SpillS ≤ IvfProbes ≤ nProbe always)
       val scored = pins.pin(
@@ -1195,23 +1369,49 @@ object Similarity {
       scored.count() // the hier and PQ arms would contend on cold cache
       (m, scored)
     }
-    val fKm = Future(annIvfKmeansFrom(vecs, pins, preExact = Some(exact)))
-    val fBooks = Future(Pq.pqCodebooksLocal(vecs))
-    val fRp = if (!withRp) Future.successful(None) else Future {
+    // shared: the flat arm's cell set comes from the ONE structure build;
+    // unshared (the ablation arm — AuditProbe): the flat arm rebuilds its
+    // own, exactly the r13 independent-builds shape. Outputs identical
+    // (ExtSpec's seeded-identity test).
+    def kmPart(subs: Option[DataFrame]): DataFrame =
+      annIvfKmeansFrom(vecs, pins, preExact = Some(exact),
+        preCents = subs.map(flatCents))
+    def rpPart(): Option[DataFrame] = if (!withRp) None else {
       val rvecs = pins.pin(rpVecsOf(vecs))
-      // calibration truth lives in the projected space — and the audit has
-      // ALREADY computed projected-space exact top-K for every query
-      // (both.top_rp, from the one shared n² pass): its calibration-sample
-      // prefix is row-identical to the exactSampled arm hierCalibrate would
-      // otherwise rebuild (same (mixHash, id)-lowest sample, same rounded
-      // cosine order), so the m·n projected exact pass disappears
-      val mr = hierModel(rvecs, preExact = preRpExact, dim = RpDims)
-      pins.track(mr.subs)
-      Some(hierArm(pins.pin(hierScored(rvecs, mr.l1, mr.subs, mr.nProbe))))
+      // structure first (projection + Lloyd need no ground truth) ...
+      val (l1r, subsr, k2r) = hierStructure(rvecs, RpDims)
+      pins.track(subsr)
+      // ... then calibration: its truth lives in the projected space — and
+      // the audit has ALREADY computed projected-space exact top-K for
+      // every query (both.top_rp, from the one shared n² pass): its
+      // calibration-sample prefix is row-identical to the exactSampled arm
+      // hierCalibrate would otherwise rebuild (same (mixHash, id)-lowest
+      // sample, same rounded cosine order), so the m·n projected exact
+      // pass disappears. Await the pass (preRpExact reads `both`).
+      exact
+      val nP = hierCalibrate(rvecs, l1r, subsr, k2r, preRpExact)
+      Some(hierArm(pins.pin(hierScored(rvecs, l1r, subsr, nP))))
     }
-    val (m, scored) = Await.result(fHier, Duration.Inf)
-    (m, scored, Await.result(fKm, Duration.Inf),
-      Await.result(fBooks, Duration.Inf), Await.result(fRp, Duration.Inf))
+    if (serial) {
+      // the concurrency-honesty arm (VERDICT r13 #7): every build on ONE
+      // thread, in dependency order AFTER the exact pass — serial_min /
+      // shared_min is the measured overlap factor of the threaded shape
+      exact
+      val t = structPart()
+      val (m, scored) = hierPart(t)
+      (m, scored, kmPart(if (shareStruct) Some(t._2) else None),
+        Pq.pqCodebooksLocal(vecs), rpPart())
+    } else {
+      val fStruct = Future(structPart())
+      val fHier = fStruct.map(hierPart)
+      val fKm = if (shareStruct) fStruct.map(t => kmPart(Some(t._2)))
+                else Future(kmPart(None))
+      val fBooks = Future(Pq.pqCodebooksLocal(vecs))
+      val fRp = Future(rpPart())
+      val (m, scored) = Await.result(fHier, Duration.Inf)
+      (m, scored, Await.result(fKm, Duration.Inf),
+        Await.result(fBooks, Duration.Inf), Await.result(fRp, Duration.Inf))
+    }
   }
 
   /** Materialize a small audit result, release every pin the audit created,
@@ -1226,24 +1426,54 @@ object Similarity {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
-  /** Recall stats of each (name, approx-result) arm against `exact` —
+  /** Recall stats of ONE (name, approx-result) arm against `exact` —
     * a query absent from an arm counts 0; queries absent from `exact`
     * (unsampled) don't constrain the arm (the left join never matches). */
-  private def recallOver(exact: DataFrame,
-                         methods: Seq[(String, DataFrame)]): DataFrame =
-    methods.map { case (name, approx) =>
-      exact
-        .join(approx.select(col("query_id"), col("neighbor_id"))
-          .withColumn("_hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg((count(col("_hit")).cast("double") / TopK).as("recall"))
-        .agg(
-          count(lit(1)).as("n_queries"),
-          r(dsum(col("recall")) / count(lit(1)), 4).as("mean_recall"),
-          r(min(col("recall")), 4).as("min_recall"))
-        .select(lit(name).as("method"), col("n_queries"),
-          col("mean_recall"), col("min_recall"))
-    }.reduce(_.unionByName(_))
+  private def recallFrame(exact: DataFrame, name: String,
+                          approx: DataFrame): DataFrame =
+    exact
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+        .withColumn("_hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg((count(col("_hit")).cast("double") / TopK).as("recall"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        r(dsum(col("recall")) / count(lit(1)), 4).as("mean_recall"),
+        r(min(col("recall")), 4).as("min_recall"))
+      .select(lit(name).as("method"), col("n_queries"),
+        col("mean_recall"), col("min_recall"))
+
+  /** Per-arm recall rows, each arm EVALUATED AS ITS OWN ACTION on its own
+    * thread (r14: the audit trace showed the old single-union collect —
+    * nine independent arm plans forced through one action — was the
+    * audit's dominant phase, 11 of 20 s warm: per-plan codegen compiles
+    * and stage-latency chains serialized on the driver exactly like the
+    * model builds do). Each arm reduces to ONE row, so the collected rows
+    * are reassembled as a local relation in the given method order —
+    * value-identical to the union form, and every pin is released once
+    * the rows are local (the [[localized]] discipline). */
+  private def recallOverParallel(spark: SparkSession, exact: DataFrame,
+                                 methods: Seq[(String, DataFrame)],
+                                 pins: Pins): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val trace = sys.env.contains("GRAFT_AUDIT_TRACE")
+    val frames = methods.map { case (name, approx) =>
+      (name, recallFrame(exact, name, approx)) }
+    val rows = Await.result(
+      Future.sequence(frames.map { case (name, f) => Future {
+        val t0 = System.nanoTime()
+        val out = f.collect()
+        if (trace) System.err.println(
+          f"[audit-trace]   arm $name%-20s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        out
+      }}),
+      Duration.Inf).flatten
+    pins.release()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      frames.head._2.schema)
+  }
 
   /** Audit query-sample size for [[recallAuditSampled]] — smaller than the
     * sf0.01 corpus so the oracle genuinely exercises the sampling. */
@@ -1256,22 +1486,24 @@ object Similarity {
     * design from at-scale runs (README deployment table). This is the query
     * the sf0.1/sf1 scaling evidence runs. */
   def recallAuditSampled(spark: SparkSession, dir: String): DataFrame = {
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
     val pins = new Pins
     val vecs = pins.pin(withNorm(Sources.embeddings(spark, dir)))
     vecs.count() // materialize before forking — every arm reads it
     val exact = pins.pin(
       exactSampled(vecs, querySample(vecs, SampleAuditQueries)))
-    exact.count() // eager: every arm joins it, calibrations reuse it
-    // one model build shared by the hier and PQ arms (the PQ coarse
-    // structure IS the hier quantizer; only list payloads differ); arm
+    // the |sample|·n exact pass materializes on its own thread; only the
+    // calibrations await it (the structure builds overlap the scan)
+    val fExact = Future { exact.count(); exact }
+    // one structure build shared by the hier, PQ and flat arms; arm
     // builds forked as in [[recallAudit]]
-    val (m, scored, kmArm, books, _) = buildArmsParallel(vecs, exact, pins)
-    val out = recallOver(exact, Seq(
+    val (m, scored, kmArm, books, _) = buildArmsParallel(vecs, fExact, pins)
+    recallOverParallel(spark, exact, Seq(
       "ann_ivf_hier" -> hierArm(scored),
       "ann_ivf_hier_spill" -> hierArmSpill(scored, m.nProbe),
       "ann_ivf_kmeans" -> kmArm,
-      "ann_ivf_pq" -> Pq.annIvfPqFrom(vecs, scored, books)))
-    localized(spark, out, pins)
+      "ann_ivf_pq" -> Pq.annIvfPqFrom(vecs, scored, books)), pins)
   }
 
   /** Mean-recall floor (percent of [[TopK]]) the corpus pipeline's

@@ -993,6 +993,8 @@ class SimilaritySpec extends SparkSpec {
     val e = Similarity.withNorm(graft.engine.Sources.embeddings(spark, sf))
     val n = e.count()
     val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    // the √n Lloyd quantizer (still the SemDeDup / cluster-sampling cell
+    // set): bounded count, deterministic across runs
     val cents = Similarity.kmeansCentroids(e)
     val nCells = cents.count()
     // Lloyd can only lose cells (a seed attracting no vectors), never gain
@@ -1003,16 +1005,31 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getAs[Long]("cl") -> r.getAs[Double]("cnorm")).toMap
     assert(c1 === c2)
     val exact = top(Similarity.knnBruteForce(spark, sf))
+    // the flat IVF ARM (r14): exhaustive ranking over the hier
+    // sub-centroid cells — still calibrated to the recall target
     val km = top(Similarity.annIvfKmeans(spark, sf))
     val recall = exact.map { case (q, ex) =>
       km.get(q).map(a => (a & ex).size.toDouble / ex.size).getOrElse(0.0)
     }.sum / exact.size
-    info(f"k-means IVF recall@5 = $recall%.3f over $nCells cells")
-    // √n cells probe a ~nProbe/√n fraction of the corpus — recall is lower
-    // than the 10-cell variant BY DESIGN (scan fraction 4/√n vs 4/10); the
-    // assertion pins "far better than the scanned fraction would give at
-    // random" (random ≈ nProbe/√n ≈ 0.09 here)
+    info(f"flat IVF recall@5 = $recall%.3f")
+    // ≈√n cells probe a ~nProbe/√n fraction of the corpus — the assertion
+    // pins "far better than the scanned fraction would give at random"
     assert(recall >= 0.3, f"recall $recall%.3f below 0.3")
+  }
+
+  test("flat IVF arm: the audit's shared-structure (seeded) path is " +
+      "output-identical to the standalone self-built path") {
+    // VERDICT r13 #2's contract: sharing one hierStructure across the
+    // audit arms must not change any arm's OUTPUT — seeded and self-built
+    // cell sets are the same deterministic structure, so the full
+    // (query_id, rank, neighbor_id, cosine) result is row-identical.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
+    val self = rows(Similarity.annIvfKmeans(spark, sf))
+    val seeded = rows(Similarity.annIvfKmeansSeededForSpec(spark, sf))
+    assert(self.nonEmpty)
+    assert(seeded === self, "seeded arm diverged from the standalone arm")
   }
 
   test("the sampled recall audit releases every frame it pinned") {
