@@ -64,11 +64,29 @@ class HybridSpec extends SparkSpec {
       val scores = byRank.map(_._4)
       assert(scores === scores.sorted.reverse, s"scores not monotone for $qid")
     }
-    // the fusion is non-vacuous: some doc was retrieved by both arms, and
-    // each arm also contributed docs the other missed
-    assert(out.exists(r => r._5 > 0 && r._6 > 0), "no consensus doc")
+    // each arm contributed docs the other missed
     assert(out.exists(r => r._5 > 0 && r._6 == 0), "no lexical-only doc")
     assert(out.exists(r => r._6 > 0 && r._5 == 0), "no dense-only doc")
+    // consensus (both-arms) rows must surface IFF the arms' top lists
+    // overlap. Whether they overlap is a fixture coincidence of the dense
+    // quantizer (the pre-r14 sqrt(n) cells happened to produce one at
+    // sf0.001; the hier-cell arm does not) — so assert the EQUIVALENCE,
+    // not bare existence; the RRF sum arithmetic itself is pinned by the
+    // integer unit test above. A consensus row always outranks every
+    // single-arm row (2·(1e6//(61+7)) > 1e6//61), so overlap in the arms
+    // implies a both-ranks row inside the fused top-k.
+    val docs = graft.engine.Sources.documents(spark, sf)
+    val lexPairs = Text.bm25TopKOf(docs, Text.bm25FixtureQueries(docs))
+      .select("qid", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qBucket = Sampling.mixHash(col("query_id")) % 100 >=
+      lit(100 - Text.Bm25QueryPct)
+    val densePairs = Similarity.annIvfKmeans(spark, sf).where(qBucket)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = lexPairs intersect densePairs
+    assert(out.exists(r => r._5 > 0 && r._6 > 0) === overlap.nonEmpty,
+      s"consensus rows inconsistent with arm overlap (${overlap.size} pairs)")
   }
 
   test("indexed hybrid equals the batch arms: persisted BM25 postings + " +
