@@ -37,8 +37,11 @@ object AuditProbe {
       val t0 = System.nanoTime()
       graft.ext.Similarity.recallAuditAt(spark, sfDir, withRp,
         shareStruct = share, serial = serial).collect()
-      spark.catalog.clearCache() // per-run isolation, as the bench does
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // per-run isolation exactly as Bench.runPass does it: teardown
+      // OUTSIDE the timed window (inside, it biases the overlap ratio)
+      spark.catalog.clearCache()
+      dt
     }
     val settings = Seq(
       "shared" -> (() => time(share = true, serial = false)),

@@ -167,17 +167,23 @@ object Bench {
     // fits in the remaining budget (pass 1 always runs — one sample per
     // query beats no artifact). `budgetStop` marks a truncated run so a
     // 1-2-sample artifact is never read as a settled 3-pass one.
+    // pass metadata is written under `lock` so the shutdown hook's
+    // snapshot of passes/budget_stop has a happens-before edge (the main
+    // thread reads its own writes without it)
     var done = 0
     var lastPass = 0.0
     var budgetStop = false
     def tryPass(): Boolean = {
       if (done > 0 && elapsed + lastPass > wallBudget) {
-        budgetStop = true; false
+        lock.synchronized { budgetStop = true }
+        false
       } else {
         val p0 = System.nanoTime()
         runPass()
-        lastPass = (System.nanoTime() - p0) / 1e9
-        done += 1
+        lock.synchronized {
+          lastPass = (System.nanoTime() - p0) / 1e9
+          done += 1
+        }
         true
       }
     }
@@ -196,9 +202,10 @@ object Bench {
       val dirNames = namesFor(dir)
       // snapshot under the lock: the shutdown hook calls this concurrently
       // with a possibly-running pass
-      val (snap, fails) = lock.synchronized {
+      val (snap, fails, doneSnap, budgetSnap) = lock.synchronized {
         (dirNames.map(n => n -> samples((dir, n))).toMap,
-         dirNames.flatMap(n => failures.get((dir, n)).map(n -> _)))
+         dirNames.flatMap(n => failures.get((dir, n)).map(n -> _)),
+         done, budgetStop)
       }
       // a query whose every run failed has no samples — reported as -1 with
       // its failure count in `errors`, and excluded from the total
@@ -235,13 +242,13 @@ object Bench {
         val excluded = names.size - dirNames.size
         val excl = if (excluded > 0) s""""excluded_small_n":$excluded,""" else ""
         val skipped = if (skip.isEmpty) "" else s""""skipped_harness":${skip.size},"""
-        val budget = if (budgetStop) "\"budget_stop\":true," else ""
+        val budget = if (budgetSnap) "\"budget_stop\":true," else ""
         val kill = if (killed) "\"killed\":true," else ""
         val errs =
           if (fails.isEmpty) ""
           else fails.map { case (k, c) => "\"" + k + "\":" + c }
             .mkString("\"errors\":{", ",", "},")
-        s"""{"metric":"total","value":$total,"unit":"sec",$partial$excl$skipped$budget$kill$errs$ns"throttle_ratio":$tr,"passes":$done,"queries":$qs,"mins":$ms,"sf":"$dir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec",$partial$excl$skipped$budget$kill$errs$ns"throttle_ratio":$tr,"passes":$doneSnap,"queries":$qs,"mins":$ms,"sf":"$dir"}"""
       }
       // the driver tail-captures a fixed TOTAL trailing-char budget; in
       // multi-SF mode every line must fit together or the earlier line(s)
@@ -255,12 +262,16 @@ object Bench {
     // external TERM (the r13 failure mode — the driver's timeout kill) must
     // still yield parsed JSON line(s) from whatever samples exist, and a
     // normal exit must not print twice (the hook runs on EVERY exit).
+    // `samplingDone` keeps a kill that lands AFTER sampling (during the
+    // BENCH_OUT write or spark.stop — which can block for seconds) from
+    // mislabeling a fully-settled run as killed/partial.
     val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val samplingDone = new java.util.concurrent.atomic.AtomicBoolean(false)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       if (emitted.compareAndSet(false, true)) {
         // no spark.stop() here — the hook's job is the artifact, and the
         // JVM is dying anyway; stop() can block on in-flight jobs
-        sfDirs.foreach(d => println(lineFor(d, killed = true)))
+        sfDirs.foreach(d => println(lineFor(d, killed = !samplingDone.get)))
         System.out.flush()
       }, "bench-emit"))
     // warmup: exercise scans/joins/windows/aggs once at tiny SF so the first
@@ -273,6 +284,7 @@ object Bench {
     // median is riding a throttle episode — widen the sample rather than
     // committing a poisoned artifact (within the wall budget)
     while (go && ratio() > ThrottleLimit && done < maxPasses) go = tryPass()
+    samplingDone.set(true)
     val lines = sfDirs.map(lineFor(_))
     // full-precision artifact path: per-query medians AND mins for every
     // query with no `_rest` collapse — the stdout lines stay inside the

@@ -42,9 +42,16 @@ private[graft] object SessionOnce {
 
   /** Mark `key` built without running anything — for harness twins that
     * just rebuilt the store explicitly (idempotence arms), so the session
-    * arm reuses their work. */
-  def markBuilt(key: String): Unit =
-    builds.put(key, java.util.concurrent.CompletableFuture.completedFuture(null))
+    * arm reuses their work. Never clobbers an IN-FLIGHT build (that would
+    * re-open the publish-before-complete hole this class closes: later
+    * callers would stop waiting on the winner); only absent or
+    * previously-failed entries are replaced. */
+  def markBuilt(key: String): Unit = {
+    val done = java.util.concurrent.CompletableFuture.completedFuture[Void](null)
+    val cur = builds.putIfAbsent(key, done)
+    if (cur != null && cur.isDone && cur.isCompletedExceptionally)
+      builds.replace(key, cur, done)
+  }
 
   /** Await `f`; true iff it completed exceptionally (or was cancelled). */
   private def failed(f: java.util.concurrent.CompletableFuture[Void]): Boolean =

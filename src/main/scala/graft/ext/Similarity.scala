@@ -1372,10 +1372,21 @@ object Similarity {
     // shared: the flat arm's cell set comes from the ONE structure build;
     // unshared (the ablation arm — AuditProbe): the flat arm rebuilds its
     // own, exactly the r13 independent-builds shape. Outputs identical
-    // (ExtSpec's seeded-identity test).
-    def kmPart(subs: Option[DataFrame]): DataFrame =
+    // (ExtSpec's seeded-identity test). The duplicate structure builds
+    // BEFORE the exact pass is awaited (the await hides in the preExact
+    // argument), so the unshared arm overlaps its build with the n² scan
+    // like every other structure build — otherwise the ablation would
+    // charge the duplicated build with lost overlap it never had.
+    def kmPart(subs: Option[DataFrame]): DataFrame = {
+      val cents = subs.map(flatCents).getOrElse {
+        val (_, s, _) = hierStructure(vecs)
+        val out = flatCents(s)
+        s.unpersist()
+        out
+      }
       annIvfKmeansFrom(vecs, pins, preExact = Some(exact),
-        preCents = subs.map(flatCents))
+        preCents = Some(cents))
+    }
     def rpPart(): Option[DataFrame] = if (!withRp) None else {
       val rvecs = pins.pin(rpVecsOf(vecs))
       // structure first (projection + Lloyd need no ground truth) ...
