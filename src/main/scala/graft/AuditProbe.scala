@@ -35,8 +35,11 @@ object AuditProbe {
     val withRp = graft.ext.Similarity.AuditRpArm
     def time(share: Boolean, serial: Boolean): Double = {
       val t0 = System.nanoTime()
+      // useCache=false: the probe measures BUILD shapes — the session
+      // cache would serve every arm a prebuilt structure after the first
+      // call and erase the very difference the ablation times
       graft.ext.Similarity.recallAuditAt(spark, sfDir, withRp,
-        shareStruct = share, serial = serial).collect()
+        shareStruct = share, serial = serial, useCache = false).collect()
       val dt = (System.nanoTime() - t0) / 1e9
       // per-run isolation exactly as Bench.runPass does it: teardown
       // OUTSIDE the timed window (inside, it biases the overlap ratio)

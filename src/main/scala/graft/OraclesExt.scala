@@ -1235,32 +1235,105 @@ object OraclesExt {
     * assignment with ties→lower seed id, exact decimal-mean update).
     * Appends after `n` ([[normCte]]); the final centroid table is
     * `c<KmeansIters>` with columns (cl, cv, cnorm). */
-  private def kmeansCtes: String = {
+  private def kmeansCtes: String = kmeansCtesAt()
+
+  /** [[kmeansCtes]] parameterized by vector length, source CTE, and a CTE
+    * name prefix — so TWO chains (full-space over `n` + JL-projected over
+    * `rp`) can coexist in one WITH clause (the SemDeDup agreement twin
+    * needs both). Defaults reproduce the historical chain byte-for-byte;
+    * the final centroid table is `<pfx>c<KmeansIters>`. */
+  private def kmeansCtesAt(dim: Int = Dim, src: String = "n",
+                           pfx: String = ""): String = {
     import graft.ext.Similarity.KmeansIters
     val listNorm =
       "sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x * x)), (a, b) -> a + b))"
     def round(prev: String, out: String, r: Int): String =
-      s"""a$r AS (
+      s"""${pfx}a$r AS (
          |  SELECT x.vec_id, x.v, c.cl,
          |    row_number() OVER (PARTITION BY x.vec_id
-         |      ORDER BY (${dotSql("x.v", "c.cv")}) / (x.norm * c.cnorm) DESC, c.cl) AS crank
-         |  FROM n x CROSS JOIN $prev c),
+         |      ORDER BY (${dotSqlN("x.v", "c.cv", dim)}) / (x.norm * c.cnorm) DESC, c.cl) AS crank
+         |  FROM $src x CROSS JOIN $prev c),
          |${out}m AS (
          |  SELECT cl, i, CAST(SUM(CAST(v[i] AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS c
-         |  FROM a$r, (SELECT unnest(generate_series(1, $Dim)) AS i) AS dims
+         |  FROM ${pfx}a$r, (SELECT unnest(generate_series(1, $dim)) AS i) AS dims
          |  WHERE crank = 1 GROUP BY cl, i),
          |${out}v AS (SELECT cl, list(c ORDER BY i) AS cv FROM ${out}m GROUP BY cl),
          |$out AS (SELECT cl, cv, $listNorm AS cnorm FROM ${out}v
          |  WHERE $listNorm > 0)""".stripMargin
     val rounds = (1 to KmeansIters)
-      .map(r => round(s"c${r - 1}", s"c$r", r)).mkString(",\n")
-    s"""sr AS (SELECT vec_id AS cl, v AS cv,
+      .map(r => round(s"${pfx}c${r - 1}", s"${pfx}c$r", r)).mkString(",\n")
+    s"""${pfx}sr AS (SELECT vec_id AS cl, v AS cv,
        |    row_number() OVER (ORDER BY ${mixSql("vec_id")}, vec_id) AS rk
-       |  FROM n),
-       |c0 AS (SELECT cl, cv, $listNorm AS cnorm FROM sr
-       |  WHERE rk <= (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM n)
+       |  FROM $src),
+       |${pfx}c0 AS (SELECT cl, cv, $listNorm AS cnorm FROM ${pfx}sr
+       |  WHERE rk <= (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM $src)
        |    AND $listNorm > 0),
        |$rounds""".stripMargin
+  }
+
+  /** The shared SemDeDup verdict tail as CTEs — √n-k-means assignment +
+    * within-cluster pair scan + keep-lowest-id verdict, parameterized by
+    * (CTE prefix, source vector CTE, vector length, centroid table) so the
+    * full-space and rp-projected chains can coexist in one WITH clause.
+    * Final CTE is `<pfx>vd` (vec_id, cluster, kept). */
+  private def semanticVerdictCtes(pfx: String, src: String, dim: Int,
+                                  centTable: String): String =
+    s"""${pfx}scored AS (
+       |  SELECT x.vec_id, x.v, x.norm, c.cl,
+       |    row_number() OVER (PARTITION BY x.vec_id
+       |      ORDER BY (${dotSqlN("x.v", "c.cv", dim)}) / (x.norm * c.cnorm) DESC, c.cl) AS crank
+       |  FROM $src x CROSS JOIN $centTable c),
+       |${pfx}asg AS (SELECT cl AS cluster, vec_id, v, norm FROM ${pfx}scored WHERE crank = 1),
+       |${pfx}dups AS (SELECT DISTINCT b.vec_id AS dup_id
+       |  FROM ${pfx}asg a JOIN ${pfx}asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${R(s"(${dotSqlN("a.v", "b.v", dim)}) / (a.norm * b.norm)", 6)} >= $CosineThreshold),
+       |${pfx}vd AS (SELECT a.vec_id, a.cluster, d.dup_id IS NULL AS kept
+       |  FROM ${pfx}asg a LEFT JOIN ${pfx}dups d ON d.dup_id = a.vec_id)""".stripMargin
+
+  /** Twin of Dedup.semanticDedupRp — reduce-THEN-dedup (r15): the
+    * [[rpProjCte]] 16-dim projected corpus (renamed to the (vec_id, v,
+    * norm) vector shape) fed through the IDENTICAL [[kmeansCtesAt]] √n
+    * Lloyd chain and [[semanticVerdictCtes]] pair-scan verdict at
+    * dim = RpDims — every dot in the dedup runs over projected arrays. */
+  lazy val dedupSemanticRp: String = {
+    import graft.ext.Similarity.{KmeansIters, RpDims}
+    s"""WITH $rpProjCte,
+       |rv AS (SELECT vec_id, p AS v, pnorm AS norm FROM pn),
+       |${kmeansCtesAt(RpDims, "rv")},
+       |${semanticVerdictCtes("", "rv", RpDims, s"c$KmeansIters")}
+       |SELECT vec_id, cluster, kept FROM vd
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** Twin of Dedup.semanticDedupRpAgreement — BOTH verdict chains (the
+    * full-space [[dedupSemanticKmeans]] one and the projected
+    * [[dedupSemanticRp]] one) in a single WITH clause via the
+    * prefix-parameterized CTE builders, joined per-vector and reduced to
+    * one row of BIGINT-exact counts + 4-dp rates. */
+  lazy val dedupSemanticRpAgreement: String = {
+    import graft.ext.Similarity.{KmeansIters, RpDims}
+    s"""WITH $rpProjCte,
+       |rv AS (SELECT vec_id, p AS v, pnorm AS norm FROM pn),
+       |${kmeansCtesAt()},
+       |${kmeansCtesAt(RpDims, "rv", "r")},
+       |${semanticVerdictCtes("f", "n", Dim, s"c$KmeansIters")},
+       |${semanticVerdictCtes("p", "rv", RpDims, s"rc$KmeansIters")},
+       |j AS (SELECT f.vec_id, f.kept AS kf, p.kept AS kr
+       |  FROM fvd f JOIN pvd p ON p.vec_id = f.vec_id),
+       |agg AS (SELECT
+       |    CAST(count(*) AS BIGINT) AS n_vecs,
+       |    CAST(SUM(CASE WHEN kf THEN 1 ELSE 0 END) AS BIGINT) AS kept_full,
+       |    CAST(SUM(CASE WHEN kr THEN 1 ELSE 0 END) AS BIGINT) AS kept_rp,
+       |    CAST(SUM(CASE WHEN kf = kr THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |    CAST(SUM(CASE WHEN NOT kf AND NOT kr THEN 1 ELSE 0 END) AS BIGINT) AS drop_both,
+       |    CAST(SUM(CASE WHEN NOT kf OR NOT kr THEN 1 ELSE 0 END) AS BIGINT) AS drop_union
+       |  FROM j)
+       |SELECT n_vecs, kept_full, kept_rp, n_agree,
+       |  ${R("CAST(n_agree AS DOUBLE) / n_vecs", 4)} AS agree_rate,
+       |  drop_both, drop_union,
+       |  CASE WHEN drop_union > 0
+       |    THEN ${R("CAST(drop_both AS DOUBLE) / drop_union", 4)} END AS drop_jaccard
+       |FROM agg""".stripMargin
   }
 
   /** The probe-calibration CTE chain shared by the k-means and hierarchical
@@ -3777,6 +3850,8 @@ object OraclesExt {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_kmeans" -> dedupSemanticKmeans,
+    "dedup_semantic_rp" -> dedupSemanticRp,
+    "dedup_semantic_rp_agreement" -> dedupSemanticRpAgreement,
     "dedup_chunk_spans" -> dedupChunkSpans,
     "sim_knn_bruteforce" -> simKnnBruteForce,
     "sim_rp_distortion" -> simRpDistortion,

@@ -118,6 +118,10 @@ object SparkEntry {
     "dedup_semantic" -> ((s, d) => ext.Dedup.semanticDedup(s, d).orderBy("vec_id")),
     "dedup_semantic_kmeans" -> ((s, d) =>
       ext.Dedup.semanticDedupKmeans(s, d).orderBy("vec_id")),
+    "dedup_semantic_rp" -> ((s, d) =>
+      ext.Dedup.semanticDedupRp(s, d).orderBy("vec_id")),
+    "dedup_semantic_rp_agreement" -> ((s, d) =>
+      ext.Dedup.semanticDedupRpAgreement(s, d)),
     "dedup_chunk_spans" -> ((s, d) => ext.Dedup.chunkSpans(s, d).orderBy("doc_id")),
     "dedup_chunk_rewrite" -> ((s, d) => ext.Dedup.chunkRewrite(s, d).orderBy("doc_id")),
     // ext: similarity search (brute-force ground truth + SRP-LSH ANN)

@@ -652,6 +652,65 @@ object Dedup {
       .select(col("vec_id"), col("cluster"), col("v"), col("norm")))
   }
 
+  /** SemDeDup over the JL-PROJECTED corpus — reduce-THEN-dedup (r15,
+    * VERDICT r14 #6): [[Similarity.rpProject]]'s 16-dim output fed into
+    * the SAME √n k-means quantizer + within-cluster pair scan +
+    * keep-lowest-id verdict as [[semanticDedupKmeans]], so every pairwise
+    * op in the dedup — Lloyd dots, assignment, the O(Σcᵢ²) cluster pair
+    * scan — runs at [[Similarity.RpDims]]/[[Similarity.Dim]] (= 1/4) of
+    * the flop, storage, and shuffle width. This is the rp deployment story
+    * applied to the dedup side: at 100 TB the pair scan IS SemDeDup's
+    * cost, and it shrinks 4× through the map-only projection. What the
+    * projection changes in the VERDICTS (vs full-space SemDeDup) is
+    * measured, not asserted: [[semanticDedupRpAgreement]] is the
+    * agreement row. Thresholding happens in projected space — the same
+    * [[CosineThreshold]], since JL preserves cosines in expectation
+    * (distortion audited per-vector by `sim_rp_distortion`). */
+  def semanticDedupRp(spark: SparkSession, dir: String): DataFrame = {
+    val rvecs = Similarity.rpVecsOf(
+      Similarity.withNorm(Sources.embeddings(spark, dir)))
+    val k = math.ceil(math.sqrt(rvecs.count().toDouble)).toInt
+    val cents = Similarity.kmeansCentroidsLocalK(
+      rvecs, k, Similarity.KmeansIters, Similarity.RpDims)
+    // map-only assignment against the driver-resident centroid literal —
+    // the first exchange in the operator is the pair scan's cluster join,
+    // exactly like the full-space kmeans path
+    verdictFromAssigned(rvecs
+      .withColumn("cluster",
+        element_at(Similarity.nearestCells(cents, 1), 1).getField("cl"))
+      .select(col("vec_id"), col("cluster"), col("v"), col("norm")))
+  }
+
+  /** The projected-vs-full-space SemDeDup AGREEMENT row: how much of the
+    * 4×-cheaper [[semanticDedupRp]] verdict set matches
+    * [[semanticDedupKmeans]] on the same corpus — one row of exact counts
+    * (BIGINT in both engines) plus rounded rates. `drop_jaccard` is the
+    * overlap of the two DROP sets (NULL when neither arm drops anything);
+    * `agree_rate` the per-vector verdict agreement. The deployment read:
+    * if agreement is high, run dedup at 1/4 width and bank the pair-scan
+    * flops — the same decision the recall audit's two-regime rows inform
+    * for search. */
+  def semanticDedupRpAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val full = semanticDedupKmeans(spark, dir)
+      .select(col("vec_id"), col("kept").as("_kf"))
+    val rp = semanticDedupRp(spark, dir)
+      .select(col("vec_id"), col("kept").as("_kr"))
+    full.join(rp, "vec_id")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("_kf"), 1L).otherwise(0L)).as("kept_full"),
+        sum(when(col("_kr"), 1L).otherwise(0L)).as("kept_rp"),
+        sum(when(col("_kf") === col("_kr"), 1L).otherwise(0L)).as("n_agree"),
+        sum(when(!col("_kf") && !col("_kr"), 1L).otherwise(0L)).as("drop_both"),
+        sum(when(!col("_kf") || !col("_kr"), 1L).otherwise(0L)).as("drop_union"))
+      .select(col("n_vecs"), col("kept_full"), col("kept_rp"), col("n_agree"),
+        r(col("n_agree").cast("double") / col("n_vecs"), 4).as("agree_rate"),
+        col("drop_both"), col("drop_union"),
+        when(col("drop_union") > 0,
+          r(col("drop_both").cast("double") / col("drop_union"), 4))
+          .as("drop_jaccard"))
+  }
+
   /** Label-quantizer SemDeDup assignment: nearest-centroid by broadcast
     * rank over the fixture's ~|labels| centroids (K is FIXED here, so the
     * n×K window stays n×10 at any corpus size — harmless, unlike the √n

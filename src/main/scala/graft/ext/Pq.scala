@@ -192,11 +192,14 @@ object Pq {
                                         dir: String): (DataFrame, Similarity.Pins) = {
     val pins = new Similarity.Pins
     val vecs = pins.pin(Similarity.withNorm(Sources.embeddings(spark, dir)))
-    val m = Similarity.hierModel(vecs)
+    val m = Similarity.hierModel(vecs, cacheKey = Some(s"$dir#base"))
     pins.track(m.subs)
     // multi-consumer pin: inverted lists + probes read the same assignment
     val scored = pins.pin(Similarity.hierScored(vecs, m.l1, m.subs, m.nProbe))
-    (annIvfPqFrom(vecs, scored, pqCodebooksLocal(vecs)), pins)
+    // session-shared codebooks (deterministic per corpus; same key as the
+    // audit's PQ arm)
+    val books = SessionVal(s"pqbooks#$dir")(pqCodebooksLocal(vecs))
+    (annIvfPqFrom(vecs, scored, books), pins)
   }
 
   /** The PQ retrieval arm over a caller-built (and caller-pinned) corpus and
