@@ -1750,11 +1750,20 @@ object OraclesExt {
     * order), then per-vector codes and the s-ordered-fold reconstruction
     * norm. Emits pb<PqIters> (s, code, cw), penc (vec_id, s, code), pnorm
     * (vec_id, rnorm). */
-  private def pqCtes: String = {
-    import graft.ext.Pq.{PqCodes, PqIters, PqSub, PqSubDim}
+  private def pqCtes: String = pqCtesAt()
+
+  /** [[pqCtes]] parameterized by subspace width and source CTE — the same
+    * encode/codebook chain serves the full-space (8-dim slices over `n`)
+    * and rp-projected (2-dim slices over `rv`) corpora, mirroring the
+    * width-generic Spark helpers (`pqCodesCol`/`adcDotCol` derive the
+    * width from the codebooks). Defaults reproduce the historical chain
+    * byte-for-byte. */
+  private def pqCtesAt(subDim: Int = graft.ext.Pq.PqSubDim,
+                       src: String = "n"): String = {
+    import graft.ext.Pq.{PqCodes, PqIters, PqSub}
     def l2Sql(a: String, b: String): String =
       s"""list_reduce(list_prepend(0.0, list_transform(
-         |      generate_series(1, $PqSubDim), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (x, y) -> x + y)""".stripMargin
+         |      generate_series(1, $subDim), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (x, y) -> x + y)""".stripMargin
     def round(prev: String, out: String, rn: Int): String =
       s"""pas$rn AS (
          |  SELECT a.vec_id, a.s, a.sv, c.code,
@@ -1764,7 +1773,7 @@ object OraclesExt {
          |${out}m AS (
          |  SELECT s, code, i,
          |    CAST(SUM(CAST(sv[i] AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS c
-         |  FROM pas$rn, (SELECT unnest(generate_series(1, $PqSubDim)) AS i) AS dims
+         |  FROM pas$rn, (SELECT unnest(generate_series(1, $subDim)) AS i) AS dims
          |  WHERE rk = 1 GROUP BY s, code, i),
          |${out}v AS (SELECT s, code, list(c ORDER BY i) AS cw FROM ${out}m
          |  GROUP BY s, code),
@@ -1774,14 +1783,14 @@ object OraclesExt {
       .map(rn => round(s"pb${rn - 1}", s"pb$rn", rn)).mkString(",\n")
     s"""psd AS (SELECT vec_id, v,
        |    row_number() OVER (ORDER BY ${mixSql("vec_id")}, vec_id) AS code
-       |  FROM n),
+       |  FROM $src),
        |psub AS (SELECT unnest(generate_series(0, ${PqSub - 1})) AS s),
        |pb0 AS (SELECT u.s, p.code,
-       |    list_slice(p.v, u.s * $PqSubDim + 1, (u.s + 1) * $PqSubDim) AS cw
+       |    list_slice(p.v, u.s * $subDim + 1, (u.s + 1) * $subDim) AS cw
        |  FROM psd p CROSS JOIN psub u WHERE p.code <= $PqCodes),
        |psl AS (SELECT x.vec_id, u.s,
-       |    list_slice(x.v, u.s * $PqSubDim + 1, (u.s + 1) * $PqSubDim) AS sv
-       |  FROM n x CROSS JOIN psub u),
+       |    list_slice(x.v, u.s * $subDim + 1, (u.s + 1) * $subDim) AS sv
+       |  FROM $src x CROSS JOIN psub u),
        |$rounds,
        |pe AS (SELECT a.vec_id, a.s, c.code,
        |    row_number() OVER (PARTITION BY a.vec_id, a.s
@@ -1836,6 +1845,53 @@ object OraclesExt {
          |  FROM pcand c
          |  JOIN n q ON q.vec_id = c.query_id
          |  JOIN n x ON x.vec_id = c.neighbor_id
+         |  WHERE c.crk <= $PqRerank)""".stripMargin)}""".stripMargin
+  }
+
+  /** Twin of Pq.annIvfRpPq — reduce-then-index-then-compress: the
+    * [[rpProjCte]] 16-dim corpus through the SAME [[hierChainAt]] coarse
+    * quantizer as [[simAnnIvfRp]], the [[pqCtesAt]] codebook/encode chain
+    * at subspace width 2 over the projected vectors, ADC scoring and
+    * exact refine both in the projected space (every dot at dim
+    * [[graft.ext.Similarity.RpDims]]). */
+  lazy val simAnnIvfRpPq: String = {
+    import graft.ext.Pq.{PqIters, PqRerank}
+    import graft.ext.Similarity.RpDims
+    val subDim = RpDims / graft.ext.Pq.PqSub
+    val pre = s"""$rpProjCte,
+       |rv AS (SELECT vec_id, p AS v, pnorm AS norm FROM pn)""".stripMargin
+    val chain = hierChainAt(listDepth = 1, dim = RpDims, pre = pre, src = "rv")
+    val subDot =
+      s"""list_reduce(list_prepend(0.0, list_transform(
+         |      generate_series(1, $subDim), i -> q.v[e.s * $subDim + i] * b.cw[i])),
+         |      (x, y) -> x + y)""".stripMargin
+    s"""WITH $chain,
+       |${pqCtesAt(subDim, "rv")},
+       |padc AS (
+       |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, e.s, $subDot AS t
+       |  FROM probes q JOIN inv x ON x.cl = q.cl AND x.vec_id <> q.vec_id
+       |  JOIN penc e ON e.vec_id = x.vec_id
+       |  JOIN pb$PqIters b ON b.s = e.s AND b.code = e.code),
+       |pscore AS (
+       |  SELECT a.query_id, a.neighbor_id,
+       |    ${R("list_reduce(list_prepend(0.0, list(a.t ORDER BY a.s)), (x, y) -> x + y)" +
+           " / (qn.norm * pn2.rnorm)", 6)} AS adc
+       |  FROM padc a
+       |  JOIN rv qn ON qn.vec_id = a.query_id
+       |  JOIN pnorm pn2 ON pn2.vec_id = a.neighbor_id
+       |  GROUP BY a.query_id, a.neighbor_id, qn.norm, pn2.rnorm),
+       |pcand AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc DESC, neighbor_id) AS crk
+       |  FROM pscore),
+       |${topKSql(
+      s"""p AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    ${R(s"(${dotSqlN("q.v", "x.v", RpDims)}) / (q.norm * x.norm)", 6)} AS cosine
+         |  FROM pcand c
+         |  JOIN rv q ON q.vec_id = c.query_id
+         |  JOIN rv x ON x.vec_id = c.neighbor_id
          |  WHERE c.crk <= $PqRerank)""".stripMargin)}""".stripMargin
   }
 
@@ -3800,6 +3856,7 @@ object OraclesExt {
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
     "sim_ann_ivf_hier" -> simAnnIvfHier,
     "sim_ann_ivf_rp" -> simAnnIvfRp,
+    "sim_ann_ivf_rp_pq" -> simAnnIvfRpPq,
     "sim_hard_negatives" -> simHardNegatives,
     "sim_ann_ivf_hier_spill" -> simAnnIvfHierSpill,
     // the persisted index is bit-identical to the hier operator by

@@ -143,6 +143,8 @@ object SparkEntry {
       ext.Similarity.annIvfHier(s, d).orderBy("query_id", "rank")),
     "sim_ann_ivf_rp" -> ((s, d) =>
       ext.Similarity.annIvfRp(s, d).orderBy("query_id", "rank")),
+    "sim_ann_ivf_rp_pq" -> ((s, d) =>
+      ext.Pq.annIvfRpPq(s, d).orderBy("query_id", "rank")),
     "sim_hard_negatives" -> ((s, d) =>
       ext.Similarity.hardNegatives(s, d).orderBy("query_id", "rank")),
     "sim_ann_ivf_hier_spill" -> ((s, d) =>

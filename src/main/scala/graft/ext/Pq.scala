@@ -65,8 +65,8 @@ object Pq {
     * (8 KiB here; 128 KiB at production 256 codes) — plan-literal safe. */
   type Books = Array[Array[Array[Double]]]
 
-  private def sliceCol(v: Column, s: Int): Column =
-    slice(v, s * PqSubDim + 1, PqSubDim)
+  private def sliceCol(v: Column, s: Int, subDim: Int = PqSubDim): Column =
+    slice(v, s * subDim + 1, subDim)
 
   /** 1-based code of subspace `s` for the row's `v` — map-only argmin over
     * the codebook literal, ties → lower code (array_position returns the
@@ -74,9 +74,10 @@ object Pq {
     * ordering hazard). Two linear passes over [[PqCodes]] distances beat
     * the struct array_sort this replaces (no struct allocation, no
     * O(k log k) comparator). */
-  private def codeCol(v: Column, s: Int, books: Books): Column = {
+  private def codeCol(v: Column, s: Int, books: Books,
+                      subDim: Int = PqSubDim): Column = {
     val bk = typedlit(books(s).map(_.toSeq).toSeq)
-    val sv = sliceCol(v, s)
+    val sv = sliceCol(v, s, subDim)
     val dists = transform(bk, cw => graft.functions.Native.l2sq(sv, cw))
     array_position(dists, array_min(dists)).cast("int")
   }
@@ -86,7 +87,8 @@ object Pq {
     * pass (map-only assignment against the codebook literal, explode to
     * (s, code, slice), exact decimal-mean update, driver collect bounded at
     * [[PqSub]]·[[PqCodes]] rows). */
-  def pqCodebooksLocal(vecs: DataFrame): Books = {
+  def pqCodebooksLocal(vecs: DataFrame, dim: Int = Dim): Books = {
+    val subDim = dim / PqSub
     val seedRows = vecs
       .orderBy(Sampling.mixHash(col("vec_id")), col("vec_id")).limit(PqCodes)
       .select(Sampling.mixHash(col("vec_id")).as("m"), col("vec_id"), col("v"))
@@ -94,21 +96,21 @@ object Pq {
       .sortBy(r => (r.getLong(0), r.getLong(1)))
     val seeds: Books = Array.tabulate(PqSub) { s =>
       seedRows.map(r =>
-        r.getSeq[Double](2).slice(s * PqSubDim, (s + 1) * PqSubDim).toArray)
+        r.getSeq[Double](2).slice(s * subDim, (s + 1) * subDim).toArray)
     }
     (1 to PqIters).foldLeft(seeds) { (books, _) =>
       val assigned = vecs.select(col("vec_id"),
           explode(array((0 until PqSub).map { s =>
-            struct(lit(s).as("s"), codeCol(col("v"), s, books).as("code"),
-              sliceCol(col("v"), s).as("sv"))
+            struct(lit(s).as("s"), codeCol(col("v"), s, books, subDim).as("code"),
+              sliceCol(col("v"), s, subDim).as("sv"))
           }: _*)).as("a"))
         .select(col("a.s").as("s"), col("a.code").as("code"), col("a.sv").as("sv"))
-      val dims = (0 until PqSubDim).map(i =>
+      val dims = (0 until subDim).map(i =>
         (sum(col("sv")(i).cast(Num.SumDec)).cast("double") / count(lit(1))).as(s"c$i"))
       val rows = assigned.groupBy("s", "code").agg(dims.head, dims.tail: _*)
         .collect()
         .map(r => (r.getInt(0), r.getInt(1),
-          (0 until PqSubDim).map(i => r.getDouble(2 + i)).toArray))
+          (0 until subDim).map(i => r.getDouble(2 + i)).toArray))
       Array.tabulate(PqSub) { s =>
         rows.filter(_._1 == s).sortBy(_._2).map(_._3)
       }
@@ -120,9 +122,13 @@ object Pq {
   private def norm2(books: Books): Array[Array[Double]] =
     books.map(_.map(cw => cw.foldLeft(0.0)((a, x) => a + x * x)))
 
-  /** The row's [[PqSub]] codes as array<int> — map-only. */
-  def pqCodesCol(v: Column, books: Books): Column =
-    array((0 until PqSub).map(codeCol(v, _, books)): _*)
+  /** The row's [[PqSub]] codes as array<int> — map-only. The subspace
+    * width comes from the codebooks themselves, so the same call sites
+    * serve the full-space (8-dim) and rp-projected (2-dim) books. */
+  def pqCodesCol(v: Column, books: Books): Column = {
+    val subDim = books(0)(0).length
+    array((0 until PqSub).map(codeCol(v, _, books, subDim)): _*)
+  }
 
   /** ‖reconstruction‖ from a `codes` column: subspaces are disjoint
     * coordinates, so ‖recon‖² = Σ_s ‖codeword_s‖² — an s-ordered left fold
@@ -151,10 +157,11 @@ object Pq {
     * allocated two arrays per candidate×subspace on the audit's
     * ~12M-candidate hot path); NativeSpec pins kernel == composition. */
   def adcDotCol(qv: Column, codes: Column, books: Books): Column = {
-    val flat = new Array[Double](PqSub * PqCodes * PqSubDim)
-    for (s <- 0 until PqSub; k <- books(s).indices; i <- 0 until PqSubDim)
-      flat((s * PqCodes + k) * PqSubDim + i) = books(s)(k)(i)
-    graft.functions.Native.adcDot(qv, codes, flat, PqSub, PqSubDim, PqCodes)
+    val subDim = books(0)(0).length // width travels with the codebooks
+    val flat = new Array[Double](PqSub * PqCodes * subDim)
+    for (s <- 0 until PqSub; k <- books(s).indices; i <- 0 until subDim)
+      flat((s * PqCodes + k) * subDim + i) = books(s)(k)(i)
+    graft.functions.Native.adcDot(qv, codes, flat, PqSub, subDim, PqCodes)
   }
 
   /** IVF-PQ ANN — the memory-bounded deployment path. Same two-level
@@ -200,6 +207,35 @@ object Pq {
     // audit's PQ arm)
     val books = SessionVal(s"pqbooks#$dir")(pqCodebooksLocal(vecs))
     (annIvfPqFrom(vecs, scored, books), pins)
+  }
+
+  /** IVF-PQ over the JL-PROJECTED corpus — reduce-then-index-then-compress
+    * (r15): [[Similarity.rpVecsOf]]'s 16-dim output fed through the SAME
+    * hier coarse quantizer + calibration as [[Similarity.annIvfRp]]
+    * (session-shared structure, same `dir#rp` key — the two arms serve one
+    * index build) and the SAME PQ encode/ADC/rerank tail as [[annIvfPq]],
+    * with [[PqSub]] = 8 subspaces of width 2. The two storage stories
+    * COMPOUND: the projection cuts every vector 64→16 doubles before the
+    * index ever sees it (flops, shuffle width, Lloyd cost — the
+    * `ann_ivf_rp` win), then PQ cuts the inverted-list payload to 8
+    * small-alphabet codes + one norm (the ~32× list-byte win) — logically
+    * ~4 B of code payload per list row where the full-space lists carried
+    * ~520 B: the shape a 10¹⁰-vector index wants. Exact refine runs in the
+    * projected space against the projected corpus (the same space the
+    * coarse quantizer and ADC rank in), exactly as [[Similarity.annIvfRp]]
+    * refines — recall vs full space is the planted fixture's
+    * two-regime story, measured there, not here. */
+  def annIvfRpPq(spark: SparkSession, dir: String): DataFrame = {
+    val pins = new Similarity.Pins
+    val vecs = pins.pin(
+      Similarity.rpVecsOf(Similarity.withNorm(Sources.embeddings(spark, dir))))
+    val m = Similarity.hierModel(vecs, dim = Similarity.RpDims,
+      cacheKey = Some(s"$dir#rp"))
+    pins.track(m.subs)
+    val scored = pins.pin(Similarity.hierScored(vecs, m.l1, m.subs, m.nProbe))
+    val books = SessionVal(s"pqbooks#$dir#rp")(
+      pqCodebooksLocal(vecs, Similarity.RpDims))
+    annIvfPqFrom(vecs, scored, books)
   }
 
   /** The PQ retrieval arm over a caller-built (and caller-pinned) corpus and

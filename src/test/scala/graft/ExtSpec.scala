@@ -1055,6 +1055,22 @@ class SimilaritySpec extends SparkSpec {
       "annIvfPqReleasable left frames pinned after release()")
   }
 
+  test("rp-PQ arm: projected-space top-K shape, warm-call idempotent") {
+    // r15: reduce-then-index-then-compress. The arm shares the rp hier
+    // structure ($dir#rp) and its own rp-space codebooks via the session
+    // cache, so a second call must be row-identical (the bench's warm
+    // samples measure the same result the cold Verify run was graded on).
+    val a = graft.ext.Pq.annIvfRpPq(spark, sf).collect()
+    assert(a.nonEmpty)
+    val perQuery = a.groupBy(_.getLong(0))
+    assert(perQuery.values.forall(_.length <= graft.ext.Similarity.TopK))
+    // ranks are 1..k dense per query
+    assert(perQuery.values.forall(rs =>
+      rs.map(_.getInt(3)).sorted.sameElements(1 to rs.length)))
+    val b = graft.ext.Pq.annIvfRpPq(spark, sf).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+  }
+
   test("spilled hier IVF dominates the base arm per query (superset guarantee)") {
     import graft.ext.Similarity
     val exact = Similarity.knnBruteForce(spark, sf).collect()
