@@ -74,9 +74,15 @@ object Bench {
     * per run what its `_indexed`/`_search` deployment twin measures from
     * the persisted store (VERDICT r13 #3 — the rebuild cost is build
     * evidence the `sim_ann_index*` build+search rows already carry).
-    * Correctness coverage is unaffected: Verify runs the WHOLE registry. */
+    * Correctness coverage is unaffected: Verify runs the WHOLE registry.
+    * `dedup_cross_modal` joined the set in r15 on the same contract: it
+    * re-decodes all three media modalities per run to rebuild fingerprints
+    * its timed `_indexed` twin serves bit-identically from the persisted
+    * [[graft.ext.FpStore]] (the media decode cost is already timed by the
+    * `media_*` arms). */
   val DefaultSkip: Set[String] =
-    Set("text_bm25_rm3", "text_hybrid_rrf", "sim_ann_index_pq")
+    Set("text_bm25_rm3", "text_hybrid_rrf", "sim_ann_index_pq",
+      "dedup_cross_modal")
 
   def main(args: Array[String]): Unit = {
     val t0 = System.nanoTime()

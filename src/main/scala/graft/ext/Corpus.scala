@@ -434,9 +434,17 @@ object Corpus {
     * #7). The cross-modal arm rides the session fingerprint store —
     * decode-once, like the `dedup_cross_modal_indexed` deployment twin. */
   def releaseManifest(spark: SparkSession, dir: String): DataFrame = {
+    // Pin the scrubbed corpus once per run (OPTIMIZATION r15): the quality
+    // sampler (model + scoring), both decontamination branches, and the
+    // cross-modal text arm otherwise each re-run the documents scan + the
+    // full redaction regex chain as their own subtree — six corpus passes
+    // where the pipeline form materializes the scrubbed stage output ONCE
+    // and fans out. The persist is that materialization's in-plan analogue;
+    // the bench/Verify per-query clearCache() reclaims it.
     val scrubbed = Pii.redactedOf(Sources.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("source"),
         col("redacted_text").as("text"))
+      .persist()
     val bucket = Sampling.mixHash(col("doc_id")) % 100
     val flags = Text.decontaminateOf(
       scrubbed.where(bucket < 100 - Text.ContamEvalPct),

@@ -99,8 +99,7 @@ object Hybrid {
     * fusion. Oracle: the bounded BM25 twin fused with the hier-IVF twin
     * restricted to the same qids. */
   def hybridRrfIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Sources.documents(spark, dir)
-    val queries = Text.bm25BoundedQueries(docs)
+    val queries = Text.bm25BoundedQueriesShared(spark, dir)
     val lex = TextIndex.search(spark, TextIndex.sessionStore(spark, dir), queries)
       .select(col("qid"), col("doc_id"), col("rank"))
     val qvecs = Similarity.withNorm(Sources.embeddings(spark, dir))
@@ -129,23 +128,47 @@ object Hybrid {
         Num.idiv(col("rr_sum"), col("n_queries")).as("mrr_ppm"))
 
   /** Registered harness: the fixed [[Text.Bm25SearchQueries]]-query
-    * known-item batch scored by BOTH deployment arms — lexical BM25 (the
-    * batch operator, bit-identical to the [[TextIndex]] search by
-    * construction) and the fused hybrid ([[hybridRrfIndexed]]) — at the
-    * shared k ([[Text.Bm25TopK]] == [[FusedTopK]]). The dense arm excludes
+    * known-item batch scored by BOTH deployment arms — lexical BM25 and
+    * the fused hybrid ([[hybridRrfIndexed]]) — at the shared k
+    * ([[Text.Bm25TopK]] == [[FusedTopK]]). The dense arm excludes
     * self like every ANN arm here, so the hybrid self-hit rides only the
     * lexical contribution: the audit MEASURES what consensus fusion costs
     * (or buys) on known-item lookup, per corpus, as an oracle-checked
-    * number. Aggregation is O(queries × k) on top of the arms. */
+    * number. Aggregation is O(queries × k) on top of the arms.
+    *
+    * All three arms ride the persisted stores (OPTIMIZATION r15): a
+    * quality audit's job is to measure the SERVING stack, and at 100 TB it
+    * cannot re-tokenize the corpus to do so — so the bm25 and rm3 arms are
+    * [[TextIndex.search]]/[[TextIndex.searchRm3]] over the session store,
+    * each bit-identical to its batch operator by the store's proven
+    * contract (the `text_bm25_indexed`/`text_bm25_rm3_indexed` twins SHARE
+    * the batch oracles on exactly this identity; HybridSpec pins the swap
+    * on whole rows). The batch operators remain independently registered
+    * (`text_bm25_topk`, `text_bm25_rm3`) — coverage is unchanged, only
+    * this audit's arms stopped re-paying the corpus tokenization the index
+    * already did. Before: two corpus-rescan arms, 12.3 s min in-suite.
+    * After: three store probes over one session build. */
   def retrievalQuality(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Sources.documents(spark, dir)
-    val queries = Text.bm25BoundedQueries(docs)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val queries = Text.bm25BoundedQueriesShared(spark, dir)
     val nq = queries.agg(count(lit(1)).as("n_queries"))
-    retrievalQualityOf("bm25", Text.bm25TopKOf(docs, queries), nq)
-      .unionByName(retrievalQualityOf("bm25_rm3",
-        Text.bm25Rm3Of(docs, queries), nq))
-      .unionByName(retrievalQualityOf("hybrid_rrf",
-        hybridRrfIndexed(spark, dir), nq))
+    val store = TextIndex.sessionStore(spark, dir)
+    // each arm reduces to ONE row; evaluated serially the three arm plans
+    // chain their stage latencies on the driver exactly as the recall
+    // audit's arms did (r14 trace) — evaluate them as their own actions on
+    // parallel threads and reassemble in arm order, value-identical to the
+    // union form (the [[Similarity]] recallOverParallel discipline).
+    val bm25 = retrievalQualityOf("bm25",
+      TextIndex.search(spark, store, queries), nq)
+    val rows = Await.result(Future.sequence(Seq(
+      Future(bm25.collect()),
+      Future(retrievalQualityOf("bm25_rm3",
+        TextIndex.searchRm3(spark, store, queries), nq).collect()),
+      Future(retrievalQualityOf("hybrid_rrf",
+        hybridRrfIndexed(spark, dir), nq).collect()))), Duration.Inf).flatten
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), bm25.schema)
       .orderBy("arm")
   }
 

@@ -1194,6 +1194,26 @@ object Text {
       .orderBy(graft.ext.Sampling.mixHash(col("qid")), col("qid"))
       .limit(Bm25SearchQueries)
 
+  /** [[bm25BoundedQueries]] as a session-shared LocalRelation
+    * (OPTIMIZATION r15). The batch is a deterministic, BOUNDED
+    * (≤ [[Bm25SearchQueries]] rows) function of the immutable corpus — the
+    * frozen-model contract [[graft.ext.SessionVal]] serves — and before
+    * this every consumer plan (the search-only arm, the RM3 arm, the
+    * hybrid's two arms, the retrieval-quality audit and its `n_queries`
+    * aggregate) re-derived it with its OWN corpus scan + TakeOrdered
+    * subtree: 2–4 redundant corpus passes per query at any scale. A
+    * deployment's query batch is a small fixed INPUT to search, not
+    * something each probe re-mines from the corpus. Rows are identical by
+    * determinism (TextIndexSpec/HybridSpec pin consumers row-for-row). */
+  private[graft] def bm25BoundedQueriesShared(spark: SparkSession,
+                                              dir: String): DataFrame = {
+    val (schema, rows) = SessionVal(s"bm25q#$dir") {
+      val df = bm25BoundedQueries(Sources.documents(spark, dir))
+      (df.schema, df.collect())
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** (qid, token) distinct query terms of a (qid, qtext) frame. */
   private[graft] def bm25QueryTerms(queries: DataFrame): DataFrame =
     queries.select(col("qid"),

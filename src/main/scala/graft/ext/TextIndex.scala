@@ -195,7 +195,15 @@ object TextIndex {
           .orderBy(col("etf").desc, col("token"))))
       .where(col("_rk") <= Text.Rm3ExpTerms)
       .select(col("qid"), col("token"), lit(Text.Rm3ExpWeightPpm).as("w"))
-    val qt2 = qt.withColumn("w", lit(1000000L)).unionByName(exp)
+    // the expanded term set is consumed TWICE (the tf2 broadcast-distinct
+    // and the weighted tail's scoring join); as a lazy plan each consumer
+    // re-runs the whole mining chain — postings scan, first-pass broadcast,
+    // per-qid window. It is ≤ |queries|·(terms + Rm3ExpTerms) rows, so
+    // materialize it once as a local relation (OPTIMIZATION r15; the same
+    // bounded-control-plane contract as the query batch itself).
+    val qt2Lazy = qt.withColumn("w", lit(1000000L)).unionByName(exp)
+    val qt2 = spark.createDataFrame(
+      java.util.Arrays.asList(qt2Lazy.collect(): _*), qt2Lazy.schema)
     val tf2 = posts
       .join(broadcast(qt2.select("token").distinct()), Seq("token"))
       .select("token", "doc_id", "tf", "dl")
@@ -239,7 +247,7 @@ object TextIndex {
     * batch operator's SQL with the same bounded query set. */
   def bm25IndexedSearch(spark: SparkSession, dir: String): DataFrame =
     search(spark, sessionStore(spark, dir),
-      Text.bm25BoundedQueries(Sources.documents(spark, dir)))
+      Text.bm25BoundedQueriesShared(spark, dir))
 
   /** Registered RM3 deployment twin: [[searchRm3]] over the session store
     * with the same bounded query batch as `text_bm25_rm3` — bit-identical
@@ -247,5 +255,5 @@ object TextIndex {
     * PRF search cost with zero corpus rescans. */
   def bm25Rm3Indexed(spark: SparkSession, dir: String): DataFrame =
     searchRm3(spark, sessionStore(spark, dir),
-      Text.bm25BoundedQueries(Sources.documents(spark, dir)))
+      Text.bm25BoundedQueriesShared(spark, dir))
 }

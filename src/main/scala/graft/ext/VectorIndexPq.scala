@@ -129,11 +129,18 @@ object VectorIndexPq {
     * + calibration + PQ-codebook training pass, every artifact persisted,
     * corpus loaded as batch 0. Idempotent clean replace, like
     * [[VectorIndex.build]]. */
-  def build(spark: SparkSession, storePath: String, vecs: DataFrame): Unit = {
+  def build(spark: SparkSession, storePath: String, vecs: DataFrame,
+            corpusKey: Option[String] = None): Unit = {
     val pinned = vecs.storageLevel != StorageLevel.NONE
     if (!pinned) vecs.persist()
-    val m = hierModel(vecs)
-    val books = Pq.pqCodebooksLocal(vecs)
+    // corpusKey: same contract as [[VectorIndex.build]] (OPTIMIZATION r15)
+    // — the deterministic model artifacts (hier structure, probe depth, PQ
+    // codebooks) ride the session-shared chains under the corpus's keys;
+    // store write + assignment + encode + ingest still run per call.
+    val m = hierModel(vecs, cacheKey = corpusKey.map(d => s"$d#base"))
+    val books = corpusKey
+      .map(d => SessionVal(s"pqbooks#$d")(Pq.pqCodebooksLocal(vecs)))
+      .getOrElse(Pq.pqCodebooksLocal(vecs))
     spark.sql(s"DROP TABLE IF EXISTS ${listsTable(storePath)}")
     spark.sql(s"DROP TABLE IF EXISTS ${vecsTable(storePath)}")
     fsOf(spark, storePath).delete(new org.apache.hadoop.fs.Path(storePath), true)
@@ -229,7 +236,7 @@ object VectorIndexPq {
     * deployment-shaped (build once, search many) twin. */
   def annIndexedPq(spark: SparkSession, dir: String): DataFrame = {
     val store = storeFor(spark, dir)
-    build(spark, store, withNorm(Sources.embeddings(spark, dir)))
+    build(spark, store, withNorm(Sources.embeddings(spark, dir)), Some(dir))
     SessionOnce.markBuilt(store)
     search(spark, store, withNorm(Sources.embeddings(spark, dir)))
   }
@@ -245,7 +252,7 @@ object VectorIndexPq {
   def annIndexedPqSearch(spark: SparkSession, dir: String): DataFrame = {
     val store = storeFor(spark, dir)
     SessionOnce(store)(
-      build(spark, store, withNorm(Sources.embeddings(spark, dir))))
+      build(spark, store, withNorm(Sources.embeddings(spark, dir)), Some(dir)))
     search(spark, store, withNorm(Sources.embeddings(spark, dir)))
   }
 }

@@ -185,6 +185,27 @@ class HybridSpec extends SparkSpec {
     assert(got === Seq((1L, 1, 10L), (2L, 1, 20L)))
   }
 
+  test("retrieval quality rides the stores (OPTIMIZATION r15): the " +
+      "registered audit equals the batch-arm formulation row-for-row") {
+    val docs = graft.engine.Sources.documents(spark, sf)
+    val queries = Text.bm25BoundedQueries(docs)
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("arm"),
+        r.getAs[Long]("n_queries"), r.getAs[Long]("hits_at_k"),
+        r.getAs[Long]("mrr_ppm"))).toSeq
+    // the pre-r15 shape: batch bm25 + batch rm3 + the indexed hybrid
+    val want = rows(
+      Hybrid.retrievalQualityOf("bm25", Text.bm25TopKOf(docs, queries), nq)
+        .unionByName(Hybrid.retrievalQualityOf("bm25_rm3",
+          Text.bm25Rm3Of(docs, queries), nq))
+        .unionByName(Hybrid.retrievalQualityOf("hybrid_rrf",
+          Hybrid.hybridRrfIndexed(spark, sf), nq))
+        .orderBy("arm"))
+    val got = rows(Hybrid.retrievalQuality(spark, sf))
+    assert(got === want)
+  }
+
   test("retrieval-quality gate: fixture self-hits pass the floor; a broken " +
       "(empty) retrieval list FAILS rather than passing vacuously") {
     val nq = Seq(3L).toDF("n_queries")
