@@ -1469,6 +1469,25 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("fused one-pass statsStates equals per-column statsState row-for-row " +
+    "(OPTIMIZATION r15), full tables and hash slices alike") {
+    import graft.ext.Sampling
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("table_name", "column_name").collect().map(_.toString).toSeq
+    for ((t, cols) <- Sketch.ProfiledColumns.groupBy(_._1).toSeq) {
+      val (df, key) = Sketch.sliceSource(spark, sf, t)
+      val colNames = cols.map(_._2)
+      assert(rowsOf(Sketch.statsStates(df, t, colNames))
+        === rowsOf(cols.map { case (tt, c) => Sketch.statsState(df, tt, c) }
+          .reduce(_ unionByName _)), s"fused != per-column for $t (full)")
+      val sliced = df.where(
+        pmod(Sampling.mixHash(coalesce(col(key), lit(-1L))), lit(3)) === 1)
+      assert(rowsOf(Sketch.statsStates(sliced, t, colNames))
+        === rowsOf(cols.map { case (tt, c) => Sketch.statsState(sliced, tt, c) }
+          .reduce(_ unionByName _)), s"fused != per-column for $t (slice)")
+    }
+  }
+
   test("stats drift: clean growth trips no gates; injected anomalies trip " +
     "exactly theirs") {
     import spark.implicits._
