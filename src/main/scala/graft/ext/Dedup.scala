@@ -643,7 +643,9 @@ object Dedup {
     * DuckDB twin replays seeds + Lloyd rounds bit-for-bit. */
   def semanticDedupKmeans(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Similarity.withNorm(Sources.embeddings(spark, dir))
-    val cents = Similarity.kmeansCentroidsLocal(vecs) // driver-resident, ≤ √n
+    // session-shared √n quantizer (r15) — same key as the balanced
+    // sampler: identical frame, identical Lloyd chain
+    val cents = Similarity.kmeansCentroidsLocalShared(vecs, s"$dir#sqrt-base")
     // map-only assignment (Similarity.nearestCells): no n×K shuffle — the
     // first exchange in the whole operator is the pair scan's cluster join
     verdictFromAssigned(vecs
@@ -669,9 +671,13 @@ object Dedup {
   def semanticDedupRp(spark: SparkSession, dir: String): DataFrame = {
     val rvecs = Similarity.rpVecsOf(
       Similarity.withNorm(Sources.embeddings(spark, dir)))
-    val k = math.ceil(math.sqrt(rvecs.count().toDouble)).toInt
-    val cents = Similarity.kmeansCentroidsLocalK(
-      rvecs, k, Similarity.KmeansIters, Similarity.RpDims)
+    // session-shared √n quantizer over the projected corpus (r15); the
+    // count that sizes k rides the memoized body
+    val cents = SessionVal(s"kmcents#$dir#sqrt-rp") {
+      val k = math.ceil(math.sqrt(rvecs.count().toDouble)).toInt
+      Similarity.kmeansCentroidsLocalK(
+        rvecs, k, Similarity.KmeansIters, Similarity.RpDims)
+    }
     // map-only assignment against the driver-resident centroid literal —
     // the first exchange in the operator is the pair scan's cluster join,
     // exactly like the full-space kmeans path

@@ -91,16 +91,23 @@ object LshCal {
   /** The calibration grid over the embeddings table: one row per (bits,
     * tables) config with measured sample recall, union-bound cost estimate,
     * and the feasibility/choice policy applied. */
-  def calibrationGrid(spark: SparkSession, dir: String): DataFrame =
-    calibrationGridFrom(spark,
-      Similarity.withNorm(Sources.embeddings(spark, dir)))
+  def calibrationGrid(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Similarity.withNorm(Sources.embeddings(spark, dir))
+    // the registered grid reads the session's shared calibration ground
+    // truth (OPTIMIZATION r15): the same CalQueries-sample exact pairs the
+    // hier calibrations consume — one m·n exact pass per corpus per
+    // session instead of one per calibration consumer
+    calibrationGridFrom(spark, vecs, preExact = Some(
+      Similarity.exactSampledShared(vecs, s"$dir#base#${Similarity.Dim}")))
+  }
 
   private[ext] def calibrationGridFrom(spark: SparkSession,
-                                       vecs: DataFrame): DataFrame = {
+                                       vecs: DataFrame,
+                                       preExact: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val pins = new Similarity.Pins
     val sample = Similarity.querySample(vecs, Similarity.CalQueries)
-    val exact = Similarity.exactSampled(vecs, sample)
+    val exact = preExact.getOrElse(Similarity.exactSampled(vecs, sample))
     // one signature pass serves recall, histogram, and query lookups
     val sigs = pins.pin(vecs.select(col("vec_id"),
       array((0 until TablesMax).map(t => sigFull(col("v"), t)): _*).as("sigs")))

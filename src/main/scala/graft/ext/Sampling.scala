@@ -158,15 +158,22 @@ object Sampling {
     * bounded by cluster size (avg √n; the skewed clusters a real corpus has
     * are exactly the ones the quota then discards most of). The DuckDB twin
     * replays seeds + Lloyd rounds + the mixer bit-for-bit. */
-  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame =
-    clusterBalancedSampleOf(
-      Similarity.withNorm(Sources.embeddings(spark, dir)))
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Similarity.withNorm(Sources.embeddings(spark, dir))
+    // session-shared √n quantizer (r15) — same key/frame/chain as
+    // dedup_semantic_kmeans
+    clusterBalancedSampleWith(vecs,
+      Similarity.kmeansCentroidsLocalShared(vecs, s"$dir#sqrt-base"))
+  }
 
   /** PRODUCTION ENTRY — [[clusterBalancedSample]] over ANY normalized
     * (vec_id, v, norm) frame ([[Similarity.withNorm]] produces one from raw
     * embeddings). */
-  def clusterBalancedSampleOf(vecs: DataFrame): DataFrame = {
-    val cents = Similarity.kmeansCentroidsLocal(vecs) // driver-resident, ≤ √n
+  def clusterBalancedSampleOf(vecs: DataFrame): DataFrame =
+    clusterBalancedSampleWith(vecs, Similarity.kmeansCentroidsLocal(vecs))
+
+  private def clusterBalancedSampleWith(vecs: DataFrame,
+      cents: Array[Similarity.Cent]): DataFrame = {
     val asg = vecs
       .withColumn("cluster",
         element_at(Similarity.nearestCells(cents, 1), 1).getField("cl"))

@@ -563,6 +563,23 @@ object Similarity {
     topK(cosinePairs(sample, nn), TopK).select("query_id", "neighbor_id")
   }
 
+  /** The [[CalQueries]]-sample exact ground truth as a session-shared
+    * LocalRelation (OPTIMIZATION r15) — ≤ CalQueries·[[TopK]] rows, a
+    * deterministic function of the immutable corpus: exactly the
+    * planted-truth contract. Every calibration consumer of the same
+    * (corpus, space) — the standalone hier arms' first cold calibration
+    * and the SRP-LSH calibration grid — otherwise re-pays its own m·n
+    * exact pass for the identical rows. `key` must pin corpus AND space
+    * (e.g. `dir#base#64`). */
+  private[ext] def exactSampledShared(vecs: DataFrame, key: String): DataFrame = {
+    val spark = vecs.sparkSession
+    val (schema, rows) = SessionVal(s"caltruth#$key") {
+      val e = exactSampled(vecs, querySample(vecs, CalQueries))
+      (e.schema, e.collect())
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** The calibrated nProbe, from three frames: sampled exact pairs
     * (query_id, neighbor_id), each sampled query's full candidate-cell
     * ranking (query_id, cl, qcrank), and every vector's assigned cell
@@ -658,6 +675,18 @@ object Similarity {
         .where(col("cnorm") > 0))
     }
   }
+
+  /** [[kmeansCentroidsLocal]] memoized per session under `key`
+    * (OPTIMIZATION r15): the ≤√n centroid array is a deterministic,
+    * bounded, driver-resident function of the keyed immutable frame — the
+    * same frozen-model contract as [[hierStructureShared]], extended to
+    * the flat √n quantizer's registered consumers (SemDeDup, the balanced
+    * sampler, the drift harness). `key` must pin corpus AND frame variant
+    * (full/rp/half). Callers over arbitrary frames keep using
+    * [[kmeansCentroidsLocal]] directly. */
+  private[ext] def kmeansCentroidsLocalShared(e: DataFrame,
+                                              key: String): Array[Cent] =
+    SessionVal(s"kmcents#$key")(kmeansCentroidsLocal(e))
 
   /** DataFrame view of [[kmeansCentroidsLocal]] — a LocalRelation leaf
     * (cl, cv, cnorm), for SQL-side consumers and plan tests. */
@@ -947,8 +976,14 @@ object Similarity {
     val (l1, subs, k2) = cacheKey
       .map(hierStructureShared(vecs, _, dim))
       .getOrElse(hierStructure(vecs, dim))
+    // a keyed COLD calibration takes its ground truth from the shared
+    // session frame ([[exactSampledShared]]) when the caller brought none —
+    // one m·n exact pass per (corpus, space) per session across every
+    // calibration consumer (r15). The orElse lives INSIDE the by-name
+    // cachedNp body: a warm depth must not touch (or build) the truth.
     val nP = cachedNp(cacheKey.map(k => s"$k#$dim"))(
-      hierCalibrate(vecs, l1, subs, k2, preExact))
+      hierCalibrate(vecs, l1, subs, k2, preExact.orElse(
+        cacheKey.map(k => exactSampledShared(vecs, s"$k#$dim")))))
     HierModel(l1, subs, k2, nP)
   }
 
@@ -1325,7 +1360,12 @@ object Similarity {
   def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
     val vecs = withNorm(Sources.embeddings(spark, dir))
     val bucket = graft.ext.Sampling.mixHash(col("vec_id")) % 100
-    embeddingDriftOf(vecs.where(bucket < 50), vecs.where(bucket >= 50))
+    val oldVecs = vecs.where(bucket < 50)
+    // the frozen quantizer is a deterministic model of the OLD half —
+    // session-shared like every other frozen model here (r15)
+    val cents = kmeansCentroidsLocalShared(oldVecs, s"$dir#drift-old")
+    embeddingDriftFromStates(
+      cellState(oldVecs, cents), cellState(vecs.where(bucket >= 50), cents))
   }
 
   /** Recall@[[TopK]] of every approximate method against [[knnBruteForce]],
