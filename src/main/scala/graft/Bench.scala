@@ -75,14 +75,16 @@ object Bench {
     * the persisted store (VERDICT r13 #3 — the rebuild cost is build
     * evidence the `sim_ann_index*` build+search rows already carry).
     * Correctness coverage is unaffected: Verify runs the WHOLE registry.
-    * `dedup_cross_modal` joined the set in r15 on the same contract: it
-    * re-decodes all three media modalities per run to rebuild fingerprints
-    * its timed `_indexed` twin serves bit-identically from the persisted
-    * [[graft.ext.FpStore]] (the media decode cost is already timed by the
-    * `media_*` arms). */
+    *
+    * NOT extended in r15 (considered and reverted): `dedup_cross_modal`
+    * meets the same contract — it re-decodes all three media modalities
+    * per run to rebuild fingerprints its timed `_indexed` twin serves
+    * bit-identically from the persisted [[graft.ext.FpStore]] — but the
+    * optimization rounds' bench contract freezes the TIMED set (entries
+    * may be added, never removed), so it stays timed; a future BUILD
+    * round may move it. */
   val DefaultSkip: Set[String] =
-    Set("text_bm25_rm3", "text_hybrid_rrf", "sim_ann_index_pq",
-      "dedup_cross_modal")
+    Set("text_bm25_rm3", "text_hybrid_rrf", "sim_ann_index_pq")
 
   def main(args: Array[String]): Unit = {
     val t0 = System.nanoTime()
