@@ -6,7 +6,18 @@ import java.nio.file.{Files, Paths}
   * commit under plans/rNN/. Usage:
   *   runMain graft.PlanDump <sfDir> <outDir> [suffix] [name ...]
   * writes <outDir>/<name><suffix>.txt (suffix e.g. "_before"/"_after").
-  * Planning only — no query is executed, so this is cheap at any SF. */
+  *
+  * MOSTLY planning-only — but NOT for every query (ADVICE r15): a few
+  * entry points are EAGER AT CONSTRUCTION, so dumping them runs real jobs
+  * and their dumped "plan" is the reassembled LocalRelation shell, not the
+  * serving plan: `text_retrieval_quality` executes all three arms
+  * ([[graft.ext.Hybrid.retrievalQuality]]), the RM3 arms materialize the
+  * expanded term set ([[graft.ext.TextIndex.searchRm3]]), and any first
+  * use of a session-shared model artifact ([[graft.ext.SessionVal]] /
+  * session stores) pays that build. For those queries the committed plan
+  * evidence is their ARM plans (`text_bm25_index_search`,
+  * `text_bm25_rm3_indexed`, `text_hybrid_rrf_indexed`), which this tool
+  * dumps lazily. Everything else is planning-only and cheap at any SF. */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args: @unchecked

@@ -439,8 +439,14 @@ object Corpus {
     // cross-modal text arm otherwise each re-run the documents scan + the
     // full redaction regex chain as their own subtree — six corpus passes
     // where the pipeline form materializes the scrubbed stage output ONCE
-    // and fans out. The persist is that materialization's in-plan analogue;
-    // the bench/Verify per-query clearCache() reclaims it.
+    // and fans out. The persist is that materialization's in-plan analogue.
+    // SESSION-LIFETIME PIN, by design (ADVICE r15): the returned manifest
+    // is corpus-grain and lazily references `scrubbed`, so the pin must
+    // outlive this call — the standalone-entrypoint contract of
+    // [[Similarity.Pins]]' doc, not the small-result-audit release case.
+    // Reclamation: the bench/Verify per-query clearCache(), or session
+    // teardown for any other caller; re-calls re-use nothing (fresh persist
+    // per call, freed the same way).
     val scrubbed = Pii.redactedOf(Sources.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("source"),
         col("redacted_text").as("text"))

@@ -239,26 +239,17 @@ object Dedup {
     exactArm.unionByName(verifyArm)
   }
 
-  /** Full-set containment verify of candidate pairs (same explode-only-
-    * candidates shape as [[jaccardVerify]]). */
-  private def containmentVerify(docsDf: DataFrame, candidates: DataFrame): DataFrame = {
-    val docIds = candidates.select(col("doc_a").as("doc_id"))
-      .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
-    val shc = shingles(docsDf.join(broadcast(docIds), Seq("doc_id"), "left_semi"))
-    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    candidates
-      .join(shc.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(shc.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("containment",
-        r(col("shared").cast("double") / least(col("na"), col("nb")), 6))
-      .withColumn("jaccard",
-        r(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
+  /** Full-set containment verify of candidate pairs — the same
+    * set-intersection core as [[jaccardVerify]] (see [[verifyOverSets]]). */
+  private def containmentVerify(docsDf: DataFrame, candidates: DataFrame): DataFrame =
+    verifyOverSets(docsDf, candidates) { shared =>
+      Seq(r(shared.cast("double") / least(col("na"), col("nb")), 6)
+          .as("containment"),
+        r(shared.cast("double") / (col("na") + col("nb") - shared), 6)
+          .as("jaccard"))
+    }
       .where(col("containment") >= ContainmentThreshold)
       .select("doc_a", "doc_b", "containment", "jaccard")
-  }
 
   /** Per-doc minhash signature as an array column `mh` — ONE map-side
     * codegen pass ([[graft.functions.ShingleMinhash]]): no shingle explode,
@@ -327,29 +318,48 @@ object Dedup {
   }
 
   /** Exact Jaccard of each candidate (doc_a, doc_b) pair, keeping pairs at
-    * τ ≥ [[JaccardThreshold]]. Two equi-joins: explode pairs into a's
-    * shingles, keep the ones b also has (shuffle keyed on (doc, shingle)). */
-  private[graft] def jaccardVerify(docsDf: DataFrame, candidates: DataFrame): DataFrame = {
-    // shingle-explode ONLY docs that appear in a candidate pair: candidates
-    // are a vanishing fraction of the corpus (LSH exists to make them so),
-    // so the verify joins shuffle thousands of shingle rows — and the
-    // corpus-wide shingle explode never happens at all (signatures are a
-    // fused map-side kernel; see minhashSignatureArray)
-    val docIds = candidates.select(col("doc_a").as("doc_id"))
-      .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
-    val shc = shingles(docsDf.join(broadcast(docIds), Seq("doc_id"), "left_semi"))
-    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = candidates
-      .join(shc.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(shc.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        r(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
+    * τ ≥ [[JaccardThreshold]]. Set-intersection form (OPTIMIZATION r16):
+    * one row per CANDIDATE DOC carrying its full shingle set as an array,
+    * then two broadcast joins attach both sides' sets to each pair and the
+    * shared count is a map-side `array_intersect` — exact on these inputs
+    * because [[shingles]] emits each doc's DISTINCT shingles. The previous
+    * formulation joined pair × shingle rows on (doc, shingle) — 3
+    * recomputes of the explode subtree (sizes + both join sides) and ~7
+    * exchanges per verify; this is 1 explode, 1 doc-grain exchange, 0
+    * pair-grain exchanges (measured: minhashLshPairs 3.0 → 2.1 s min).
+    * The sets frame is bounded by the same contract that already lets
+    * `docIds` broadcast: candidate docs are a vanishing fraction of the
+    * corpus (LSH/the df-cap exist to make them so), and each row's array
+    * is bounded by its own document's length — the broadcast carries the
+    * candidate docs' text mass, which is what the old shape shuffled. */
+  private[graft] def jaccardVerify(docsDf: DataFrame, candidates: DataFrame): DataFrame =
+    verifyOverSets(docsDf, candidates) { shared =>
+      Seq(r(shared.cast("double") / (col("na") + col("nb") - shared), 6)
+        .as("jaccard"))
+    }
       .where(col("jaccard") >= JaccardThreshold)
       .select("doc_a", "doc_b", "jaccard")
+
+  /** Shared candidate-verify core: attach both candidate docs' shingle
+    * sets, compute `shared` = |A ∩ B| map-side, and emit the caller's
+    * measure columns over (na, nb, shared). `sets` is persisted so the two
+    * broadcast builds evaluate the explode once (the same multi-consumer
+    * pin as `candidates` itself; bench/session teardown reclaims it). */
+  private def verifyOverSets(docsDf: DataFrame, candidates: DataFrame)
+                            (measures: Column => Seq[Column]): DataFrame = {
+    val docIds = candidates.select(col("doc_a").as("doc_id"))
+      .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = shingles(docsDf.join(broadcast(docIds), Seq("doc_id"), "left_semi"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("sh"), count(lit(1)).as("n"))
+      .persist()
+    val shared = size(array_intersect(col("sha"), col("shb"))).cast("long")
+    candidates
+      .join(broadcast(sets.select(col("doc_id").as("doc_a"),
+        col("sh").as("sha"), col("n").as("na"))), "doc_a")
+      .join(broadcast(sets.select(col("doc_id").as("doc_b"),
+        col("sh").as("shb"), col("n").as("nb"))), "doc_b")
+      .select(Seq(col("doc_a"), col("doc_b")) ++ measures(shared): _*)
   }
 
   /** 32-bit SimHash per document: token-hash bit votes weighted by

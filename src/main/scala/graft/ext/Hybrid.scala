@@ -147,9 +147,14 @@ object Hybrid {
     * (`text_bm25_topk`, `text_bm25_rm3`) — coverage is unchanged, only
     * this audit's arms stopped re-paying the corpus tokenization the index
     * already did. Before: two corpus-rescan arms, 12.3 s min in-suite.
-    * After: three store probes over one session build. */
+    * After: three store probes over one session build.
+    *
+    * EAGER AT CONSTRUCTION (ADVICE r15): all three arms execute fully when
+    * this method is CALLED and the returned frame is a 3-row LocalRelation
+    * — `.explain` on it shows the reassembled shell, not the arm plans
+    * (the committed plan evidence for this query is its arms' own dumps). */
   def retrievalQuality(spark: SparkSession, dir: String): DataFrame = {
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val queries = Text.bm25BoundedQueriesShared(spark, dir)
@@ -160,14 +165,20 @@ object Hybrid {
     // audit's arms did (r14 trace) — evaluate them as their own actions on
     // parallel threads and reassemble in arm order, value-identical to the
     // union form (the [[Similarity]] recallOverParallel discipline).
+    // `blocking{}` marks each collect for the global fork-join pool
+    // (ADVICE r15): the pool is sized to availableProcessors, and an
+    // unmarked blocking collect would hold a pool thread for the arm's
+    // whole wall time — on a small machine the three arms would serialize
+    // and starve other global-EC users; blocking{} lets the pool grow a
+    // compensating thread instead.
     val bm25 = retrievalQualityOf("bm25",
       TextIndex.search(spark, store, queries), nq)
     val rows = Await.result(Future.sequence(Seq(
-      Future(bm25.collect()),
-      Future(retrievalQualityOf("bm25_rm3",
-        TextIndex.searchRm3(spark, store, queries), nq).collect()),
-      Future(retrievalQualityOf("hybrid_rrf",
-        hybridRrfIndexed(spark, dir), nq).collect()))), Duration.Inf).flatten
+      Future(blocking(bm25.collect())),
+      Future(blocking(retrievalQualityOf("bm25_rm3",
+        TextIndex.searchRm3(spark, store, queries), nq).collect())),
+      Future(blocking(retrievalQualityOf("hybrid_rrf",
+        hybridRrfIndexed(spark, dir), nq).collect())))), Duration.Inf).flatten
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), bm25.schema)
       .orderBy("arm")
   }

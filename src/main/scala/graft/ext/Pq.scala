@@ -205,7 +205,7 @@ object Pq {
     val scored = pins.pin(Similarity.hierScored(vecs, m.l1, m.subs, m.nProbe))
     // session-shared codebooks (deterministic per corpus; same key as the
     // audit's PQ arm)
-    val books = SessionVal(s"pqbooks#$dir")(pqCodebooksLocal(vecs))
+    val books = SessionVal(s"pqbooks#$dir#base")(pqCodebooksLocal(vecs))
     (annIvfPqFrom(vecs, scored, books), pins)
   }
 

@@ -1555,7 +1555,7 @@ object Similarity {
       Some(hierArm(pins.pin(hierScored(rvecs, l1r, subsr, nP))))
     }
     def books(): Pq.Books = cacheKey match {
-      case Some(d) => SessionVal(s"pqbooks#$d")(Pq.pqCodebooksLocal(vecs))
+      case Some(d) => SessionVal(s"pqbooks#$d#base")(Pq.pqCodebooksLocal(vecs))
       case None => Pq.pqCodebooksLocal(vecs)
     }
     if (serial) {

@@ -194,6 +194,28 @@ object Sketch {
     ProfiledColumns.map(_._1).distinct
       .map(t => t -> ProfiledColumns.collect { case (`t`, c) => c })
 
+  /** One ZERO-COUNT state row per profiled column — the identity element
+    * of [[mergeStatsStates]] (sums +0, min/max ignore NULL, empty-KMV
+    * union), so unioning it in changes NOTHING when a slice has rows and
+    * keeps the (table, column) key PRESENT when a slice is empty. ADVICE
+    * r15: the fused [[statsStates]] emits zero ROWS for an empty slice,
+    * and [[statsDriftFromSlices]] fed that unmerged slice-0 profile into
+    * [[statsDrift]]'s inner join — an empty (table, slice-0) silently
+    * removed the table's columns from the drift report, so no gate could
+    * ever trip for them (the old per-column [[statsState]] emitted an
+    * n_rows=0 row there). */
+  private[graft] def zeroStates(spark: SparkSession, table: String,
+                                cols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    cols.map(c => (table, c, 0L, 0L)).toDF(
+        "table_name", "column_name", "n_rows", "n_nulls")
+      .select(col("table_name"), col("column_name"),
+        col("n_rows"), col("n_nulls"),
+        lit(null).cast("double").as("min_value"),
+        lit(null).cast("double").as("max_value"),
+        array().cast("array<bigint>").as("kmv"))
+  }
+
   /** The verified query: the production profile maintained from three
     * hash-sliced delta batches per table. The oracle computes the same
     * columns from the FULL tables, so the hash match PROVES the state fold
@@ -203,8 +225,11 @@ object Sketch {
   def statsProfileFromDeltas(spark: SparkSession, dir: String): DataFrame = {
     val states = profiledByTable.map { case (t, cols) =>
       val (df, key) = sliceSource(spark, dir, t)
+      // the zero states keep every profiled column present even when a
+      // table is empty in all slices — a merge identity otherwise
       mergeStatsStates((0 until 3).map(i =>
-        statsStates(df.where(pmod(mixHash(coalesce(col(key), lit(-1L))), lit(3)) === i), t, cols)))
+        statsStates(df.where(pmod(mixHash(coalesce(col(key), lit(-1L))), lit(3)) === i), t, cols))
+        :+ zeroStates(spark, t, cols))
     }
     finalizeStats(states.reduce(_ unionByName _))
   }
@@ -357,12 +382,17 @@ object Sketch {
     * deterministic "yesterday vs today" pair both engines can rebuild. */
   def statsDriftFromSlices(spark: SparkSession, dir: String): DataFrame = {
     def profile(sliceFilter: Option[Int]): DataFrame =
-      finalizeStats(profiledByTable.map { case (t, cols) =>
+      // ONE bounded merge over all tables' states + per-column zero states
+      // (≤ 2·|profiled columns| rows): an empty slice then yields an
+      // n_rows=0 baseline row instead of vanishing from the inner join —
+      // see [[zeroStates]] (ADVICE r15)
+      finalizeStats(mergeStatsStates(profiledByTable.flatMap { case (t, cols) =>
         val (df, key) = sliceSource(spark, dir, t)
         val sliced = sliceFilter.fold(df)(i => df.where(
           pmod(mixHash(coalesce(col(key), lit(-1L))), lit(3)) === i))
-        statsStates(sliced, t, cols) // fused one-pass form (r15)
-      }.reduce(_ unionByName _))
+        Seq(statsStates(sliced, t, cols), // fused one-pass form (r15)
+          zeroStates(spark, t, cols))
+      }))
     statsDrift(profile(Some(0)), profile(None))
   }
 

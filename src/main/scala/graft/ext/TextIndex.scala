@@ -144,6 +144,12 @@ object TextIndex {
     ensureTables(spark, storePath)
   }
 
+  /** Probe access to the live store sides ([[graft.ext.PhaseProbe]]). */
+  private[ext] def livePostings(spark: SparkSession, storePath: String): DataFrame =
+    live(spark, storePath, requireStore(spark, storePath)._1)
+  private[ext] def liveStats(spark: SparkSession, storePath: String): DataFrame =
+    live(spark, storePath, requireStore(spark, storePath)._2)
+
   /** BM25 top-k search for a (qid, qtext) query batch against the store:
     * the tiny distinct-term set broadcasts into the postings scan (the
     * store side arrives bucket-distributed on `token` — no exchange on
@@ -174,7 +180,13 @@ object TextIndex {
     * Bit-identity: pass 1 is [[search]] (proven ≡ batch); `etf` sums the
     * same per-doc term counts the batch arm counts row-by-row; ties break
     * on token order both sides; pass 2 shares [[Text.bm25WeightedTail]].
-    * So this twin shares the batch RM3's DuckDB oracle. */
+    * So this twin shares the batch RM3's DuckDB oracle.
+    *
+    * EAGER AT CONSTRUCTION (ADVICE r15): the expanded term set is
+    * materialized (pass 1 + mining run as real jobs) when this method is
+    * CALLED, not at the returned frame's first action — plan-only callers
+    * ([[graft.PlanDump]]) pay the mining chain, and the returned plan's
+    * leaves include a LocalRelation of the mined terms. */
   def searchRm3(spark: SparkSession, storePath: String, queries: DataFrame): DataFrame = {
     val (pTbl, _) = requireStore(spark, storePath)
     val posts = live(spark, storePath, pTbl)

@@ -58,8 +58,16 @@ object VectorIndex {
     * value — a session conf can never re-declare a bucketed table at a
     * count its physical files disagree with (which would silently
     * mis-distribute every exchange-free read). New stores take the session
-    * conf `confKey` (set per env from `configs/{env}.json`), else
-    * `default`. */
+    * conf `confKey` (set per env from `configs/{env}.json`), else the
+    * SESSION-DERIVED default: max(`default`, defaultParallelism)
+    * (OPTIMIZATION r16). The bucket count is the store's on-disk
+    * parallelism — every exchange-free probe/scoring stage runs in exactly
+    * this many tasks — and each store's doc already said "at 100 TB pick
+    * ≈ cluster cores"; a constant 8 was tuned for neither local mode nor a
+    * cluster (measured: the BM25 scoring stage ran 8 tasks on 32 cores —
+    * 1.78 s of a 2.6 s search). Deriving from the session makes the same
+    * build land right at any scale; `default` stays as the floor so tiny
+    * test sessions keep their historical geometry. */
   private[graft] def geometryBuckets(spark: SparkSession, storePath: String,
                                      confKey: String, default: Int): Int = {
     val fs = fsOf(spark, storePath)
@@ -68,7 +76,8 @@ object VectorIndex {
       val in = fs.open(p)
       try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
     } else {
-      val buckets = spark.conf.getOption(confKey).map(_.toInt).getOrElse(default)
+      val buckets = spark.conf.getOption(confKey).map(_.toInt)
+        .getOrElse(math.max(default, spark.sparkContext.defaultParallelism))
       require(buckets > 0, s"$confKey must be positive, got $buckets")
       fs.mkdirs(new org.apache.hadoop.fs.Path(storePath))
       val out = fs.create(p, true)

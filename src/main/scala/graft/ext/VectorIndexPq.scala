@@ -139,7 +139,7 @@ object VectorIndexPq {
     // store write + assignment + encode + ingest still run per call.
     val m = hierModel(vecs, cacheKey = corpusKey.map(d => s"$d#base"))
     val books = corpusKey
-      .map(d => SessionVal(s"pqbooks#$d")(Pq.pqCodebooksLocal(vecs)))
+      .map(d => SessionVal(s"pqbooks#$d#base")(Pq.pqCodebooksLocal(vecs)))
       .getOrElse(Pq.pqCodebooksLocal(vecs))
     spark.sql(s"DROP TABLE IF EXISTS ${listsTable(storePath)}")
     spark.sql(s"DROP TABLE IF EXISTS ${vecsTable(storePath)}")

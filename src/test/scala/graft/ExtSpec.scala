@@ -15,6 +15,40 @@ class DedupSpec extends SparkSpec {
     assert(g === n)
   }
 
+  test("set-intersection verify (r16) equals the (doc,shingle)-join form " +
+    "row-for-row on the fixture's LSH candidates") {
+    import graft.engine.Num.r
+    val docs = graft.engine.Sources.documents(spark, sf)
+    val bands = Dedup.bandBuckets(docs)
+    val candidates = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct().persist()
+    assert(candidates.count() > 0, "fixture must produce LSH candidates")
+    // the pre-r16 formulation, inline: pair × shingle equi-joins
+    val docIds = candidates.select(col("doc_a").as("doc_id"))
+      .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val shc = Dedup.shingles(docs.join(broadcast(docIds), Seq("doc_id"), "left_semi"))
+    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val oldForm = candidates
+      .join(shc.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(shc.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        r(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
+      .where(col("jaccard") >= Dedup.JaccardThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_a", "doc_b").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+    val got = rows(Dedup.jaccardVerify(docs, candidates))
+    assert(got.nonEmpty, "verify must keep pairs on this fixture")
+    assert(got === rows(oldForm))
+    candidates.unpersist()
+  }
+
   test("ngram jaccard pairs: bounded in (0,1], above threshold, a < b") {
     val rows = Dedup.ngramJaccardPairs(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -1485,6 +1519,37 @@ class SketchSpec extends SparkSpec {
       assert(rowsOf(Sketch.statsStates(sliced, t, colNames))
         === rowsOf(cols.map { case (tt, c) => Sketch.statsState(sliced, tt, c) }
           .reduce(_ unionByName _)), s"fused != per-column for $t (slice)")
+    }
+  }
+
+  test("empty slice keeps its columns in the drift report via zero-count " +
+    "baseline rows (r16, ADVICE r15); zero state is a merge identity") {
+    import graft.ext.Sketch
+    val (df, _) = Sketch.sliceSource(spark, sf, "orders")
+    val cols = Seq("o_orderkey", "o_totalprice")
+    // identity: merging the zero states into a real state changes nothing
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      Sketch.finalizeStats(d).orderBy("table_name", "column_name").collect()
+        .map(_.toSeq).toSeq
+    val real = Sketch.statsStates(df, "orders", cols)
+    assert(rowsOf(Sketch.mergeStatsStates(Seq(real,
+        Sketch.zeroStates(spark, "orders", cols))))
+      === rowsOf(Sketch.mergeStatsStates(Seq(real))))
+    // empty slice: the fused form alone emits ZERO rows (the old silent
+    // column loss); with the zero states the columns stay present at
+    // n_rows = 0, so statsDrift's inner join cannot drop them
+    val empty = Sketch.statsStates(df.where(lit(false)), "orders", cols)
+    assert(empty.count() === 0)
+    val before = Sketch.finalizeStats(Sketch.mergeStatsStates(Seq(empty,
+      Sketch.zeroStates(spark, "orders", cols))))
+    assert(before.count() === cols.length)
+    val after = Sketch.finalizeStats(Sketch.mergeStatsStates(Seq(real)))
+    val drift = Sketch.statsDrift(before, after)
+    assert(drift.count() === cols.length,
+      "empty baseline slice must not remove columns from the drift report")
+    drift.collect().foreach { r =>
+      assert(r.getAs[Long]("rows_before") === 0L)
+      assert(r.getAs[Long]("rows_after") > 0L)
     }
   }
 
