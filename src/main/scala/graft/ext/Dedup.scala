@@ -141,10 +141,16 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared_rare"))
     val ubShared = col("shared_rare") + least(col("hot_a"), col("hot_b"))
+    // persist the PRUNED candidate set (OPTIMIZATION r16): it is consumed
+    // by the exact arm AND (3 ways) inside the verify arm, and each lazy
+    // consumer re-ran the whole rare-shingle self-join chain. Bounded by
+    // the same contract as the LSH candidate pin: the upper-bound prune
+    // exists to make this set a vanishing fraction of the pair space.
     val cand = sharedRare
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"), col("n_hot").as("hot_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("n_hot").as("hot_b")), "doc_b")
       .where(ubShared.cast("double") / (col("na") + col("nb") - ubShared) >= JaccardThreshold)
+      .persist()
     val exactArm = cand.where(col("hot_a") === 0 && col("hot_b") === 0)
       .withColumn("jaccard", r(col("shared_rare").cast("double")
         / (col("na") + col("nb") - col("shared_rare")), 6))
@@ -224,10 +230,12 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared_rare"))
     val ubShared = col("shared_rare") + least(col("hot_a"), col("hot_b"))
+    // pruned-candidate pin — same grounds as [[ngramJaccardPairs]]'s (r16)
     val cand = sharedRare
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"), col("n_hot").as("hot_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("n_hot").as("hot_b")), "doc_b")
       .where(ubShared.cast("double") / least(col("na"), col("nb")) >= ContainmentThreshold)
+      .persist()
     def emit(shared: Column): Seq[Column] = Seq(
       r(shared.cast("double") / least(col("na"), col("nb")), 6).as("containment"),
       r(shared.cast("double") / (col("na") + col("nb") - shared), 6).as("jaccard"))
@@ -478,6 +486,18 @@ object Dedup {
       if (changed == 0) { // fixpoint: next ≡ labels; skip the jump entirely
         free(nextIds)
         converged = true
+      } else if (rounds == 0) {
+        // defer pointer jumping until a SECOND improving round
+        // (OPTIMIZATION r16): near-dup duplicate families are typically
+        // STARS around their minimum (LSH pairs every member with the
+        // survivor), so one min-propagation already labels everything and
+        // round 1 merely confirms changed == 0 — a round-0 jump is then a
+        // no-op that costs a checkpoint + an action (measured: 2 rounds,
+        // jump changed nothing, ~0.4 s/query). A deep chain makes round 1
+        // improve again, which turns jumping on from there — one extra
+        // propagation round at most, the O(log d) bound intact.
+        free(labelIds)
+        labels = next.select("doc_id", "cluster_id"); labelIds = nextIds
       } else {
         // pointer jump: label(x) <- label(label(x)) — labels are doc ids, so
         // the parent lookup is a self-equi-join on the CHECKPOINTED leaf

@@ -1250,6 +1250,12 @@ object Text {
                               tots: DataFrame): DataFrame =
     bm25WeightedTail(qterms.withColumn("w", lit(1000000L)), tf, tots)
 
+  /** [[bm25Tail]] over a tf frame already carrying `df` (the index search's
+    * window-derived form — see [[bm25WeightedTail]]'s df note). */
+  private[ext] def bm25TailWithDf(qterms: DataFrame, tfWithDf: DataFrame,
+                                  tots: DataFrame): DataFrame =
+    bm25WeightedTailWithDf(qterms.withColumn("w", lit(1000000L)), tfWithDf, tots)
+
   /** The weighted form of [[bm25Tail]]: each (qid, token) carries a ppm
     * weight `w` and the per-term integer score multiplies by `w // 1e6`
     * AFTER the exact BM25 score — `w = 1e6` is BIT-IDENTICAL to the
@@ -1258,20 +1264,46 @@ object Text {
     * Weighted terms are the RM3 expansion device ([[bm25Rm3Of]]). */
   private[ext] def bm25WeightedTail(qterms: DataFrame, tf: DataFrame,
                                     tots: DataFrame): DataFrame = {
+    // df(token) = number of tf rows per token, derived the way each
+    // producer's layout makes cheap (OPTIMIZATION r16): the batch
+    // operator's tf ends in a (doc, token) agg whose exchange does NOT
+    // cluster tokens, so it keeps the groupBy + broadcast-back (the
+    // duplicated subtree collapses via exchange reuse there — a window
+    // would add a real exchange, measured +6% on text_bm25_topk); the
+    // INDEX search passes tf with df already counted over its bucketed
+    // scan ([[bm25WeightedTailWithDf]]) — no second postings scan.
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = qterms.join(tf, Seq("token"))
-      .join(broadcast(dfreq), Seq("token"))
+    bm25WeightedTailWithDf(qterms,
+      tf.join(broadcast(dfreq), Seq("token")), tots)
+  }
+
+  /** The scoring tail over a tf frame that ALREADY carries `df` — both
+    * entry points end here, so the integer score expression exists once. */
+  private[ext] def bm25WeightedTailWithDf(qterms: DataFrame, tf: DataFrame,
+                                          tots: DataFrame): DataFrame = {
+    // the unweighted per-(token, doc) score depends only on the posting
+    // (tf, dl) and the model scalars (df, N, T) — NOT on the query — so it
+    // is computed ON the postings BEFORE the query fan-out (OPTIMIZATION
+    // r16): the ln + BIGINT saturation run once per posting row instead of
+    // once per (qid, token, doc) joined row (the fixture's ~40-token
+    // vocabulary fans each posting out to ~30 queries — 4.5M score
+    // evaluations where 150k suffice; a production corpus fans out less,
+    // but the factoring is free). The weight multiply stays after the
+    // fan-out, splitting the SAME expression tree at its existing
+    // idiv(·,1e6) boundary — bit-identical by construction.
+    val base = tf
       .crossJoin(broadcast(tots))
-      .select(col("qid"), col("doc_id"),
+      .select(col("token"), col("doc_id"),
         Num.idiv(
-          Num.idiv(
-            microNats((col("df") * 2 + 1).cast("double") /
-              (col("n") * 2 + 2).cast("double")).cast("long") *
-              Num.idiv(col("tf") * lit(22000000000000L),
-                (col("tf") * 10L + 3L) * 1000000L +
-                  Num.idiv(col("dl") * col("n") * 1000000L, col("t")) * 9L),
-            lit(1000000L)) * col("w"),
-          lit(1000000L)).as("s"))
+          microNats((col("df") * 2 + 1).cast("double") /
+            (col("n") * 2 + 2).cast("double")).cast("long") *
+            Num.idiv(col("tf") * lit(22000000000000L),
+              (col("tf") * 10L + 3L) * 1000000L +
+                Num.idiv(col("dl") * col("n") * 1000000L, col("t")) * 9L),
+          lit(1000000L)).as("s0"))
+    val scored = qterms.join(base, Seq("token"))
+      .select(col("qid"), col("doc_id"),
+        Num.idiv(col("s0") * col("w"), lit(1000000L)).as("s"))
     val agg = scored.groupBy("qid", "doc_id")
       .agg(sum(col("s")).as("score_mn"), count(lit(1)).as("n_terms"))
     val w = org.apache.spark.sql.expressions.Window

@@ -160,14 +160,23 @@ object TextIndex {
   def search(spark: SparkSession, storePath: String, queries: DataFrame): DataFrame = {
     val (pTbl, _) = requireStore(spark, storePath)
     val qterms = Text.bm25QueryTerms(queries)
-    val tf = live(spark, storePath, pTbl)
+    val tf = withDf(live(spark, storePath, pTbl)
       .join(broadcast(qterms.select("token").distinct()), Seq("token"))
-      .select("token", "doc_id", "tf", "dl")
+      .select("token", "doc_id", "tf", "dl"))
     val tots = live(spark, storePath, statsTable(storePath))
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("t")), lit(0L)).as("t"))
-    Text.bm25Tail(qterms, tf, tots)
+    Text.bm25TailWithDf(qterms, tf, tots)
   }
+
+  /** df counted over the bucketed postings where they stand (OPTIMIZATION
+    * r16): the scan already clusters tokens (CLUSTERED BY token), so the
+    * window needs no exchange — where the shared tail's groupBy+broadcast
+    * form re-ran the match join + postings scan as its own broadcast-build
+    * job per search. Values identical (df = tf rows per token). */
+  private def withDf(tf: DataFrame): DataFrame =
+    tf.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("token")))
 
   /** RM3 retrieval where BOTH probe passes ride the persisted postings —
     * the deployment shape [[Text.bm25Rm3Of]]'s scaladoc promises
@@ -194,10 +203,10 @@ object TextIndex {
     val tots = live(spark, storePath, statsTable(storePath))
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("t")), lit(0L)).as("t"))
-    val tf1 = posts
+    val tf1 = withDf(posts
       .join(broadcast(qt.select("token").distinct()), Seq("token"))
-      .select("token", "doc_id", "tf", "dl")
-    val first = Text.bm25Tail(qt, tf1, tots).select("qid", "doc_id")
+      .select("token", "doc_id", "tf", "dl"))
+    val first = Text.bm25TailWithDf(qt, tf1, tots).select("qid", "doc_id")
     val exp = posts.select("doc_id", "token", "tf")
       .join(broadcast(first), Seq("doc_id"))
       .join(qt, Seq("qid", "token"), "left_anti")
@@ -216,10 +225,10 @@ object TextIndex {
     val qt2Lazy = qt.withColumn("w", lit(1000000L)).unionByName(exp)
     val qt2 = spark.createDataFrame(
       java.util.Arrays.asList(qt2Lazy.collect(): _*), qt2Lazy.schema)
-    val tf2 = posts
+    val tf2 = withDf(posts
       .join(broadcast(qt2.select("token").distinct()), Seq("token"))
-      .select("token", "doc_id", "tf", "dl")
-    Text.bm25WeightedTail(qt2, tf2, tots)
+      .select("token", "doc_id", "tf", "dl"))
+    Text.bm25WeightedTailWithDf(qt2, tf2, tots)
   }
 
   // ----------------------------------------------------- registered twins
