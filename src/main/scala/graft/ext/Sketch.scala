@@ -68,8 +68,10 @@ object Sketch {
 
   /** ANALYZE-style profile of one numeric column: row/null counts, exact
     * NDV (the audit arm), KMV NDV, the sketch's relative error, and the
-    * min/max range the planner prunes with. */
-  private def profileCol(df: DataFrame, table: String, c: String): DataFrame = {
+    * min/max range the planner prunes with. Superseded as [[tableProfile]]'s
+    * execution shape by the fused [[profileTable]] (OPTIMIZATION r16) —
+    * kept as the per-column reference the equivalence spec pins against. */
+  private[graft] def profileCol(df: DataFrame, table: String, c: String): DataFrame = {
     val stats = df.agg(
       count(lit(1)).as("n_rows"),
       (count(lit(1)) - count(col(c))).as("n_nulls"), // count(c) skips nulls
@@ -205,9 +207,16 @@ object Sketch {
     * ever trip for them (the old per-column [[statsState]] emitted an
     * n_rows=0 row there). */
   private[graft] def zeroStates(spark: SparkSession, table: String,
-                                cols: Seq[String]): DataFrame = {
+                                cols: Seq[String]): DataFrame =
+    zeroStatesFor(spark, cols.map(table -> _))
+
+  /** [[zeroStates]] over explicit (table, column) pairs — one LocalRelation
+    * for a whole catalog's worth of zero rows, so a profile's merge gains
+    * one plan branch, not one per table. */
+  private[graft] def zeroStatesFor(spark: SparkSession,
+                                   pairs: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
-    cols.map(c => (table, c, 0L, 0L)).toDF(
+    pairs.map { case (t, c) => (t, c, 0L, 0L) }.toDF(
         "table_name", "column_name", "n_rows", "n_nulls")
       .select(col("table_name"), col("column_name"),
         col("n_rows"), col("n_nulls"),
@@ -386,13 +395,12 @@ object Sketch {
       // (≤ 2·|profiled columns| rows): an empty slice then yields an
       // n_rows=0 baseline row instead of vanishing from the inner join —
       // see [[zeroStates]] (ADVICE r15)
-      finalizeStats(mergeStatsStates(profiledByTable.flatMap { case (t, cols) =>
+      finalizeStats(mergeStatsStates(profiledByTable.map { case (t, cols) =>
         val (df, key) = sliceSource(spark, dir, t)
         val sliced = sliceFilter.fold(df)(i => df.where(
           pmod(mixHash(coalesce(col(key), lit(-1L))), lit(3)) === i))
-        Seq(statsStates(sliced, t, cols), // fused one-pass form (r15)
-          zeroStates(spark, t, cols))
-      }))
+        statsStates(sliced, t, cols) // fused one-pass form (r15)
+      } :+ zeroStatesFor(spark, ProfiledColumns)))
     statsDrift(profile(Some(0)), profile(None))
   }
 
@@ -459,20 +467,55 @@ object Sketch {
       left.hint("merge").join(right, joinExpr, joinType)
   }
 
-  /** The statistics catalog: one row per profiled column, UNION-stitched
-    * like the quality families. Each arm is one scan + one bounded
-    * TakeOrdered; at 100 TB the exact-NDV audit arm is dropped and the
-    * remaining work is a map-side-combined distinct of 8-byte hashes. */
-  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
-    def src(name: String): DataFrame = name match {
-      case "orders" => Sources.orders(spark, dir)
-      case "lineitem" => Sources.lineitem(spark, dir)
-      case "customer" => Sources.customer(spark, dir)
-      case "events" => Sources.events(spark, dir)
-      case other => sys.error(s"unprofiled table $other")
+  /** ONE-PASS multi-column form of [[profileCol]] (OPTIMIZATION r16, the
+    * [[statsStates]] fusion applied to the audit profile): the per-column
+    * form scanned each table TWICE per column (stats agg + KMV
+    * distinct/TakeOrdered) — 18 scans across the 9 profiled columns. Here
+    * each row explodes to one (column, canonical-int, hash, value) entry
+    * per profiled column and ONE aggregate per table computes every
+    * column's whole row: counts/min/max as plain aggs, the exact NDV as
+    * COUNT(DISTINCT canonical-int) — identical to COUNT(DISTINCT c)
+    * because the canonical mapping ([[hashKey]]: ints pass through, money
+    * cent-scales exactly, the SAME injection the KMV sketch already
+    * trusts) is injective on the schema's value contract — and the KMV via
+    * the bounded [[graft.functions.TopKByScore.topKDistinct]], exactly as
+    * [[statsStates]] does. min/max move through the double cast, which is
+    * monotone-injective for every profiled type. 4 scans instead of 18;
+    * value-identical to mapping [[profileCol]] (SketchSpec pins it). */
+  private def profileTable(df: DataFrame, table: String,
+                           cols: Seq[String]): DataFrame = {
+    val entries = cols.map { c =>
+      struct(lit(c).as("c"), hashKey(df, c).as("ck"),
+        mixHash(hashKey(df, c)).as("h"), col(c).cast("double").as("v"))
     }
-    ProfiledColumns
-      .map { case (t, c) => profileCol(src(t), t, c) }
-      .reduce(_.unionByName(_))
+    val est = when(size(col("kmv")) < KmvK, size(col("kmv")).cast("double"))
+      .otherwise(Num.r(lit((KmvK - 1).toDouble) * M32
+        / element_at(col("kmv"), -1), 2))
+    df.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.c").as("column_name"), col("e.ck").as("ck"),
+        col("e.h").as("h"), col("e.v").as("v"))
+      .groupBy("column_name")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("v"))).as("n_nulls"),
+        countDistinct(col("ck")).as("ndv_exact"),
+        min(col("v")).as("min_value"), max(col("v")).as("max_value"),
+        transform(graft.functions.TopKByScore.topKDistinct(
+          (-col("h")).cast("double"), col("h"), KmvK),
+          x => x.getField("id")).as("kmv"))
+      .select(lit(table).as("table_name"), col("column_name"),
+        col("n_rows"), col("n_nulls"), col("ndv_exact"),
+        est.as("ndv_kmv"),
+        Num.r4(abs(est - col("ndv_exact")) /
+          greatest(col("ndv_exact").cast("double"), lit(1.0))).as("kmv_rel_err"),
+        col("min_value"), col("max_value"))
   }
+
+  /** The statistics catalog: one row per profiled column. One fused pass
+    * per table ([[profileTable]]); at 100 TB the exact-NDV audit arm is
+    * dropped and the remaining work is a map-side-combined distinct of
+    * 8-byte hashes. */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame =
+    profiledByTable
+      .map { case (t, cols) => profileTable(sliceSource(spark, dir, t)._1, t, cols) }
+      .reduce(_.unionByName(_))
 }

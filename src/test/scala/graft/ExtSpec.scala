@@ -1522,6 +1522,18 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("fused one-pass tableProfile equals the per-column profileCol form " +
+    "row-for-row (OPTIMIZATION r16)") {
+    import graft.ext.Sketch
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("table_name", "column_name").collect().map(_.toSeq).toSeq
+    val perColumn = Sketch.ProfiledColumns
+      .map { case (t, c) =>
+        Sketch.profileCol(Sketch.sliceSource(spark, sf, t)._1, t, c) }
+      .reduce(_ unionByName _)
+    assert(rowsOf(Sketch.tableProfile(spark, sf)) === rowsOf(perColumn))
+  }
+
   test("empty slice keeps its columns in the drift report via zero-count " +
     "baseline rows (r16, ADVICE r15); zero state is a merge identity") {
     import graft.ext.Sketch
